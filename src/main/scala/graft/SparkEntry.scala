@@ -1,13 +1,406 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.analytics.Dashboard
+import graft.functions.{TimeOps, WeatherOps}
+import graft.operators.Upsert
+import graft.pipelines.DiffTimes
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one query per implemented operator (SURVEY.md §2), each
+  * with an ANSI-SQL DuckDB oracle over the same parquet tables.
+  *
+  * Oracle-parity rules used throughout (both sides of every query):
+  *  - timestamps never appear in output; they are reduced to floored epoch
+  *    seconds (`unix_timestamp` ≡ `FLOOR(epoch(ts))::BIGINT`) — DuckDB and
+  *    Spark both see microsecond-truncated values of the nanos testdata.
+  *  - aggregated doubles go through exact decimal accumulation
+  *    (`Dashboard.exactAvg` / `CAST(sum(CAST(x AS DECIMAL)) AS DOUBLE)`) so
+  *    partial-aggregation order cannot flip low bits.
+  *  - per-row double arithmetic is mirrored op-for-op (IEEE ops are
+  *    deterministic given identical operand order).
+  *  - integer outputs are BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  import Tables.t
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    diffMart(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- mart --
+
+  /** events → (realtime, schedule) GTFS-shaped frames → DiffTimes pipeline
+    * (E3). The composite key (trip_id, start_date, stop_sequence, stop_id)
+    * is a bijection of event_id, so the join is 1:1 but still exercises the
+    * 4-column composite-key shuffle join with the stop_id string→long cast
+    * (reference scripts/diff_times.py:95-101). Threshold 4102444800 (year
+    * 2100) makes the P7 sentinel filter active on 2024-epoch data. */
+  private def diffMart(s: SparkSession, dir: String): DataFrame = {
+    // Two independent reads: tu/gd must not share a Dataset lineage, or
+    // Spark's ambiguous-self-join check misfires on downstream rollups.
+    val ev = t(s, dir, "events")
+    val ev2 = t(s, dir, "events")
+    val ets = unix_timestamp(col("ts"))
+    val epoch0 = timestamp_seconds(lit(0L))
+    val wid = lit(200L) + (col("event_id") % 700L)
+    val tu = ev.select(
+      expr("CAST(event_id DIV 100 AS STRING)").as("trip_id"),
+      to_date(col("ts")).as("start_date"),
+      (col("event_id") % 100L).as("stop_sequence"),
+      col("user_id").cast("string").as("stop_id"),
+      when(col("value") < 20d, epoch0).otherwise(col("ts")).as("arrival_time"),
+      when(col("value") > 180d, epoch0)
+        .otherwise(timestamp_seconds(ets + expr("CAST(value AS BIGINT)")))
+        .as("departure_time"),
+      WeatherOps.weatherGroup(wid).as("weather_group"),
+      concat(lit("wx_"), (col("event_id") % 5L).cast("string")).as("weather_description"),
+      WeatherOps.kelvinToCelsius(col("value") + lit(250.0)).as("temperature"),
+      col("ts").as("created_at"),
+      col("ts").as("updated_at"))
+    val gd = ev2.select(
+      expr("CAST(event_id DIV 100 AS STRING)").as("trip_id"),
+      to_date(col("ts")).as("start_date"),
+      (col("event_id") % 100L).as("stop_sequence"),
+      col("user_id").as("stop_id"),
+      concat(lit("r"), (col("user_id") % 10L).cast("string")).as("route_id"),
+      concat(lit("stop_"), col("user_id").cast("string")).as("stop_name"),
+      concat(lit("Route "), (col("user_id") % 10L).cast("string")).as("route_long_name"),
+      date_trunc("minute", col("ts")).as("arrival_time"),
+      timestamp_seconds(unix_timestamp(date_trunc("minute", col("ts"))) + 60L)
+        .as("departure_time"),
+      concat_ws(", ", (col("user_id") % 90L).cast("string"),
+        (col("user_id") % 180L).cast("string")).as("geo_coordinates"))
+    DiffTimes.build(tu, gd, tz = "UTC", sentinelThresholdSecs = 4102444800L)
+  }
+
+  /** Mart with timestamp columns reduced to epoch seconds (hash-stable). */
+  private def diffMartEpochs(s: SparkSession, dir: String): DataFrame =
+    diffMart(s, dir).select(
+      col("trip_id"), col("start_date"), col("stop_sequence"), col("stop_id"),
+      col("route_id"), col("stop_name"), col("route_long_name"),
+      unix_timestamp(col("actual_arrival_time")).as("actual_arrival_epoch"),
+      unix_timestamp(col("scheduled_arrival_time")).as("scheduled_arrival_epoch"),
+      col("arrival_time_diff_in_minutes"),
+      unix_timestamp(col("actual_departure_time")).as("actual_departure_epoch"),
+      unix_timestamp(col("scheduled_departure_time")).as("scheduled_departure_epoch"),
+      col("departure_time_diff_in_minutes"),
+      col("average_diff_in_minutes"),
+      col("weather_group"), col("weather_description"), col("temperature"),
+      col("day_type"), col("sudbury_hour_of_day"), col("geo_coordinates"),
+      unix_timestamp(col("created_at")).as("created_epoch"),
+      unix_timestamp(col("updated_at")).as("updated_epoch"))
+
+  /** Shared oracle CTE producing the same mart in DuckDB SQL. */
+  private val MART_CTE: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, value, ts, FLOOR(epoch(ts))::BIGINT AS ets
+      |  FROM events),
+      |tu AS (
+      |  SELECT CAST(event_id // 100 AS VARCHAR) AS trip_id,
+      |    CAST(ts AS DATE) AS start_date,
+      |    event_id % 100 AS stop_sequence,
+      |    CAST(user_id AS VARCHAR) AS stop_id,
+      |    CASE WHEN value < 20 THEN 0 ELSE ets END AS e_arr,
+      |    CASE WHEN value > 180 THEN 0 ELSE ets + CAST(trunc(value) AS BIGINT) END AS e_dep,
+      |    CASE WHEN (200 + event_id % 700) BETWEEN 200 AND 299 THEN 'Thunderstorm'
+      |         WHEN (200 + event_id % 700) BETWEEN 300 AND 399 THEN 'Drizzle'
+      |         WHEN (200 + event_id % 700) BETWEEN 500 AND 599 THEN 'Rain'
+      |         WHEN (200 + event_id % 700) BETWEEN 600 AND 699 THEN 'Snow'
+      |         WHEN (200 + event_id % 700) BETWEEN 700 AND 799 THEN 'Atmosphere'
+      |         WHEN (200 + event_id % 700) = 800 THEN 'Clear'
+      |         WHEN (200 + event_id % 700) BETWEEN 800 AND 899 THEN 'Clouds'
+      |         ELSE 'Unknown' END AS weather_group,
+      |    'wx_' || CAST(event_id % 5 AS VARCHAR) AS weather_description,
+      |    (value + 250.0) - 273.15 AS temperature,
+      |    ets AS e_created, ets AS e_updated
+      |  FROM ev),
+      |gd AS (
+      |  SELECT CAST(event_id // 100 AS VARCHAR) AS trip_id,
+      |    CAST(ts AS DATE) AS start_date,
+      |    event_id % 100 AS stop_sequence,
+      |    user_id AS stop_id,
+      |    'r' || CAST(user_id % 10 AS VARCHAR) AS route_id,
+      |    'stop_' || CAST(user_id AS VARCHAR) AS stop_name,
+      |    'Route ' || CAST(user_id % 10 AS VARCHAR) AS route_long_name,
+      |    date_trunc('minute', ts) AS sched_arr,
+      |    FLOOR(epoch(date_trunc('minute', ts)))::BIGINT AS e_sa,
+      |    FLOOR(epoch(date_trunc('minute', ts)))::BIGINT + 60 AS e_sd,
+      |    CAST(user_id % 90 AS VARCHAR) || ', ' || CAST(user_id % 180 AS VARCHAR) AS geo_coordinates
+      |  FROM ev),
+      |mart AS (
+      |  SELECT tu.trip_id, tu.start_date, tu.stop_sequence,
+      |    CAST(tu.stop_id AS BIGINT) AS stop_id,
+      |    gd.route_id, gd.stop_name, gd.route_long_name,
+      |    CASE WHEN e_arr = 0 THEN NULL ELSE e_arr END AS actual_arrival_epoch,
+      |    e_sa AS scheduled_arrival_epoch,
+      |    CASE WHEN e_arr = 0 THEN 0.0 ELSE (e_arr - e_sa) / 60.0 END AS arrival_time_diff_in_minutes,
+      |    CASE WHEN e_dep = 0 THEN NULL ELSE e_dep END AS actual_departure_epoch,
+      |    e_sd AS scheduled_departure_epoch,
+      |    CASE WHEN e_dep = 0 THEN 0.0 ELSE (e_dep - e_sd) / 60.0 END AS departure_time_diff_in_minutes,
+      |    CASE WHEN e_arr <> 0 AND e_dep <> 0 THEN ((e_arr - e_sa) + (e_dep - e_sd)) / 120.0
+      |         WHEN e_arr = 0 AND e_dep <> 0 THEN (e_dep - e_sd) / 60.0
+      |         WHEN e_arr <> 0 AND e_dep = 0 THEN (e_arr - e_sa) / 60.0
+      |         ELSE NULL END AS average_diff_in_minutes,
+      |    tu.weather_group, tu.weather_description, tu.temperature,
+      |    strftime(gd.sched_arr, '%A') AS day_type,
+      |    hour(gd.sched_arr) AS sudbury_hour_of_day,
+      |    gd.geo_coordinates,
+      |    e_created AS created_epoch, e_updated AS updated_epoch
+      |  FROM tu JOIN gd
+      |    ON tu.trip_id = gd.trip_id AND tu.start_date = gd.start_date
+      |   AND tu.stop_sequence = gd.stop_sequence
+      |   AND CAST(tu.stop_id AS BIGINT) = gd.stop_id
+      |  WHERE NOT ((e_arr = 0 AND e_sa <= 4102444800) AND (e_dep = 0 AND e_sd <= 4102444800)))
+      |""".stripMargin
+
+  private val EXACT_AVG = "CAST(sum(CAST(%s AS DECIMAL(20,6))) AS DOUBLE) / count(%s)"
+  private def exactAvgSql(c: String) = EXACT_AVG.format(c, c)
+
+  // ------------------------------------------------------------- queries --
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E3 flagship: J5 composite join + P5 cast + P6 sentinel-null + F5/F6
+    // diff math + F7/F8 dims + P7 filter + W1 global sort.
+    "q01_diff_mart" -> ((s, dir) => diffMartEpochs(s, dir)
+      .orderBy(asc("trip_id"), asc("stop_sequence"), asc("start_date"))),
+
+    // J1-J4 broadcast star join + exact-decimal aggregates.
+    "q02_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+      val r = t(s, dir, "region")
+      val p = t(s, dir, "part").select("p_partkey")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // A1 — avg delay by hour over the mart.
+    "q03_avg_delay_by_hour" -> ((s, dir) =>
+      Dashboard.avgDelayByHour(diffMart(s, dir))),
+
+    // A2 — A1 with dashboard slicers.
+    "q04_avg_delay_sliced" -> ((s, dir) =>
+      Dashboard.avgDelayByHourSliced(diffMart(s, dir),
+        weatherGroup = Some("Rain"), routeId = Some("r3"))),
+
+    // A3 — peak hours by distinct trips.
+    "q05_peak_hours" -> ((s, dir) => Dashboard.peakHours(diffMart(s, dir))),
+
+    // A4 — stop density by geo.
+    "q06_stop_density" -> ((s, dir) => Dashboard.stopDensity(diffMart(s, dir))),
+
+    // A5 — rollup day_type × hour.
+    "q07_delay_rollup" -> ((s, dir) => Dashboard.delayRollup(diffMart(s, dir))),
+
+    // S9 — conditional upsert merge of two keyed snapshots.
+    "q08_upsert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def snap(pred: Column): DataFrame = ev.where(pred)
+        .groupBy("user_id", "event_type")
+        .agg(max_by(col("value"), col("event_id")).as("value"),
+          min(col("event_id")).as("created_id"),
+          max(col("event_id")).as("updated_id"))
+      val target = snap(col("event_id") % 3L < 2L)
+      val updates = snap(col("event_id") % 3L === 2L)
+      Upsert.upsert(target, updates, Seq("user_id", "event_type"),
+        compareCols = Seq("value"), createdCol = Some("created_id"))
+    }),
+
+    // S10 — insert-if-absent (anti-join append).
+    "q09_insert_if_absent" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      val target = ev.where(col("event_id") % 4L =!= 0L)
+      val updates = ev.where(col("event_id") % 4L === 0L)
+      Upsert.insertIfAbsent(target, updates, Seq("user_id", "event_type"))
+    }),
+
+    // Latest-per-key via max_by (the upsert-shaped dedup, SURVEY.md §2.5).
+    "q10_latest_per_key" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("event_id"), col("value"), unix_timestamp(col("ts")).as("ts_epoch"))
+      Upsert.latestPerKey(ev, Seq("user_id", "event_type"), "event_id")
+    }),
+
+    // F1 — GTFS >24h clock normalization (UTC; tz-full variant in tests).
+    "q11_gtfs_time" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val h = (col("event_id") % 40L).cast("string")
+      val m = (col("user_id") % 60L).cast("string")
+      val sec = (col("event_id") % 60L).cast("string")
+      val clock = concat_ws(":", lpad(h, 2, "0"), lpad(m, 2, "0"), lpad(sec, 2, "0"))
+      ev.select(col("event_id"), clock.as("clock"),
+        to_date(col("ts")).as("service_date"),
+        unix_timestamp(TimeOps.gtfsTimestamp(to_date(col("ts")), clock, "UTC"))
+          .as("utc_epoch"))
+    }),
+
+    // F10 — weather-id range bucketing.
+    "q12_weather_bucket" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(WeatherOps.weatherGroup(lit(200L) + (col("event_id") % 700L))
+          .as("weather_group"))
+        .agg(count(lit(1)).as("n"), Dashboard.exactAvg(col("value")).as("avg_value"))
+    }),
+
+    // F11 — JSON field extraction.
+    "q13_json_extract" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      ev.groupBy((k % 10L).as("k_mod"))
+        .agg(count(lit(1)).as("n"), Dashboard.exactAvg(col("value")).as("avg_value"))
+    }),
+
+    // Window formulation of latest-per-key (row_number over key partition).
+    "q14_window_latest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("event_id"), col("value"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id").desc)
+      ev.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }),
+  )
+
+  // -------------------------------------------------------------- oracle --
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_diff_mart" -> (MART_CTE +
+      "SELECT * FROM mart ORDER BY trip_id ASC, stop_sequence ASC, start_date ASC"),
+
+    "q02_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q03_avg_delay_by_hour" -> (MART_CTE +
+      s"""SELECT sudbury_hour_of_day,
+         |  ${exactAvgSql("average_diff_in_minutes")} AS avg_delay_min,
+         |  count(*) AS n_rows
+         |FROM mart GROUP BY sudbury_hour_of_day""".stripMargin),
+
+    "q04_avg_delay_sliced" -> (MART_CTE +
+      s"""SELECT sudbury_hour_of_day,
+         |  ${exactAvgSql("average_diff_in_minutes")} AS avg_delay_min,
+         |  count(*) AS n_rows
+         |FROM mart WHERE weather_group = 'Rain' AND route_id = 'r3'
+         |GROUP BY sudbury_hour_of_day""".stripMargin),
+
+    "q05_peak_hours" -> (MART_CTE +
+      """SELECT sudbury_hour_of_day,
+        |  count(DISTINCT trip_id) AS n_trips, count(*) AS n_rows
+        |FROM mart GROUP BY sudbury_hour_of_day""".stripMargin),
+
+    "q06_stop_density" -> (MART_CTE +
+      """SELECT geo_coordinates, stop_name, count(*) AS n_rows
+        |FROM mart GROUP BY geo_coordinates, stop_name""".stripMargin),
+
+    "q07_delay_rollup" -> (MART_CTE +
+      s"""SELECT day_type, sudbury_hour_of_day,
+         |  ${exactAvgSql("average_diff_in_minutes")} AS avg_delay_min,
+         |  count(*) AS n_rows
+         |FROM mart GROUP BY ROLLUP (day_type, sudbury_hour_of_day)""".stripMargin),
+
+    "q08_upsert" ->
+      """WITH old AS (
+        |  SELECT user_id, event_type, arg_max(value, event_id) AS value,
+        |    min(event_id) AS created_id, max(event_id) AS updated_id
+        |  FROM events WHERE event_id % 3 < 2 GROUP BY user_id, event_type),
+        |new AS (
+        |  SELECT user_id, event_type, arg_max(value, event_id) AS value,
+        |    min(event_id) AS created_id, max(event_id) AS updated_id
+        |  FROM events WHERE event_id % 3 = 2 GROUP BY user_id, event_type)
+        |SELECT
+        |  COALESCE(t.user_id, u.user_id) AS user_id,
+        |  COALESCE(t.event_type, u.event_type) AS event_type,
+        |  CASE WHEN u.user_id IS NOT NULL AND (t.user_id IS NULL
+        |         OR t.value IS DISTINCT FROM u.value)
+        |       THEN u.value ELSE t.value END AS value,
+        |  COALESCE(t.created_id, u.created_id) AS created_id,
+        |  CASE WHEN u.user_id IS NOT NULL AND (t.user_id IS NULL
+        |         OR t.value IS DISTINCT FROM u.value)
+        |       THEN u.updated_id ELSE t.updated_id END AS updated_id
+        |FROM old t FULL OUTER JOIN new u
+        |  ON t.user_id = u.user_id AND t.event_type = u.event_type""".stripMargin,
+
+    "q09_insert_if_absent" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 4 <> 0
+        |UNION ALL
+        |SELECT e.event_id, e.user_id, e.event_type, e.value
+        |FROM events e
+        |WHERE e.event_id % 4 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM events t
+        |  WHERE t.event_id % 4 <> 0 AND t.user_id = e.user_id
+        |    AND t.event_type = e.event_type)""".stripMargin,
+
+    "q10_latest_per_key" ->
+      """SELECT user_id, event_type,
+        |  max(event_id) AS event_id,
+        |  arg_max(value, event_id) AS value,
+        |  arg_max(FLOOR(epoch(ts))::BIGINT, event_id) AS ts_epoch
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "q11_gtfs_time" ->
+      """SELECT event_id,
+        |  lpad(CAST(event_id % 40 AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(user_id % 60 AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') AS clock,
+        |  CAST(ts AS DATE) AS service_date,
+        |  FLOOR(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)))::BIGINT
+        |    + (event_id % 40) * 3600 + (user_id % 60) * 60 + (event_id % 60)
+        |    AS utc_epoch
+        |FROM events""".stripMargin,
+
+    "q12_weather_bucket" ->
+      s"""SELECT CASE WHEN (200 + event_id % 700) BETWEEN 200 AND 299 THEN 'Thunderstorm'
+         |       WHEN (200 + event_id % 700) BETWEEN 300 AND 399 THEN 'Drizzle'
+         |       WHEN (200 + event_id % 700) BETWEEN 500 AND 599 THEN 'Rain'
+         |       WHEN (200 + event_id % 700) BETWEEN 600 AND 699 THEN 'Snow'
+         |       WHEN (200 + event_id % 700) BETWEEN 700 AND 799 THEN 'Atmosphere'
+         |       WHEN (200 + event_id % 700) = 800 THEN 'Clear'
+         |       WHEN (200 + event_id % 700) BETWEEN 800 AND 899 THEN 'Clouds'
+         |       ELSE 'Unknown' END AS weather_group,
+         |  count(*) AS n, ${exactAvgSql("value")} AS avg_value
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q13_json_extract" ->
+      s"""SELECT CAST(props->>'$$.k' AS BIGINT) % 10 AS k_mod,
+         |  count(*) AS n, ${exactAvgSql("value")} AS avg_value
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q14_window_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+  )
 }
