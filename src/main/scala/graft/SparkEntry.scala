@@ -1,9 +1,13 @@
 package graft
 
 import graft.analytics.Dashboard
+import graft.dedup.Dedup
 import graft.functions.{TimeOps, WeatherOps}
+import graft.multimodal.MultiModal
 import graft.operators.Upsert
 import graft.pipelines.DiffTimes
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -158,6 +162,15 @@ object SparkEntry {
   private val EXACT_AVG = "CAST(sum(CAST(%s AS DECIMAL(20,6))) AS DOUBLE) / count(%s)"
   private def exactAvgSql(c: String) = EXACT_AVG.format(c, c)
 
+  /** DuckDB mirror of TextAnalysis.charPolyHash over expression `e`. */
+  private def charPolySql(e: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e)+1), i -> CAST(ord($e[i]) AS BIGINT))), " +
+      "(a,b) -> (a*31+b) % 1000000007)"
+
+  /** DuckDB mirror of TextAnalysis.tokens. */
+  private val TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+
   // ------------------------------------------------------------- queries --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -277,6 +290,93 @@ object SparkEntry {
         .orderBy(col("event_id").desc)
       ev.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
+    }),
+
+    // --- training-data pipeline operators (beyond the reference) ---
+
+    // Exact dedup by content hash.
+    "q15_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    // MinHash + LSH near-dup candidate pairs (rows-only check: xxhash64
+    // has no DuckDB equivalent).
+    "q16_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16)),
+
+    // SimHash 64-bit fingerprints (rows-only check).
+    "q17_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
+    }),
+
+    // Exact bigram-shingle Jaccard within lang×source blocks.
+    "q18_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), minJaccard = 0.15)),
+
+    // Brute-force quantized-cosine top-k (exact ANN baseline).
+    "q19_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+    }),
+
+    // Sign-LSH bucketed ANN top-k (rows-only check: recall is approximate
+    // by construction, and plane dots are engine-internal).
+    "q20_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
+      Similarity.annTopK(q, emb, "vec_id", "embedding", k = 3)
+    }),
+
+    // Language-ID heuristic (marker-word overlap + argmax).
+    "q21_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tk = TextAnalysis.tokens(col("text"))
+      val scores = TextAnalysis.langScores(tk)
+      val predicted = TextAnalysis.predictedLang(scores)
+      d.select((col("doc_id") +: col("lang").as("labeled_lang") +:
+        scores.map { case (l, c) => c.as(s"score_$l") }) :+
+        predicted.as("predicted") :+
+        (predicted === col("lang")).as("is_match"): _*)
+    }),
+
+    // Quality scoring (length/stopword/type-token features).
+    "q22_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.qualityFeatures(col("text"), Seq("the", "a")).as("q"))
+        .select(col("doc_id"), col("q.n_chars"), col("q.n_tokens"),
+          col("q.n_distinct"), col("q.ttr"), col("q.avg_token_len"),
+          col("q.stopword_ratio"), col("q.quality_score"))
+    }),
+
+    // Token counting: whitespace + regex tokenizers.
+    "q23_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ws = size(TextAnalysis.tokens(col("text"))).cast("long")
+      val re = size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
+      d.select(col("doc_id"), ws.as("ws_tokens"), re.as("re_tokens"),
+        (length(col("text")).cast("double") / ws.cast("double"))
+          .as("chars_per_token"))
+    }),
+
+    // Document fingerprinting (rolling polynomial hashes).
+    "q24_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.charPolyHash(col("text")).as("char_fp"),
+        TextAnalysis.tokenFingerprint(TextAnalysis.tokens(col("text")))
+          .as("token_fp"))
+    }),
+
+    // Multimodal binary-column plumbing with stubbed (deterministic) decode.
+    "q25_multimodal" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      MultiModal.extractFeatures(
+        MultiModal.mediaFromDocuments(t(s, dir, "documents"))).toDF()
     }),
   )
 
@@ -402,5 +502,132 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q15_dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, count(*) AS n_dups,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    // q16_minhash_pairs / q17_simhash / q20_ann_lsh: intentionally no
+    // oracle — xxhash64/LSH internals are engine-defined (rows-only check).
+
+    "q18_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS sg
+         |  FROM toks),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+         |    CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+         |      AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.15""".stripMargin,
+
+    "q19_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CAST(round(x * 100000.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+        |  FROM n q, n c WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM p)
+        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q21_langid" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $TOKENS_SQL AS tk FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(tk, t -> t IN ('the','a','of'))) AS BIGINT) AS score_en,
+         |    CAST(len(list_filter(tk, t -> t IN ('data','table','fast'))) AS BIGINT) AS score_es,
+         |    CAST(len(list_filter(tk, t -> t IN ('scan','merge','hash'))) AS BIGINT) AS score_de,
+         |    CAST(len(list_filter(tk, t -> t IN ('row','value','sort'))) AS BIGINT) AS score_fr,
+         |    CAST(len(list_filter(tk, t -> t IN ('join','query','group'))) AS BIGINT) AS score_zh
+         |  FROM toks),
+         |pr AS (
+         |  SELECT *, CASE
+         |    WHEN score_en >= score_es AND score_en >= score_de
+         |     AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+         |    WHEN score_es >= score_en AND score_es >= score_de
+         |     AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |    WHEN score_de >= score_en AND score_de >= score_es
+         |     AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |    WHEN score_fr >= score_en AND score_fr >= score_es
+         |     AND score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+         |    WHEN score_zh >= score_en AND score_zh >= score_es
+         |     AND score_zh >= score_de AND score_zh >= score_fr THEN 'zh'
+         |    ELSE 'und' END AS predicted
+         |  FROM sc)
+         |SELECT doc_id, lang AS labeled_lang, score_en, score_es, score_de,
+         |  score_fr, score_zh, predicted, (predicted = lang) AS is_match
+         |FROM pr""".stripMargin,
+
+    "q22_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, length(text) AS n_chars, $TOKENS_SQL AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |    CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(tk, t -> t IN ('the','a'))) AS BIGINT) AS n_stop
+         |  FROM f)
+         |SELECT doc_id, n_chars, n_tokens, n_distinct,
+         |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+         |  CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+         |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+         |  0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0)
+         |    + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |    AS quality_score
+         |FROM g""".stripMargin,
+
+    "q23_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($TOKENS_SQL) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_tokens,
+         |  CAST(length(text) AS DOUBLE) / CAST(len($TOKENS_SQL) AS BIGINT)
+         |    AS chars_per_token
+         |FROM documents""".stripMargin,
+
+    "q24_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${charPolySql("text")} AS char_fp,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform($TOKENS_SQL,
+         |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(range(1, length(t)+1),
+         |               j -> CAST(ord(t[j]) AS BIGINT))),
+         |           (c,d) -> (c*31+d) % 1000000007))),
+         |    (a,h) -> (a*131+h) % 1000000007) AS token_fp
+         |FROM documents""".stripMargin,
+
+    "q25_multimodal" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS byte_len,
+         |  CAST(ord(text[1]) AS BIGINT) AS first_byte,
+         |  ${charPolySql("text")} AS content_fp,
+         |  n_chars % 640 AS width,
+         |  n_chars % 480 AS height,
+         |  CAST(length(text) AS BIGINT) % 30 + 1 AS n_frames
+         |FROM documents""".stripMargin,
   )
 }

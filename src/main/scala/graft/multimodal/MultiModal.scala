@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media blob + typed metadata (image/audio/video as opaque binary). */
+case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String,
+                    width: Long, height: Long)
+
+/** Features the (stubbed) decoder extracts per blob. */
+case class MediaFeatures(doc_id: Long, byte_len: Long, first_byte: Long,
+                         content_fp: Long, width: Long, height: Long,
+                         n_frames: Long)
+
+/** Multimodal-column plumbing: opaque `binary` media columns with typed
+  * metadata, processed per-partition in batches.
+  *
+  * The decode step is a STUB — real image/audio codecs are not present in
+  * this environment — but it is a deterministic function of the bytes, so
+  * the Spark-side contract (schema, typed Dataset, mapPartitions batch
+  * shape, partition-parallel execution, no driver collection) is real and
+  * oracle-testable. Swapping in a real decoder changes only the body of
+  * [[decodeStub]].
+  */
+object MultiModal {
+
+  val Mod = 1000000007L
+
+  /** Build a media frame from the documents table: the UTF-8 bytes stand in
+    * for an encoded image; metadata derives from n_chars. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit("application/octet-stream").as("media_type"),
+      (col("n_chars") % 640L).as("width"),
+      (col("n_chars") % 480L).as("height"))
+
+  /** Deterministic fake decode: byte length, first byte, and a polynomial
+    * content fingerprint ((h*31 + byte) mod 1e9+7). A real implementation
+    * would decode pixels / resample audio here. */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val fp = r.media.foldLeft(0L)((a, b) => (a * 31L + (b & 0xffL)) % Mod)
+    MediaFeatures(
+      doc_id = r.doc_id,
+      byte_len = r.media.length.toLong,
+      first_byte = if (r.media.nonEmpty) (r.media(0) & 0xffL) else -1L,
+      content_fp = fp,
+      width = r.width, height = r.height,
+      n_frames = r.media.length.toLong % 30L + 1L)
+  }
+
+  /** Partition-parallel feature extraction over the typed Dataset. */
+  def extractFeatures(media: DataFrame)(implicit s: SparkSession): Dataset[MediaFeatures] = {
+    import s.implicits._
+    media.as[MediaRow].mapPartitions(_.map(decodeStub))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Embeddings are scalar-quantized to int64 (round(x * 1e5)) before any
+  * arithmetic: integer dot products are exact and summation-order-free, so
+  * scores are bit-identical regardless of partitioning — and they verify
+  * against a SQL oracle. The quantization error (~1e-5 relative) is far
+  * below float32 embedding noise.
+  *
+  * Scale design: queries are the broadcast side (a query batch is small);
+  * the corpus is never shuffled for brute force — each corpus partition
+  * scores locally and only top-k survivors move. The LSH variant bounds the
+  * scored candidates per query by bucket size.
+  */
+object Similarity {
+
+  val Scale = 100000.0
+
+  /** Scalar quantization: array<float> → array<long> of round(x*1e5). */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * lit(Scale)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** Cosine from quantized dot + squared norms (scale cancels). */
+  def cosineQ(dot: Column, normA: Column, normB: Column): Column =
+    dot.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+
+  private def withQuantized(df: DataFrame, id: String, emb: String,
+                            vCol: String, nCol: String): DataFrame =
+    df.select(col(id), col(emb), quantize(col(emb)).as(vCol))
+      .withColumn(nCol, intDot(col(vCol), col(vCol)))
+
+  /** Brute-force cosine top-k: every corpus vector scored against every
+    * query (queries broadcast), row_number window keeps k per query with a
+    * deterministic (cos desc, id asc) tie-break. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = withQuantized(queries, idCol, embCol, "qv", "qn")
+      .withColumnRenamed(idCol, "query_id").drop(embCol)
+    val c = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        cosineQ(intDot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH (fixed seed — planes are
+    * part of the operator definition, not runtime randomness). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit i = (emb · plane_i) > 0. */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    val dEmb = transform(emb, _.cast("double"))
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(dEmb, typedLit(p), _ * _), lit(0.0), _ + _)
+      when(dot > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k via sign-LSH: only corpus vectors sharing the query's bucket
+    * are scored (candidate set ≈ corpus/2^planes per query), then exact
+    * quantized cosine ranks them. Recall < 1 by construction — this is the
+    * scale path; bruteForceTopK is the exact baseline. */
+  def annTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, embCol: String, k: Int,
+              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val q = withQuantized(queries, idCol, embCol, "qv", "qn")
+      .withColumn("bucket", lshBucket(col(embCol), planes))
+      .withColumnRenamed(idCol, "query_id")
+      .select("query_id", "qv", "qn", "bucket")
+    val c = withQuantized(corpus, idCol, embCol, "cv", "cn")
+      .withColumn("bucket", lshBucket(col(embCol), planes)).drop(embCol)
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col(idCol),
+        cosineQ(intDot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, and document
+  * fingerprinting. All pure Column expressions — codegen-friendly, no UDFs,
+  * embarrassingly parallel (per-row, no shuffle).
+  *
+  * Numeric outputs are either integers or double expressions mirrored
+  * op-for-op in the DuckDB oracles, so results are bit-reproducible.
+  */
+object TextAnalysis {
+
+  val Mod = 1000000007L
+
+  /** Whitespace tokens, empty strings dropped (texts have trailing spaces). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Distinct word-bigram shingles of a token array (for Jaccard/MinHash). */
+  def bigramShingles(tk: Column): Column =
+    when(size(tk) >= 2,
+      array_distinct(transform(sequence(lit(0), size(tk) - 2),
+        i => concat(element_at(tk, i + 1), lit(" "), element_at(tk, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Polynomial rolling hash over a string's characters:
+    * h = (h*31 + code(c)) mod 1e9+7. The char-level inner loop stays inside
+    * codegen (`aggregate` over `split`). */
+  def charPolyHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c).cast("long")) % Mod)
+
+  /** Order-sensitive document fingerprint over token hashes:
+    * h = (h*131 + charPolyHash(token)) mod 1e9+7. */
+  def tokenFingerprint(tk: Column): Column =
+    aggregate(transform(tk, charPolyHash _), lit(0L),
+      (acc, h) => (acc * 131L + h) % Mod)
+
+  /** Occurrences of any of `words` in the token array. */
+  def wordCount(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, t => t.isin(words: _*))).cast("long")
+
+  /** Quality-score feature struct: token counts, type-token ratio, average
+    * token length, stopword ratio, and a weighted score in [0,1]. */
+  def qualityFeatures(text: Column, stopwords: Seq[String]): Column = {
+    val tk = tokens(text)
+    val nTok = size(tk).cast("long")
+    val nDistinct = size(array_distinct(tk)).cast("long")
+    val sumLen = aggregate(tk, lit(0L), (a, t) => a + length(t).cast("long"))
+    val nStop = wordCount(tk, stopwords)
+    val ttr = nDistinct.cast("double") / nTok.cast("double")
+    val avgLen = sumLen.cast("double") / nTok.cast("double")
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    val score = lit(0.4) * least(lit(1.0), nTok.cast("double") / lit(200.0)) +
+      lit(0.3) * ttr + lit(0.3) * (lit(1.0) - stopRatio)
+    struct(
+      length(text).cast("long").as("n_chars"),
+      nTok.as("n_tokens"), nDistinct.as("n_distinct"),
+      ttr.as("ttr"), avgLen.as("avg_token_len"),
+      stopRatio.as("stopword_ratio"),
+      when(nTok === 0L, lit(0.0)).otherwise(score).as("quality_score"))
+  }
+
+  /** Language marker-word sets for the n-gram/stopword-overlap language-ID
+    * heuristic. Deterministic, order = tie-break priority. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("data", "table", "fast"),
+    "de" -> Seq("scan", "merge", "hash"),
+    "fr" -> Seq("row", "value", "sort"),
+    "zh" -> Seq("join", "query", "group"))
+
+  /** Language-ID: score = marker-word occurrences per language; predicted =
+    * first language (in LangMarkers order) whose score is >= all others. */
+  def langScores(tk: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, words) => lang -> wordCount(tk, words) }
+
+  def predictedLang(scores: Seq[(String, Column)]): Column = {
+    val cols = scores.toMap
+    scores.foldLeft(when(lit(false), lit(""))) { case (acc, (lang, s)) =>
+      val isMax = scores.filter(_._1 != lang)
+        .map { case (_, other) => s >= other }.reduce(_ && _)
+      acc.when(isMax, lit(lang))
+    }.otherwise(lit("und"))
+  }
+}
