@@ -311,10 +311,17 @@ object SparkEntry {
         Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
     }),
 
-    // Exact bigram-shingle Jaccard within lang×source blocks.
+    // Exact bigram-shingle Jaccard within lang×source blocks (posting-list
+    // inverted-index join — same semantics as the all-pairs oracle).
     "q18_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         Seq("lang", "source"), minJaccard = 0.15)),
+
+    // SimHash banded near-dup pairs (rows-only check: xxhash64-derived
+    // fingerprints are engine-defined).
+    "q26_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8)),
 
     // Brute-force quantized-cosine top-k (exact ANN baseline).
     "q19_cosine_topk" -> ((s, dir) => {

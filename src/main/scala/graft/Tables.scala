@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin the session timezone here, not only in build.sbt's forked-run
+    // javaOptions: a driver that builds its own SparkSession would
+    // otherwise silently derive day_type/hour/date in machine-local time.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

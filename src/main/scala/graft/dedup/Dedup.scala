@@ -6,14 +6,24 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact content-hash
   * dedup, MinHash+LSH and SimHash near-dup candidate generation, and
-  * blocked n-gram Jaccard verification.
+  * exact n-gram Jaccard verification via a blocked inverted index.
   *
-  * Scale design: every stage is a hash-partitioned groupBy/join on either a
-  * content hash or an LSH bucket key — candidate generation never compares
-  * all pairs. The O(n²) work is confined to within-bucket/within-block
-  * pairs, which is the standard way these survive 100 TB (bucket sizes are
-  * bounded by band width, not corpus size). Signature computation is pure
-  * Column expressions over token arrays — per-row, no shuffle, codegen'd.
+  * Scale design (the 100 TB contract of every operator here):
+  *  - candidate generation never compares all pairs — the only O(B²) work
+  *    is within an LSH bucket, and bucket size B is capped (skewed band
+  *    values are dropped, with the drop count emitted as an observed
+  *    metric) so no single reducer can blow up;
+  *  - exact duplicates are collapsed to one representative BEFORE any LSH
+  *    banding: n copies of one text would otherwise meet in every band and
+  *    pair quadratically for nothing (exact dups are [[exactDupGroups]]'
+  *    job, not LSH's);
+  *  - wide payloads (signatures, shingle sets) never ride a shuffle that a
+  *    key column can ride instead — the band join moves (band, band_hash,
+  *    id) only, pairs are `distinct`-ed as bare id pairs, and signatures
+  *    are re-attached afterwards by two slim id-keyed joins;
+  *  - Jaccard verification is a posting-list (inverted-index) join: only
+  *    pairs sharing at least one shingle are ever materialized, which is
+  *    exact for any positive threshold.
   */
 object Dedup {
 
@@ -24,38 +34,75 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
 
   /** MinHash signature: for seed i, min over shingles of xxhash64(i, s).
-    * Deterministic (xxhash64 is seeded by the literal). NULL-free as long
-    * as the shingle array is non-empty. */
+    * Deterministic (xxhash64 is seeded by the literal). The caller must
+    * ensure the shingle array is non-empty — an empty array yields an
+    * all-NULL signature. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
       array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
 
-  /** MinHash LSH candidate pairs: split the signature into `bands` bands of
-    * `numHashes/bands` rows, bucket-join docs sharing any band hash, and
-    * estimate similarity as the matching fraction of signature components.
-    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct pairs. */
+  /** MinHash LSH candidate pairs over distinct texts: split the signature
+    * into `bands` bands of `numHashes/bands` rows, bucket-join ids sharing
+    * any band hash, and estimate similarity as the matching fraction of
+    * signature components. Returns (id_a, id_b, est_jaccard) with
+    * id_a < id_b, distinct pairs, at exact-duplicate-representative level
+    * (each distinct text is represented by its minimum id; pairs among
+    * byte-identical copies are exact duplicates — [[exactDupGroups]]'
+    * output — not near-dup candidates).
+    *
+    * Docs with fewer than 2 tokens have no shingles and cannot be
+    * near-dups; they are dropped before signing (an empty shingle set
+    * would produce an all-NULL signature that collides in every band).
+    *
+    * Buckets larger than `maxBucketSize` are dropped: a skewed band value
+    * (e.g. templated corpora where many texts share a common prefix)
+    * would otherwise put B² pair work on one reducer. The number of
+    * dropped buckets/rows is emitted as the observed metric
+    * "minhash_lsh" (visible to QueryExecutionListeners and the UI). */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 64, bands: Int = 16,
-                            minEstSim: Double = 0.0): DataFrame = {
+                            minEstSim: Double = 0.0,
+                            maxBucketSize: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(TextAnalysis.bigramShingles(
-        TextAnalysis.tokens(col(textCol))), numHashes).as("sig"))
-      .where(size(col("sig")) === numHashes)
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val shingled = docs
+      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("text_hash"),
+        TextAnalysis.bigramShingles(TextAnalysis.tokens(col(textCol))).as("sh"))
+      .where(size(col("sh")) > 0)
+    // Collapse exact duplicates before signing (all copies share the
+    // shingle set, so any_value is deterministic up to SHA-256 collision).
+    val uniq = shingled.groupBy("text_hash")
+      .agg(min(col("id")).as("id"), any_value(col("sh")).as("sh"))
+    val sigs = uniq.select(col("id"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+    // Band on (band, band_hash, id) ONLY — signatures stay out of the
+    // bucket shuffle and the pair join.
+    val banded = sigs.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .select(col("pos").as("band"), col("col").as("band_hash"), col("id"))
+    // Cap pathological buckets. Count via map-side-combined groupBy (never
+    // materializes a bucket's members in one task) and join back.
+    val sizes = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n"))
+      .observe("minhash_lsh",
+        sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(col("__n") > maxBucketSize, col("__n")).otherwise(0L)).as("dropped_rows"))
+    val kept = banded.join(sizes.where(col("__n") <= maxBucketSize),
+      Seq("band", "band_hash"))
+    val a = kept.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = kept.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    // Distinct bare id pairs first; only then re-attach the two signatures
+    // via slim id-keyed joins to score the (much smaller) candidate set.
+    val pairs = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
           x => x)).cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
-      .distinct()
       .where(col("est_jaccard") >= minEstSim)
   }
 
@@ -73,18 +120,33 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using
     * 4×16-bit band pigeonholing for candidates (any pair within Hamming 3
-    * must agree on at least one 16-bit band). */
+    * must agree on at least one 16-bit band). Identical fingerprints
+    * (Hamming 0 — in particular exact duplicates) are collapsed to their
+    * minimum-id representative before banding, for the same
+    * quadratic-bucket reason as [[minhashCandidatePairs]]; buckets larger
+    * than `maxBucketSize` are dropped (observed metric "simhash_lsh"). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("fp"))
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val fp = docs
+      .select(col(idCol).as("id"),
+        simhash64(TextAnalysis.tokens(col(textCol))).as("fp"))
+      .groupBy("fp").agg(min(col("id")).as("id"))
     val banded = fp.select(col("id"), col("fp"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val a = banded.select(col("band"), col("chunk"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("pos").as("band"), col("col").as("chunk"),
+        col("id"), col("fp"))
+    val sizes = banded.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("__n"))
+      .observe("simhash_lsh",
+        sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"))
+    val kept = banded.join(sizes.where(col("__n") <= maxBucketSize),
+      Seq("band", "chunk"))
+    // The fingerprint is one long — cheap enough to ride the pair join, so
+    // no distinct-then-reattach detour is needed here.
+    val a = kept.select(col("band"), col("chunk"),
       col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = banded.select(col("band"), col("chunk"),
+    val b = kept.select(col("band"), col("chunk"),
       col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("band", "chunk"))
       .where(col("id_a") < col("id_b"))
@@ -94,23 +156,57 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Blocked n-gram Jaccard: exact bigram-shingle Jaccard for all pairs
-    * within a blocking key (e.g. lang+source) — the verification stage that
-    * follows LSH candidate generation, here runnable standalone because
-    * blocks are small. */
+  /** Exact bigram-shingle Jaccard for all pairs within a blocking key,
+    * computed via a posting-list self-join (inverted index): explode
+    * distinct shingles, join postings on (block, shingle), count
+    * co-occurrences per id pair — that count IS |A∩B| — then derive
+    * |A∪B| from the per-doc set sizes. Only pairs sharing at least one
+    * shingle are ever materialized, which is exact for any positive
+    * `minJaccard`; the work is Σ_shingle freq² slim rows through a
+    * hash aggregate instead of Σ_block |block|² array intersections. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0,
+      "minJaccard must be positive: the inverted index never sees " +
+        "zero-intersection pairs")
     val sh = docs.select((blockCols.map(col) :+ col(idCol).as("id") :+
-      TextAnalysis.bigramShingles(TextAnalysis.tokens(col(textCol))).as("sg")): _*)
-    val a = sh.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("sg").as("sg_a"): _*)
-    val b = sh.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("sg").as("sg_b"): _*)
-    a.join(b, blockCols)
+        TextAnalysis.bigramShingles(TextAnalysis.tokens(col(textCol))).as("sg")): _*)
+      .where(size(col("sg")) > 0)
+    val sizes = sh.select(col("id"), size(col("sg")).cast("long").as("n"))
+    val posting = sh.select(blockCols.map(col) :+ col("id") :+
+      explode(col("sg")).as("shingle"): _*)
+    val a = posting.select(blockCols.map(col) :+ col("shingle") :+
+      col("id").as("id_a"): _*)
+    val b = posting.select(blockCols.map(col) :+ col("shingle") :+
+      col("id").as("id_b"): _*)
+    val inter = a.join(b, blockCols :+ "shingle")
       .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sg_a"), col("sg_b"))).cast("double") /
-          (size(col("sg_a")) + size(col("sg_b")) -
-            size(array_intersect(col("sg_a"), col("sg_b")))).cast("double"))
-          .as("jaccard"))
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact Jaccard verification of externally supplied candidate pairs
+    * (e.g. [[minhashCandidatePairs]] output): re-attaches shingle sets by
+    * id and scores only those pairs — the LSH-gated verification path,
+    * linear in the candidate count. */
+  def jaccardOnPairs(pairs: DataFrame, docs: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      TextAnalysis.bigramShingles(TextAnalysis.tokens(col(textCol))).as("sg"))
+    val inter = size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("sg").as("sg_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sg").as("sg_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter / (size(col("sg_a")) + size(col("sg_b")) -
+          size(array_intersect(col("sg_a"), col("sg_b")))).cast("double"))
+          .as("jaccard"))
   }
 }

@@ -19,12 +19,20 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  /** Distinct word-bigram shingles of a token array (for Jaccard/MinHash). */
+  /** Distinct word-bigram shingles of a token array (for Jaccard/MinHash).
+    *
+    * Formulated as `zip_with(tk, tk[2..])` rather than an indexed transform
+    * with `element_at(tk, i)` in the lambda: higher-order functions run
+    * interpreted (outside whole-stage codegen), and a lambda that re-derives
+    * `tk` per element would make shingling O(tokens²) per row per plan
+    * occurrence. Here `tk` is evaluated a constant number of times per row.
+    * zip_with pads the shorter side with NULL, so the final (last-token,
+    * NULL) pair is dropped by the filter. */
   def bigramShingles(tk: Column): Column =
-    when(size(tk) >= 2,
-      array_distinct(transform(sequence(lit(0), size(tk) - 2),
-        i => concat(element_at(tk, i + 1), lit(" "), element_at(tk, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+    array_distinct(filter(
+      zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull))
 
   /** Polynomial rolling hash over a string's characters:
     * h = (h*31 + code(c)) mod 1e9+7. The char-level inner loop stays inside
