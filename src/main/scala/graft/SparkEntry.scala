@@ -168,6 +168,15 @@ object SparkEntry {
       s"list_transform(range(1, length($e)+1), i -> CAST(ord($e[i]) AS BIGINT))), " +
       "(a,b) -> (a*31+b) % 1000000007)"
 
+  /** DuckDB: UTF-8 bytes of string expression `e` as a BIGINT list (byte i
+    * recovered from the hex dump — DuckDB has no direct blob-byte indexing).
+    * Mirrors what Spark-side binary operators see, so blob oracles stay
+    * byte-exact for non-ASCII text too. */
+  private def utf8BytesSql(e: String) =
+    s"list_transform(range(1, octet_length(encode($e)) + 1), i -> " +
+      s"CAST((strpos('0123456789ABCDEF', substr(hex(encode($e)), 2*i-1, 1)) - 1) * 16 " +
+      s"+ strpos('0123456789ABCDEF', substr(hex(encode($e)), 2*i, 1)) - 1 AS BIGINT))"
+
   /** DuckDB mirror of TextAnalysis.tokens. */
   private val TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -263,6 +272,24 @@ object SparkEntry {
         to_date(col("ts")).as("service_date"),
         unix_timestamp(TimeOps.gtfsTimestamp(to_date(col("ts")), clock, "UTC"))
           .as("utc_epoch"))
+    }),
+
+    // F1 tz branch — the same normalization through to_utc_timestamp with
+    // a real zone (America/Toronto). events.ts spans January 2024 only, so
+    // every wall time (max +39:59:59 over the service date) falls in the
+    // constant EST offset — no DST-ambiguous instants reach the oracle
+    // (SURVEY.md §7.4 keeps oracle queries away from DST edges; the edges
+    // themselves are pinned by TimeOpsSpec).
+    "q27_gtfs_time_tz" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val h = (col("event_id") % 40L).cast("string")
+      val m = (col("user_id") % 60L).cast("string")
+      val sec = (col("event_id") % 60L).cast("string")
+      val clock = concat_ws(":", lpad(h, 2, "0"), lpad(m, 2, "0"), lpad(sec, 2, "0"))
+      ev.select(col("event_id"), clock.as("clock"),
+        to_date(col("ts")).as("service_date"),
+        unix_timestamp(TimeOps.gtfsTimestamp(to_date(col("ts")), clock,
+          "America/Toronto")).as("utc_epoch"))
     }),
 
     // F10 — weather-id range bucketing.
@@ -486,6 +513,18 @@ object SparkEntry {
         |    AS utc_epoch
         |FROM events""".stripMargin,
 
+    "q27_gtfs_time_tz" ->
+      """SELECT event_id,
+        |  lpad(CAST(event_id % 40 AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(user_id % 60 AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') AS clock,
+        |  CAST(ts AS DATE) AS service_date,
+        |  FLOOR(epoch(timezone('America/Toronto',
+        |    CAST(CAST(ts AS DATE) AS TIMESTAMP) + to_seconds(
+        |      (event_id % 40) * 3600 + (user_id % 60) * 60 + event_id % 60
+        |    ))))::BIGINT AS utc_epoch
+        |FROM events""".stripMargin,
+
     "q12_weather_bucket" ->
       s"""SELECT CASE WHEN (200 + event_id % 700) BETWEEN 200 AND 299 THEN 'Thunderstorm'
          |       WHEN (200 + event_id % 700) BETWEEN 300 AND 399 THEN 'Drizzle'
@@ -601,10 +640,11 @@ object SparkEntry {
          |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
          |  CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
          |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-         |  0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0)
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |    0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0)
          |    + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
          |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-         |    AS quality_score
+         |  END AS quality_score
          |FROM g""".stripMargin,
 
     "q23_token_stats" ->
@@ -627,14 +667,21 @@ object SparkEntry {
          |    (a,h) -> (a*131+h) % 1000000007) AS token_fp
          |FROM documents""".stripMargin,
 
+    // q25 operates on the UTF-8 BYTES of the media blob (the Spark side
+    // decodes binary), so the oracle folds over octets, not characters —
+    // byte-exact for non-ASCII text too.
     "q25_multimodal" ->
-      s"""SELECT doc_id,
-         |  CAST(length(text) AS BIGINT) AS byte_len,
-         |  CAST(ord(text[1]) AS BIGINT) AS first_byte,
-         |  ${charPolySql("text")} AS content_fp,
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars, ${utf8BytesSql("text")} AS bytes
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(bytes) AS BIGINT) AS byte_len,
+         |  CASE WHEN len(bytes) = 0 THEN -1 ELSE bytes[1] END AS first_byte,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+         |    (a,x) -> (a*31+x) % 1000000007) AS content_fp,
          |  n_chars % 640 AS width,
          |  n_chars % 480 AS height,
-         |  CAST(length(text) AS BIGINT) % 30 + 1 AS n_frames
-         |FROM documents""".stripMargin,
+         |  CAST(len(bytes) AS BIGINT) % 30 + 1 AS n_frames
+         |FROM b""".stripMargin,
   )
 }

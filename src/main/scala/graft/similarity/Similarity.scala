@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: queries are the broadcast side (a query batch is small);
   * the corpus is never shuffled for brute force — each corpus partition
-  * scores locally and only top-k survivors move. The LSH variant bounds the
-  * scored candidates per query by bucket size.
+  * scores locally and reduces to at most k rows per query BEFORE anything
+  * moves (a local sort + bounded scan, no shuffle), so the only data that
+  * crosses the wire is k × partitions candidate rows per query. The final
+  * exact rank runs over that bounded survivor set. A window partitioned
+  * only by query_id over the full scored corpus — the naive formulation —
+  * would route every scored row to one reducer per query and die at scale.
+  * The LSH variant additionally bounds the scored candidates per query by
+  * bucket size.
   */
 object Similarity {
 
@@ -38,9 +44,37 @@ object Similarity {
     df.select(col(id), col(emb), quantize(col(emb)).as(vCol))
       .withColumn(nCol, intDot(col(vCol), col(vCol)))
 
+  /** Exact top-k per query over a scored frame (query_id, `idCol`, cosine):
+    * 1. local sort within each partition (no shuffle) + a bounded
+    *    single-pass scan keeping at most k rows per query per partition —
+    *    any global top-k row is a local top-k row, so this loses nothing;
+    * 2. exact rank window over the surviving ≤ k × partitions rows per
+    *    query, with the deterministic (cosine desc, id asc) tie-break.
+    */
+  private def topKPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val sorted = scored.sortWithinPartitions(
+      col("query_id"), col("cosine").desc, col(idCol).asc)
+    val qIdx = scored.schema.fieldIndex("query_id")
+    val local = sorted.mapPartitions { it =>
+      var prev: Any = null
+      var n = 0
+      var first = true
+      it.filter { r =>
+        val q = r.get(qIdx)
+        if (first || q != prev) { prev = q; n = 1; first = false }
+        else n += 1
+        n <= k
+      }
+    }(Encoders.row(scored.schema))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    local.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: every corpus vector scored against every
-    * query (queries broadcast), row_number window keeps k per query with a
-    * deterministic (cos desc, id asc) tie-break. */
+    * query (queries broadcast); per-partition bounded top-k then exact
+    * merge — see [[topKPerQuery]]. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, embCol: String, k: Int): DataFrame = {
     val q = withQuantized(queries, idCol, embCol, "qv", "qn")
@@ -49,10 +83,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col(idCol),
         cosineQ(intDot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    topKPerQuery(scored, idCol, k)
   }
 
   /** Deterministic random hyperplanes for sign-LSH (fixed seed — planes are
@@ -62,22 +93,36 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id: bit i = (emb · plane_i) > 0. */
+  /** Sign-LSH bucket id: bit i = (emb · plane_i) > 0. Rows whose embedding
+    * length differs from the planes' dimension fail fast (zip_with would
+    * otherwise NULL-pad, silently collapsing every wrong-dim vector into
+    * bucket 0 and degrading the bucket join toward a cross join). */
   def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    val dim = planes.headOption.map(_.size).getOrElse(0)
     val dEmb = transform(emb, _.cast("double"))
-    planes.zipWithIndex.map { case (p, i) =>
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
       val dot = aggregate(zip_with(dEmb, typedLit(p), _ * _), lit(0.0), _ + _)
       when(dot > 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(emb) === dim, bucket).otherwise(raise_error(concat(
+      lit(s"lshBucket: embedding dim mismatch, expected $dim, got "),
+      size(emb).cast("string"))).cast("long"))
   }
 
   /** ANN top-k via sign-LSH: only corpus vectors sharing the query's bucket
     * are scored (candidate set ≈ corpus/2^planes per query), then exact
-    * quantized cosine ranks them. Recall < 1 by construction — this is the
-    * scale path; bruteForceTopK is the exact baseline. */
+    * quantized cosine ranks them with the same bounded-merge as
+    * [[bruteForceTopK]]. Recall < 1 by construction — this is the scale
+    * path; bruteForceTopK is the exact baseline.
+    *
+    * The plane dimension is derived from the first corpus row (one tiny
+    * driver action at plan time); any row with a different dim fails fast
+    * in [[lshBucket]]. */
   def annTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, embCol: String, k: Int,
-              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              numPlanes: Int = 8): DataFrame = {
+    val dim = corpus.select(size(col(embCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val planes = hyperplanes(numPlanes, dim)
     val q = withQuantized(queries, idCol, embCol, "qv", "qn")
       .withColumn("bucket", lshBucket(col(embCol), planes))
@@ -88,9 +133,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .select(col("query_id"), col(idCol),
         cosineQ(intDot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    topKPerQuery(scored, idCol, k)
   }
 }
