@@ -79,6 +79,45 @@ object SparkEntry {
     DiffTimes.build(tu, gd, tz = "UTC", sentinelThresholdSecs = 4102444800L)
   }
 
+  /** Write deterministic GTFS-shaped CSV fixtures (the 5 consumed members)
+    * derived from the events table, for the E2 historical pipeline (q29).
+    * Every write is idempotent (overwrite); the clock strings include HH in
+    * [0, 41) so the >24h service-day branch of F1 is exercised on real CSV
+    * columns. Dates are pinned to June 2024: EDT throughout, no DST edge
+    * in the oracle (the edges are pinned by TimeOpsSpec). */
+  private def gtfsCsvFixtures(s: SparkSession, dir: String): String = {
+    val out = s"target/gtfs_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val ev = t(s, dir, "events").select("event_id", "user_id")
+    val tnum = col("event_id") / lit(100L) cast "long"
+    def clock(h: Column): Column = concat_ws(":",
+      lpad(h.cast("string"), 2, "0"),
+      lpad((col("user_id") % 60L).cast("string"), 2, "0"),
+      lpad((col("event_id") % 60L).cast("string"), 2, "0"))
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").option("header", "true").csv(s"$out/$name.txt")
+    w(ev.select(concat(lit("t"), tnum.cast("string")).as("trip_id"),
+      (col("event_id") % 100L).as("stop_sequence"),
+      col("user_id").as("stop_id"),
+      clock(col("event_id") % 40L).as("arrival_time"),
+      clock(col("event_id") % 40L + 1L).as("departure_time")), "stop_times")
+    w(ev.select(concat(lit("t"), tnum.cast("string")).as("trip_id"),
+      (tnum % 7L).as("service_id"),
+      concat(lit("r"), (tnum % 10L).cast("string")).as("route_id"))
+      .distinct(), "trips")
+    w(s.range(7).select(col("id").as("service_id"),
+      explode(array((lit(20240601L) + col("id")).cast("string"),
+        (lit(20240611L) + col("id")).cast("string"))).as("date")),
+      "calendar_dates")
+    w(ev.select(col("user_id").as("stop_id"),
+      concat(lit("stop_"), col("user_id").cast("string")).as("stop_name"),
+      (col("user_id") % 90L).as("stop_lat"),
+      (col("user_id") % 180L).as("stop_lon")).distinct(), "stops")
+    w(ev.select(concat(lit("r"), (tnum % 10L).cast("string")).as("route_id"),
+      concat(lit("Route "), (tnum % 10L).cast("string")).as("route_long_name"))
+      .distinct(), "routes")
+    out
+  }
+
   /** Mart with timestamp columns reduced to epoch seconds (hash-stable). */
   private def diffMartEpochs(s: SparkSession, dir: String): DataFrame =
     diffMart(s, dir).select(
@@ -319,6 +358,97 @@ object SparkEntry {
         .where(col("__rn") === 1).drop("__rn")
     }),
 
+    // S2 — GTFS-realtime protobuf decode + flatten, end to end over real
+    // wire bytes: each event becomes a FeedMessage (1 entity, 2
+    // stop_time_updates with value-dependent optional arrival/departure),
+    // is ENCODED to protobuf wire format, then decoded and flattened by
+    // Rt.decodeFlatten — the reference's parse_pb_data path
+    // (realtime_extractor.py:97-118) as a typed flatMap.
+    "q28_rt_decode" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ss: SparkSession = s
+      val ev = t(s, dir, "events").select(
+        col("event_id"), unix_timestamp(col("ts")).as("ets"),
+        date_format(col("ts"), "yyyyMMdd").as("sd"),
+        col("user_id"), col("value"))
+      val feeds = ev.as[(Long, Long, String, Long, Double)]
+        .map { case (eid, ets, sd, uid, v) =>
+          val stu1 = gtfs.StopTimeUpdate(Some((eid % 100L).toInt),
+            arrival = if (v >= 20d)
+              Some(gtfs.StopTimeEvent(None, Some(ets), None)) else None,
+            departure =
+              Some(gtfs.StopTimeEvent(None, Some(ets + v.toLong), None)),
+            stopId = Some(uid.toString))
+          val stu2 = gtfs.StopTimeUpdate(Some((eid % 100L + 1L).toInt),
+            arrival = Some(gtfs.StopTimeEvent(None, Some(ets + 60L), None)),
+            departure = if (v > 180d) None
+              else Some(gtfs.StopTimeEvent(None, Some(ets + 120L), None)),
+            stopId = Some((uid + 1L).toString))
+          gtfs.Rt.encode(gtfs.FeedMessage(
+            gtfs.FeedHeader("2.0", Some(ets)),
+            Seq(gtfs.FeedEntity(eid.toString, None, Some(gtfs.TripUpdate(
+              gtfs.TripDescriptor(Some(s"t${eid / 100L}"), None, Some(sd), None),
+              Seq(stu1, stu2), Some(ets), None))))))
+        }
+      gtfs.Rt.decodeFlatten(feeds).toDF()
+    }),
+
+    // E2 — historical GTFS pipeline end to end over real CSV files: S3
+    // multi-member scan (header CSVs written from events), J1-J4 broadcast
+    // dimension chain with the calendar_dates fanout, F1 >24h clock
+    // normalization in America/Toronto on real columns, F2 yyyyMMdd parse,
+    // P2/P3/P1. Timestamps reduced to epochs for the hash compare.
+    "q29_historical" -> ((s, dir) => {
+      val fixtures = gtfsCsvFixtures(s, dir)
+      val (st, tr, cd, sp, rt) = pipelines.Historical.readGtfsDir(s, fixtures)
+      pipelines.Historical.build(st, tr, cd, sp, rt, tz = "America/Toronto")
+        .select(col("trip_id"), col("start_date"), col("stop_sequence"),
+          col("stop_id"), col("route_id"), col("stop_name"),
+          col("route_long_name"),
+          unix_timestamp(col("arrival_time")).as("arrival_epoch"),
+          unix_timestamp(col("departure_time")).as("departure_epoch"),
+          col("geo_coordinates"))
+    }),
+
+    // S5/F9/F10/F11 — the weather-attach path end to end: an OpenWeatherMap
+    // -shaped JSON payload (built per row from events for verifiability;
+    // in production one fetched document broadcast to the batch) is parsed
+    // with the explicit schema, fields extracted, Kelvin converted,
+    // condition id bucketed (reference realtime_extractor.py:52-94).
+    "q30_weather_attach" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wid = lit(200L) + col("event_id") % 700L
+      val json = concat(
+        lit("""{"weather":[{"id":"""), wid.cast("string"),
+        lit(""","main":"m","description":"wx_"""),
+        (col("event_id") % 5L).cast("string"),
+        lit(""""}],"main":{"temp":"""), col("user_id").cast("string"),
+        lit("}}"))
+      val parsed = WeatherOps.parseWeatherJson(json)
+      ev.select(col("event_id"),
+        parsed.getField("weather_id").as("weather_id"),
+        WeatherOps.weatherGroup(parsed.getField("weather_id")).as("weather_group"),
+        parsed.getField("weather_description").as("weather_description"),
+        parsed.getField("temperature").as("temperature"))
+    }),
+
+    // S7 + S8 — CSV export sink then bulk-load source (the reference's
+    // VPS→laptop shipping channel, loader/get_realtime.py:28-77), verified
+    // by aggregating the round-tripped rows.
+    "q31_csv_roundtrip" -> ((s, dir) => {
+      val out = s"target/csv_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").option("header", "false").csv(out)
+      val back = s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .csv(out)
+      back.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Dashboard.exactAvg(col("value")).as("avg_value"),
+          sum(col("event_id")).as("sum_ids"))
+    }),
+
     // --- training-data pipeline operators (beyond the reference) ---
 
     // Exact dedup by content hash.
@@ -393,7 +523,7 @@ object SparkEntry {
       val ws = size(TextAnalysis.tokens(col("text"))).cast("long")
       val re = size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
       d.select(col("doc_id"), ws.as("ws_tokens"), re.as("re_tokens"),
-        (length(col("text")).cast("double") / ws.cast("double"))
+        try_divide(length(col("text")).cast("double"), ws.cast("double"))
           .as("chars_per_token"))
     }),
 
@@ -548,6 +678,86 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q28_rt_decode" ->
+      """WITH e AS (SELECT *, FLOOR(epoch(ts))::BIGINT AS ets FROM events)
+        |SELECT 't' || CAST(event_id // 100 AS VARCHAR) AS trip_id,
+        |  strftime(ts, '%Y%m%d') AS start_date,
+        |  event_id % 100 AS stop_sequence,
+        |  CAST(user_id AS VARCHAR) AS stop_id,
+        |  CASE WHEN value >= 20 THEN ets ELSE NULL END AS arrival_epoch,
+        |  ets + CAST(trunc(value) AS BIGINT) AS departure_epoch
+        |FROM e
+        |UNION ALL
+        |SELECT 't' || CAST(event_id // 100 AS VARCHAR),
+        |  strftime(ts, '%Y%m%d'),
+        |  event_id % 100 + 1,
+        |  CAST(user_id + 1 AS VARCHAR),
+        |  ets + 60,
+        |  CASE WHEN value > 180 THEN NULL ELSE ets + 120 END
+        |FROM e""".stripMargin,
+
+    "q29_historical" ->
+      """WITH st AS (
+        |  SELECT 't' || CAST(event_id // 100 AS VARCHAR) AS trip_id,
+        |    event_id % 100 AS stop_sequence,
+        |    user_id AS stop_id,
+        |    (event_id % 40) * 3600 + (user_id % 60) * 60 + event_id % 60 AS arr_secs,
+        |    (event_id % 40 + 1) * 3600 + (user_id % 60) * 60 + event_id % 60 AS dep_secs
+        |  FROM events),
+        |tr AS (
+        |  SELECT DISTINCT 't' || CAST(event_id // 100 AS VARCHAR) AS trip_id,
+        |    (event_id // 100) % 7 AS service_id,
+        |    'r' || CAST((event_id // 100) % 10 AS VARCHAR) AS route_id
+        |  FROM events),
+        |cd AS (
+        |  SELECT i AS service_id, CAST(20240601 + i AS VARCHAR) AS d FROM range(7) t(i)
+        |  UNION ALL
+        |  SELECT i, CAST(20240611 + i AS VARCHAR) FROM range(7) t(i)),
+        |sp AS (
+        |  SELECT DISTINCT user_id AS stop_id,
+        |    'stop_' || CAST(user_id AS VARCHAR) AS stop_name,
+        |    user_id % 90 AS lat, user_id % 180 AS lon
+        |  FROM events),
+        |rt AS (
+        |  SELECT DISTINCT 'r' || CAST((event_id // 100) % 10 AS VARCHAR) AS route_id,
+        |    'Route ' || CAST((event_id // 100) % 10 AS VARCHAR) AS route_long_name
+        |  FROM events)
+        |SELECT st.trip_id,
+        |  strptime(cd.d, '%Y%m%d')::DATE AS start_date,
+        |  st.stop_sequence, st.stop_id, tr.route_id, sp.stop_name,
+        |  rt.route_long_name,
+        |  FLOOR(epoch(timezone('America/Toronto',
+        |    strptime(cd.d, '%Y%m%d') + to_seconds(st.arr_secs))))::BIGINT AS arrival_epoch,
+        |  FLOOR(epoch(timezone('America/Toronto',
+        |    strptime(cd.d, '%Y%m%d') + to_seconds(st.dep_secs))))::BIGINT AS departure_epoch,
+        |  CAST(sp.lat AS VARCHAR) || ', ' || CAST(sp.lon AS VARCHAR) AS geo_coordinates
+        |FROM st
+        |JOIN tr ON st.trip_id = tr.trip_id
+        |JOIN cd ON tr.service_id = cd.service_id
+        |JOIN sp ON st.stop_id = sp.stop_id
+        |JOIN rt ON tr.route_id = rt.route_id""".stripMargin,
+
+    "q30_weather_attach" ->
+      """SELECT event_id,
+        |  200 + event_id % 700 AS weather_id,
+        |  CASE WHEN (200 + event_id % 700) BETWEEN 200 AND 299 THEN 'Thunderstorm'
+        |       WHEN (200 + event_id % 700) BETWEEN 300 AND 399 THEN 'Drizzle'
+        |       WHEN (200 + event_id % 700) BETWEEN 500 AND 599 THEN 'Rain'
+        |       WHEN (200 + event_id % 700) BETWEEN 600 AND 699 THEN 'Snow'
+        |       WHEN (200 + event_id % 700) BETWEEN 700 AND 799 THEN 'Atmosphere'
+        |       WHEN (200 + event_id % 700) = 800 THEN 'Clear'
+        |       WHEN (200 + event_id % 700) BETWEEN 800 AND 899 THEN 'Clouds'
+        |       ELSE 'Unknown' END AS weather_group,
+        |  'wx_' || CAST(event_id % 5 AS VARCHAR) AS weather_description,
+        |  CAST(user_id AS DOUBLE) - 273.15 AS temperature
+        |FROM events""".stripMargin,
+
+    "q31_csv_roundtrip" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${exactAvgSql("value")} AS avg_value,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+         |FROM events GROUP BY event_type""".stripMargin,
 
     "q15_dedup_exact" ->
       """SELECT sha256(text) AS text_hash, count(*) AS n_dups,

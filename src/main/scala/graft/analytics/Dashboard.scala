@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Dashboard {
 
-  /** Order-insensitive exact average: decimal(20,6) accumulate → double. */
+  /** Order-insensitive exact average: decimal(20,6) accumulate → double.
+    * try_divide: a group whose values are all NULL has count 0 — that must
+    * be a NULL average (as in SQL), not an ANSI DIVIDE_BY_ZERO error. */
   def exactAvg(c: Column): Column =
-    sum(c.cast("decimal(20,6)")).cast("double") / count(c)
+    try_divide(sum(c.cast("decimal(20,6)")).cast("double"), count(c))
 
   /** A1 — average delay by local hour of day. */
   def avgDelayByHour(mart: DataFrame): DataFrame =

@@ -80,6 +80,14 @@ object TimeOps {
   def localHour(ts: Column, tz: String): Column =
     hour(if (tz == "UTC") ts else from_utc_timestamp(ts, tz)).cast("long")
 
+  /** F12 — run-stamp semantics: the reference stamps created_at/updated_at
+    * with ONE process-level utcnow per run (realtime_extractor.py:185,234),
+    * not a per-row clock read. Evaluate the instant once on the driver and
+    * embed it as a literal, so every row of the run carries the identical
+    * stamp regardless of task scheduling. */
+  def runStamp(): Column =
+    lit(java.sql.Timestamp.from(java.time.Instant.now()))
+
   /** P7 — the reference's observed-row filter (diff_times.py:102-106): drop
     * rows where BOTH actual times are the epoch-0 sentinel and the schedule
     * side is below `thresholdSecs` (reference value: 1000*60). The odd

@@ -35,9 +35,12 @@ object Similarity {
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
 
-  /** Cosine from quantized dot + squared norms (scale cancels). */
+  /** Cosine from quantized dot + squared norms (scale cancels). try_divide:
+    * an all-zero vector has norm 0 — its cosine is NULL (ranked last), not
+    * an ANSI DIVIDE_BY_ZERO error. */
   def cosineQ(dot: Column, normA: Column, normB: Column): Column =
-    dot.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+    try_divide(dot.cast("double"),
+      sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
 
   private def withQuantized(df: DataFrame, id: String, emb: String,
                             vCol: String, nCol: String): DataFrame =

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.operators.Upsert
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** §2.9 — the reference's realtime path as Structured Streaming. The
+  * reference hand-rolls a micro-batch stream: cron fires every minute,
+  * each run decodes the feed and upserts rows by the 4-column key
+  * (reference/README.md:172-178, scripts/realtime_extractor.py:191-236).
+  * Here the same semantics are a `writeStream.foreachBatch` running the
+  * S9 set-oriented merge per micro-batch — the idiomatic mapping SURVEY.md
+  * §2.9 prescribes. No watermark: the reference accepts arbitrarily late
+  * updates (its upsert has no time bound), and state lives in the keyed
+  * snapshot, not in stream memory.
+  *
+  * The snapshot is maintained parquet-without-ACID: merge into a `.next`
+  * directory, then swap. With a table format (Delta/Iceberg) the body of
+  * [[mergeBatch]] would collapse to a MERGE — the join shape is identical.
+  */
+object RealtimeStream {
+
+  /** One micro-batch: dedup the batch to latest-per-key, S9-merge it into
+    * the snapshot at `targetPath`, atomically swap the new snapshot in. */
+  def mergeBatch(batch: DataFrame, targetPath: String, keys: Seq[String],
+                 compareCols: Seq[String], orderCol: String,
+                 createdCol: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(targetPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tgt = new Path(targetPath)
+    val updates = Upsert.latestPerKey(batch, keys, orderCol)
+    val merged =
+      if (fs.exists(tgt))
+        Upsert.upsert(spark.read.parquet(targetPath), updates, keys,
+          compareCols, createdCol)
+      else updates
+    val next = new Path(targetPath + ".next")
+    // Writing .next executes the plan (including the read of the current
+    // snapshot) before the swap touches the live directory.
+    merged.write.mode("overwrite").parquet(next.toString)
+    fs.delete(tgt, true)
+    fs.rename(next, tgt)
+  }
+
+  /** Start the streaming upsert: every micro-batch of realtime rows is
+    * merged into the keyed parquet snapshot. `stream` must be a streaming
+    * DataFrame (e.g. rows decoded from fetched feeds). */
+  def start(stream: DataFrame, targetPath: String, checkpointDir: String,
+            keys: Seq[String], compareCols: Seq[String], orderCol: String,
+            createdCol: Option[String] = None,
+            trigger: Trigger = Trigger.ProcessingTime("1 minute"))
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, targetPath, keys, compareCols, orderCol, createdCol)
+      }
+      .start()
+}

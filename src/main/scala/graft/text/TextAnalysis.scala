@@ -59,9 +59,11 @@ object TextAnalysis {
     val nDistinct = size(array_distinct(tk)).cast("long")
     val sumLen = aggregate(tk, lit(0L), (a, t) => a + length(t).cast("long"))
     val nStop = wordCount(tk, stopwords)
-    val ttr = nDistinct.cast("double") / nTok.cast("double")
-    val avgLen = sumLen.cast("double") / nTok.cast("double")
-    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    // try_divide: zero-token docs yield NULL ratios (like the SQL oracle)
+    // instead of an ANSI DIVIDE_BY_ZERO error — Spark 4 runs ANSI-on.
+    val ttr = try_divide(nDistinct.cast("double"), nTok.cast("double"))
+    val avgLen = try_divide(sumLen.cast("double"), nTok.cast("double"))
+    val stopRatio = try_divide(nStop.cast("double"), nTok.cast("double"))
     val score = lit(0.4) * least(lit(1.0), nTok.cast("double") / lit(200.0)) +
       lit(0.3) * ttr + lit(0.3) * (lit(1.0) - stopRatio)
     struct(

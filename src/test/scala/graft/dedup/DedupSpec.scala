@@ -1,0 +1,102 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup operator semantics on a corpus small enough to reason about. */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy cat", // near-dup of 1
+    3L -> "completely different content about spark engines",
+    4L -> "the quick brown fox jumps over the lazy dog",  // exact dup of 1
+    5L -> "solo",                                          // 1 token: no shingles
+    6L -> "")                                              // empty
+
+  test("exactDupGroups: one group per distinct text with min id kept") {
+    val g = Dedup.exactDupGroups(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // (n_dups, keep_id): {1,4} collapse to keep 1
+    assert(g === Set((2L, 1L), (1L, 2L), (1L, 3L), (1L, 5L), (1L, 6L)))
+  }
+
+  test("minhash candidates: finds the near-dup pair, skips short/empty docs, " +
+    "collapses exact dups to the min-id representative") {
+    val pairs = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32) // r=2: high sensitivity for a tiny corpus
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)), s"expected (1,2) among $ids")
+    // doc 4 is an exact dup of 1 → only representative 1 appears
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // docs 5/6 have no shingles → never pair
+    assert(!pairs.exists(p => p._1 >= 5L || p._2 >= 5L))
+    // est_jaccard of (1,2) must be high (8 of 9 shingles shared)
+    pairs.filter(p => (p._1, p._2) == (1L, 2L))
+      .foreach(p => assert(p._3 > 0.5))
+  }
+
+  test("minhash bucket cap drops oversized buckets") {
+    // 30 identical-prefix docs with distinct tails would normally bucket
+    // together in most bands; cap 5 suppresses those buckets entirely.
+    val many = docs((1L to 30L).map(i =>
+      i -> s"shared shared shared shared shared shared tail$i"): _*)
+    val capped = Dedup.minhashCandidatePairs(many, "doc_id", "text",
+      numHashes = 64, bands = 16, maxBucketSize = 5).count()
+    val uncapped = Dedup.minhashCandidatePairs(many, "doc_id", "text",
+      numHashes = 64, bands = 16, maxBucketSize = 1000).count()
+    assert(capped < uncapped)
+  }
+
+  test("jaccardPairs (inverted index) equals the naive all-pairs computation") {
+    import spark.implicits._
+    val blocked = corpus.withColumn("b", lit("x"))
+    val got = Dedup.jaccardPairs(blocked, "doc_id", "text", Seq("b"), 0.05)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // Naive reference computation in Scala:
+    def shingles(s: String): Set[String] = {
+      val tk = s.split(" ").filter(_.nonEmpty)
+      tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }
+    val all = corpus.collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      sa = shingles(ta); sb = shingles(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      if j >= 0.05
+    } yield (ia, ib) -> j).toMap
+    assert(got === want)
+  }
+
+  test("jaccardOnPairs verifies exactly the supplied candidate pairs") {
+    import spark.implicits._
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardOnPairs(cand, corpus, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L)))
+    assert(out((1L, 2L)) > 0.5)
+    assert(out((1L, 3L)) === 0.0)
+  }
+
+  test("simhash: identical texts share a fingerprint; pairs collapse them") {
+    import spark.implicits._
+    val fps = corpus.where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(4L))
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // collapsed into 1
+    assert(pairs.contains((1L, 2L)))                     // near-dup caught
+  }
+}

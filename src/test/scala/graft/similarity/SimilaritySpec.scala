@@ -1,0 +1,89 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Top-k exactness (vs a naive in-memory computation), ANN recall vs the
+  * brute-force baseline, and wrong-dim fail-fast. */
+class SimilaritySpec extends SparkSpec {
+
+  private val dim = 8
+
+  private def vecs(n: Int, seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => i -> Seq.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  private def toDF(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def naiveTopK(qs: Seq[(Long, Seq[Float])],
+                        cs: Seq[(Long, Seq[Float])], k: Int): Set[(Long, Long)] = {
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    (for ((qid, qv) <- qs) yield {
+      val q = quant(qv)
+      val qn = math.sqrt(q.map(x => x * x).sum.toDouble)
+      cs.map { case (cid, cv) =>
+        val c = quant(cv)
+        val dot = q.zip(c).map { case (a, b) => a * b }.sum
+        val cn = math.sqrt(c.map(x => x * x).sum.toDouble)
+        (cid, dot / (qn * cn))
+      }.sortBy { case (cid, cos) => (-cos, cid) }
+        .take(k).map(c => qid -> c._1)
+    }).flatten.toSet
+  }
+
+  test("bruteForceTopK matches the naive computation exactly") {
+    val corpus = vecs(60, seed = 1L)
+    val queries = corpus.take(4)
+    val got = Similarity.bruteForceTopK(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naiveTopK(queries, corpus, 5))
+  }
+
+  test("bruteForceTopK returns exactly k ranked rows per query, rank 1 = self") {
+    val corpus = vecs(40, seed = 2L)
+    val queries = corpus.take(3)
+    val rows = Similarity.bruteForceTopK(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 4).collect()
+    assert(rows.length === 12)
+    // a query vector's own corpus copy has cosine 1 → rank 1
+    rows.filter(_.getLong(3) == 1L)
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("annTopK: every result also appears in the brute-force ranking and " +
+    "recall@3 is positive") {
+    val corpus = vecs(200, seed = 3L)
+    val queries = corpus.take(8)
+    val exact = naiveTopK(queries, corpus, 3)
+    val ann = Similarity.annTopK(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 3, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // self-match always shares the bucket → recall > 0 guaranteed
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+    // ANN candidates are a subset of the corpus scored exactly — any pair
+    // it returns for rank<=k must be in the exact top-|bucket| order; at
+    // minimum the self pair is always found:
+    queries.foreach { case (qid, _) => assert(ann.contains(qid -> qid)) }
+  }
+
+  test("annTopK fails fast on mismatched embedding dimensions") {
+    import spark.implicits._
+    val good = vecs(10, seed = 4L)
+    val bad = toDF(good) // corpus: first row dim 8 → planes dim 8
+    val shortQ = Seq((99L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.annTopK(shortQ, bad, "vec_id", "embedding", k = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("dim mismatch")), msgs(ex).mkString("; "))
+  }
+}
