@@ -495,6 +495,16 @@ object SparkEntry {
       Similarity.annTopK(q, emb, "vec_id", "embedding", k = 3)
     }),
 
+    // IVF-style ANN top-k — deterministic coarse quantizer + probe-list
+    // search + exact quantized cosine: the fully oracle-checkable ANN path
+    // (sign-LSH q20 stays rows-only because its planes are engine-internal).
+    "q32_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
+      Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4)
+    }),
+
     // Language-ID heuristic (marker-word overlap + argmax).
     "q21_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -804,6 +814,48 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY cosine DESC, vec_id ASC) AS rank
         |  FROM p)
+        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q32_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CAST(round(x * 100000.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS nrm
+        |  FROM e),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv, nrm AS cnrm
+        |  FROM n ORDER BY vec_id LIMIT 16),
+        |sc AS (
+        |  SELECT n.vec_id, cent.cid,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
+        |        i -> n.v[i]*cent.cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(cent.cnrm AS DOUBLE))) AS cos
+        |  FROM n, cent),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid ASC) AS rn FROM sc) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid ASC) AS rn FROM sc WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id FROM probe p JOIN assign a ON p.cid = a.cid),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE))) AS cosine
+        |  FROM cand c JOIN n q ON c.query_id = q.vec_id JOIN n t ON c.vec_id = t.vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scored)
         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
 
     "q21_langid" ->

@@ -107,15 +107,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is set when
-    * the +1/-1 vote of all token-hash bits j sums positive. */
+    * the +1/-1 vote of all token-hash bits j sums positive.
+    *
+    * Single-pass formulation: one `aggregate` carries a 64-slot vote array
+    * and each token is hashed exactly once. (64 per-bit `aggregate`
+    * expressions — the obvious spelling — would re-evaluate the token-hash
+    * transform per bit: 64 hashes per token, interpreted, since HOFs sit
+    * outside codegen.) Bit j is tested by mask (`h & (1<<j)`), identical to
+    * an arithmetic-shift test, and the fingerprint is the sum of masks with
+    * positive votes — masks are distinct powers of two, and the fold adds
+    * the sign-bit mask last, so intermediate sums cannot overflow. */
   def simhash64(tk: Column): Column = {
-    val th = transform(tk, t => xxhash64(t))
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(th, lit(0L), (a, h) =>
-        a + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0L, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val masks = typedLit((0 until 64).map(j => 1L << j))
+    aggregate(
+      transform(tk, t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)),
+      votes => aggregate(
+        zip_with(votes, masks, (v, m) => when(v > 0L, m).otherwise(0L)),
+        lit(0L), _ + _))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using

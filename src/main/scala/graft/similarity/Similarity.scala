@@ -112,6 +112,60 @@ object Similarity {
       size(emb).cast("string"))).cast("long"))
   }
 
+  /** IVF-style ANN top-k: corpus vectors are partitioned into `nCentroids`
+    * inverted lists by nearest centroid; each query probes its `nProbe`
+    * nearest lists and ranks only those candidates by exact quantized
+    * cosine. Coarse quantizer: the first `nCentroids` corpus vectors in id
+    * order — deterministic and training-free (real IVF would k-means here;
+    * the list/probe plumbing, which is the part that must scale, is
+    * identical). Everything is exact integer/IEEE arithmetic mirrored
+    * op-for-op by a SQL oracle — unlike sign-LSH, this ANN path is fully
+    * hash-verifiable.
+    *
+    * Scale: assignment is per-row map work against broadcast centroid
+    * literals (no shuffle); the probe join fans each corpus row out to the
+    * queries probing its list (bounded by nProbe × |queries| / nCentroids
+    * on average); ranking reuses the bounded local-top-k merge. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, embCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    // Driver action at plan time: collect the tiny centroid set.
+    val cents: Seq[Seq[Long]] = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(quantize(col(embCol)).as("cv")).collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq
+    val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
+    // Per-row array of cosines to each centroid (1-based positions = cid).
+    def centCos(vCol: Column, nCol: Column): Column =
+      array(cents.indices.map { j =>
+        try_divide(
+          aggregate(zip_with(vCol, typedLit(cents(j)), _ * _), lit(0L), _ + _)
+            .cast("double"),
+          sqrt(nCol.cast("double")) * sqrt(lit(cNorms(j).toDouble)))
+      }: _*)
+
+    val c = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
+      .withColumn("__cos", centCos(col("cv"), col("cn")))
+      // argmax with first-position (= smallest cid) tie-break
+      .withColumn("list_id",
+        expr("array_position(__cos, array_max(__cos))").cast("long"))
+      .drop("__cos")
+    val q = withQuantized(queries, idCol, embCol, "qv", "qn").drop(embCol)
+      .withColumnRenamed(idCol, "query_id")
+      .withColumn("__cos", centCos(col("qv"), col("qn")))
+      // nProbe nearest centroids: sort (−cos, cid) structs — cos desc, cid asc
+      .withColumn("__probe", slice(transform(array_sort(
+        array(cents.indices.map(j => struct(
+          (col("__cos").getItem(j) * lit(-1.0)).as("nc"),
+          lit(j + 1L).as("cid"))): _*)),
+        s => s.getField("cid")), 1, nProbe))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("__probe")).as("list_id"))
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .select(col("query_id"), col(idCol),
+        cosineQ(intDot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** ANN top-k via sign-LSH: only corpus vectors sharing the query's bucket
     * are scored (candidate set ≈ corpus/2^planes per query), then exact
     * quantized cosine ranks them with the same bounded-merge as

@@ -73,6 +73,31 @@ class SimilaritySpec extends SparkSpec {
     queries.foreach { case (qid, _) => assert(ann.contains(qid -> qid)) }
   }
 
+  test("ivfTopK: self-match always found, results within brute-force ordering") {
+    val corpus = vecs(150, seed = 5L)
+    val queries = corpus.take(6)
+    val got = Similarity.ivfTopK(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a query probes its own nearest centroid first, so it always finds itself
+    queries.foreach { case (qid, _) => assert(got.contains(qid -> qid)) }
+    val exact = naiveTopK(queries, corpus, 3)
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
+  test("ivfTopK with nProbe = nCentroids is exhaustive = brute force") {
+    val corpus = vecs(50, seed = 6L)
+    val queries = corpus.take(3)
+    val ivf = Similarity.ivfTopK(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 4, nCentroids = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val bf = Similarity.bruteForceTopK(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(ivf === bf)
+  }
+
   test("annTopK fails fast on mismatched embedding dimensions") {
     import spark.implicits._
     val good = vecs(10, seed = 4L)
