@@ -41,7 +41,21 @@ object SparkEntry {
     * 4-column composite-key shuffle join with the stop_id string→long cast
     * (reference scripts/diff_times.py:95-101). Threshold 4102444800 (year
     * 2100) makes the P7 sentinel filter active on 2024-epoch data. */
-  private def diffMart(s: SparkSession, dir: String): DataFrame = {
+  /** The diffs mart is a materialized TABLE in the reference (diff_times.py
+    * rebuilds `trip_updates_with_diffs`, and every dashboard query reads
+    * it); caching the built mart per (session, dir) mirrors that — q03-q07
+    * aggregate the one cached build instead of re-running the join
+    * pipeline per query. */
+  private val martCache =
+    scala.collection.mutable.HashMap.empty[(Int, String), DataFrame]
+
+  private def diffMart(s: SparkSession, dir: String): DataFrame =
+    martCache.synchronized {
+      martCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        buildDiffMart(s, dir).persist())
+    }
+
+  private def buildDiffMart(s: SparkSession, dir: String): DataFrame = {
     // Two independent reads: tu/gd must not share a Dataset lineage, or
     // Spark's ambiguous-self-join check misfires on downstream rollups.
     val ev = t(s, dir, "events")
@@ -552,6 +566,47 @@ object SparkEntry {
       MultiModal.extractFeatures(
         MultiModal.mediaFromDocuments(t(s, dir, "documents"))).toDF()
     }),
+
+    // Bucketed co-located join: both sides of the user_id join (and both
+    // aggregations) read one bucketed table, so the plan has NO shuffle
+    // before the join — the pre-partitioning scale path for repeated joins
+    // on the same key (at 100 TB this is the difference between reading
+    // co-located buckets and re-shuffling the fact table every query).
+    "q33_bucketed_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      s.sql("DROP TABLE IF EXISTS ev_bucketed")
+      // The in-memory catalog forgets tables across JVMs but the warehouse
+      // directory persists — clear the location or saveAsTable refuses.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "ev_bucketed")
+      loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+      ev.write.mode("overwrite").format("parquet")
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable("ev_bucketed")
+      val a = s.table("ev_bucketed").groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          Dashboard.exactAvg(col("value")).as("avg_value"))
+      val b = s.table("ev_bucketed").where(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+      a.join(b, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_events"), col("avg_value"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+    }),
+
+    // Multimodal frame sampling: 1→N generator over fixed-size frames of
+    // the blob, every 2nd frame kept, per-frame fingerprint.
+    "q34_frame_sample" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      MultiModal.sampleFrames(
+        MultiModal.mediaFromDocuments(t(s, dir, "documents")), step = 2).toDF()
+    }),
+
+    // Multimodal resize: per-row downsample of the blob + scaled dims.
+    "q35_resize" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      MultiModal.resizeStub(
+        MultiModal.mediaFromDocuments(t(s, dir, "documents")), factor = 3).toDF()
+    }),
   )
 
   // -------------------------------------------------------------- oracle --
@@ -928,6 +983,54 @@ object SparkEntry {
          |           (c,d) -> (c*31+d) % 1000000007))),
          |    (a,h) -> (a*131+h) % 1000000007) AS token_fp
          |FROM documents""".stripMargin,
+
+    "q33_bucketed_join" ->
+      s"""WITH a AS (
+         |  SELECT user_id, count(*) AS n_events,
+         |    ${exactAvgSql("value")} AS avg_value
+         |  FROM events GROUP BY user_id),
+         |b AS (
+         |  SELECT user_id, count(*) AS n_clicks FROM events
+         |  WHERE event_type = 'click' GROUP BY user_id)
+         |SELECT a.user_id, a.n_events, a.avg_value,
+         |  COALESCE(b.n_clicks, 0) AS n_clicks
+         |FROM a LEFT JOIN b ON a.user_id = b.user_id""".stripMargin,
+
+    "q34_frame_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, ${utf8BytesSql("text")} AS bytes FROM documents),
+         |f AS (
+         |  SELECT doc_id, bytes,
+         |    unnest(list_filter(range(0,
+         |      CAST(ceil(len(bytes) / 32.0) AS BIGINT)), i -> i % 2 = 0)) AS frame_idx
+         |  FROM b),
+         |g AS (
+         |  SELECT doc_id, frame_idx,
+         |    list_slice(bytes, frame_idx * 32 + 1,
+         |      least(frame_idx * 32 + 32, len(bytes))) AS fb
+         |  FROM f)
+         |SELECT doc_id, frame_idx,
+         |  CAST(len(fb) AS BIGINT) AS frame_len,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), fb),
+         |    (a,x) -> (a*31+x) % 1000000007) AS frame_fp
+         |FROM g""".stripMargin,
+
+    "q35_resize" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars, ${utf8BytesSql("text")} AS bytes
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_chars,
+         |    list_transform(range(0, CAST(ceil(len(bytes) / 3.0) AS BIGINT)),
+         |      i -> bytes[i * 3 + 1]) AS sampled
+         |  FROM b)
+         |SELECT doc_id,
+         |  (n_chars % 640) // 3 AS width,
+         |  (n_chars % 480) // 3 AS height,
+         |  CAST(len(sampled) AS BIGINT) AS out_len,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sampled),
+         |    (a,x) -> (a*31+x) % 1000000007) AS out_fp
+         |FROM r""".stripMargin,
 
     // q25 operates on the UTF-8 BYTES of the media blob (the Spark side
     // decodes binary), so the oracle folds over octets, not characters —

@@ -25,4 +25,23 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
+
+  /** S6 — JDBC table scan (the reference exports `trip_updates` over a
+    * Postgres connection, loader/get_realtime.py:36). Partitioned reads
+    * (`partitionColumn` + bounds) split the table across executors; a
+    * plain read is a single partition. Untestable in this sandbox (no
+    * database, no drivers) — the parquet tables above are the verification
+    * substrate; this is the production entry point. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: Option[(String, Long, Long, Int)] = None,
+           props: Map[String, String] = Map.empty): DataFrame = {
+    val r = props.foldLeft(
+      spark.read.format("jdbc").option("url", url).option("dbtable", table)) {
+      case (b, (k, v)) => b.option(k, v)
+    }
+    partitionColumn.fold(r) { case (c, lo, hi, n) =>
+      r.option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+    }.load()
+  }
 }

@@ -54,4 +54,49 @@ object MultiModal {
     import s.implicits._
     media.as[MediaRow].mapPartitions(_.map(decodeStub))
   }
+
+  /** Stub frame size in bytes: the blob is treated as a sequence of
+    * fixed-size frames (a real video decoder would use container metadata). */
+  val FrameBytes = 32
+
+  private def polyFp(bytes: Array[Byte]): Long =
+    bytes.foldLeft(0L)((a, b) => (a * 31L + (b & 0xffL)) % Mod)
+
+  /** Frame sampling (video path): emit one row per `step`-th frame — the
+    * 1→N generator shape of a frame extractor, with a deterministic
+    * per-frame fingerprint standing in for decoded pixels. */
+  def sampleFrames(media: DataFrame, step: Int)
+                  (implicit s: SparkSession): Dataset[FrameRow] = {
+    import s.implicits._
+    media.as[MediaRow].flatMap { r =>
+      r.media.grouped(FrameBytes).zipWithIndex.collect {
+        case (fb, i) if i % step == 0 =>
+          FrameRow(r.doc_id, i.toLong, fb.length.toLong, polyFp(fb))
+      }
+    }
+  }
+
+  /** Resize stub (image path): nearest-neighbor-style downsample — keep
+    * every `factor`-th byte, scale the metadata dims. A real implementation
+    * would resample pixels; the batch shape, schema, and determinism are
+    * the contract. */
+  def resizeStub(media: DataFrame, factor: Int)
+                (implicit s: SparkSession): Dataset[ResizedRow] = {
+    import s.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val out = r.media.indices.collect {
+        case i if i % factor == 0 => r.media(i)
+      }.toArray
+      ResizedRow(r.doc_id, r.width / factor, r.height / factor,
+        out.length.toLong, polyFp(out))
+    })
+  }
 }
+
+/** One sampled frame of a media blob. */
+case class FrameRow(doc_id: Long, frame_idx: Long, frame_len: Long,
+                    frame_fp: Long)
+
+/** Resize output: scaled dims + downsampled-content fingerprint. */
+case class ResizedRow(doc_id: Long, width: Long, height: Long,
+                      out_len: Long, out_fp: Long)

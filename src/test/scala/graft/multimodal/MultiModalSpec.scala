@@ -1,0 +1,56 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal batch plumbing: decode stub, frame sampling (1→N), resize. */
+class MultiModalSpec extends SparkSpec {
+
+  private def media(text: String) = {
+    import spark.implicits._
+    implicit val s = spark
+    MultiModal.mediaFromDocuments(
+      Seq((1L, text, text.length.toLong)).toDF("doc_id", "text", "n_chars"))
+  }
+
+  test("decodeStub: byte length, first byte, deterministic fingerprint") {
+    implicit val s = spark
+    val f = MultiModal.extractFeatures(media("abc")).collect().head
+    assert(f.byte_len === 3L)
+    assert(f.first_byte === 'a'.toLong)
+    val want = "abc".getBytes("UTF-8")
+      .foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % MultiModal.Mod)
+    assert(f.content_fp === want)
+    assert(f.n_frames === 3L % 30L + 1L)
+  }
+
+  test("sampleFrames: every step-th fixed-size frame, short tail kept") {
+    implicit val s = spark
+    val text = "x" * 100 // 4 frames of 32,32,32,4 → sampled idx 0 and 2
+    val rows = MultiModal.sampleFrames(media(text), step = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.map(_.frame_idx).toSeq === Seq(0L, 2L))
+    assert(rows.map(_.frame_len).toSeq === Seq(32L, 32L))
+    val tail = MultiModal.sampleFrames(media("x" * 100), step = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(tail.map(_.frame_len).toSeq === Seq(32L, 32L, 32L, 4L))
+  }
+
+  test("resizeStub: keeps every factor-th byte and scales dims") {
+    implicit val s = spark
+    val r = MultiModal.resizeStub(media("abcdefg"), factor = 3).collect().head
+    // kept bytes: a, d, g
+    assert(r.out_len === 3L)
+    val want = Array('a', 'd', 'g').map(_.toByte)
+      .foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % MultiModal.Mod)
+    assert(r.out_fp === want)
+    assert(r.width === (7L % 640L) / 3L)
+  }
+
+  test("empty media: no frames, empty resize") {
+    implicit val s = spark
+    assert(MultiModal.sampleFrames(media(""), step = 1).count() === 0L)
+    val r = MultiModal.resizeStub(media(""), factor = 2).collect().head
+    assert(r.out_len === 0L && r.out_fp === 0L)
+  }
+}
