@@ -463,6 +463,44 @@ object SparkEntry {
           sum(col("event_id")).as("sum_ids"))
     }),
 
+    // E1 — the composed realtime micro-batch over real wire bytes: encode
+    // one entity per event (unique keys → the oracle needs no tie-break),
+    // then Realtime.microBatch runs decode → epoch-0 sentinel defaults →
+    // weather attach (fixed payload) → dedup → (first-run) snapshot.
+    // Audit stamps are excluded (run-relative); epochs replace timestamps.
+    "q36_realtime_e1" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ss: SparkSession = s
+      val ev = t(s, dir, "events").select(
+        col("event_id"), unix_timestamp(col("ts")).as("ets"),
+        date_format(col("ts"), "yyyyMMdd").as("sd"),
+        col("user_id"), col("value"))
+      val feeds = ev.as[(Long, Long, String, Long, Double)]
+        .map { case (eid, ets, sd, uid, v) =>
+          gtfs.Rt.encode(gtfs.FeedMessage(
+            gtfs.FeedHeader("2.0", Some(ets)),
+            Seq(gtfs.FeedEntity(eid.toString, None, Some(gtfs.TripUpdate(
+              gtfs.TripDescriptor(Some(s"t${eid / 100L}"), None, Some(sd), None),
+              Seq(gtfs.StopTimeUpdate(Some((eid % 100L).toInt),
+                arrival = if (v >= 20d)
+                  Some(gtfs.StopTimeEvent(None, Some(ets), None)) else None,
+                departure = if (v <= 180d)
+                  Some(gtfs.StopTimeEvent(None, Some(ets + v.toLong), None))
+                else None,
+                stopId = Some(uid.toString))),
+              Some(ets), None))))))
+        }
+      val wx =
+        """{"weather":[{"id":601,"main":"Snow","description":"heavy snow"}],""" +
+          """"main":{"temp":263.15,"humidity":90}}"""
+      pipelines.Realtime.microBatch(feeds, Some(wx), None)
+        .select(col("trip_id"), col("start_date"), col("stop_sequence"),
+          col("stop_id"),
+          unix_timestamp(col("arrival_time")).as("arrival_epoch"),
+          unix_timestamp(col("departure_time")).as("departure_epoch"),
+          col("weather_group"), col("weather_description"), col("temperature"))
+    }),
+
     // --- training-data pipeline operators (beyond the reference) ---
 
     // Exact dedup by content hash.
@@ -823,6 +861,20 @@ object SparkEntry {
          |  ${exactAvgSql("value")} AS avg_value,
          |  CAST(sum(event_id) AS BIGINT) AS sum_ids
          |FROM events GROUP BY event_type""".stripMargin,
+
+    "q36_realtime_e1" ->
+      """WITH e AS (SELECT *, FLOOR(epoch(ts))::BIGINT AS ets FROM events)
+        |SELECT 't' || CAST(event_id // 100 AS VARCHAR) AS trip_id,
+        |  CAST(ts AS DATE) AS start_date,
+        |  event_id % 100 AS stop_sequence,
+        |  CAST(user_id AS VARCHAR) AS stop_id,
+        |  CASE WHEN value >= 20 THEN ets ELSE 0 END AS arrival_epoch,
+        |  CASE WHEN value <= 180 THEN ets + CAST(trunc(value) AS BIGINT)
+        |       ELSE 0 END AS departure_epoch,
+        |  'Snow' AS weather_group,
+        |  'heavy snow' AS weather_description,
+        |  CAST(263.15 AS DOUBLE) - CAST(273.15 AS DOUBLE) AS temperature
+        |FROM e""".stripMargin,
 
     "q15_dedup_exact" ->
       """SELECT sha256(text) AS text_hash, count(*) AS n_dups,
