@@ -31,9 +31,11 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(Scale)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd Catalyst expression ([[graft.expressions.IntDotProduct]]);
+    * the equivalent `aggregate(zip_with(...))` spelling runs interpreted. */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    graft.expressions.IntDotProduct.intDot(a, b)
 
   /** Cosine from quantized dot + squared norms (scale cancels). try_divide:
     * an all-zero vector has norm 0 — its cosine is NULL (ranked last), not
@@ -145,9 +147,14 @@ object Similarity {
 
     val c = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
       .withColumn("__cos", centCos(col("cv"), col("cn")))
-      // argmax with first-position (= smallest cid) tie-break
+      // argmax with first-position (= smallest cid) tie-break. The coalesce
+      // can never fire (the max is always present) but makes list_id
+      // non-nullable, so the join's IsNotNull predicate constant-folds away
+      // instead of being pushed down as a second copy of the whole
+      // 16-dot-product assignment expression.
       .withColumn("list_id",
-        expr("array_position(__cos, array_max(__cos))").cast("long"))
+        coalesce(expr("array_position(__cos, array_max(__cos))").cast("long"),
+          lit(0L)))
       .drop("__cos")
     val q = withQuantized(queries, idCol, embCol, "qv", "qn").drop(embCol)
       .withColumnRenamed(idCol, "query_id")
