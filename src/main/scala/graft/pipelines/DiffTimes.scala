@@ -69,4 +69,11 @@ object DiffTimes {
         col("tu.updated_at").as("updated_at"))
       .orderBy(asc("trip_id"), asc("stop_sequence"), asc("start_date"))
   }
+
+  /** Materialize the mart partitioned by service date (SURVEY.md §4):
+    * dashboard aggregations slice by day, so date-partitioned storage lets
+    * their scans prune whole partitions instead of reading the full mart —
+    * at 100 TB the difference between touching one day and all of them. */
+  def writeMart(mart: DataFrame, path: String): Unit =
+    mart.write.mode("overwrite").partitionBy("start_date").parquet(path)
 }
