@@ -532,6 +532,18 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 8)),
 
+    // The composed near-dup pipeline: MinHash-LSH candidate generation
+    // gated into exact Jaccard verification (jaccardOnPairs) — candidates
+    // bound the O(pairs) verification work, the production shape at scale.
+    // Rows-only (LSH candidates are engine-defined).
+    "q37_dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val candidates = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16)
+      Dedup.jaccardOnPairs(candidates, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+    }),
+
     // Brute-force quantized-cosine top-k (exact ANN baseline).
     "q19_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
