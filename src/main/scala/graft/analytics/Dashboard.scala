@@ -43,6 +43,15 @@ object Dashboard {
       .agg(countDistinct(col("trip_id")).as("n_trips"),
         count(lit(1)).as("n_rows"))
 
+  /** A3 at scale: exact countDistinct shuffles every distinct (hour,
+    * trip_id) pair; the HLL sketch shuffles one fixed-size buffer per
+    * group per partition instead — the 100 TB formulation when ±rsd error
+    * is acceptable for a dashboard. */
+  def peakHoursApprox(mart: DataFrame, rsd: Double = 0.02): DataFrame =
+    mart.groupBy("sudbury_hour_of_day")
+      .agg(approx_count_distinct(col("trip_id"), rsd).as("n_trips"),
+        count(lit(1)).as("n_rows"))
+
   /** A4 — stop/route density heat-map input. */
   def stopDensity(mart: DataFrame): DataFrame =
     mart.groupBy("geo_coordinates", "stop_name")
