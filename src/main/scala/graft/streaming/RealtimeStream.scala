@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.Upsert
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** §2.9 — the reference's realtime path as Structured Streaming. The
@@ -42,6 +42,50 @@ object RealtimeStream {
     merged.write.mode("overwrite").parquet(next.toString)
     fs.delete(tgt, true)
     fs.rename(next, tgt)
+  }
+
+  /** One micro-batch of RAW FEED PAYLOADS: decode + flatten + enrich via
+    * [[graft.pipelines.Realtime.microBatch]] against the current snapshot,
+    * then swap — E1 end to end per batch. */
+  def feedBatch(payloads: Dataset[Array[Byte]], targetPath: String,
+                weatherJson: Option[String]): Unit = {
+    implicit val spark: SparkSession = payloads.sparkSession
+    val fs = new Path(targetPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tgt = new Path(targetPath)
+    val target =
+      if (fs.exists(tgt)) Some(spark.read.parquet(targetPath)) else None
+    val merged = graft.pipelines.Realtime.microBatch(payloads, weatherJson, target)
+    val next = new Path(targetPath + ".next")
+    merged.write.mode("overwrite").parquet(next.toString)
+    fs.delete(tgt, true)
+    fs.rename(next, tgt)
+  }
+
+  /** The reference's cron loop as an actual stream: watch a directory of
+    * fetched `.pb` feed files (the S1 fetcher's drop zone — or any
+    * binary-file landing path) and run E1 per micro-batch. `weatherJson`
+    * is re-read per batch via the supplied thunk, matching the reference's
+    * slowly-refreshed side input (SURVEY.md §2.9). */
+  def startFeedStream(spark: SparkSession, feedDir: String,
+                      targetPath: String, checkpointDir: String,
+                      weatherJson: () => Option[String],
+                      trigger: Trigger = Trigger.ProcessingTime("1 minute"))
+      : StreamingQuery = {
+    import spark.implicits._
+    // streaming sources need the schema up front; this is binaryFile's
+    // fixed schema
+    val payloads = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(feedDir)
+    payloads.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        feedBatch(batch.select("content").as[Array[Byte]],
+          targetPath, weatherJson())
+      }
+      .start()
   }
 
   /** Start the streaming upsert: every micro-batch of realtime rows is

@@ -9,6 +9,42 @@ import org.apache.spark.sql.streaming.Trigger
   * asserting S9 semantics on the keyed snapshot. */
 class RealtimeStreamSpec extends SparkSpec {
 
+  test("feed-file stream runs E1 per micro-batch (binary source → merge)") {
+    import graft.gtfs._
+    val base = Paths.get("target", "test_feedstream")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val tgt = base.resolve("tgt").toString
+    val chk = base.resolve("chk").toString
+
+    def feed(name: String, seq: Int, arr: Long): Unit =
+      Files.write(src.resolve(name), Rt.encode(FeedMessage(
+        FeedHeader("2.0", Some(arr)),
+        Seq(FeedEntity("e", None, Some(TripUpdate(
+          TripDescriptor(Some("T1"), None, Some("20240601"), None),
+          Seq(StopTimeUpdate(Some(seq),
+            Some(StopTimeEvent(None, Some(arr), None)), None, Some("10"))),
+          None, None)))))))
+
+    def round(): Unit = {
+      val q = RealtimeStream.startFeedStream(spark, src.toString, tgt, chk,
+        weatherJson = () => None,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    feed("f1.pb", 1, 1000L)
+    round()
+    assert(spark.read.parquet(tgt).count() === 1L)
+
+    feed("f2.pb", 1, 2000L) // same key, new prediction
+    feed("f3.pb", 2, 3000L) // new key
+    round()
+    val snap = spark.read.parquet(tgt).collect()
+      .map(r => r.getLong(2) -> r.getTimestamp(4).getTime / 1000).toMap
+    assert(snap === Map(1L -> 2000L, 2L -> 3000L))
+  }
+
   test("foreachBatch upsert maintains the keyed snapshot across batches") {
     val base = Paths.get("target", "test_stream")
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
