@@ -251,13 +251,18 @@ object SparkEntry {
       val n = t(s, dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
       val r = t(s, dir, "region")
       val p = t(s, dir, "part").select("p_partkey")
+      // Explicit broadcast ONLY for the fixed-cardinality dims (nation=25,
+      // region=5). customer/supplier/part grow with the scale factor — a
+      // broadcast hint on them would OOM executors at 100 TB; AQE picks
+      // broadcast when they happen to be small (as at test SFs) and
+      // shuffle joins when they are not.
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
