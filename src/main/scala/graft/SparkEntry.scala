@@ -531,6 +531,16 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         Seq("lang", "source"), minJaccard = 0.15)),
 
+    // q18 with the hot-shingle document-frequency cap active: shingles
+    // occurring in more than maxDf docs of a block are removed from every
+    // set before scoring — the bound on the posting join's Σ df² term
+    // (boilerplate shingles in templated corpora). df is deterministic, so
+    // the capped operator is still hash-checked against a DuckDB oracle
+    // applying the identical filter.
+    "q38_jaccard_maxdf" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), minJaccard = 0.1, maxDf = Some(10L))),
+
     // SimHash banded near-dup pairs (rows-only check: xxhash64-derived
     // fingerprints are engine-defined).
     "q26_simhash_pairs" -> ((s, dir) =>
@@ -564,14 +574,15 @@ object SparkEntry {
       Similarity.annTopK(q, emb, "vec_id", "embedding", k = 3)
     }),
 
-    // IVF-style ANN top-k — deterministic coarse quantizer + probe-list
-    // search + exact quantized cosine: the fully oracle-checkable ANN path
-    // (sign-LSH q20 stays rows-only because its planes are engine-internal).
+    // IVF-style ANN top-k — deterministic k-means-refined coarse quantizer
+    // (2 Lloyd iterations, integer centroids) + probe-list search + exact
+    // quantized cosine: the fully oracle-checkable ANN path (sign-LSH q20
+    // stays rows-only because its planes are engine-internal).
     "q32_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
       Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
-        nCentroids = 16, nProbe = 4)
+        nCentroids = 16, nProbe = 4, kmeansIters = 2)
     }),
 
     // Language-ID heuristic (marker-word overlap + argmax).
@@ -918,6 +929,39 @@ object SparkEntry {
          |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.15""".stripMargin,
 
+    "q38_jaccard_maxdf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS sg
+         |  FROM toks),
+         |post AS (
+         |  SELECT doc_id, lang, source, unnest(sg) AS shingle
+         |  FROM sh WHERE len(sg) > 0),
+         |dfreq AS (
+         |  SELECT lang, source, shingle, count(*) AS df
+         |  FROM post GROUP BY lang, source, shingle),
+         |kept AS (
+         |  SELECT p.doc_id, p.lang, p.source, p.shingle
+         |  FROM post p JOIN dfreq d
+         |    ON p.lang = d.lang AND p.source = d.source AND p.shingle = d.shingle
+         |  WHERE d.df <= 10),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+         |  FROM kept a JOIN kept b
+         |    ON a.lang = b.lang AND a.source = b.source
+         |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON inter.id_a = na.doc_id
+         |JOIN sizes nb ON inter.id_b = nb.doc_id
+         |WHERE CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) >= 0.1""".stripMargin,
+
     "q19_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
@@ -949,9 +993,57 @@ object SparkEntry {
         |  SELECT vec_id, v,
         |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS nrm
         |  FROM e),
-        |cent AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv, nrm AS cnrm
+        |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM n) + 1)) AS i),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
         |  FROM n ORDER BY vec_id LIMIT 16),
+        |c0n AS (
+        |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
+        |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c0),
+        |s0 AS (
+        |  SELECT n.vec_id, c.cid,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
+        |        i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS cos
+        |  FROM n, c0n c),
+        |a0 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid ASC) AS rn FROM s0) WHERE rn = 1),
+        |m0 AS (
+        |  SELECT a.cid, d.i,
+        |    CAST(floor(CAST(sum(n.v[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+        |  FROM a0 a JOIN n USING (vec_id) CROSS JOIN dims d
+        |  GROUP BY a.cid, d.i),
+        |c1 AS (
+        |  SELECT c.cid, COALESCE(l.cv, c.cv) AS cv FROM c0 c
+        |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m0 GROUP BY cid) l
+        |    USING (cid)),
+        |c1n AS (
+        |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
+        |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c1),
+        |s1 AS (
+        |  SELECT n.vec_id, c.cid,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
+        |        i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS cos
+        |  FROM n, c1n c),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid ASC) AS rn FROM s1) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a.cid, d.i,
+        |    CAST(floor(CAST(sum(n.v[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+        |  FROM a1 a JOIN n USING (vec_id) CROSS JOIN dims d
+        |  GROUP BY a.cid, d.i),
+        |c2 AS (
+        |  SELECT c.cid, COALESCE(l.cv, c.cv) AS cv FROM c1 c
+        |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m1 GROUP BY cid) l
+        |    USING (cid)),
+        |cent AS (
+        |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
+        |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c2),
         |sc AS (
         |  SELECT n.vec_id, cent.cid,
         |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),

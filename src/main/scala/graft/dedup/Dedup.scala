@@ -174,18 +174,48 @@ object Dedup {
     * |A∪B| from the per-doc set sizes. Only pairs sharing at least one
     * shingle are ever materialized, which is exact for any positive
     * `minJaccard`; the work is Σ_shingle freq² slim rows through a
-    * hash aggregate instead of Σ_block |block|² array intersections. */
+    * hash aggregate instead of Σ_block |block|² array intersections.
+    *
+    * `maxDf` caps the quadratic term itself: a shingle occurring in more
+    * than `maxDf` documents of one block (templated boilerplate — the
+    * classic web-corpus skew) would put df² rows through a single
+    * hash-agg key; with the cap such shingles are removed from every
+    * document's set BEFORE scoring (both intersection and union — the
+    * semantics stay a true Jaccard, over the reduced sets), and the drop
+    * is emitted as the observed metric "jaccard_df". Document frequency
+    * is deterministic, so the capped operator remains oracle-checkable. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   blockCols: Seq[String], minJaccard: Double): DataFrame = {
+                   blockCols: Seq[String], minJaccard: Double,
+                   maxDf: Option[Long] = None): DataFrame = {
     require(minJaccard > 0.0,
       "minJaccard must be positive: the inverted index never sees " +
         "zero-intersection pairs")
     val sh = docs.select((blockCols.map(col) :+ col(idCol).as("id") :+
         TextAnalysis.bigramShingles(TextAnalysis.tokens(col(textCol))).as("sg")): _*)
       .where(size(col("sg")) > 0)
-    val sizes = sh.select(col("id"), size(col("sg")).cast("long").as("n"))
-    val posting = sh.select(blockCols.map(col) :+ col("id") :+
+    val posting0 = sh.select(blockCols.map(col) :+ col("id") :+
       explode(col("sg")).as("shingle"): _*)
+    val (posting, sizes) = maxDf match {
+      case None =>
+        (posting0, sh.select(col("id"), size(col("sg")).cast("long").as("n")))
+      case Some(cap) =>
+        // Shingles are distinct per document, so the posting count per
+        // (block, shingle) IS the document frequency. Map-side-combined
+        // groupBy, then a slim join back — same shape as the MinHash
+        // bucket cap above.
+        val dfreq = posting0
+          .groupBy((blockCols :+ "shingle").map(col): _*)
+          .agg(count(lit(1)).as("__df"))
+          .observe("jaccard_df",
+            sum(when(col("__df") > cap, 1L).otherwise(0L)).as("dropped_shingles"),
+            sum(when(col("__df") > cap, col("__df")).otherwise(0L)).as("dropped_postings"))
+        val kept = posting0
+          .join(dfreq.where(col("__df") <= cap), blockCols :+ "shingle")
+          .drop("__df")
+        // Set sizes must reflect the reduced sets (union shrinks with the
+        // dropped shingles), so recount from the kept postings.
+        (kept, kept.groupBy("id").agg(count(lit(1)).as("n")))
+    }
     val a = posting.select(blockCols.map(col) :+ col("shingle") :+
       col("id").as("id_a"): _*)
     val b = posting.select(blockCols.map(col) :+ col("shingle") :+

@@ -98,31 +98,99 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id: bit i = (emb · plane_i) > 0. Rows whose embedding
-    * length differs from the planes' dimension fail fast (zip_with would
-    * otherwise NULL-pad, silently collapsing every wrong-dim vector into
-    * bucket 0 and degrading the bucket join toward a cross join). */
-  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
-    val dim = planes.headOption.map(_.size).getOrElse(0)
-    val dEmb = transform(emb, _.cast("double"))
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(dEmb, typedLit(p), _ * _), lit(0.0), _ + _)
-      when(dot > 0.0, lit(1L << i)).otherwise(lit(0L))
+  /** Hyperplanes scalar-quantized like the embeddings, so sign tests run as
+    * exact integer dot products. The sign of the quantized dot equals the
+    * sign of the double dot except within ~1e-5 of the decision boundary —
+    * LSH already assigns boundary vectors arbitrarily, so bucketing quality
+    * is unchanged. */
+  def quantizePlanes(planes: Seq[Seq[Double]]): Seq[Seq[Long]] =
+    planes.map(_.map(x => math.round(x * Scale)))
+
+  /** Sign-LSH bucket id over an ALREADY-QUANTIZED embedding column: bit i =
+    * intDot(qv, plane_i) > 0. Each plane test is one codegen'd
+    * [[graft.expressions.IntDotProduct]] over the shared quantized column —
+    * not an interpreted `aggregate(zip_with(...))` per plane re-deriving the
+    * cast embedding (the HOF trap IntDotProduct exists to kill). Rows whose
+    * vector length differs from the planes' dimension fail fast (a silent
+    * NULL-pad would collapse every wrong-dim vector into bucket 0 and
+    * degrade the bucket join toward a cross join). */
+  def lshBucketQ(qv: Column, qPlanes: Seq[Seq[Long]]): Column = {
+    val dim = qPlanes.headOption.map(_.size).getOrElse(0)
+    val bucket = qPlanes.zipWithIndex.map { case (p, i) =>
+      when(intDot(qv, typedLit(p)) > 0L, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    when(size(emb) === dim, bucket).otherwise(raise_error(concat(
+    when(size(qv) === dim, bucket).otherwise(raise_error(concat(
       lit(s"lshBucket: embedding dim mismatch, expected $dim, got "),
-      size(emb).cast("string"))).cast("long"))
+      size(qv).cast("string"))).cast("long"))
+  }
+
+  /** Sign-LSH bucket id of a raw `array<float>` embedding — quantizes both
+    * sides and delegates to [[lshBucketQ]]. Callers that already carry a
+    * quantized column (e.g. [[annTopK]]) should use [[lshBucketQ]] directly
+    * so the per-plane dots share one materialized input. */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    lshBucketQ(quantize(emb), quantizePlanes(planes))
+
+  /** Per-row array of cosines of a quantized vector to each centroid
+    * (1-based positions = cid). Integer dots via the codegen'd expression;
+    * try_divide for the zero-norm edge. */
+  private def centCos(cents: Seq[Seq[Long]], cNorms: Seq[Long],
+                      vCol: Column, nCol: Column): Column =
+    array(cents.indices.map { j =>
+      try_divide(intDot(vCol, typedLit(cents(j))).cast("double"),
+        sqrt(nCol.cast("double")) * sqrt(lit(cNorms(j).toDouble)))
+    }: _*)
+
+  /** Nearest-centroid id (1-based) with the deterministic smallest-cid
+    * tie-break. The coalesce can never fire (the max is always present) but
+    * makes the result non-nullable, so join IsNotNull predicates
+    * constant-fold instead of duplicating the assignment expression. */
+  private def nearestCid(cents: Seq[Seq[Long]], cNorms: Seq[Long],
+                         vCol: Column, nCol: Column): Column =
+    coalesce(expr(s"array_position(__cos, array_max(__cos))").cast("long"),
+      lit(0L))
+
+  /** Lloyd's k-means refinement of the coarse quantizer, fully
+    * deterministic: fixed iteration count, integer centroid coordinates
+    * (floor of the per-dimension mean of assigned quantized vectors), the
+    * smallest-cid argmax tie-break, and empty clusters keeping their
+    * previous centroid. Each iteration is one distributed
+    * assignment+aggregation job collecting nCentroids × dim slim rows to
+    * the driver — the classic bounded-driver-state training loop; the
+    * result is a plan-time constant like the initial centroids, so the
+    * operator stays oracle-checkable in exact arithmetic. */
+  private def refineCentroids(c: DataFrame, init: Seq[Seq[Long]],
+                              iters: Int): Seq[Seq[Long]] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val cNorms = cents.map(v => v.map(x => x * x).sum)
+      val sums = c
+        .withColumn("__cos", centCos(cents, cNorms, col("cv"), col("cn")))
+        .withColumn("cid", nearestCid(cents, cNorms, col("cv"), col("cn")))
+        .select(col("cid"), posexplode(col("cv")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val byCid = sums.groupBy(_.getLong(0))
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCid.get(j + 1L) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).toSeq
+            .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+          case None => old
+        }
+      }
+    }
+    cents
   }
 
   /** IVF-style ANN top-k: corpus vectors are partitioned into `nCentroids`
     * inverted lists by nearest centroid; each query probes its `nProbe`
     * nearest lists and ranks only those candidates by exact quantized
     * cosine. Coarse quantizer: the first `nCentroids` corpus vectors in id
-    * order — deterministic and training-free (real IVF would k-means here;
-    * the list/probe plumbing, which is the part that must scale, is
-    * identical). Everything is exact integer/IEEE arithmetic mirrored
-    * op-for-op by a SQL oracle — unlike sign-LSH, this ANN path is fully
-    * hash-verifiable.
+    * order, optionally refined by `kmeansIters` deterministic Lloyd
+    * iterations ([[refineCentroids]]). Everything is exact integer/IEEE
+    * arithmetic mirrored op-for-op by a SQL oracle — unlike sign-LSH, this
+    * ANN path is fully hash-verifiable.
     *
     * Scale: assignment is per-row map work against broadcast centroid
     * literals (no shuffle); the probe join fans each corpus row out to the
@@ -130,35 +198,23 @@ object Similarity {
     * on average); ranking reuses the bounded local-top-k merge. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, embCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
     // Driver action at plan time: collect the tiny centroid set.
-    val cents: Seq[Seq[Long]] = corpus.orderBy(col(idCol)).limit(nCentroids)
+    val init: Seq[Seq[Long]] = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(quantize(col(embCol)).as("cv")).collect()
       .map(_.getSeq[Long](0).toSeq).toSeq
+    val cq = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
+    val cents = refineCentroids(cq, init, kmeansIters)
     val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
-    // Per-row array of cosines to each centroid (1-based positions = cid).
-    def centCos(vCol: Column, nCol: Column): Column =
-      array(cents.indices.map { j =>
-        try_divide(
-          aggregate(zip_with(vCol, typedLit(cents(j)), _ * _), lit(0L), _ + _)
-            .cast("double"),
-          sqrt(nCol.cast("double")) * sqrt(lit(cNorms(j).toDouble)))
-      }: _*)
 
-    val c = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
-      .withColumn("__cos", centCos(col("cv"), col("cn")))
-      // argmax with first-position (= smallest cid) tie-break. The coalesce
-      // can never fire (the max is always present) but makes list_id
-      // non-nullable, so the join's IsNotNull predicate constant-folds away
-      // instead of being pushed down as a second copy of the whole
-      // 16-dot-product assignment expression.
-      .withColumn("list_id",
-        coalesce(expr("array_position(__cos, array_max(__cos))").cast("long"),
-          lit(0L)))
+    val c = cq
+      .withColumn("__cos", centCos(cents, cNorms, col("cv"), col("cn")))
+      .withColumn("list_id", nearestCid(cents, cNorms, col("cv"), col("cn")))
       .drop("__cos")
     val q = withQuantized(queries, idCol, embCol, "qv", "qn").drop(embCol)
       .withColumnRenamed(idCol, "query_id")
-      .withColumn("__cos", centCos(col("qv"), col("qn")))
+      .withColumn("__cos", centCos(cents, cNorms, col("qv"), col("qn")))
       // nProbe nearest centroids: sort (−cos, cid) structs — cos desc, cid asc
       .withColumn("__probe", slice(transform(array_sort(
         array(cents.indices.map(j => struct(
@@ -187,13 +243,13 @@ object Similarity {
               numPlanes: Int = 8): DataFrame = {
     val dim = corpus.select(size(col(embCol))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
-    val planes = hyperplanes(numPlanes, dim)
+    val qPlanes = quantizePlanes(hyperplanes(numPlanes, dim))
     val q = withQuantized(queries, idCol, embCol, "qv", "qn")
-      .withColumn("bucket", lshBucket(col(embCol), planes))
+      .withColumn("bucket", lshBucketQ(col("qv"), qPlanes))
       .withColumnRenamed(idCol, "query_id")
       .select("query_id", "qv", "qn", "bucket")
     val c = withQuantized(corpus, idCol, embCol, "cv", "cn")
-      .withColumn("bucket", lshBucket(col(embCol), planes)).drop(embCol)
+      .withColumn("bucket", lshBucketQ(col("cv"), qPlanes)).drop(embCol)
     val scored = c.join(broadcast(q), Seq("bucket"))
       .select(col("query_id"), col(idCol),
         cosineQ(intDot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))

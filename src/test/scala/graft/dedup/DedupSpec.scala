@@ -77,6 +77,44 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("jaccardPairs maxDf removes boilerplate shingles from every set " +
+    "and equals the naive computation over the reduced sets") {
+    // 12 docs sharing a boilerplate prefix ("terms of service apply") plus a
+    // distinctive tail; docs 1/2 share their tails too. The boilerplate
+    // shingles hit df=12 > cap, so capped similarity comes from tails only.
+    val many = docs((1L to 12L).map { i =>
+      val tail = if (i <= 2) "alpha beta gamma delta" else s"tail$i x$i y$i z$i"
+      i -> s"terms of service apply $tail"
+    }: _*).withColumn("b", lit("x"))
+    val cap = 10L
+    val got = Dedup.jaccardPairs(many, "doc_id", "text", Seq("b"),
+        minJaccard = 0.05, maxDf = Some(cap))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // Naive reference with the same df filter applied to the sets:
+    def shingles(s: String): Set[String] = {
+      val tk = s.split(" ").filter(_.nonEmpty)
+      tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }
+    val all = many.collect().map(r => r.getLong(0) -> r.getString(1))
+    val df = all.flatMap { case (_, t) => shingles(t) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val reduced = all.map { case (id, t) =>
+      id -> shingles(t).filter(df(_) <= cap) }.toMap
+    val want = (for {
+      (ia, _) <- all; (ib, _) <- all if ia < ib
+      sa = reduced(ia); sb = reduced(ib)
+      inter = sa.intersect(sb).size if inter > 0
+      j = inter.toDouble / sa.union(sb).size.toDouble
+      if j >= 0.05
+    } yield (ia, ib) -> j).toMap
+    assert(got === want)
+    // the cap actually changed the result: uncapped sees the boilerplate
+    // overlap between every doc pair
+    val uncapped = Dedup.jaccardPairs(many, "doc_id", "text", Seq("b"),
+      minJaccard = 0.05).count()
+    assert(got.size < uncapped)
+  }
+
   test("jaccardOnPairs verifies exactly the supplied candidate pairs") {
     import spark.implicits._
     val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
