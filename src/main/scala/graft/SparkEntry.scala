@@ -4,7 +4,7 @@ import graft.analytics.Dashboard
 import graft.dedup.Dedup
 import graft.functions.{TimeOps, WeatherOps}
 import graft.multimodal.MultiModal
-import graft.operators.Upsert
+import graft.operators.{Salt, Upsert}
 import graft.pipelines.DiffTimes
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
@@ -659,6 +659,30 @@ object SparkEntry {
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
     }),
 
+    // Skew-salting join at driver level: the events fact (probe, salted by
+    // content hash) joined to a per-user dimension replicated ×buckets —
+    // row-identical to the unsalted join, so the plain-SQL oracle
+    // hash-checks it. The declarative fallback for hot keys AQE's skew
+    // split can't fix (power-law ids concentrating one reducer).
+    "q39_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val dim = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("user_events"))
+      Salt.saltedJoin(ev, dim, Seq("user_id"), buckets = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_events")).as("sum_user_events"),
+          Dashboard.exactAvg(col("value")).as("avg_value"))
+    }),
+
+    // A3 at scale — HLL approximate distinct trips per hour: fixed-size
+    // sketch per group instead of shuffling every distinct (hour, trip)
+    // pair. Rows-only check (the sketch estimate is engine-defined); the
+    // DashboardSpec pins its tolerance against the exact q05.
+    "q40_peak_hours_approx" -> ((s, dir) =>
+      Dashboard.peakHoursApprox(diffMart(s, dir))),
+
     // Multimodal frame sampling: 1→N generator over fixed-size frames of
     // the blob, every 2nd frame kept, per-frame fingerprint.
     "q34_frame_sample" -> ((s, dir) => {
@@ -1156,6 +1180,18 @@ object SparkEntry {
          |SELECT a.user_id, a.n_events, a.avg_value,
          |  COALESCE(b.n_clicks, 0) AS n_clicks
          |FROM a LEFT JOIN b ON a.user_id = b.user_id""".stripMargin,
+
+    "q39_salted_join" ->
+      s"""WITH dim AS (
+         |  SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+         |SELECT e.event_type, count(*) AS n,
+         |  CAST(sum(d.user_events) AS BIGINT) AS sum_user_events,
+         |  ${exactAvgSql("value")} AS avg_value
+         |FROM events e JOIN dim d ON e.user_id = d.user_id
+         |GROUP BY e.event_type""".stripMargin,
+
+    // q40_peak_hours_approx: intentionally no oracle — the HLL estimate is
+    // engine-defined (rows-only check; tolerance pinned in DashboardSpec).
 
     "q34_frame_sample" ->
       s"""WITH b AS (

@@ -38,6 +38,41 @@ object Historical {
       member(spark, dir, "calendar_dates"), member(spark, dir, "stops"),
       member(spark, dir, "routes"))
 
+  /** S3 — the zip unpack step itself (reference/scripts/
+    * historical_extractor.py:15,45-48: GTFS ships as one zip of .txt
+    * members). Driver-side by design: a GTFS zip is megabytes (it holds
+    * the schedule, not the data), and the zip format's central directory
+    * makes it unsplittable anyway — the distributed work starts at the
+    * extracted CSVs, which Spark then scans with file-level parallelism.
+    * Entry names are sanitized against zip-slip. Returns extracted paths. */
+  def extractZip(zipPath: String, destDir: String): Seq[java.nio.file.Path] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dest = Paths.get(destDir).toAbsolutePath.normalize()
+    Files.createDirectories(dest)
+    val in = new java.util.zip.ZipInputStream(
+      Files.newInputStream(Paths.get(zipPath)))
+    try {
+      Iterator.continually(in.getNextEntry).takeWhile(_ != null)
+        .filterNot(_.isDirectory)
+        .map { entry =>
+          val out = dest.resolve(entry.getName).normalize()
+          require(out.startsWith(dest),
+            s"zip entry escapes destination: ${entry.getName}")
+          Option(out.getParent).foreach(Files.createDirectories(_))
+          Files.copy(in, out, StandardCopyOption.REPLACE_EXISTING)
+          out
+        }.toList
+    } finally in.close()
+  }
+
+  /** E2 from the zip, as the reference consumes it: extract into `workDir`
+    * then read the 5 members. */
+  def readGtfsZip(spark: SparkSession, zipPath: String, workDir: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    extractZip(zipPath, workDir)
+    readGtfsDir(spark, workDir)
+  }
+
   /** The J1-J4 + F1/F2 + P1-P3 pipeline producing the gtfs_data schema
     * (schedule side of [[DiffTimes]]). `tz` is the agency's local zone —
     * GTFS clock strings are local wall times (historical_extractor.py:35). */

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Upsert
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -21,6 +21,42 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object RealtimeStream {
 
+  /** Resolve the readable snapshot for `targetPath`: the live directory,
+    * or — when a crash hit [[promote]] between its two renames — the
+    * `.old` directory that rename had just retired. Readers and the next
+    * merge both recover through this, so the one-rename crash window
+    * never loses the snapshot. */
+  def snapshotPath(fs: FileSystem, targetPath: String): Option[Path] = {
+    val tgt = new Path(targetPath)
+    val old = new Path(targetPath + ".old")
+    if (fs.exists(tgt)) Some(tgt)
+    else if (fs.exists(old)) Some(old)
+    else None
+  }
+
+  /** Crash-atomic promote of the `.next` snapshot: retire the live dir to
+    * `.old` (one rename), then promote `.next` (one rename). There is no
+    * instant with zero readable snapshots — a crash between the renames
+    * leaves `.old`, which [[snapshotPath]] resolves; the previous
+    * delete-then-rename shape had a window that lost the live copy. */
+  private def promote(fs: FileSystem, targetPath: String): Unit = {
+    val tgt = new Path(targetPath)
+    val next = new Path(targetPath + ".next")
+    val old = new Path(targetPath + ".old")
+    if (fs.exists(tgt)) {
+      fs.delete(old, true) // stale fallback from an earlier completed swap
+      fs.rename(tgt, old)
+      fs.rename(next, tgt)
+    } else {
+      // Recovering from a crash that hit between the renames above: `.old`
+      // is the live snapshot (already merged into `.next`), so promote
+      // first and only then drop the fallback — never delete the last
+      // readable copy before its replacement is in place.
+      fs.rename(next, tgt)
+      fs.delete(old, true)
+    }
+  }
+
   /** One micro-batch: dedup the batch to latest-per-key, S9-merge it into
     * the snapshot at `targetPath`, atomically swap the new snapshot in. */
   def mergeBatch(batch: DataFrame, targetPath: String, keys: Seq[String],
@@ -29,19 +65,17 @@ object RealtimeStream {
     val spark = batch.sparkSession
     val fs = new Path(targetPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val tgt = new Path(targetPath)
     val updates = Upsert.latestPerKey(batch, keys, orderCol)
-    val merged =
-      if (fs.exists(tgt))
-        Upsert.upsert(spark.read.parquet(targetPath), updates, keys,
+    val merged = snapshotPath(fs, targetPath) match {
+      case Some(cur) =>
+        Upsert.upsert(spark.read.parquet(cur.toString), updates, keys,
           compareCols, createdCol)
-      else updates
-    val next = new Path(targetPath + ".next")
+      case None => updates
+    }
     // Writing .next executes the plan (including the read of the current
     // snapshot) before the swap touches the live directory.
-    merged.write.mode("overwrite").parquet(next.toString)
-    fs.delete(tgt, true)
-    fs.rename(next, tgt)
+    merged.write.mode("overwrite").parquet(targetPath + ".next")
+    promote(fs, targetPath)
   }
 
   /** One micro-batch of RAW FEED PAYLOADS: decode + flatten + enrich via
@@ -52,14 +86,11 @@ object RealtimeStream {
     implicit val spark: SparkSession = payloads.sparkSession
     val fs = new Path(targetPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val tgt = new Path(targetPath)
-    val target =
-      if (fs.exists(tgt)) Some(spark.read.parquet(targetPath)) else None
+    val target = snapshotPath(fs, targetPath)
+      .map(p => spark.read.parquet(p.toString))
     val merged = graft.pipelines.Realtime.microBatch(payloads, weatherJson, target)
-    val next = new Path(targetPath + ".next")
-    merged.write.mode("overwrite").parquet(next.toString)
-    fs.delete(tgt, true)
-    fs.rename(next, tgt)
+    merged.write.mode("overwrite").parquet(targetPath + ".next")
+    promote(fs, targetPath)
   }
 
   /** The reference's cron loop as an actual stream: watch a directory of

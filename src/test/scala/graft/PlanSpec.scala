@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+
+/** Plan-snapshot golden tests: the scale-critical plan shapes asserted so a
+  * refactor that silently reintroduces a shuffle, drops a broadcast, or
+  * hints a scaling dimension fails CI — not the 100 TB run. Uses the
+  * sf0.001 testdata (plan shapes, not data volumes, are under test). */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute and return the FINAL physical plan (AQE re-plans at runtime;
+    * the pre-execution plan would assert the wrong thing). AQE's toString
+    * appends the superseded "== Initial Plan ==" — strip it, or every
+    * node would be counted twice. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q33: the bucketed co-located join plans ZERO shuffle Exchanges — " +
+    "both aggregations and the join reuse the bucket partitioning (a " +
+    "BroadcastExchange of the small aggregated side is a size-based " +
+    "planner call, not a repartition of the data)") {
+    val plan = finalPlan(SparkEntry.queries("q33_bucketed_join")(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("ShuffleQueryStage"),
+      s"bucketed join reintroduced a shuffle:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"scan is not bucket-aware:\n$plan")
+  }
+
+  test("q29: the historical star join is four broadcast hash joins over " +
+    "one stop_times scan — no shuffle join anywhere") {
+    val plan = finalPlan(SparkEntry.queries("q29_historical")(spark, sf))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast === 4, s"expected 4 broadcast joins, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"dimension join fell back to a shuffle join:\n$plan")
+  }
+
+  test("q02: exactly the two fixed-cardinality dims (nation, region) carry " +
+    "broadcast hints — scaling dims are left to AQE") {
+    val df = SparkEntry.queries("q02_star_join")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size === 2,
+      s"expected 2 broadcast hints (nation, region), got ${hints.size}")
+    val hinted = hints.map(_.child.output.map(_.name).toSet)
+    assert(hinted.exists(_.contains("n_nationkey")) &&
+      hinted.exists(_.contains("r_regionkey")),
+      s"hints sit on the wrong relations: $hinted")
+  }
+
+  test("q01: the fact-fact composite-key join carries NO broadcast hint " +
+    "(a hint here OOMs executors at 100 TB; tiny-SF broadcasts are AQE's " +
+    "size-based call, which scales), and the W1 global sort is present") {
+    val df = SparkEntry.queries("q01_diff_mart")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"unexpected join hints: $hints")
+    val plan = finalPlan(df)
+    assert(plan.contains("Sort"), s"W1 global sort missing:\n$plan")
+  }
+}

@@ -28,6 +28,40 @@ class HistoricalSpec extends SparkSpec {
     dir.toString
   }
 
+  test("readGtfsZip: E2 consumes the GTFS zip end to end (S3)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = writeFixtures()
+    val zip = Paths.get("target", "test_gtfs.zip")
+    Files.deleteIfExists(zip)
+    val zos = new ZipOutputStream(Files.newOutputStream(zip))
+    for (m <- Seq("stop_times", "trips", "calendar_dates", "stops", "routes")) {
+      zos.putNextEntry(new ZipEntry(s"$m.txt"))
+      zos.write(Files.readAllBytes(Paths.get(dir, s"$m.txt")))
+      zos.closeEntry()
+    }
+    zos.close()
+    val work = Paths.get("target", "test_gtfs_unzipped")
+    org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+    val (st, tr, cd, sp, rt) =
+      Historical.readGtfsZip(spark, zip.toString, work.toString)
+    val out = Historical.build(st, tr, cd, sp, rt, tz = "America/Toronto")
+    assert(out.count() === 4L) // 2 stop_times × 2 service dates
+  }
+
+  test("extractZip rejects zip-slip entries") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val evil = Paths.get("target", "test_evil.zip")
+    Files.deleteIfExists(evil)
+    val zos = new ZipOutputStream(Files.newOutputStream(evil))
+    zos.putNextEntry(new ZipEntry("../evil.txt"))
+    zos.write("x".getBytes)
+    zos.closeEntry()
+    zos.close()
+    intercept[IllegalArgumentException] {
+      Historical.extractZip(evil.toString, "target/test_evil_out")
+    }
+  }
+
   test("historical pipeline: joins, fanout, >24h clock, geo concat") {
     val dir = writeFixtures()
     val (st, tr, cd, sp, rt) = Historical.readGtfsDir(spark, dir)

@@ -45,6 +45,34 @@ class RealtimeStreamSpec extends SparkSpec {
     assert(snap === Map(1L -> 2000L, 2L -> 3000L))
   }
 
+  test("snapshot swap is crash-recoverable: a crash between promote's two " +
+    "renames leaves .old readable and the next merge heals it") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val base = Paths.get("target", "test_swap")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    val tgt = base.resolve("tgt").toString
+    val fs = new Path(tgt).getFileSystem(spark.sessionState.newHadoopConf())
+
+    RealtimeStream.mergeBatch(Seq((1L, "a", 1L)).toDF("k", "v", "seq"),
+      tgt, Seq("k"), Seq("v"), "seq")
+    // Simulate the crash window: live snapshot already retired to .old,
+    // .next not yet promoted (here: gone with the crashed writer).
+    assert(fs.rename(new Path(tgt), new Path(tgt + ".old")))
+
+    // Readers resolve the fallback...
+    val snap = RealtimeStream.snapshotPath(fs, tgt)
+    assert(snap.exists(_.toString.endsWith(".old")))
+    assert(spark.read.parquet(snap.get.toString).count() === 1L)
+
+    // ...and the next merge builds on it, promotes, and cleans up.
+    RealtimeStream.mergeBatch(Seq((2L, "b", 1L)).toDF("k", "v", "seq"),
+      tgt, Seq("k"), Seq("v"), "seq")
+    assert(fs.exists(new Path(tgt)) && !fs.exists(new Path(tgt + ".old")))
+    assert(spark.read.parquet(tgt).select("k").as[Long].collect().toSet
+      === Set(1L, 2L))
+  }
+
   test("foreachBatch upsert maintains the keyed snapshot across batches") {
     val base = Paths.get("target", "test_stream")
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
