@@ -233,6 +233,43 @@ object SparkEntry {
   /** DuckDB mirror of TextAnalysis.tokens. */
   private val TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** Shared oracle CTEs: quantized embeddings + integer norms (the q19
+    * formulation, factored for the LSH-path oracles). */
+  private val EMB_CTE: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+      |    x -> CAST(round(x * 100000.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS nrm
+      |  FROM e),
+      |""".stripMargin
+
+  /** The sign-LSH path mirrored into SQL. The hyperplanes are part of the
+    * operator definition (fixed seed 42, quantized like the embeddings), so
+    * their literals can be EMBEDDED in the oracle — which makes the whole
+    * LSH bucketing deterministic and hash-checkable, not engine-internal.
+    * `dim` is pinned to the testdata's embedding dimension (64 at every
+    * SF); the Spark side derives it from the data and builds the identical
+    * planes. Produces CTEs `planes` (w = bit weight, pv = plane), `bk`
+    * (vec_id → bucket), `c` (quantized vector + norm + bucket). */
+  private def lshCtes(numPlanes: Int, dim: Int = 64): String = {
+    val planeRows = Similarity
+      .quantizePlanes(Similarity.hyperplanes(numPlanes, dim))
+      .zipWithIndex.map { case (p, i) =>
+        s"(${1L << i}, ${p.mkString("[", ",", "]")}::BIGINT[])"
+      }.mkString(", ")
+    s"""planes AS (SELECT * FROM (VALUES $planeRows) pl(w, pv)),
+       |bk AS (
+       |  SELECT n.vec_id,
+       |    CAST(sum(CASE WHEN CAST(list_sum(list_transform(range(1, len(n.v)+1),
+       |      i -> n.v[i]*p.pv[i])) AS BIGINT) > 0 THEN p.w ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM n CROSS JOIN planes p GROUP BY n.vec_id),
+       |c AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id)),
+       |""".stripMargin
+  }
+
   // ------------------------------------------------------------- queries --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -566,13 +603,23 @@ object SparkEntry {
       Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
     }),
 
-    // Sign-LSH bucketed ANN top-k (rows-only check: recall is approximate
-    // by construction, and plane dots are engine-internal).
+    // Sign-LSH bucketed ANN top-k. Recall is approximate by construction,
+    // but every step is deterministic (fixed-seed quantized planes, exact
+    // integer cosine), so the oracle mirrors the planes as SQL literals and
+    // the result is fully hash-checked.
     "q20_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
       Similarity.annTopK(q, emb, "vec_id", "embedding", k = 3)
     }),
+
+    // Embedding-cosine near-duplicate pairs: sign-LSH bucket gating into
+    // exact quantized-cosine verification, with the bucket-size cap and
+    // observed drop metric — the vector-space member of the dedup family,
+    // fully hash-checked (planes mirrored into the oracle).
+    "q41_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", minCosine = 0.2, numPlanes = 8, maxBucketSize = 200)),
 
     // IVF-style ANN top-k — deterministic k-means-refined coarse quantizer
     // (2 Lloyd iterations, integer centroids) + probe-list search + exact
@@ -933,8 +980,34 @@ object SparkEntry {
         |  min(doc_id) AS keep_id
         |FROM documents GROUP BY sha256(text)""".stripMargin,
 
-    // q16_minhash_pairs / q17_simhash / q20_ann_lsh: intentionally no
-    // oracle — xxhash64/LSH internals are engine-defined (rows-only check).
+    // q16_minhash_pairs / q17_simhash: intentionally no oracle — xxhash64
+    // internals are engine-defined (rows-only check).
+
+    "q20_ann_lsh" -> (EMB_CTE + lshCtes(numPlanes = 8) +
+      """q AS (SELECT * FROM c WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE))) AS cosine
+        |  FROM q JOIN c t ON q.bucket = t.bucket),
+        |r AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin),
+
+    "q41_embed_neardup" -> (EMB_CTE + lshCtes(numPlanes = 8) +
+      """bsz AS (SELECT bucket, count(*) AS bn FROM c GROUP BY bucket),
+        |k AS (SELECT c.* FROM c JOIN bsz USING (bucket) WHERE bn <= 200),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(a.v)+1),
+        |        i -> a.v[i]*b.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+        |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.2""".stripMargin),
 
     "q18_ngram_jaccard" ->
       s"""WITH toks AS (

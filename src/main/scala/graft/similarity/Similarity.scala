@@ -229,6 +229,47 @@ object Similarity {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** Embedding-cosine near-duplicate pairs — the dedup-family member that
+    * works on vectors instead of shingles: sign-LSH bucketing (all
+    * `numPlanes` sign bits must agree) gates an exact quantized-cosine
+    * verification, returning (id_a, id_b, cosine) for bucket-sharing pairs
+    * with cosine >= `minCosine`.
+    *
+    * Scale: never all-pairs — only intra-bucket pairs materialize, and
+    * `numPlanes` sets the bucket granularity (pick ~log2(n / target bucket
+    * size); 2^numPlanes buckets). Natural corpora still skew (a dense
+    * semantic cluster lands in one bucket), so buckets above
+    * `maxBucketSize` are dropped with the count observed as the
+    * "cosine_lsh" metric — the same cap discipline as the MinHash/SimHash
+    * paths. Everything here is deterministic (fixed-seed planes, exact
+    * integer arithmetic), so the operator is fully oracle-checkable with
+    * the plane literals mirrored into SQL. */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+                         minCosine: Double, numPlanes: Int = 8,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    val dim = corpus.select(size(col(embCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val qPlanes = quantizePlanes(hyperplanes(numPlanes, dim))
+    val c = withQuantized(corpus, idCol, embCol, "cv", "cn")
+      .withColumn("bucket", lshBucketQ(col("cv"), qPlanes)).drop(embCol)
+    val sizes = c.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .observe("cosine_lsh",
+        sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(col("__n") > maxBucketSize, col("__n")).otherwise(0L)).as("dropped_rows"))
+    val kept = c.join(sizes.where(col("__n") <= maxBucketSize), "bucket")
+      .drop("__n")
+    val a = kept.select(col("bucket"), col(idCol).as("id_a"),
+      col("cv").as("cv_a"), col("cn").as("cn_a"))
+    val b = kept.select(col("bucket"), col(idCol).as("id_b"),
+      col("cv").as("cv_b"), col("cn").as("cn_b"))
+    a.join(b, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineQ(intDot(col("cv_a"), col("cv_b")),
+          col("cn_a"), col("cn_b")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** ANN top-k via sign-LSH: only corpus vectors sharing the query's bucket
     * are scored (candidate set ≈ corpus/2^planes per query), then exact
     * quantized cosine ranks them with the same bounded-merge as

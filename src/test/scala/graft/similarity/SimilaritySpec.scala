@@ -98,6 +98,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  test("cosineNearDupPairs equals the naive bucket-gate + exact-cosine " +
+    "computation, and the bucket cap drops all pair-producing buckets") {
+    val corpus = vecs(120, seed = 7L)
+    val got = Similarity.cosineNearDupPairs(toDF(corpus), "vec_id",
+        "embedding", minCosine = 0.1, numPlanes = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val planes = Similarity.quantizePlanes(Similarity.hyperplanes(4, dim))
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    def bucket(v: Seq[Long]): Long = planes.zipWithIndex.map { case (p, i) =>
+      if (p.zip(v).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
+    }.sum
+    val qd = corpus.map { case (id, v) => (id, quant(v)) }
+    val want = (for {
+      (ia, va) <- qd; (ib, vb) <- qd
+      if ia < ib && bucket(va) == bucket(vb)
+      dot = va.zip(vb).map { case (a, b) => a * b }.sum
+      cos = dot.toDouble / (math.sqrt(va.map(x => x * x).sum.toDouble) *
+        math.sqrt(vb.map(x => x * x).sum.toDouble))
+      if cos >= 0.1
+    } yield (ia, ib) -> cos).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
+    // a pair needs >= 2 vectors in its bucket, so maxBucketSize = 1 must
+    // drop every candidate
+    assert(Similarity.cosineNearDupPairs(toDF(corpus), "vec_id", "embedding",
+      minCosine = -1.0, numPlanes = 4, maxBucketSize = 1).count() === 0L)
+  }
+
   test("annTopK fails fast on mismatched embedding dimensions") {
     import spark.implicits._
     val good = vecs(10, seed = 4L)
