@@ -549,6 +549,20 @@ object SparkEntry {
     "q15_dedup_exact" -> ((s, dir) =>
       Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")),
 
+    // The deduplicated corpus itself (all columns, min-id representative
+    // per distinct content) — the left-semi formulation that moves
+    // full-width rows once.
+    "q42_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Exact TRIGRAM-shingle Jaccard with the df cap — the generalized
+    // shingle grain (n-gram fold) through the same inverted-index +
+    // hot-shingle-cap machinery as q18/q38.
+    "q43_trigram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), minJaccard = 0.05, maxDf = Some(20L),
+        shingleN = 3)),
+
     // MinHash + LSH near-dup candidate pairs (rows-only check: xxhash64
     // has no DuckDB equivalent).
     "q16_minhash_pairs" -> ((s, dir) =>
@@ -979,6 +993,44 @@ object SparkEntry {
       """SELECT sha256(text) AS text_hash, count(*) AS n_dups,
         |  min(doc_id) AS keep_id
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    "q42_dedup_corpus" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents GROUP BY sha256(text))""".stripMargin,
+
+    "q43_trigram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg
+         |  FROM toks),
+         |post AS (
+         |  SELECT doc_id, lang, source, unnest(sg) AS shingle
+         |  FROM sh WHERE len(sg) > 0),
+         |dfreq AS (
+         |  SELECT lang, source, shingle, count(*) AS df
+         |  FROM post GROUP BY lang, source, shingle),
+         |kept AS (
+         |  SELECT p.doc_id, p.lang, p.source, p.shingle
+         |  FROM post p JOIN dfreq d
+         |    ON p.lang = d.lang AND p.source = d.source AND p.shingle = d.shingle
+         |  WHERE d.df <= 20),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+         |  FROM kept a JOIN kept b
+         |    ON a.lang = b.lang AND a.source = b.source
+         |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON inter.id_a = na.doc_id
+         |JOIN sizes nb ON inter.id_b = nb.doc_id
+         |WHERE CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) >= 0.05""".stripMargin,
 
     // q16_minhash_pairs / q17_simhash: intentionally no oracle — xxhash64
     // internals are engine-defined (rows-only check).

@@ -33,6 +33,18 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
 
+  /** The deduplicated corpus itself — what a training pipeline actually
+    * consumes downstream: every column of `docs`, restricted to the
+    * minimum-id representative of each distinct content. A left-semi join
+    * against the slim (hash-agg) keep-id set, so the full-width rows —
+    * including the text — move at most once and only for survivors;
+    * the window-function formulation (`row_number` over a hash partition)
+    * would shuffle every copy of every document instead. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(
+      exactDupGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** MinHash signature: for seed i, min over shingles of xxhash64(i, s).
     * Deterministic (xxhash64 is seeded by the literal). The caller must
     * ensure the shingle array is non-empty — an empty array yields an
@@ -186,12 +198,13 @@ object Dedup {
     * is deterministic, so the capped operator remains oracle-checkable. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], minJaccard: Double,
-                   maxDf: Option[Long] = None): DataFrame = {
+                   maxDf: Option[Long] = None, shingleN: Int = 2): DataFrame = {
     require(minJaccard > 0.0,
       "minJaccard must be positive: the inverted index never sees " +
         "zero-intersection pairs")
     val sh = docs.select((blockCols.map(col) :+ col(idCol).as("id") :+
-        TextAnalysis.bigramShingles(TextAnalysis.tokens(col(textCol))).as("sg")): _*)
+        TextAnalysis.ngramShingles(TextAnalysis.tokens(col(textCol)), shingleN)
+          .as("sg")): _*)
       .where(size(col("sg")) > 0)
     val posting0 = sh.select(blockCols.map(col) :+ col("id") :+
       explode(col("sg")).as("shingle"): _*)

@@ -19,20 +19,27 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  /** Distinct word-bigram shingles of a token array (for Jaccard/MinHash).
+  /** Distinct word n-gram shingles of a token array (for Jaccard/MinHash).
     *
-    * Formulated as `zip_with(tk, tk[2..])` rather than an indexed transform
-    * with `element_at(tk, i)` in the lambda: higher-order functions run
-    * interpreted (outside whole-stage codegen), and a lambda that re-derives
-    * `tk` per element would make shingling O(tokens²) per row per plan
-    * occurrence. Here `tk` is evaluated a constant number of times per row.
-    * zip_with pads the shorter side with NULL, so the final (last-token,
-    * NULL) pair is dropped by the filter. */
-  def bigramShingles(tk: Column): Column =
-    array_distinct(filter(
-      zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      x => x.isNotNull))
+    * Formulated as a fold of `zip_with(acc, tk[j+1..])` rather than an
+    * indexed transform with `element_at(tk, i)` in the lambda: higher-order
+    * functions run interpreted (outside whole-stage codegen), and a lambda
+    * that re-derives `tk` per element would make shingling O(tokens²) per
+    * row per plan occurrence. Here `tk` is evaluated a constant (n) number
+    * of times per row. zip_with pads the shorter side with NULL, `concat`
+    * propagates it, and the filter drops the incomplete tail shingles. */
+  def ngramShingles(tk: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    val joined = (1 until n).foldLeft(tk) { (acc, j) =>
+      zip_with(acc, slice(tk, lit(j + 1), greatest(size(tk) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(joined, x => x.isNotNull))
+  }
+
+  /** Distinct word-bigram shingles — the n=2 instance of
+    * [[ngramShingles]], the reference grain for the dedup operators. */
+  def bigramShingles(tk: Column): Column = ngramShingles(tk, 2)
 
   /** Polynomial rolling hash over a string's characters:
     * h = (h*31 + code(c)) mod 1e9+7. The char-level inner loop stays inside

@@ -28,6 +28,35 @@ class DedupSpec extends SparkSpec {
     assert(g === Set((2L, 1L), (1L, 2L), (1L, 3L), (1L, 5L), (1L, 6L)))
   }
 
+  test("dedupCorpus keeps exactly the min-id representative rows, full width") {
+    val kept = Dedup.dedupCorpus(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // doc 4 (exact dup of 1) is dropped; everything else survives verbatim
+    assert(kept.map(_._1) === Set(1L, 2L, 3L, 5L, 6L))
+    assert(kept.contains(1L -> "the quick brown fox jumps over the lazy dog"))
+  }
+
+  test("trigram jaccardPairs equals the naive sliding(3) computation") {
+    import spark.implicits._
+    val blocked = corpus.withColumn("b", lit("x"))
+    val got = Dedup.jaccardPairs(blocked, "doc_id", "text", Seq("b"), 0.05,
+        shingleN = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def shingles(s: String): Set[String] = {
+      val tk = s.split(" ").filter(_.nonEmpty)
+      tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val all = corpus.collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      sa = shingles(ta); sb = shingles(tb)
+      inter = sa.intersect(sb).size if inter > 0
+      j = inter.toDouble / sa.union(sb).size.toDouble
+      if j >= 0.05
+    } yield (ia, ib) -> j).toMap
+    assert(got === want)
+  }
+
   test("minhash candidates: finds the near-dup pair, skips short/empty docs, " +
     "collapses exact dups to the min-id representative") {
     val pairs = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",

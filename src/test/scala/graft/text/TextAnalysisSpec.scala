@@ -27,6 +27,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shingles("") === Seq.empty)
   }
 
+  test("ngramShingles generalizes the fold: n=1 distinct tokens, n=3 " +
+    "sliding trigrams, incomplete tails dropped") {
+    import spark.implicits._
+    def ngrams(s: String, n: Int): Seq[String] =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.ngramShingles(TextAnalysis.tokens(col("t")), n))
+        .head().getSeq[String](0)
+    assert(ngrams("a b c d e", 3) === Seq("a b c", "b c d", "c d e"))
+    assert(ngrams("a b a b a", 1) === Seq("a", "b"))
+    assert(ngrams("a b", 3) === Seq.empty)  // shorter than the grain
+    assert(ngrams("", 3) === Seq.empty)
+    assert(ngrams("a b c", 2) === shingles("a b c")) // bigram = n=2 instance
+  }
+
   test("charPolyHash matches a manual fold") {
     import spark.implicits._
     val got = Seq("abc").toDF("t")
