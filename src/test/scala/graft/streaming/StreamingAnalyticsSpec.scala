@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Watermark/window semantics and keyed custom state over MemoryStreams:
+  * what gets finalized, what gets dropped, what state survives batches. */
+class StreamingAnalyticsSpec extends SparkSpec {
+
+  private def ts(h: Int, m: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-06-01 $h%02d:$m%02d:00")
+
+  test("delayByWindow: windows finalize once the watermark passes, " +
+    "too-late rows are dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = StreamingAnalytics.delayByWindow(
+        in.toDF.toDF("event_time", "delay"),
+        "event_time", "delay", windowLen = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      // two rows in the 10:00 window
+      in.addData(ts(10, 5) -> 4.0, ts(10, 35) -> 6.0)
+      q.processAllAvailable()
+      // nothing finalized yet (watermark = max event time - 1h = 9:35)
+      assert(spark.table("win_agg").count() === 0L)
+
+      // event at 12:30 pushes the watermark to 11:30 > 11:00 → the 10:00
+      // window finalizes with the exact average
+      in.addData(ts(12, 30) -> 1.0)
+      q.processAllAvailable()
+      val done = spark.table("win_agg")
+        .select(col("window_start").cast("string"), col("avg_delay_min"),
+          col("n_rows"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      assert(done.toSeq === Seq(("2024-06-01 10:00:00", 5.0, 2L)))
+
+      // a straggler from 10:50 is behind the watermark → dropped, the
+      // finalized window does NOT reopen
+      in.addData(ts(10, 50) -> 100.0)
+      q.processAllAvailable()
+      assert(spark.table("win_agg").count() === 1L)
+    } finally q.stop()
+  }
+
+  test("lateStreaks: per-trip consecutive-late state survives batches and " +
+    "resets on an on-time observation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamingAnalytics.Obs]
+    val q = StreamingAnalytics.lateStreaks(in.toDS, lateThreshold = 5.0)
+      .writeStream.format("memory").queryName("streaks")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamingAnalytics.Obs("T1", 100L, 10.0),  // late  → streak 1
+        StreamingAnalytics.Obs("T1", 200L, 12.0),  // late  → streak 2
+        StreamingAnalytics.Obs("T2", 150L, 1.0))   // on time → stays 0, no emit
+      q.processAllAvailable()
+      // next batch: state for T1 must carry the streak of 2 across batches
+      in.addData(
+        StreamingAnalytics.Obs("T1", 300L, 9.0),   // late  → streak 3
+        StreamingAnalytics.Obs("T1", 400L, 0.0),   // on time → reset to 0
+        StreamingAnalytics.Obs("T2", 250L, 7.0))   // late  → streak 1
+      q.processAllAvailable()
+      val got = spark.table("streaks")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === Set(
+        ("T1", 100L, 1), ("T1", 200L, 2),
+        ("T1", 300L, 3), ("T1", 400L, 0),
+        ("T2", 250L, 1)))
+    } finally q.stop()
+  }
+}
