@@ -4,7 +4,7 @@ import graft.analytics.Dashboard
 import graft.dedup.Dedup
 import graft.functions.{TimeOps, WeatherOps}
 import graft.multimodal.MultiModal
-import graft.operators.{Salt, Upsert}
+import graft.operators.{Salt, Sessionize, Upsert}
 import graft.pipelines.DiffTimes
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
@@ -744,6 +744,42 @@ object SparkEntry {
     "q40_peak_hours_approx" -> ((s, dir) =>
       Dashboard.peakHoursApprox(diffMart(s, dir))),
 
+    // Gap-based sessionization: one shuffle, two shared-frame windows
+    // (lag + running sum), deterministic tie-breaks — the visits/episodes
+    // grouping every event pipeline needs.
+    "q44_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_epoch"))
+      Sessionize.assignSessions(ev, Seq("user_id"), "ts_epoch", "event_id",
+        gapSeconds = 1800L)
+    }),
+
+    // Deterministic stratified sampling: per-language keep rates applied
+    // via a content-hash threshold (charPolyHash mod 1000) — reproducible
+    // downsampling with no RNG state, the training-data mixing primitive.
+    "q45_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", lit(700L))
+        .when(col("lang") === "es", lit(400L))
+        .otherwise(lit(150L))
+      t(s, dir, "documents")
+        .where(TextAnalysis.charPolyHash(col("text")) % 1000L < rate)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // Vocabulary mining: top-10 terms per language by document-term
+    // frequency — explode + map-side-combined count + bounded per-group
+    // rank, with the (count desc, term asc) deterministic tie-break.
+    "q46_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = t(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("term").asc)
+      terms.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+    }),
+
     // Multimodal frame sampling: 1→N generator over fixed-size frames of
     // the blob, every 2nd frame kept, per-frame fingerprint.
     "q34_frame_sample" -> ((s, dir) => {
@@ -1305,6 +1341,39 @@ object SparkEntry {
          |SELECT a.user_id, a.n_events, a.avg_value,
          |  COALESCE(b.n_clicks, 0) AS n_clicks
          |FROM a LEFT JOIN b ON a.user_id = b.user_id""".stripMargin,
+
+    "q44_sessionize" ->
+      """SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS ts_epoch,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL
+        |                  OR FLOOR(epoch(ts))::BIGINT - prev_ts > 1800
+        |                THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY FLOOR(epoch(ts))::BIGINT ASC, event_id ASC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    lag(FLOOR(epoch(ts))::BIGINT) OVER (PARTITION BY user_id
+        |      ORDER BY FLOOR(epoch(ts))::BIGINT ASC, event_id ASC) AS prev_ts
+        |  FROM events)""".stripMargin,
+
+    "q45_stratified_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE ${charPolySql("text")} % 1000 <
+         |  CASE WHEN lang = 'en' THEN 700
+         |       WHEN lang = 'es' THEN 400
+         |       ELSE 150 END""".stripMargin,
+
+    "q46_top_terms" ->
+      s"""WITH terms AS (
+         |  SELECT lang, unnest($TOKENS_SQL) AS term FROM documents),
+         |counted AS (
+         |  SELECT lang, term, count(*) AS n FROM terms GROUP BY lang, term),
+         |ranked AS (
+         |  SELECT lang, term, n,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY n DESC, term ASC) AS rank
+         |  FROM counted)
+         |SELECT lang, term, n, rank FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q39_salted_join" ->
       s"""WITH dim AS (
