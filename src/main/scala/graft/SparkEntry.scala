@@ -744,6 +744,18 @@ object SparkEntry {
     "q40_peak_hours_approx" -> ((s, dir) =>
       Dashboard.peakHoursApprox(diffMart(s, dir))),
 
+    // Event-time window aggregation (the batch shape of
+    // StreamingAnalytics.delayByWindow): delays bucketed into 1-hour
+    // tumbling windows. Epoch-aligned, so the oracle mirrors it with
+    // integer floor arithmetic.
+    "q47_delay_by_window" -> ((s, dir) =>
+      diffMart(s, dir)
+        .groupBy(window(col("scheduled_arrival_time"), "1 hour"))
+        .agg(Dashboard.exactAvg(col("average_diff_in_minutes")).as("avg_delay_min"),
+          count(lit(1)).as("n_rows"))
+        .select(unix_timestamp(col("window.start")).as("window_start_epoch"),
+          col("avg_delay_min"), col("n_rows"))),
+
     // Gap-based sessionization: one shuffle, two shared-frame windows
     // (lag + running sum), deterministic tie-breaks — the visits/episodes
     // grouping every event pipeline needs.
@@ -1341,6 +1353,12 @@ object SparkEntry {
          |SELECT a.user_id, a.n_events, a.avg_value,
          |  COALESCE(b.n_clicks, 0) AS n_clicks
          |FROM a LEFT JOIN b ON a.user_id = b.user_id""".stripMargin,
+
+    "q47_delay_by_window" -> (MART_CTE +
+      s"""SELECT (scheduled_arrival_epoch // 3600) * 3600 AS window_start_epoch,
+         |  ${exactAvgSql("average_diff_in_minutes")} AS avg_delay_min,
+         |  count(*) AS n_rows
+         |FROM mart GROUP BY 1""".stripMargin),
 
     "q44_sessionize" ->
       """SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS ts_epoch,

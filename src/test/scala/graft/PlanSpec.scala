@@ -54,6 +54,35 @@ class PlanSpec extends SparkSpec {
       s"hints sit on the wrong relations: $hinted")
   }
 
+  test("q44: sessionization is ONE shuffle — lag and the running sum " +
+    "share the (user_id) partitioning and sort") {
+    val plan = finalPlan(SparkEntry.queries("q44_sessionize")(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 1, s"expected exactly 1 shuffle:\n$plan")
+  }
+
+  test("q46: term counting is map-side combined (partial aggregation " +
+    "below the shuffle)") {
+    val plan = finalPlan(SparkEntry.queries("q46_top_terms")(spark, sf))
+    assert(plan.contains("partial_count"),
+      s"no partial aggregation before the shuffle:\n$plan")
+  }
+
+  test("q02: column pruning reaches the lineitem scan (6 columns, not 16)") {
+    // plan strings truncate scan metadata at 100 chars by default — widen
+    // so the full ReadSchema is inspectable
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val df = SparkEntry.queries("q02_star_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scan = plan.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+      .getOrElse(fail(s"no lineitem scan found:\n$plan"))
+    val schema = scan.split("ReadSchema: ").last
+    val nCols = "l_[a-z]+".r.findAllIn(schema).toSet.size
+    assert(nCols === 6, s"lineitem scan reads $nCols columns: $schema")
+  }
+
   test("q01: the fact-fact composite-key join carries NO broadcast hint " +
     "(a hint here OOMs executors at 100 TB; tiny-SF broadcasts are AQE's " +
     "size-based call, which scales), and the W1 global sort is present") {
