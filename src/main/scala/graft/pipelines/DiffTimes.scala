@@ -76,4 +76,23 @@ object DiffTimes {
     * at 100 TB the difference between touching one day and all of them. */
   def writeMart(mart: DataFrame, path: String): Unit =
     mart.write.mode("overwrite").partitionBy("start_date").parquet(path)
+
+  /** Incremental refresh — the 100 TB alternative to the reference's
+    * truncate-and-rebuild (S11, diff_times.py:77): dynamic partition
+    * overwrite replaces ONLY the service-date partitions present in
+    * `martUpdates`, leaving every other day's files untouched. A daily
+    * tick rewrites one day, not the corpus; the full rebuild stays
+    * available as [[writeMart]] for backfills. */
+  def refreshMart(martUpdates: DataFrame, path: String): Unit = {
+    val spark = martUpdates.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try martUpdates.write.mode("overwrite").partitionBy("start_date")
+      .parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

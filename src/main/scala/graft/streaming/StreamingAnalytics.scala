@@ -40,6 +40,63 @@ object StreamingAnalytics {
   /** Emitted when a trip's consecutive-late streak changes. */
   final case class StreakUpdate(trip_id: String, ts: Long, streak: Int)
 
+  /** One event for [[sessionizeStream]] — needs a real timestamp column
+    * so the watermark (and event-time timeouts) can track it. */
+  final case class SEvent(key: String, event_time: java.sql.Timestamp)
+
+  /** A closed session: emitted when the gap passes or the watermark
+    * overtakes the session's timeout. */
+  final case class Session(key: String, start_epoch: Long, end_epoch: Long,
+                           n_events: Long)
+
+  /** Open-session state for [[sessionizeStream]] (public: the runtime
+    * compiles an encoder for it). */
+  final case class OpenSession(startEpoch: Long, endEpoch: Long,
+                               nEvents: Long)
+
+  /** Streaming gap-sessionization — [[graft.operators.Sessionize]]'s
+    * unbounded sibling: sessions close either when a later event of the
+    * same key arrives past the gap, or when the WATERMARK passes the open
+    * session's gap deadline (EventTimeTimeout) — so idle keys emit their
+    * last session instead of holding state forever. State per key is one
+    * (start, end, n) triple: fixed-size, the flatMapGroupsWithState
+    * contract at any key cardinality. */
+  def sessionizeStream(events: Dataset[SEvent], gapSeconds: Long,
+                       watermark: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("event_time", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[SEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(key, s.startEpoch, s.endEpoch, s.nEvents))
+          } else {
+            val times = rows.map(_.event_time.getTime / 1000).toSeq.sorted
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.endEpoch <= gapSeconds =>
+                  Some(OpenSession(s.startEpoch, math.max(s.endEpoch, t),
+                    s.nEvents + 1))
+                case Some(s) =>
+                  closed += Session(key, s.startEpoch, s.endEpoch, s.nEvents)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endEpoch + gapSeconds) * 1000L + 1L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Keyed custom state the built-in operators cannot express: the length
     * of each trip's CURRENT consecutive-late streak (delay >
     * `lateThreshold`), emitting an update per observation that changes

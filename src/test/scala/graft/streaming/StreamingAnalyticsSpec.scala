@@ -46,6 +46,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: in-batch gap splits close immediately; idle " +
+    "keys close via event-time timeout when the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingAnalytics.{SEvent, Session}
+    def ev(key: String, epoch: Long) =
+      SEvent(key, new java.sql.Timestamp(epoch * 1000L))
+    val in = MemoryStream[SEvent]
+    val q = StreamingAnalytics.sessionizeStream(in.toDS, gapSeconds = 100L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // one batch, key A: (1000, 1050) then a gap > 100 → (2000) opens new
+      in.addData(ev("A", 1000L), ev("A", 1050L), ev("A", 2000L))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sessions").as[Session].collect().toSet
+      assert(afterBatch1 === Set(Session("A", 1000L, 1050L, 2L)))
+
+      // key B far in the future advances the watermark past A's deadline
+      // (2100); A's open session times out and closes on the next trigger
+      in.addData(ev("B", 5000L))
+      q.processAllAvailable()
+      in.addData(ev("B", 5001L)) // one more trigger to fire the timeout
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Session].collect().toSet
+      assert(all.contains(Session("A", 2000L, 2000L, 1L)),
+        s"timed-out session not emitted: $all")
+    } finally q.stop()
+  }
+
   test("lateStreaks: per-trip consecutive-late state survives batches and " +
     "resets on an on-time observation") {
     import spark.implicits._
