@@ -7,7 +7,7 @@ import graft.multimodal.MultiModal
 import graft.operators.{Salt, Sessionize, Upsert}
 import graft.pipelines.DiffTimes
 import graft.similarity.Similarity
-import graft.text.TextAnalysis
+import graft.text.{CorpusOps, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -792,6 +792,23 @@ object SparkEntry {
         .where(col("rank") <= 10)
     }),
 
+    // Benchmark decontamination: drop train docs (doc_id % 10 != 0)
+    // sharing any trigram with the "eval set" (doc_id % 10 == 0) — the
+    // test-set-leakage guard, as a distinct-shingle join + left-anti.
+    "q48_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusOps.decontaminate(
+        docs.where(col("doc_id") % 10L =!= 0L),
+        docs.where(col("doc_id") % 10L === 0L),
+        "doc_id", "text", n = 3)
+    }),
+
+    // Context chunking: overlapping 12-token windows every 8 tokens —
+    // the sequence-packing precursor, per-row generate with bound slices.
+    "q49_chunk_docs" -> ((s, dir) =>
+      CorpusOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        size = 12, stride = 8)),
+
     // Multimodal frame sampling: 1→N generator over fixed-size frames of
     // the blob, every 2nd frame kept, per-frame fingerprint.
     "q34_frame_sample" -> ((s, dir) => {
@@ -1359,6 +1376,40 @@ object SparkEntry {
          |  ${exactAvgSql("average_diff_in_minutes")} AS avg_delay_min,
          |  count(*) AS n_rows
          |FROM mart GROUP BY 1""".stripMargin),
+
+    "q48_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, lang, source, n_chars, $TOKENS_SQL AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg
+         |  FROM toks),
+         |ev AS (
+         |  SELECT DISTINCT unnest(sg) AS shingle FROM sh WHERE doc_id % 10 = 0),
+         |bad AS (
+         |  SELECT DISTINCT p.doc_id
+         |  FROM (SELECT doc_id, unnest(sg) AS shingle FROM sh
+         |        WHERE doc_id % 10 <> 0) p
+         |  JOIN ev ON p.shingle = ev.shingle)
+         |SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE doc_id % 10 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "q49_chunk_docs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |st AS (
+         |  SELECT doc_id, tk, unnest(range(0, len(tk), 8)) AS s
+         |  FROM toks WHERE len(tk) > 0)
+         |SELECT doc_id,
+         |  s // 8 AS chunk_idx,
+         |  CAST(len(list_slice(tk, s + 1, least(s + 12, len(tk)))) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  array_to_string(list_slice(tk, s + 1, least(s + 12, len(tk))), ' ')
+         |    AS chunk_text
+         |FROM st""".stripMargin,
 
     "q44_sessionize" ->
       """SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS ts_epoch,
