@@ -83,6 +83,17 @@ class PlanSpec extends SparkSpec {
     assert(nCols === 6, s"lineitem scan reads $nCols columns: $schema")
   }
 
+  test("candidate generation never degrades to a cartesian: MinHash " +
+    "banding, cosine-LSH buckets, and decontamination all stay equi-joins") {
+    for (q <- Seq("q16_minhash_pairs", "q41_embed_neardup",
+        "q48_decontaminate", "q18_ngram_jaccard")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a product join:\n$plan")
+    }
+  }
+
   test("q01: the fact-fact composite-key join carries NO broadcast hint " +
     "(a hint here OOMs executors at 100 TB; tiny-SF broadcasts are AQE's " +
     "size-based call, which scales), and the W1 global sort is present") {
