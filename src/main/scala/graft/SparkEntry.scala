@@ -792,6 +792,25 @@ object SparkEntry {
         .where(col("rank") <= 10)
     }),
 
+    // Exact delay percentiles per day type — the dashboard's distribution
+    // view. Quantiles restricted to dyadic fractions (.25/.5/.75) over
+    // INTEGER delay seconds: interpolation then stays exact in IEEE
+    // arithmetic, so Spark's percentile and DuckDB's quantile_cont agree
+    // bit-for-bit (a non-dyadic p like 0.9 would not).
+    "q50_delay_percentiles" -> ((s, dir) =>
+      diffMart(s, dir)
+        .withColumn("arr_delay_secs",
+          unix_timestamp(col("actual_arrival_time")) -
+            unix_timestamp(col("scheduled_arrival_time")))
+        .groupBy("day_type")
+        .agg(expr("percentile(arr_delay_secs, array(0.25D, 0.5D, 0.75D))").as("p"),
+          count(col("arr_delay_secs")).as("n_obs"))
+        .select(col("day_type"),
+          col("p").getItem(0).as("p25"),
+          col("p").getItem(1).as("p50"),
+          col("p").getItem(2).as("p75"),
+          col("n_obs"))),
+
     // Benchmark decontamination: drop train docs (doc_id % 10 != 0)
     // sharing any trigram with the "eval set" (doc_id % 10 == 0) — the
     // test-set-leakage guard, as a distinct-shingle join + left-anti.
@@ -1376,6 +1395,14 @@ object SparkEntry {
          |  ${exactAvgSql("average_diff_in_minutes")} AS avg_delay_min,
          |  count(*) AS n_rows
          |FROM mart GROUP BY 1""".stripMargin),
+
+    "q50_delay_percentiles" -> (MART_CTE +
+      """SELECT day_type,
+        |  quantile_cont(actual_arrival_epoch - scheduled_arrival_epoch, 0.25) AS p25,
+        |  quantile_cont(actual_arrival_epoch - scheduled_arrival_epoch, 0.5) AS p50,
+        |  quantile_cont(actual_arrival_epoch - scheduled_arrival_epoch, 0.75) AS p75,
+        |  count(actual_arrival_epoch - scheduled_arrival_epoch) AS n_obs
+        |FROM mart GROUP BY day_type""".stripMargin),
 
     "q48_decontaminate" ->
       s"""WITH toks AS (

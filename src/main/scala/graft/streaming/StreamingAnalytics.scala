@@ -40,6 +40,17 @@ object StreamingAnalytics {
   /** Emitted when a trip's consecutive-late streak changes. */
   final case class StreakUpdate(trip_id: String, ts: Long, streak: Int)
 
+  /** Streaming exact deduplication: drop repeated keys arriving within
+    * the watermark of each other — the at-least-once-source guard in
+    * front of any streaming pipeline. State holds one entry per key seen
+    * within the watermark horizon and is evicted as the watermark
+    * advances — bounded, unlike a naive global dropDuplicates whose state
+    * grows forever. `eventTimeCol` must be a timestamp column. */
+  def dedupStream(stream: DataFrame, keys: Seq[String], eventTimeCol: String,
+                  watermark: String): DataFrame =
+    stream.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** One event for [[sessionizeStream]] — needs a real timestamp column
     * so the watermark (and event-time timeouts) can track it. */
   final case class SEvent(key: String, event_time: java.sql.Timestamp)

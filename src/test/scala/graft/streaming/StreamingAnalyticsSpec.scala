@@ -46,6 +46,27 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-deliveries within the watermark, across " +
+    "micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingAnalytics.dedupStream(
+        in.toDF.toDF("k", "event_time"), Seq("k"), "event_time", "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      in.addData("a" -> ts(10), "a" -> ts(10, 5), "b" -> ts(10))
+      q.processAllAvailable()
+      // re-delivery of "a" in a LATER batch, still inside the watermark
+      in.addData("a" -> ts(10, 20), "c" -> ts(10))
+      q.processAllAvailable()
+      val got = spark.table("deduped").select("k")
+        .as[String].collect().sorted.toSeq
+      assert(got === Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: in-batch gap splits close immediately; idle " +
     "keys close via event-time timeout when the watermark passes") {
     import spark.implicits._
