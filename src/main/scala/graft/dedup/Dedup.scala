@@ -45,13 +45,25 @@ object Dedup {
       exactDupGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
-  /** MinHash signature: for seed i, min over shingles of xxhash64(i, s).
-    * Deterministic (xxhash64 is seeded by the literal). The caller must
-    * ensure the shingle array is non-empty — an empty array yields an
-    * all-NULL signature. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+  /** MinHash signature: component i is the min over shingles of
+    * xxhash64(i, s). Deterministic (xxhash64 is seeded by the literal
+    * int). The caller must ensure the shingle array is non-empty — an
+    * empty array yields an all-MaxValue signature that would collide in
+    * every band.
+    *
+    * Single-pass formulation (the SimHash-vote shape): one `aggregate`
+    * carries a numHashes-slot min vector and traverses the shingle array
+    * once — the obvious `array(array_min(transform(...)) × numHashes)`
+    * spelling traverses it numHashes times, each an interpreted HOF pass
+    * re-evaluating the shingle expression. Hash inputs are identical
+    * (int seed, string shingle), so signatures are unchanged. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val seeds = typedLit((0 until numHashes).toList)
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, seeds, (a, seed) => least(a, xxhash64(seed, s))))
+  }
 
   /** MinHash LSH candidate pairs over distinct texts: split the signature
     * into `bands` bands of `numHashes/bands` rows, bucket-join ids sharing
