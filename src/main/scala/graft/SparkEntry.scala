@@ -563,6 +563,15 @@ object SparkEntry {
         Seq("lang", "source"), minJaccard = 0.05, maxDf = Some(20L),
         shingleN = 3)),
 
+    // Near-dup clustering: connected components (min-label propagation to
+    // fixpoint) over exact-Jaccard pairs — pairwise matches become
+    // keep-one-per-group clusters. The oracle computes the same
+    // components via a recursive transitive-closure CTE.
+    "q51_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          Seq("lang", "source"), minJaccard = 0.05))),
+
     // MinHash + LSH near-dup candidate pairs (rows-only check: xxhash64
     // has no DuckDB equivalent).
     "q16_minhash_pairs" -> ((s, dir) =>
@@ -1077,6 +1086,33 @@ object SparkEntry {
       """SELECT sha256(text) AS text_hash, count(*) AS n_dups,
         |  min(doc_id) AS keep_id
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    "q51_dup_clusters" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS sg
+         |  FROM toks WHERE len(tk) >= 2),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+         |    CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+         |      AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+         |e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.05),
+         |sym AS (
+         |  SELECT id_a AS a, id_b AS b FROM e
+         |  UNION SELECT id_b, id_a FROM e),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT a, a FROM sym
+         |    UNION
+         |    SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a)
+         |  SELECT * FROM r)
+         |SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
 
     "q42_dedup_corpus" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents

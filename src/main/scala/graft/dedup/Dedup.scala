@@ -258,6 +258,53 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over near-dup pairs — the clustering step that
+    * turns pairwise matches into keep-one-per-group decisions: every
+    * document in a connected component gets the component's minimum id as
+    * `cluster_id`. Returns (id, cluster_id) for every node that appears
+    * in `pairs`.
+    *
+    * Algorithm: min-label propagation to fixpoint — per iteration each
+    * node takes the min of its own label and its neighbors' labels; at
+    * fixpoint the label is the component minimum. Distributed-safe:
+    * each iteration is one slim equi-join + hash-agg, the per-iteration
+    * driver action is a single change-count, and `localCheckpoint`
+    * truncates the growing lineage (the classic iterative-DataFrame
+    * requirement). Iterations are bounded by the component DIAMETER
+    * (near-dup clusters are shallow), not the corpus size; `maxIters`
+    * caps pathological chains and convergence is verified, not assumed. */
+  def dupClusters(pairs: DataFrame, idACol: String = "id_a",
+                  idBCol: String = "id_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
+    val sym = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .groupBy(col("a").as("id")).agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, "id")
+        .select(col("id"), least(col("label"), col("nmin")).as("label"))
+        .localCheckpoint()
+      val changes = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      converged = changes == 0L
+      i += 1
+    }
+    require(converged,
+      s"dupClusters did not converge in $maxIters iterations — component " +
+        "diameter exceeds the cap; raise maxIters")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Exact Jaccard verification of externally supplied candidate pairs
     * (e.g. [[minhashCandidatePairs]] output): re-attaches shingle sets by
     * id and scores only those pairs — the LSH-gated verification path,

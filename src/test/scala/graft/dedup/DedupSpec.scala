@@ -144,6 +144,18 @@ class DedupSpec extends SparkSpec {
     assert(got.size < uncapped)
   }
 
+  test("dupClusters: components get their min id, chains converge, " +
+    "disjoint clusters stay apart") {
+    import spark.implicits._
+    // a 5-node chain (diameter 4 → several propagation rounds) + a pair
+    val pairs = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("jaccardOnPairs verifies exactly the supplied candidate pairs") {
     import spark.implicits._
     val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
