@@ -45,21 +45,35 @@ object RealtimeRunner {
 
   /** One cron tick: fetch `cfg.fetchCycles` payloads, then drain every
     * pending feed file through E1 into the snapshot. Returns the number of
-    * payloads landed this tick. */
+    * payloads landed this tick.
+    *
+    * Timeout topology: the fetch loop runs on the calling thread, so the
+    * O2 job-group wrapper covers it; the stream's micro-batch jobs run on
+    * the stream execution thread under their OWN job group, where
+    * `cancelJobGroup` cannot reach — the drain is bounded instead with a
+    * deadline-aware `awaitTermination(remaining)` + `stop()`, which is
+    * Structured Streaming's cancellation contract. */
   def runOnce(spark: SparkSession, cfg: Config,
               clock: () => Long = () => System.currentTimeMillis(),
-              sleep: Long => Unit = Thread.sleep): Int =
-    Timeout.withTimeout(spark, "graft-e1", cfg.runTimeout) {
-      val landed = FetchLoop.run(cfg.feedUrl, cfg.dropDir, cfg.fetchCycles,
+              sleep: Long => Unit = Thread.sleep): Int = {
+    val deadline = System.currentTimeMillis() + cfg.runTimeout.toMillis
+    val landed = Timeout.withTimeout(spark, "graft-e1-fetch", cfg.runTimeout) {
+      FetchLoop.run(cfg.feedUrl, cfg.dropDir, cfg.fetchCycles,
         cfg.fetchInterval.toMillis, clock, sleep)
-      val weather = Throttle.rateLimited(cfg.weatherStatePath,
-        cfg.weatherMinInterval.toMillis,
-        () => cfg.weatherUrl.flatMap(u => Rt.fetch(u)
-          .map(new String(_, StandardCharsets.UTF_8))),
-        clock)
-      val q = RealtimeStream.startFeedStream(spark, cfg.dropDir,
-        cfg.targetPath, cfg.checkpointDir, weather, Trigger.AvailableNow())
-      q.awaitTermination()
-      landed.size
     }
+    val weather = Throttle.rateLimited(cfg.weatherStatePath,
+      cfg.weatherMinInterval.toMillis,
+      () => cfg.weatherUrl.flatMap(u => Rt.fetch(u)
+        .map(new String(_, StandardCharsets.UTF_8))),
+      clock)
+    val q = RealtimeStream.startFeedStream(spark, cfg.dropDir,
+      cfg.targetPath, cfg.checkpointDir, weather, Trigger.AvailableNow())
+    val remaining = math.max(1L, deadline - System.currentTimeMillis())
+    if (!q.awaitTermination(remaining)) {
+      q.stop()
+      throw new java.util.concurrent.TimeoutException(
+        s"E1 drain exceeded ${cfg.runTimeout} and was stopped")
+    }
+    landed.size
+  }
 }

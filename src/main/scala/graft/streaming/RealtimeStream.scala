@@ -43,16 +43,18 @@ object RealtimeStream {
     val tgt = new Path(targetPath)
     val next = new Path(targetPath + ".next")
     val old = new Path(targetPath + ".old")
+    // Hadoop rename reports failure by RETURNING false — require() it, or
+    // a failed promote would silently leave the snapshot stale.
     if (fs.exists(tgt)) {
       fs.delete(old, true) // stale fallback from an earlier completed swap
-      fs.rename(tgt, old)
-      fs.rename(next, tgt)
+      require(fs.rename(tgt, old), s"failed to retire $tgt to $old")
+      require(fs.rename(next, tgt), s"failed to promote $next to $tgt")
     } else {
       // Recovering from a crash that hit between the renames above: `.old`
       // is the live snapshot (already merged into `.next`), so promote
       // first and only then drop the fallback — never delete the last
       // readable copy before its replacement is in place.
-      fs.rename(next, tgt)
+      require(fs.rename(next, tgt), s"failed to promote $next to $tgt")
       fs.delete(old, true)
     }
   }
