@@ -820,6 +820,29 @@ object SparkEntry {
           col("p").getItem(2).as("p75"),
           col("n_obs"))),
 
+    // The composed corpus-curation pipeline — the end-to-end production
+    // shape a training-data user runs: quality filter → exact dedup (per
+    // filtered train split) → eval-set decontamination → per-(lang,
+    // source) corpus stats. Every stage is an operator registered on its
+    // own above; this query proves they compose in one DAG.
+    "q52_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis
+        .qualityFeatures(col("text"), Seq("the", "a"))
+        .getField("quality_score")
+      val filtered = docs.withColumn("quality", quality)
+        .where(col("quality") >= 0.5)
+      val train = filtered.where(col("doc_id") % 10L =!= 0L)
+      val evalSet = docs.where(col("doc_id") % 10L === 0L)
+      val deduped = Dedup.dedupCorpus(train, "doc_id", "text")
+      val clean = CorpusOps.decontaminate(deduped, evalSet,
+        "doc_id", "text", n = 3)
+      clean.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          Dashboard.exactAvg(col("quality")).as("avg_quality"))
+    }),
+
     // Benchmark decontamination: drop train docs (doc_id % 10 != 0)
     // sharing any trigram with the "eval set" (doc_id % 10 == 0) — the
     // test-set-leakage guard, as a distinct-shingle join + left-anti.
@@ -1439,6 +1462,44 @@ object SparkEntry {
         |  quantile_cont(actual_arrival_epoch - scheduled_arrival_epoch, 0.75) AS p75,
         |  count(actual_arrival_epoch - scheduled_arrival_epoch) AS n_obs
         |FROM mart GROUP BY day_type""".stripMargin),
+
+    "q52_corpus_pipeline" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, lang, source, n_chars, $TOKENS_SQL AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT *, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
+         |    len(list_filter(tk, t -> t IN ('the','a'))) AS n_stop
+         |  FROM toks),
+         |scored AS (
+         |  SELECT doc_id, text, lang, source, n_chars, tk,
+         |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |      0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0)
+         |      + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |    END AS quality
+         |  FROM g),
+         |train AS (
+         |  SELECT * FROM scored WHERE quality >= 0.5 AND doc_id % 10 <> 0),
+         |dedup AS (
+         |  SELECT * FROM train WHERE doc_id IN (
+         |    SELECT min(doc_id) FROM train GROUP BY sha256(text))),
+         |evsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+         |  FROM toks WHERE doc_id % 10 = 0),
+         |bad AS (
+         |  SELECT DISTINCT p.doc_id
+         |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+         |        FROM dedup) p
+         |  JOIN evsh ON p.shingle = evsh.shingle),
+         |clean AS (
+         |  SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  ${exactAvgSql("quality")} AS avg_quality
+         |FROM clean GROUP BY lang, source""".stripMargin,
 
     "q48_decontaminate" ->
       s"""WITH toks AS (
