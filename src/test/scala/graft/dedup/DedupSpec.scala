@@ -78,11 +78,19 @@ class DedupSpec extends SparkSpec {
     // together in most bands; cap 5 suppresses those buckets entirely.
     val many = docs((1L to 30L).map(i =>
       i -> s"shared shared shared shared shared shared tail$i"): _*)
-    val capped = Dedup.minhashCandidatePairs(many, "doc_id", "text",
-      numHashes = 64, bands = 16, maxBucketSize = 5).count()
+    val cappedDf = Dedup.minhashCandidatePairs(many, "doc_id", "text",
+      numHashes = 64, bands = 16, maxBucketSize = 5)
+    // collect() (not count()) so the metric lands on THIS QueryExecution —
+    // count() builds and runs a separate one
+    val capped = cappedDf.collect().length.toLong
     val uncapped = Dedup.minhashCandidatePairs(many, "doc_id", "text",
       numHashes = 64, bands = 16, maxBucketSize = 1000).count()
     assert(capped < uncapped)
+    // the drop is OBSERVED, not silent: the metric row reports the
+    // suppressed buckets
+    val metrics = cappedDf.queryExecution.observedMetrics
+    assert(metrics.contains("minhash_lsh"), metrics.keySet)
+    assert(metrics("minhash_lsh").getAs[Long]("dropped_buckets") > 0L)
   }
 
   test("jaccardPairs (inverted index) equals the naive all-pairs computation") {
