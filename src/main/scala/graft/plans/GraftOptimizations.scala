@@ -1,0 +1,79 @@
+package graft.plans
+
+import graft.expressions.IntDotProduct
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** Catalyst optimizer rule applying the library's own escalation policy
+  * (SURVEY.md §7.4) automatically: a user who writes the natural
+  * higher-order-function spelling of an integer dot product —
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)
+  *
+  * — gets the codegen'd [[graft.expressions.IntDotProduct]] kernel
+  * instead of per-element interpreted lambda evaluation. The rewrite
+  * fires only on the exact shape with non-null `array<bigint>` elements
+  * and a literal-zero seed, where the two formulations agree (modulo
+  * ANSI overflow checking, which the quantized-embedding contract —
+  * |x| ≲ 1e6 per element — never triggers).
+  *
+  * Install per session via [[GraftOptimizations.install]] (appends to
+  * `spark.experimental.extraOptimizations`, the runtime hook) or
+  * cluster-wide with
+  * `--conf spark.sql.extensions=graft.plans.GraftSparkExtensions`.
+  */
+object RewriteHofIntDot extends Rule[LogicalPlan] {
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  /** lambda body is exactly `va op vb` (either order) over the lambda's
+    * own two variables */
+  private def isBinOpOfVars(body: Expression, va: NamedLambdaVariable,
+                            vb: NamedLambdaVariable): Boolean = body match {
+    case Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _) =>
+      Set(x.exprId, y.exprId) == Set(va.exprId, vb.exprId)
+    case Add(x: NamedLambdaVariable, y: NamedLambdaVariable, _) =>
+      Set(x.exprId, y.exprId) == Set(va.exprId, vb.exprId)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(mulBody @ Multiply(_, _, _),
+                Seq(mx: NamedLambdaVariable, my: NamedLambdaVariable), _)),
+            Literal(0L, LongType),
+            LambdaFunction(addBody @ Add(_, _, _),
+              Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable,
+              Seq(fv: NamedLambdaVariable), _))
+          if isLongArray(a) && isLongArray(b) &&
+            isBinOpOfVars(mulBody, mx, my) &&
+            isBinOpOfVars(addBody, acc, el) &&
+            fin.exprId == fv.exprId =>
+        IntDotProduct(a, b)
+    }
+}
+
+object GraftOptimizations {
+  /** Idempotently install the graft optimizer rules on a session. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(RewriteHofIntDot))
+      spark.experimental.extraOptimizations = cur :+ RewriteHofIntDot
+  }
+}
+
+/** `spark.sql.extensions` entry point for config-based deployment. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => RewriteHofIntDot)
+}

@@ -1,0 +1,43 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The HOF→IntDotProduct rewrite: fires on the canonical shape, leaves
+  * non-matching aggregates alone, and never changes results. */
+class GraftOptimizationsSpec extends SparkSpec {
+
+  private val DOT =
+    "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  test("the canonical HOF dot product is rewritten to graft_int_dot " +
+    "and produces identical results") {
+    import spark.implicits._
+    GraftOptimizations.install(spark)
+    GraftOptimizations.install(spark) // idempotent
+    assert(spark.experimental.extraOptimizations.count(
+      _ == RewriteHofIntDot) === 1)
+
+    // range (not a local Seq): a LocalRelation would be constant-folded
+    // whole, leaving nothing to observe in the optimized plan
+    val data = spark.range(2).select(
+      array(col("id") + 1, col("id") + 2).as("a"),
+      array(col("id") + 3, col("id") + 4).as("b"))
+    val df = data.select(expr(DOT).as("dot"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_int_dot"),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(11L, 23L))
+  }
+
+  test("non-dot aggregates are left untouched") {
+    import spark.implicits._
+    GraftOptimizations.install(spark)
+    val data = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+    // sum instead of product inside zip_with: must NOT rewrite
+    val other = data.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x + y), 0L, (acc, v) -> acc + v)")
+      .as("s"))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("graft_int_dot"))
+    assert(other.head().getLong(0) === 10L)
+  }
+}
