@@ -73,6 +73,22 @@ object Historical {
     readGtfsDir(spark, workDir)
   }
 
+  /** The E2 network boundary (reference/scripts/historical_extractor.py:
+    * 45-48: one HTTP GET of the agency's GTFS zip): fetch via the shared
+    * 503-tolerant transport and land atomically. None on a tolerated
+    * miss — "retry next scheduled run", like the realtime fetcher. */
+  def fetchGtfsZip(url: String, destPath: String): Option[java.nio.file.Path] =
+    graft.gtfs.Rt.fetch(url).map { bytes =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dest = Paths.get(destPath)
+      Option(dest.getParent).foreach(Files.createDirectories(_))
+      val tmp = dest.resolveSibling(dest.getFileName.toString + ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      dest
+    }
+
   /** The J1-J4 + F1/F2 + P1-P3 pipeline producing the gtfs_data schema
     * (schedule side of [[DiffTimes]]). `tz` is the agency's local zone —
     * GTFS clock strings are local wall times (historical_extractor.py:35). */

@@ -59,6 +59,26 @@ object RealtimeStream {
     }
   }
 
+  /** Compact the snapshot into ~`targetFileBytes` parquet files — the
+    * small-files maintenance every continuously-merged parquet directory
+    * needs (each micro-batch swap writes shuffle-partition-many files;
+    * after days of one-minute ticks a naive reader opens thousands).
+    * Rewrites through the same crash-atomic promote as the merges, so
+    * compaction can race a crash without losing the snapshot. */
+  def compactSnapshot(spark: SparkSession, targetPath: String,
+                      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = new Path(targetPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    snapshotPath(fs, targetPath).foreach { cur =>
+      val bytes = fs.getContentSummary(cur).getLength
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      spark.read.parquet(cur.toString)
+        .repartition(nFiles.toInt)
+        .write.mode("overwrite").parquet(targetPath + ".next")
+      promote(fs, targetPath)
+    }
+  }
+
   /** One micro-batch: dedup the batch to latest-per-key, S9-merge it into
     * the snapshot at `targetPath`, atomically swap the new snapshot in. */
   def mergeBatch(batch: DataFrame, targetPath: String, keys: Seq[String],

@@ -40,10 +40,16 @@ class HistoricalSpec extends SparkSpec {
       zos.closeEntry()
     }
     zos.close()
+    // the network boundary first: "download" the zip via the 503-tolerant
+    // transport (file: URL here), landed atomically
+    val fetched = Paths.get("target", "test_gtfs_fetched.zip")
+    Files.deleteIfExists(fetched)
+    assert(Historical.fetchGtfsZip(zip.toUri.toString, fetched.toString)
+      === Some(fetched))
     val work = Paths.get("target", "test_gtfs_unzipped")
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
     val (st, tr, cd, sp, rt) =
-      Historical.readGtfsZip(spark, zip.toString, work.toString)
+      Historical.readGtfsZip(spark, fetched.toString, work.toString)
     val out = Historical.build(st, tr, cd, sp, rt, tz = "America/Toronto")
     assert(out.count() === 4L) // 2 stop_times × 2 service dates
   }

@@ -73,6 +73,37 @@ class RealtimeStreamSpec extends SparkSpec {
       === Set(1L, 2L))
   }
 
+  test("compactSnapshot collapses the small-files snapshot without " +
+    "changing its rows") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val base = Paths.get("target", "test_compact")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    val tgt = base.resolve("tgt").toString
+    // a fragmented snapshot, as a larger run's shuffle-partition-many
+    // writes would leave (AQE coalesces this tiny fixture if merged)
+    (1L to 40L).map(i => (i, s"v$i", 1L)).toDF("k", "v", "seq")
+      .repartition(4).write.parquet(tgt)
+    def parquetFiles(): Int = new java.io.File(tgt).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before > 1, s"fixture not fragmented enough: $before files")
+    val beforeRows = spark.read.parquet(tgt)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    RealtimeStream.compactSnapshot(spark, tgt) // default target ≫ data size
+    assert(parquetFiles() === 1)
+    val afterRows = spark.read.parquet(tgt)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterRows === beforeRows)
+    val fs = new Path(tgt).getFileSystem(spark.sessionState.newHadoopConf())
+    // .next is consumed by the promote; .old legitimately remains as the
+    // crash fallback until the next swap retires it
+    assert(fs.exists(new Path(tgt)) && !fs.exists(new Path(tgt + ".next")))
+    assert(RealtimeStream.snapshotPath(fs, tgt).map(_.toString)
+      === Some(new Path(tgt).toString))
+  }
+
   test("foreachBatch upsert maintains the keyed snapshot across batches") {
     val base = Paths.get("target", "test_stream")
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
