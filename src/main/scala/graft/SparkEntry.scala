@@ -233,6 +233,48 @@ object SparkEntry {
   /** DuckDB mirror of TextAnalysis.tokens. */
   private val TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** Shared oracle body for the df-capped inverted-index Jaccard
+    * (q38 bigram / q43 trigram): `shingleSql` builds the distinct shingle
+    * list from a token list `tk`; shingles with document frequency > `cap`
+    * are removed from every set before scoring, mirroring
+    * [[graft.dedup.Dedup.jaccardPairs]]'s maxDf semantics exactly. */
+  private def dfCappedJaccardSql(shingleSql: String, cap: Long,
+                                 minJ: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang, source, $shingleSql AS sg FROM toks),
+       |post AS (
+       |  SELECT doc_id, lang, source, unnest(sg) AS shingle
+       |  FROM sh WHERE len(sg) > 0),
+       |dfreq AS (
+       |  SELECT lang, source, shingle, count(*) AS df
+       |  FROM post GROUP BY lang, source, shingle),
+       |kept AS (
+       |  SELECT p.doc_id, p.lang, p.source, p.shingle
+       |  FROM post p JOIN dfreq d
+       |    ON p.lang = d.lang AND p.source = d.source AND p.shingle = d.shingle
+       |  WHERE d.df <= $cap),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+       |  FROM kept a JOIN kept b
+       |    ON a.lang = b.lang AND a.source = b.source
+       |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON inter.id_a = na.doc_id
+       |JOIN sizes nb ON inter.id_b = nb.doc_id
+       |WHERE CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) >= $minJ""".stripMargin
+
+  private val BIGRAM_SQL =
+    "list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))"
+  private val TRIGRAM_SQL =
+    "list_distinct(list_transform(range(1, len(tk) - 1), " +
+      "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
+
   /** Shared oracle CTEs: quantized embeddings + integer norms (the q19
     * formulation, factored for the LSH-path oracles). */
   private val EMB_CTE: String =
@@ -858,7 +900,7 @@ object SparkEntry {
     // the sequence-packing precursor, per-row generate with bound slices.
     "q49_chunk_docs" -> ((s, dir) =>
       CorpusOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
-        size = 12, stride = 8)),
+        chunkSize = 12, stride = 8)),
 
     // Multimodal frame sampling: 1→N generator over fixed-size frames of
     // the blob, every 2nd frame kept, per-frame fingerprint.
@@ -1143,37 +1185,7 @@ object SparkEntry {
         |  SELECT min(doc_id) FROM documents GROUP BY sha256(text))""".stripMargin,
 
     "q43_trigram_jaccard" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, lang, source,
-         |    list_distinct(list_transform(range(1, len(tk) - 1),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg
-         |  FROM toks),
-         |post AS (
-         |  SELECT doc_id, lang, source, unnest(sg) AS shingle
-         |  FROM sh WHERE len(sg) > 0),
-         |dfreq AS (
-         |  SELECT lang, source, shingle, count(*) AS df
-         |  FROM post GROUP BY lang, source, shingle),
-         |kept AS (
-         |  SELECT p.doc_id, p.lang, p.source, p.shingle
-         |  FROM post p JOIN dfreq d
-         |    ON p.lang = d.lang AND p.source = d.source AND p.shingle = d.shingle
-         |  WHERE d.df <= 20),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
-         |  FROM kept a JOIN kept b
-         |    ON a.lang = b.lang AND a.source = b.source
-         |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT id_a, id_b,
-         |  CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) AS jaccard
-         |FROM inter
-         |JOIN sizes na ON inter.id_a = na.doc_id
-         |JOIN sizes nb ON inter.id_b = nb.doc_id
-         |WHERE CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) >= 0.05""".stripMargin,
+      dfCappedJaccardSql(TRIGRAM_SQL, cap = 20L, minJ = 0.05),
 
     // q16_minhash_pairs / q17_simhash: intentionally no oracle — xxhash64
     // internals are engine-defined (rows-only check).
@@ -1222,37 +1234,7 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.15""".stripMargin,
 
     "q38_jaccard_maxdf" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, lang, source,
-         |    list_distinct(list_transform(range(1, len(tk)),
-         |      i -> tk[i] || ' ' || tk[i+1])) AS sg
-         |  FROM toks),
-         |post AS (
-         |  SELECT doc_id, lang, source, unnest(sg) AS shingle
-         |  FROM sh WHERE len(sg) > 0),
-         |dfreq AS (
-         |  SELECT lang, source, shingle, count(*) AS df
-         |  FROM post GROUP BY lang, source, shingle),
-         |kept AS (
-         |  SELECT p.doc_id, p.lang, p.source, p.shingle
-         |  FROM post p JOIN dfreq d
-         |    ON p.lang = d.lang AND p.source = d.source AND p.shingle = d.shingle
-         |  WHERE d.df <= 10),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
-         |  FROM kept a JOIN kept b
-         |    ON a.lang = b.lang AND a.source = b.source
-         |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT id_a, id_b,
-         |  CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) AS jaccard
-         |FROM inter
-         |JOIN sizes na ON inter.id_a = na.doc_id
-         |JOIN sizes nb ON inter.id_b = nb.doc_id
-         |WHERE CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) >= 0.1""".stripMargin,
+      dfCappedJaccardSql(BIGRAM_SQL, cap = 10L, minJ = 0.1),
 
     "q19_cosine_topk" ->
       """WITH e AS (

@@ -18,15 +18,22 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 object FetchLoop {
 
-  /** One cycle: fetch `url`; on payload, land it as `feed_<stamp>.pb` in
-    * `dropDir` (atomic). None when the fetch was 503-skipped — "try again
-    * next minute" (realtime_extractor.py:155-170). */
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One cycle: fetch `url`; on payload, land it as
+    * `feed_<stamp>_<seq>.pb` in `dropDir` (atomic). The process-unique
+    * sequence number makes equal stamps (clock skew, sub-ms cycles) land
+    * as DISTINCT files: the file stream source tracks seen paths in its
+    * checkpoint, so overwriting an already-ingested name would silently
+    * drop the new payload. None when the fetch was 503-skipped — "try
+    * again next minute" (realtime_extractor.py:155-170). */
   def fetchOnce(url: String, dropDir: String, stamp: Long): Option[Path] =
     Rt.fetch(url).map { bytes =>
       val dir = Paths.get(dropDir)
       Files.createDirectories(dir)
-      val tmp = dir.resolve(s".feed_$stamp.tmp")
-      val out = dir.resolve(s"feed_$stamp.pb")
+      val name = s"feed_${stamp}_${seq.incrementAndGet()}"
+      val tmp = dir.resolve(s".$name.tmp")
+      val out = dir.resolve(s"$name.pb")
       Files.write(tmp, bytes)
       Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)

@@ -283,15 +283,23 @@ object Rt {
 
   /** S1 — feed fetch with the reference's 503 tolerance
     * (realtime_extractor.py:155-170): None on HTTP 503 ("try again next
-    * minute"), payload otherwise; non-503 failures propagate. Driver-side
+    * minute"), payload otherwise; non-503 failures propagate. Connect and
+    * request are BOUNDED by `timeoutMillis`: a server that accepts the
+    * connection and never responds must fail this cron tick, not hang the
+    * process past the next one (the run-level O2 timeout cannot interrupt
+    * driver-side I/O — the bound has to live on the socket). Driver-side
     * by design — ingestion edge, not a relational op. Supports file: URLs
     * (tests) via URL.openStream. */
-  def fetch(url: String): Option[Array[Byte]] = {
+  def fetch(url: String, timeoutMillis: Long = 30000L): Option[Array[Byte]] = {
     val u = java.net.URI.create(url)
     if (u.getScheme == "http" || u.getScheme == "https") {
-      val client = java.net.http.HttpClient.newHttpClient()
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
+        .build()
       val resp = client.send(
-        java.net.http.HttpRequest.newBuilder(u).GET().build(),
+        java.net.http.HttpRequest.newBuilder(u)
+          .timeout(java.time.Duration.ofMillis(timeoutMillis))
+          .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofByteArray())
       if (resp.statusCode() == 503) None
       else if (resp.statusCode() / 100 == 2) Some(resp.body())

@@ -38,20 +38,32 @@ object Timeout {
     val sc = spark.sparkContext
     @volatile var expired = false
     val task = new TimerTask {
-      override def run(): Unit = { expired = true; sc.cancelJobGroup(jobGroup) }
+      // a throwing TimerTask would kill the SHARED Timer thread and break
+      // every later withTimeout in the JVM (e.g. cancelJobGroup racing a
+      // stopping SparkContext) — swallow; the cancel retries in 1s anyway
+      override def run(): Unit =
+        try { expired = true; sc.cancelJobGroup(jobGroup) }
+        catch { case _: Throwable => () }
     }
     sc.setJobGroup(jobGroup, s"graft run (timeout $timeout)",
       interruptOnCancel = true)
     timer.scheduleAtFixedRate(task, timeout.toMillis, 1000L)
-    try body
-    catch {
-      case e: Throwable if expired =>
-        throw new TimeoutException(
-          s"job group '$jobGroup' exceeded $timeout and was cancelled: " +
-            e.getMessage)
-    } finally {
-      task.cancel()
-      sc.clearJobGroup()
-    }
+    val result =
+      try body
+      catch {
+        case e: Throwable if expired =>
+          throw new TimeoutException(
+            s"job group '$jobGroup' exceeded $timeout and was cancelled: " +
+              e.getMessage)
+      } finally {
+        task.cancel()
+        sc.clearJobGroup()
+      }
+    // A body that slips past the deadline between Spark jobs (driver-side
+    // work survives cancelJobGroup) still violates the contract — enforce
+    // it like the reference's SIGALRM, which kills regardless of progress.
+    if (expired) throw new TimeoutException(
+      s"job group '$jobGroup' exceeded $timeout (completed past deadline)")
+    result
   }
 }

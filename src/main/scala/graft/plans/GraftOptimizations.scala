@@ -17,9 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * — gets the codegen'd [[graft.expressions.IntDotProduct]] kernel
   * instead of per-element interpreted lambda evaluation. The rewrite
   * fires only on the exact shape with non-null `array<bigint>` elements
-  * and a literal-zero seed, where the two formulations agree (modulo
-  * ANSI overflow checking, which the quantized-embedding contract —
-  * |x| ≲ 1e6 per element — never triggers).
+  * and a literal-zero seed, and guards the one semantic divergence:
+  * for MISMATCHED array lengths the HOF spelling yields NULL (zip_with
+  * NULL-pads, the products propagate) while the kernel would dot the
+  * common prefix — so the rewrite emits
+  * `if(size(a) = size(b), intdot(a, b), NULL)`, preserving NULL
+  * semantics exactly. (ANSI overflow checking is the remaining
+  * difference; the quantized-embedding contract — |x| ≲ 1e6 per
+  * element — never triggers it.)
   *
   * Install per session via [[GraftOptimizations.install]] (appends to
   * `spark.experimental.extraOptimizations`, the runtime hook) or
@@ -59,7 +64,8 @@ object RewriteHofIntDot extends Rule[LogicalPlan] {
             isBinOpOfVars(mulBody, mx, my) &&
             isBinOpOfVars(addBody, acc, el) &&
             fin.exprId == fv.exprId =>
-        IntDotProduct(a, b)
+        If(EqualTo(Size(a), Size(b)),
+          IntDotProduct(a, b), Literal(null, LongType))
     }
 }
 

@@ -141,13 +141,15 @@ object Similarity {
         sqrt(nCol.cast("double")) * sqrt(lit(cNorms(j).toDouble)))
     }: _*)
 
-  /** Nearest-centroid id (1-based) with the deterministic smallest-cid
-    * tie-break. The coalesce can never fire (the max is always present) but
-    * makes the result non-nullable, so join IsNotNull predicates
-    * constant-fold instead of duplicating the assignment expression. */
-  private def nearestCid(cents: Seq[Seq[Long]], cNorms: Seq[Long],
-                         vCol: Column, nCol: Column): Column =
-    coalesce(expr(s"array_position(__cos, array_max(__cos))").cast("long"),
+  /** Nearest-centroid id (1-based) over a materialized `__cos` column
+    * (the [[centCos]] array the caller must have bound — binding it once
+    * keeps the nCentroids dot products evaluated once, not per reference):
+    * argmax with the deterministic smallest-cid tie-break. The coalesce
+    * can never fire (the max is always present) but makes the result
+    * non-nullable, so join IsNotNull predicates constant-fold instead of
+    * duplicating the assignment expression. */
+  private val nearestCid: Column =
+    coalesce(expr("array_position(__cos, array_max(__cos))").cast("long"),
       lit(0L))
 
   /** Lloyd's k-means refinement of the coarse quantizer, fully
@@ -166,7 +168,7 @@ object Similarity {
       val cNorms = cents.map(v => v.map(x => x * x).sum)
       val sums = c
         .withColumn("__cos", centCos(cents, cNorms, col("cv"), col("cn")))
-        .withColumn("cid", nearestCid(cents, cNorms, col("cv"), col("cn")))
+        .withColumn("cid", nearestCid)
         .select(col("cid"), posexplode(col("cv")))
         .groupBy("cid", "pos")
         .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
@@ -210,7 +212,7 @@ object Similarity {
 
     val c = cq
       .withColumn("__cos", centCos(cents, cNorms, col("cv"), col("cn")))
-      .withColumn("list_id", nearestCid(cents, cNorms, col("cv"), col("cn")))
+      .withColumn("list_id", nearestCid)
       .drop("__cos")
     val q = withQuantized(queries, idCol, embCol, "qv", "qn").drop(embCol)
       .withColumnRenamed(idCol, "query_id")

@@ -56,7 +56,9 @@ object RealtimeRunner {
   def runOnce(spark: SparkSession, cfg: Config,
               clock: () => Long = () => System.currentTimeMillis(),
               sleep: Long => Unit = Thread.sleep): Int = {
-    val deadline = System.currentTimeMillis() + cfg.runTimeout.toMillis
+    // the injected clock governs the whole tick — fetch stamps, throttle
+    // windows, AND the drain budget — or simulated time would desync
+    val deadline = clock() + cfg.runTimeout.toMillis
     val landed = Timeout.withTimeout(spark, "graft-e1-fetch", cfg.runTimeout) {
       FetchLoop.run(cfg.feedUrl, cfg.dropDir, cfg.fetchCycles,
         cfg.fetchInterval.toMillis, clock, sleep)
@@ -68,7 +70,7 @@ object RealtimeRunner {
       clock)
     val q = RealtimeStream.startFeedStream(spark, cfg.dropDir,
       cfg.targetPath, cfg.checkpointDir, weather, Trigger.AvailableNow())
-    val remaining = math.max(1L, deadline - System.currentTimeMillis())
+    val remaining = math.max(1L, deadline - clock())
     if (!q.awaitTermination(remaining)) {
       q.stop()
       throw new java.util.concurrent.TimeoutException(

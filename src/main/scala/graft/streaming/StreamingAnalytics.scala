@@ -26,9 +26,7 @@ object StreamingAnalytics {
     stream
       .withWatermark(eventTimeCol, watermark)
       .groupBy(window(col(eventTimeCol), windowLen))
-      .agg(
-        try_divide(sum(col(delayCol).cast("decimal(20,6)")).cast("double"),
-          count(col(delayCol))).as("avg_delay_min"),
+      .agg(graft.analytics.Dashboard.exactAvg(col(delayCol)).as("avg_delay_min"),
         count(lit(1)).as("n_rows"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),

@@ -44,23 +44,21 @@ object CorpusOps {
     * materialized once per row and sliced per chunk (`slice` on a bound
     * column, not an `element_at` re-derivation). */
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
-                     size: Int, stride: Int): DataFrame = {
-    require(size > 0 && stride > 0, "size and stride must be positive")
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
     val tk = TextAnalysis.tokens(col(textCol))
     docs
       .select(col(idCol), tk.as("__tk"))
-      .where(org.apache.spark.sql.functions.size(col("__tk")) > 0)
+      .where(size(col("__tk")) > 0)
       .select(col(idCol),
-        explode(sequence(lit(0),
-          org.apache.spark.sql.functions.size(col("__tk")) - 1,
-          lit(stride))).as("__start"),
+        explode(sequence(lit(0), size(col("__tk")) - 1, lit(stride)))
+          .as("__start"),
         col("__tk"))
       .select(col(idCol),
         (col("__start") / stride).cast("long").as("chunk_idx"),
-        org.apache.spark.sql.functions
-          .size(slice(col("__tk"), col("__start") + 1, lit(size)))
+        size(slice(col("__tk"), col("__start") + 1, lit(chunkSize)))
           .cast("long").as("n_chunk_tokens"),
-        array_join(slice(col("__tk"), col("__start") + 1, lit(size)), " ")
+        array_join(slice(col("__tk"), col("__start") + 1, lit(chunkSize)), " ")
           .as("chunk_text"))
   }
 }

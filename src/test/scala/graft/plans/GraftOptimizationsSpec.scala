@@ -27,6 +27,15 @@ class GraftOptimizationsSpec extends SparkSpec {
     assert(df.queryExecution.optimizedPlan.toString.contains("graft_int_dot"),
       df.queryExecution.optimizedPlan.toString)
     assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(11L, 23L))
+
+    // the HOF spelling NULL-pads mismatched lengths → NULL; the rewrite
+    // must preserve that (guarded kernel), not dot the common prefix
+    val mismatched = spark.range(1).select(
+      array(col("id") + 1, col("id") + 2).as("a"),
+      array(col("id") + 3).as("b"))
+    val m = mismatched.select(expr(DOT).as("dot"))
+    assert(m.queryExecution.optimizedPlan.toString.contains("graft_int_dot"))
+    assert(m.head().isNullAt(0))
   }
 
   test("non-dot aggregates are left untouched") {

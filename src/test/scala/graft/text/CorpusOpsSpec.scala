@@ -35,7 +35,7 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, ""))
       .toDF("doc_id", "text")
     val got = CorpusOps.chunkDocuments(docs, "doc_id", "text",
-        size = 12, stride = 8)
+        chunkSize = 12, stride = 8)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val byDoc = got.groupBy(_._1)
