@@ -275,6 +275,35 @@ object SparkEntry {
     "list_distinct(list_transform(range(1, len(tk) - 1), " +
       "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
 
+  /** Shared q51/q53 oracle: exact-Jaccard pair graph → connected
+    * components via a recursive transitive-closure CTE, labels = the
+    * component minimum (mirror of [[graft.dedup.Dedup.dupClusters]]'
+    * min-label fixpoint). */
+  private lazy val DUP_CLUSTERS_SQL: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang, source, $BIGRAM_SQL AS sg
+       |  FROM toks WHERE len(tk) >= 2),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+       |    CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+       |      AS jaccard
+       |  FROM sh a JOIN sh b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+       |e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.05),
+       |sym AS (
+       |  SELECT id_a AS a, id_b AS b FROM e
+       |  UNION SELECT id_b, id_a FROM e),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT a, a FROM sym
+       |    UNION
+       |    SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a)
+       |  SELECT * FROM r)
+       |SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
+
   /** Shared oracle CTEs: quantized embeddings + integer norms (the q19
     * formulation, factored for the LSH-path oracles). */
   private val EMB_CTE: String =
@@ -613,6 +642,17 @@ object SparkEntry {
       Dedup.dupClusters(
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           Seq("lang", "source"), minJaccard = 0.05))),
+
+    // The near-dup-deduplicated corpus: q51's clusters applied back to
+    // the documents — non-representative members dropped, singletons
+    // untouched. The full dedup ladder's end deliverable.
+    "q53_neardup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.dupClusters(
+        Dedup.jaccardPairs(docs, "doc_id", "text",
+          Seq("lang", "source"), minJaccard = 0.05))
+      Dedup.nearDupCorpus(docs, "doc_id", clusters)
+    }),
 
     // MinHash + LSH near-dup candidate pairs (rows-only check: xxhash64
     // has no DuckDB equivalent).
@@ -1152,32 +1192,14 @@ object SparkEntry {
         |  min(doc_id) AS keep_id
         |FROM documents GROUP BY sha256(text)""".stripMargin,
 
-    "q51_dup_clusters" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, lang, source,
-         |    list_distinct(list_transform(range(1, len(tk)),
-         |      i -> tk[i] || ' ' || tk[i+1])) AS sg
-         |  FROM toks WHERE len(tk) >= 2),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
-         |    CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE)
-         |      AS jaccard
-         |  FROM sh a JOIN sh b
-         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
-         |e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.05),
-         |sym AS (
-         |  SELECT id_a AS a, id_b AS b FROM e
-         |  UNION SELECT id_b, id_a FROM e),
-         |reach AS (
-         |  WITH RECURSIVE r(src, dst) AS (
-         |    SELECT a, a FROM sym
-         |    UNION
-         |    SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a)
-         |  SELECT * FROM r)
-         |SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
+    "q51_dup_clusters" -> DUP_CLUSTERS_SQL,
+
+    "q53_neardup_corpus" ->
+      s"""WITH clusters AS (
+         |$DUP_CLUSTERS_SQL
+         |)
+         |SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin,
 
     "q42_dedup_corpus" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents

@@ -305,6 +305,20 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** The near-duplicate-deduplicated corpus: every column of `docs`, with
+    * non-representative members of each [[dupClusters]] component removed
+    * (the component minimum survives; documents in no pair are untouched
+    * singletons). [[dedupCorpus]]'s sibling one level up the dedup
+    * ladder — byte-identical copies there, similarity clusters here.
+    * Left-anti against the slim drop-id set, so full-width rows move
+    * once. */
+  def nearDupCorpus(docs: DataFrame, idCol: String,
+                    clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.where(col("id") =!= col("cluster_id"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Exact Jaccard verification of externally supplied candidate pairs
     * (e.g. [[minhashCandidatePairs]] output): re-attaches shingle sets by
     * id and scores only those pairs — the LSH-gated verification path,

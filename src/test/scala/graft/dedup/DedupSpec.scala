@@ -164,6 +164,17 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupCorpus drops exactly the non-representative cluster " +
+    "members; singletons survive") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docsAll = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L)
+      .map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val kept = Dedup.nearDupCorpus(docsAll, "doc_id", Dedup.dupClusters(pairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L, 10L)) // 2,3 fold into 1; 11 into 10
+  }
+
   test("jaccardOnPairs verifies exactly the supplied candidate pairs") {
     import spark.implicits._
     val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
