@@ -304,6 +304,19 @@ object SparkEntry {
        |  SELECT * FROM r)
        |SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
 
+  /** Banded-LSH plane literals for the q54 oracle: (band, bit weight,
+    * plane) rows — plane j sits in band j/planesPerBand with in-band bit
+    * weight 1 << (j % planesPerBand), exactly
+    * [[graft.similarity.Similarity.annTopKBanded]]'s slicing. */
+  private def bandedPlanesSql(bands: Int, planesPerBand: Int,
+                              dim: Int = 64): String =
+    Similarity.quantizePlanes(
+        Similarity.hyperplanes(bands * planesPerBand, dim))
+      .zipWithIndex.map { case (p, j) =>
+        s"(${j / planesPerBand}, ${1L << (j % planesPerBand)}, " +
+          s"${p.mkString("[", ",", "]")}::BIGINT[])"
+      }.mkString(", ")
+
   /** Shared oracle CTEs: quantized embeddings + integer norms (the q19
     * formulation, factored for the LSH-path oracles). */
   private val EMB_CTE: String =
@@ -716,6 +729,16 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
       Similarity.annTopK(q, emb, "vec_id", "embedding", k = 3)
+    }),
+
+    // Recall-tunable banded sign-LSH ANN (the vector analog of MinHash
+    // banding: all bits of ANY band agree → candidate; distinct pairs
+    // scored exactly once). Hash-checked like q20 via plane literals.
+    "q54_ann_banded" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
+      Similarity.annTopKBanded(q, emb, "vec_id", "embedding", k = 3,
+        bands = 4, planesPerBand = 4)
     }),
 
     // Embedding-cosine near-duplicate pairs: sign-LSH bucket gating into
@@ -1226,6 +1249,31 @@ object SparkEntry {
         |      ORDER BY cosine DESC, vec_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin),
+
+    "q54_ann_banded" -> (EMB_CTE +
+      s"""planes AS (SELECT * FROM (VALUES ${bandedPlanesSql(4, 4)}) pl(band, w, pv)),
+         |bk AS (
+         |  SELECT n.vec_id, p.band,
+         |    CAST(sum(CASE WHEN CAST(list_sum(list_transform(range(1, len(n.v)+1),
+         |      i -> n.v[i]*p.pv[i])) AS BIGINT) > 0 THEN p.w ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM n CROSS JOIN planes p GROUP BY n.vec_id, p.band),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10),
+         |scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+         |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE))) AS cosine
+         |  FROM cand JOIN n q ON cand.query_id = q.vec_id
+         |  JOIN n t ON cand.vec_id = t.vec_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin),
 
     "q41_embed_neardup" -> (EMB_CTE + lshCtes(numPlanes = 8) +
       """bsz AS (SELECT bucket, count(*) AS bn FROM c GROUP BY bucket),

@@ -231,6 +231,52 @@ object Similarity {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** Recall-tunable ANN via BANDED sign-LSH — the vector analog of
+    * MinHash banding: `bands` independent groups of `planesPerBand`
+    * hyperplanes each; a corpus vector is a candidate for a query if ALL
+    * bits agree in AT LEAST ONE band. Single-band LSH ([[annTopK]])
+    * trades recall for candidate-set size with one knob; banding adds
+    * the second knob (more bands = higher recall at more candidates),
+    * which is how production ANN tunes recall targets.
+    *
+    * Scale: per-band buckets ride a slim (band, bucket, id) join;
+    * candidate pairs are `distinct`-ed BEFORE the quantized vectors are
+    * re-attached for exact scoring (the MinHash distinct-then-reattach
+    * shape — a pair matching in many bands is scored once). Fully
+    * deterministic, so oracle-checkable with plane literals. */
+  def annTopKBanded(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, embCol: String, k: Int,
+                    bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    val dim = corpus.select(size(col(embCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val qPlanes = quantizePlanes(hyperplanes(bands * planesPerBand, dim))
+    def bandBuckets(qv: Column): Column =
+      posexplode(array((0 until bands).map { b =>
+        qPlanes.slice(b * planesPerBand, (b + 1) * planesPerBand)
+          .zipWithIndex.map { case (p, i) =>
+            when(intDot(qv, typedLit(p)) > 0L, lit(1L << i)).otherwise(lit(0L))
+          }.reduce(_ + _)
+      }: _*))
+    val q = withQuantized(queries, idCol, embCol, "qv", "qn")
+      .withColumnRenamed(idCol, "query_id")
+      .select(col("query_id"), col("qv"), col("qn"), bandBuckets(col("qv")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val c = withQuantized(corpus, idCol, embCol, "cv", "cn")
+      .select(col(idCol), col("cv"), col("cn"), bandBuckets(col("cv")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val cand = c.select(col("band"), col("bucket"), col(idCol))
+      .join(broadcast(q.select(col("band"), col("bucket"), col("query_id"))),
+        Seq("band", "bucket"))
+      .select("query_id", idCol).distinct()
+    val scored = cand
+      .join(c.select(col(idCol), col("cv"), col("cn")).distinct(), idCol)
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))
+        .distinct()), "query_id")
+      .select(col("query_id"), col(idCol),
+        cosineQ(intDot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the dedup-family member that
     * works on vectors instead of shingles: sign-LSH bucketing (all
     * `numPlanes` sign bits must agree) gates an exact quantized-cosine

@@ -98,6 +98,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  test("annTopKBanded: self-match always found, recall positive, at most " +
+    "k ranked rows per query") {
+    val corpus = vecs(200, seed = 8L)
+    val queries = corpus.take(6)
+    val rows = Similarity.annTopKBanded(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 3, bands = 4, planesPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val got = rows.map(r => (r._1, r._2)).toSet
+    // a query matches itself in every band → always a candidate
+    queries.foreach { case (qid, _) => assert(got.contains(qid -> qid)) }
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= 3 && g.map(_._3).toSet.subsetOf(Set(1L, 2L, 3L)))
+    }
+    val exact = naiveTopK(queries, corpus, 3)
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("cosineNearDupPairs equals the naive bucket-gate + exact-cosine " +
     "computation, and the bucket cap drops all pair-producing buckets") {
     val corpus = vecs(120, seed = 7L)
