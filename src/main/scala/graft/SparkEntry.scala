@@ -1306,16 +1306,8 @@ object SparkEntry {
     "q38_jaccard_maxdf" ->
       dfCappedJaccardSql(BIGRAM_SQL, cap = 10L, minJ = 0.1),
 
-    "q19_cosine_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
-        |    x -> CAST(round(x * 100000.0) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, v,
-        |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS nrm
-        |  FROM e),
-        |p AS (
+    "q19_cosine_topk" -> (EMB_CTE +
+      """p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
         |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
@@ -1326,18 +1318,10 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY cosine DESC, vec_id ASC) AS rank
         |  FROM p)
-        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin),
 
-    "q32_ivf_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
-        |    x -> CAST(round(x * 100000.0) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, v,
-        |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS nrm
-        |  FROM e),
-        |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM n) + 1)) AS i),
+    "q32_ivf_topk" -> (EMB_CTE +
+      """dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM n) + 1)) AS i),
         |c0 AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
         |  FROM n ORDER BY vec_id LIMIT 16),
@@ -1416,7 +1400,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, vec_id ASC) AS rank
         |  FROM scored)
-        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin),
 
     "q21_langid" ->
       s"""WITH toks AS (

@@ -153,22 +153,40 @@ object Dedup {
         lit(0L), _ + _))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming, using
-    * 4×16-bit band pigeonholing for candidates (any pair within Hamming 3
-    * must agree on at least one 16-bit band). Identical fingerprints
-    * (Hamming 0 — in particular exact duplicates) are collapsed to their
-    * minimum-id representative before banding, for the same
-    * quadratic-bucket reason as [[minhashCandidatePairs]]; buckets larger
-    * than `maxBucketSize` are dropped (observed metric "simhash_lsh"). */
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming,
+    * COMPLETE by the pigeonhole principle: the 64-bit fingerprint is
+    * split into maxHamming+1 bands, so any pair within the Hamming budget
+    * has at least one untouched band and meets in its bucket. (A fixed
+    * band count would silently miss pairs whenever maxHamming exceeds
+    * bands-1 — the band count must follow the budget.) Identical
+    * fingerprints (Hamming 0 — in particular exact duplicates) are
+    * collapsed to their minimum-id representative before banding, for the
+    * same quadratic-bucket reason as [[minhashCandidatePairs]]; buckets
+    * larger than `maxBucketSize` are dropped (observed metric
+    * "simhash_lsh"). maxHamming <= 31: beyond that band widths hit 1-2
+    * bits and the bucket join degenerates toward all-pairs. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val nBands = maxHamming + 1
+    // partition the 64 bits into nBands NON-EMPTY contiguous bands (the
+    // first 64 % nBands bands are one bit wider) — a zero-width band
+    // would give every row the same chunk and cross-join the corpus
+    val widths = {
+      val base = 64 / nBands; val extra = 64 % nBands
+      (0 until nBands).map(b => base + (if (b < extra) 1 else 0))
+    }
+    val offsets = widths.scanLeft(0)(_ + _)
     val fp = docs
       .select(col(idCol).as("id"),
         simhash64(TextAnalysis.tokens(col(textCol))).as("fp"))
       .groupBy("fp").agg(min(col("id")).as("id"))
     val banded = fp.select(col("id"), col("fp"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        posexplode(array((0 until nBands).map { b =>
+          val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+          shiftrightunsigned(col("fp"), offsets(b)).bitwiseAND(lit(mask))
+        }: _*)))
       .select(col("pos").as("band"), col("col").as("chunk"),
         col("id"), col("fp"))
     val sizes = banded.groupBy("band", "chunk")
@@ -327,13 +345,18 @@ object Dedup {
                      idCol: String, textCol: String): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       TextAnalysis.bigramShingles(TextAnalysis.tokens(col(textCol))).as("sg"))
-    val inter = size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")
     pairs.select(col("id_a"), col("id_b"))
       .join(sh.select(col("id").as("id_a"), col("sg").as("sg_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sg").as("sg_b")), "id_b")
+      // bind the intersection size ONCE — the array intersection is the
+      // dominant per-pair cost and appears in numerator and denominator
+      .withColumn("__inter",
+        size(array_intersect(col("sg_a"), col("sg_b"))).cast("double"))
+      // try_divide: external pairs (unlike the inverted index's) can name
+      // two zero-shingle docs — 0/0 must be a NULL score, not an ANSI error
       .select(col("id_a"), col("id_b"),
-        (inter / (size(col("sg_a")) + size(col("sg_b")) -
-          size(array_intersect(col("sg_a"), col("sg_b")))).cast("double"))
+        try_divide(col("__inter"),
+          (size(col("sg_a")) + size(col("sg_b"))).cast("double") - col("__inter"))
           .as("jaccard"))
   }
 }

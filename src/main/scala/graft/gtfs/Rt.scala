@@ -69,35 +69,51 @@ object Pb {
     def bytes: Array[Byte] = out.toByteArray
   }
 
+  /** Bounds-checked reader: a truncated or corrupt payload (partial HTTP
+    * body, bit rot) must fail with a clear parse error at the violation,
+    * never index past the buffer or silently consume a sibling field's
+    * bytes through an unterminated varint. */
   final class Reader(buf: Array[Byte], start: Int, val end: Int) {
     var pos: Int = start
     def hasNext: Boolean = pos < end
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed protobuf at $pos: $msg")
     def varint(): Long = {
       var shift = 0; var res = 0L; var b = 0
       do {
+        if (pos >= end) fail("truncated varint")
+        if (shift >= 64) fail("varint exceeds 10 bytes")
         b = buf(pos) & 0xFF; pos += 1
         res |= (b & 0x7FL) << shift; shift += 7
       } while ((b & 0x80) != 0)
       res
     }
+    private def lenPrefixed(): Int = {
+      val len = varint()
+      if (len < 0 || pos + len > end) fail(s"declared length $len overruns field")
+      len.toInt
+    }
     /** Returns (fieldNumber, wireType). */
     def readTag(): (Int, Int) = { val t = varint().toInt; (t >>> 3, t & 7) }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => pos += 8
-      case 2 => pos += varint().toInt
-      case 5 => pos += 4
-      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+      case 1 => if (pos + 8 > end) fail("truncated fixed64") else pos += 8
+      case 2 =>
+        // two steps: `pos += lenPrefixed()` would read pos BEFORE the
+        // call advances it past the length varint
+        val len = lenPrefixed(); pos += len
+      case 5 => if (pos + 4 > end) fail("truncated fixed32") else pos += 4
+      case w => fail(s"unsupported wire type $w")
     }
     /** Sub-reader over one length-delimited field. */
     def sub(): Reader = {
-      val len = varint().toInt
+      val len = lenPrefixed()
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
     }
     def strValue(): String = {
-      val len = varint().toInt
+      val len = lenPrefixed()
       val s = new String(buf, pos, len, java.nio.charset.StandardCharsets.UTF_8)
       pos += len
       s

@@ -32,11 +32,14 @@ object DiffTimes {
             sentinelThresholdSecs: Long = 1000L * 60L): DataFrame = {
     val t = tu.as("tu")
     val g = gd.as("gd")
+    // try_cast (P5): realtime stop_ids are strings from the wire — a
+    // non-numeric one must fail to MATCH (NULL key joins nothing), not
+    // throw under ANSI and abort the whole mart build.
     val joined = t.join(g,
       col("tu.trip_id") === col("gd.trip_id") &&
         col("tu.start_date") === col("gd.start_date") &&
         col("tu.stop_sequence") === col("gd.stop_sequence") &&
-        col("tu.stop_id").cast("long") === col("gd.stop_id"),
+        col("tu.stop_id").try_cast("long") === col("gd.stop_id"),
       "inner")
 
     val aArr = col("tu.arrival_time"); val sArr = col("gd.arrival_time")
@@ -48,7 +51,7 @@ object DiffTimes {
         col("tu.trip_id").as("trip_id"),
         col("tu.start_date").as("start_date"),
         col("tu.stop_sequence").as("stop_sequence"),
-        col("tu.stop_id").cast("long").as("stop_id"),
+        col("tu.stop_id").try_cast("long").as("stop_id"),
         col("gd.route_id").as("route_id"),
         col("gd.stop_name").as("stop_name"),
         col("gd.route_long_name").as("route_long_name"),

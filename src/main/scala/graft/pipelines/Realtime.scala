@@ -38,7 +38,11 @@ object Realtime {
     Rt.decodeFlatten(feeds).toDF()
       .select(
         col("trip_id"),
-        to_date(col("start_date"), "yyyyMMdd").as("start_date"), // F13
+        // F13 — try_to_date: start_date is OPTIONAL in GTFS-realtime and
+        // Rt.flatten surfaces an absent one as "" — a plain to_date would
+        // throw under ANSI and kill the whole micro-batch for one entity;
+        // NULL lets the row flow (and never match a schedule) instead.
+        expr("try_to_date(start_date, 'yyyyMMdd')").as("start_date"),
         col("stop_sequence"),
         col("stop_id"),
         obsTime("arrival_epoch").as("arrival_time"),

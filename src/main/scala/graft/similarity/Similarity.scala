@@ -119,9 +119,14 @@ object Similarity {
     val bucket = qPlanes.zipWithIndex.map { case (p, i) =>
       when(intDot(qv, typedLit(p)) > 0L, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    when(size(qv) === dim, bucket).otherwise(raise_error(concat(
-      lit(s"lshBucket: embedding dim mismatch, expected $dim, got "),
-      size(qv).cast("string"))).cast("long"))
+    // three-way: a NULL vector gets a NULL bucket (joins nothing — the row
+    // is skipped, not a crash with a NULL-corrupted message); only a
+    // present wrong-dim vector fail-fasts.
+    when(qv.isNull, lit(null).cast("long"))
+      .when(size(qv) === dim, bucket)
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: embedding dim mismatch, expected $dim, got "),
+        size(qv).cast("string"))).cast("long"))
   }
 
   /** Sign-LSH bucket id of a raw `array<float>` embedding — quantizes both
@@ -257,21 +262,22 @@ object Similarity {
             when(intDot(qv, typedLit(p)) > 0L, lit(1L << i)).otherwise(lit(0L))
           }.reduce(_ + _)
       }: _*))
-    val q = withQuantized(queries, idCol, embCol, "qv", "qn")
-      .withColumnRenamed(idCol, "query_id")
-      .select(col("query_id"), col("qv"), col("qn"), bandBuckets(col("qv")))
+    // quantized frames bound ONCE; the banded explode derives from them
+    // and only slim (band, bucket, id) rows ride the candidate join —
+    // vectors re-attach from the un-exploded frames (no distinct needed
+    // to undo an explode, no second evaluation of the bucket subtree).
+    val qq = withQuantized(queries, idCol, embCol, "qv", "qn")
+      .withColumnRenamed(idCol, "query_id").drop(embCol)
+    val cq = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
+    val qBanded = qq.select(col("query_id"), bandBuckets(col("qv")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val c = withQuantized(corpus, idCol, embCol, "cv", "cn")
-      .select(col(idCol), col("cv"), col("cn"), bandBuckets(col("cv")))
+    val cBanded = cq.select(col(idCol), bandBuckets(col("cv")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val cand = c.select(col("band"), col("bucket"), col(idCol))
-      .join(broadcast(q.select(col("band"), col("bucket"), col("query_id"))),
-        Seq("band", "bucket"))
+    val cand = cBanded.join(broadcast(qBanded), Seq("band", "bucket"))
       .select("query_id", idCol).distinct()
     val scored = cand
-      .join(c.select(col(idCol), col("cv"), col("cn")).distinct(), idCol)
-      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))
-        .distinct()), "query_id")
+      .join(cq, idCol)
+      .join(broadcast(qq), "query_id")
       .select(col("query_id"), col(idCol),
         cosineQ(intDot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     topKPerQuery(scored, idCol, k)

@@ -99,7 +99,14 @@ object StreamingAnalytics {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.endEpoch + gapSeconds) * 1000L + 1L)
+              // clamp above the watermark: a deadline computed from a
+              // late-arriving event would be below it, which
+              // setTimeoutTimestamp rejects (killing the query). Current
+              // Spark filters late rows before the operator, but the
+              // clamp keeps the contract version-independent.
+              state.setTimeoutTimestamp(
+                math.max((s.endEpoch + gapSeconds) * 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
             }
             closed.result().iterator
           }

@@ -59,6 +59,28 @@ class RtSpec extends SparkSpec {
     assert(out.count(_.arrival_epoch.isEmpty) === 2)
   }
 
+  test("truncated and corrupt payloads fail with a clear parse error, " +
+    "never an index crash or silent mis-parse") {
+    val good = Rt.encode(feed)
+    // truncation at every prefix length: always a clean parse error (or a
+    // successful parse of a prefix that happens to end on a field boundary)
+    (0 until good.length).foreach { n =>
+      try Rt.decode(good.take(n))
+      catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("malformed protobuf"), e.getMessage)
+      }
+    }
+    // a length-delimited field whose declared length overruns the buffer
+    val lied = good.clone()
+    // find the first length-delimited tag (field 1 = header, wire 2) and
+    // corrupt its length byte to an overrun
+    assert((lied(0) & 7) === 2)
+    lied(1) = 0x7f.toByte
+    val ex = intercept[IllegalArgumentException](Rt.decode(lied))
+    assert(ex.getMessage.contains("malformed protobuf"))
+  }
+
   test("fetch reads file: URLs (the test stand-in for the HTTP path)") {
     val dir = java.nio.file.Paths.get("target", "test_rt")
     java.nio.file.Files.createDirectories(dir)

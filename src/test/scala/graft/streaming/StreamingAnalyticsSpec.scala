@@ -97,6 +97,40 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream survives a late event behind the watermark " +
+    "(timeout clamped, query does not crash)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingAnalytics.{SEvent, Session}
+    def ev(key: String, epoch: Long) =
+      SEvent(key, new java.sql.Timestamp(epoch * 1000L))
+    val in = MemoryStream[SEvent]
+    val q = StreamingAnalytics.sessionizeStream(in.toDS, gapSeconds = 100L)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(ev("A", 1000L))
+      q.processAllAvailable()
+      in.addData(ev("B", 5000L)) // watermark jumps past A's deadline
+      q.processAllAvailable()
+      // LATE event for A at 1500 — behind the watermark. Spark's
+      // watermark filter drops it before the stateful operator (and the
+      // timeout clamp guards the query even if it didn't): no crash, no
+      // phantom session.
+      in.addData(ev("A", 1500L))
+      q.processAllAvailable()
+      in.addData(ev("B", 9000L)) // trigger timeouts
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+      val sessions = spark.table("late_sessions").as[Session].collect().toSet
+      assert(!sessions.exists(_.start_epoch == 1500L),
+        s"late event leaked into a session: $sessions")
+      // A's original and B's first session did close via their timeouts
+      assert(sessions.contains(Session("A", 1000L, 1000L, 1L)))
+      assert(sessions.contains(Session("B", 5000L, 5000L, 1L)))
+    } finally q.stop()
+  }
+
   test("lateStreaks: per-trip consecutive-late state survives batches and " +
     "resets on an on-time observation") {
     import spark.implicits._
