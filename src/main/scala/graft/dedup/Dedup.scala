@@ -76,7 +76,7 @@ object Dedup {
     *
     * Docs with fewer than 2 tokens have no shingles and cannot be
     * near-dups; they are dropped before signing (an empty shingle set
-    * would produce an all-NULL signature that collides in every band).
+    * would produce an all-MaxValue signature that collides in every band).
     *
     * Buckets larger than `maxBucketSize` are dropped: a skewed band value
     * (e.g. templated corpora where many texts share a common prefix)
@@ -282,45 +282,101 @@ object Dedup {
     * `cluster_id`. Returns (id, cluster_id) for every node that appears
     * in `pairs`.
     *
-    * Algorithm: min-label propagation to fixpoint — per iteration each
-    * node takes the min of its own label and its neighbors' labels; at
-    * fixpoint the label is the component minimum. Distributed-safe:
-    * each iteration is one slim equi-join + hash-agg, the per-iteration
-    * driver action is a single change-count, and `localCheckpoint`
-    * truncates the growing lineage (the classic iterative-DataFrame
-    * requirement). Iterations are bounded by the component DIAMETER
-    * (near-dup clusters are shallow), not the corpus size; `maxIters`
-    * caps pathological chains and convergence is verified, not assumed. */
+    * Algorithm: alternating large-star / small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    * a published algorithm, reimplemented here from the paper): each
+    * round rewires every node's strictly-larger neighbors (large-star),
+    * then its smaller-or-equal neighbors (small-star), toward the local
+    * minimum; the edge set converges to star graphs centered at each
+    * component's minimum in O(log n) rounds EVEN ON PATH GRAPHS — unlike
+    * plain min-label propagation, whose round count is the component
+    * DIAMETER (a 10k-node chain = 10k rounds; doubling via stars ≈ 14).
+    *
+    * Scale/durability contract: every round is two slim
+    * (groupBy-min + equi-join) passes over bare edges; exactly ONE driver
+    * action per round (the convergence fingerprint — a count+hash-sum
+    * aggregate whose evaluation also materializes that round's lazily
+    * marked checkpoint, so no separate materialization job runs); and
+    * lineage is truncated either to executor block storage
+    * (`localCheckpoint`, default — fine single-node) or, with
+    * `checkpointDir`, to a RELIABLE `checkpoint` directory (HDFS/object
+    * store) that survives executor loss — the mode a 1000-executor run
+    * with preemption must use. Convergence is detected by edge-set
+    * fingerprint (count + XOR of xxhash64(a,b)): a false fixpoint needs
+    * a 2^-64 hash collision at equal cardinality. */
   def dupClusters(pairs: DataFrame, idACol: String = "id_a",
-                  idBCol: String = "id_b", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
-    val sym = edges
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+                  idBCol: String = "id_b", maxIters: Int = 30,
+                  checkpointDir: Option[String] = None): DataFrame =
+    connectedComponents(
+      pairs.select(col(idACol).as("a"), col(idBCol).as("b")),
+      maxIters, checkpointDir)._1
+
+  /** [[dupClusters]] internals, exposing the round count for convergence
+    * tests. Input: bare (a, b) edges; output: ((id, cluster_id), rounds). */
+  private[graft] def connectedComponents(
+      edges0: DataFrame, maxIters: Int,
+      checkpointDir: Option[String]): (DataFrame, Int) = {
+    val spark = edges0.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // eager=false: the checkpoint materializes under the SAME job as the
+    // fingerprint action below — one driver action per round total
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    // count + XOR of per-edge hashes: commutative, duplicate-free input
+    // (edges are distinct-ed), and — unlike a sum — can never hit the
+    // ANSI long-overflow error at any cardinality
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // Large-star: for each node u, connect every STRICTLY LARGER neighbor
+    // to m = min(N(u) ∪ {u}). Keeps connectivity, never creates self
+    // loops (m ≤ u < v), and halves long chains.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = nbrs.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      nbrs.join(mins, "a").where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
+    }
+    // Small-star: orient edges toward the smaller endpoint, then connect
+    // each node and its smaller neighbors to their collective minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = oriented.groupBy("a").agg(min("b").as("m"))
+      val rewired = oriented.join(mins, "a")
+        .where(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+      rewired.union(mins.select(col("a"), col("m").as("b"))).distinct()
+    }
+    // every node that appears in the input — including self-loop-only
+    // nodes, which the star rounds never see — gets an output row
+    val nodes = edges0.select(col("a").as("id"))
+      .union(edges0.select(col("b").as("id"))).distinct()
+    var cur = truncate(edges0.where(col("a") =!= col("b")).distinct())
+    var fp = fingerprint(cur)
+    var rounds = 0
     var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val neighborMin = sym
-        .join(labels.select(col("id").as("b"), col("label")), "b")
-        .groupBy(col("a").as("id")).agg(min("label").as("nmin"))
-      val next = labels.join(neighborMin, "id")
-        .select(col("id"), least(col("label"), col("nmin")).as("label"))
-        .localCheckpoint()
-      val changes = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .where(col("label") =!= col("old")).count()
-      labels = next
-      converged = changes == 0L
-      i += 1
+    while (!converged && rounds < maxIters) {
+      val next = truncate(smallStar(largeStar(cur)))
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      cur = next
+      fp = nfp
+      rounds += 1
     }
     require(converged,
-      s"dupClusters did not converge in $maxIters iterations — component " +
-        "diameter exceeds the cap; raise maxIters")
-    labels.select(col("id"), col("label").as("cluster_id"))
+      s"dupClusters did not converge in $maxIters rounds — raise maxIters " +
+        "(expected O(log n); this indicates pathological input size)")
+    // at fixpoint every non-minimum node has exactly one edge, to its
+    // component minimum; minima and singletons label themselves
+    val labels = nodes
+      .join(cur.select(col("a").as("id"), col("b").as("__m")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__m"), col("id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** The near-duplicate-deduplicated corpus: every column of `docs`, with

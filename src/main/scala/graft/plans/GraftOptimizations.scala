@@ -60,7 +60,8 @@ object RewriteHofIntDot extends Rule[LogicalPlan] {
               Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
             LambdaFunction(fin: NamedLambdaVariable,
               Seq(fv: NamedLambdaVariable), _))
-          if isLongArray(a) && isLongArray(b) &&
+          if a.deterministic && b.deterministic &&
+            isLongArray(a) && isLongArray(b) &&
             isBinOpOfVars(mulBody, mx, my) &&
             isBinOpOfVars(addBody, acc, el) &&
             fin.exprId == fv.exprId =>

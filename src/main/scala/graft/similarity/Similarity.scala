@@ -255,12 +255,13 @@ object Similarity {
     val dim = corpus.select(size(col(embCol))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     val qPlanes = quantizePlanes(hyperplanes(bands * planesPerBand, dim))
+    // each band's bucket goes through lshBucketQ so it carries the same
+    // NULL-vector / dim-mismatch three-way guard as the single-band path
+    // (a silently NULL-padded wrong-dim vector would degrade candidate
+    // quality undetected)
     def bandBuckets(qv: Column): Column =
       posexplode(array((0 until bands).map { b =>
-        qPlanes.slice(b * planesPerBand, (b + 1) * planesPerBand)
-          .zipWithIndex.map { case (p, i) =>
-            when(intDot(qv, typedLit(p)) > 0L, lit(1L << i)).otherwise(lit(0L))
-          }.reduce(_ + _)
+        lshBucketQ(qv, qPlanes.slice(b * planesPerBand, (b + 1) * planesPerBand))
       }: _*))
     // quantized frames bound ONCE; the banded explode derives from them
     // and only slim (band, bucket, id) rows ride the candidate join —

@@ -31,6 +31,8 @@ import scala.concurrent.duration.{Duration, DurationInt}
   */
 object RealtimeRunner {
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   final case class Config(
       feedUrl: String,
       dropDir: String,
@@ -59,7 +61,10 @@ object RealtimeRunner {
     // the injected clock governs the whole tick — fetch stamps, throttle
     // windows, AND the drain budget — or simulated time would desync
     val deadline = clock() + cfg.runTimeout.toMillis
-    val landed = Timeout.withTimeout(spark, "graft-e1-fetch", cfg.runTimeout) {
+    // per-run job-group token: if two ticks ever overlap in one JVM, an
+    // expired tick's watchdog must not keep cancelling the next tick's jobs
+    val group = s"graft-e1-fetch-${runSeq.incrementAndGet()}"
+    val landed = Timeout.withTimeout(spark, group, cfg.runTimeout) {
       FetchLoop.run(cfg.feedUrl, cfg.dropDir, cfg.fetchCycles,
         cfg.fetchInterval.toMillis, clock, sleep)
     }

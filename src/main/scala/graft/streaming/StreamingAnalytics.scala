@@ -88,9 +88,23 @@ object StreamingAnalytics {
             var cur = state.getOption
             times.foreach { t =>
               cur = cur match {
-                case Some(s) if t - s.endEpoch <= gapSeconds =>
+                case Some(s) if t >= s.startEpoch && t - s.endEpoch <= gapSeconds =>
                   Some(OpenSession(s.startEpoch, math.max(s.endEpoch, t),
                     s.nEvents + 1))
+                case Some(s) if t < s.startEpoch =>
+                  // within-watermark arrival BEFORE the open session (only
+                  // possible across batches — within a batch times are
+                  // sorted): extend the session backward when within the
+                  // gap of its start, matching what batch Sessionize would
+                  // have computed; otherwise the event is its own session,
+                  // already closed (nothing later can merge with it —
+                  // everything after the open session's start is >= start).
+                  if (s.startEpoch - t <= gapSeconds)
+                    Some(OpenSession(t, s.endEpoch, s.nEvents + 1))
+                  else {
+                    closed += Session(key, t, t, 1)
+                    Some(s)
+                  }
                 case Some(s) =>
                   closed += Session(key, s.startEpoch, s.endEpoch, s.nEvents)
                   Some(OpenSession(t, t, 1))

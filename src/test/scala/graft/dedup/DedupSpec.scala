@@ -164,6 +164,32 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters: 10k-node path graph converges in O(log n) star " +
+    "rounds, not O(diameter) propagation rounds") {
+    import spark.implicits._
+    val n = 10000L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponents(
+      pairs.select(col("id_a").as("a"), col("id_b").as("b")),
+      maxIters = 30, checkpointDir = None)
+    assert(rounds <= 15, s"expected ≤15 star rounds on a 10k chain, got $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === n)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("dupClusters: reliable-checkpoint mode (cluster durability) " +
+    "produces identical clusters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccp").toString
+    val pairs = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L),
+      (7L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 7L -> 7L))
+  }
+
   test("nearDupCorpus drops exactly the non-representative cluster " +
     "members; singletons survive") {
     import spark.implicits._
