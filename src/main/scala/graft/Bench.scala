@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Per-query medians over N full passes decide regressions that a
+    // single shared-JVM pass cannot (documented run-to-run jitter ±30%).
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,23 +19,40 @@ object Bench {
     // of warmup and the per-query numbers depend on Map iteration order.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.t(spark, sfDir, "events").count()
-    // The noop sink forces full materialization of every output column —
-    // a bare count() would let column pruning delete the per-row
-    // expression work this benchmark exists to measure.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (_ <- 1 to nRuns) {
+      // Each pass starts cache-cold so every pass measures the same thing
+      // (within a pass the mart cache still pays off for its dependents,
+      // by design — that IS the measured architecture).
+      spark.catalog.clearCache()
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        // The noop sink forces full materialization of every output column
+        // — a bare count() would let column pruning delete the per-row
+        // expression work this benchmark exists to measure.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+          errors.getOrElseUpdate(name,
+            e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+        }
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2) // odd run counts: the true median; even: upper median
+    }
+    val medians = names.map(n => n -> median(times(n)))
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

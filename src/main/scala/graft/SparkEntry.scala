@@ -979,9 +979,54 @@ object SparkEntry {
       MultiModal.resizeStub(
         MultiModal.mediaFromDocuments(t(s, dir, "documents")), factor = 3).toDF()
     }),
+
+    // The optimizer rule driven end-to-end: the SAME brute-force top-k as
+    // q19, but every dot product spelled the way a USER would write it —
+    // the `aggregate(zip_with(...))` higher-order function — with
+    // GraftOptimizations installed on the session. RewriteHofIntDot swaps
+    // in the codegen'd IntDotProduct kernel (PlanSpec asserts the
+    // optimized plan), and the result hash-checks against q19's oracle
+    // verbatim. The quantization coalesces each element to make the array
+    // type non-null-element (the rule's safety precondition: the kernel
+    // reads raw long slots).
+    "q55_hof_dot_rewrite" -> ((s, dir) => {
+      graft.plans.GraftOptimizations.install(s)
+      def qz(e: Column): Column = transform(e, x =>
+        coalesce(round(x.cast("double") * lit(Similarity.Scale)).cast("long"),
+          lit(0L)))
+      def hof(a: String, b: String): Column = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), qz(col("embedding")).as("qv"))
+        .withColumn("qn", hof("qv", "qv"))
+      val c = emb.select(col("vec_id"), qz(col("embedding")).as("cv"))
+        .withColumn("cn", hof("cv", "cv"))
+      val scored = c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.cosineQ(hof("qv", "cv"), col("qn"), col("cn")).as("cosine"))
+      Similarity.topKPerQuery(scored, "vec_id", k = 5)
+    }),
   )
 
   // -------------------------------------------------------------- oracle --
+
+  /** Brute-force quantized-cosine top-5 (queries = vec_id < 10) — the
+    * oracle for BOTH q19 (IntDotProduct spelled directly) and q55 (HOF
+    * spelling rewritten to IntDotProduct by the optimizer rule). */
+  private val BRUTE_TOPK_SQL: String = EMB_CTE +
+    """p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+      |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+      |  FROM n q, n c WHERE q.vec_id < 10),
+      |r AS (
+      |  SELECT query_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+      |  FROM p)
+      |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_diff_mart" -> (MART_CTE +
@@ -1306,19 +1351,11 @@ object SparkEntry {
     "q38_jaccard_maxdf" ->
       dfCappedJaccardSql(BIGRAM_SQL, cap = 10L, minJ = 0.1),
 
-    "q19_cosine_topk" -> (EMB_CTE +
-      """p AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
-        |  FROM n q, n c WHERE q.vec_id < 10),
-        |r AS (
-        |  SELECT query_id, vec_id, cosine,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY cosine DESC, vec_id ASC) AS rank
-        |  FROM p)
-        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin),
+    "q19_cosine_topk" -> BRUTE_TOPK_SQL,
+
+    // q55 computes the identical result through the HOF spelling + the
+    // optimizer rewrite — same oracle, verbatim.
+    "q55_hof_dot_rewrite" -> BRUTE_TOPK_SQL,
 
     "q32_ivf_topk" -> (EMB_CTE +
       """dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM n) + 1)) AS i),

@@ -56,7 +56,7 @@ object Similarity {
     * 2. exact rank window over the surviving ≤ k × partitions rows per
     *    query, with the deterministic (cosine desc, id asc) tie-break.
     */
-  private def topKPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val sorted = scored.sortWithinPartitions(
       col("query_id"), col("cosine").desc, col(idCol).asc)
     val qIdx = scored.schema.fieldIndex("query_id")

@@ -83,15 +83,36 @@ class PlanSpec extends SparkSpec {
     assert(nCols === 6, s"lineitem scan reads $nCols columns: $schema")
   }
 
-  test("candidate generation never degrades to a cartesian: MinHash " +
-    "banding, cosine-LSH buckets, and decontamination all stay equi-joins") {
-    for (q <- Seq("q16_minhash_pairs", "q41_embed_neardup",
-        "q48_decontaminate", "q18_ngram_jaccard")) {
+  /** The two DECLARED all-pairs baselines: brute-force cosine scoring is
+    * a cross join by definition (every corpus vector × every query), with
+    * the 10-row query side broadcast — a BroadcastNestedLoopJoin is the
+    * correct physical shape there and only there. */
+  private val declaredBruteForce = Set("q19_cosine_topk", "q55_hof_dot_rewrite")
+
+  test("blanket plan guard: NO query plans a CartesianProduct, and only " +
+    "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +
+    "every candidate generator, dedup path, and join stays key-based") {
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val plan = finalPlan(SparkEntry.queries(q)(spark, sf))
-      assert(!plan.contains("CartesianProduct") &&
-        !plan.contains("BroadcastNestedLoopJoin"),
-        s"$q plans a product join:\n$plan")
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !declaredBruteForce.contains(q)
+      if (cart || bnlj)
+        Some(s"$q: cartesian=$cart undeclaredBNLJ=$bnlj")
+      else None
     }
+    assert(bad.isEmpty, s"product joins found:\n${bad.mkString("\n")}")
+  }
+
+  test("q55: the HOF dot-product spelling is rewritten to the codegen'd " +
+    "IntDotProduct kernel — no interpreted ArrayAggregate survives in the " +
+    "optimized plan") {
+    val df = SparkEntry.queries("q55_hof_dot_rewrite")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_int_dot"),
+      s"rewrite did not fire:\n$optimized")
+    assert(!optimized.contains("zip_with") && !optimized.contains("aggregate("),
+      s"interpreted HOF survives in the optimized plan:\n$optimized")
   }
 
   test("q01: the fact-fact composite-key join carries NO broadcast hint " +
