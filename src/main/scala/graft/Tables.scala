@@ -44,4 +44,65 @@ object Tables {
         .option("upperBound", hi).option("numPartitions", n)
     }.load()
   }
+
+  /** The option set [[jdbcWrite]] configures — factored out (and pure) so
+    * the sink's configuration is unit-testable in a sandbox with no
+    * database: `batchsize` bounds each executor's INSERT batches (the
+    * reference commits in bounded batches too,
+    * scripts/realtime_extractor.py:191-236), `truncate` makes
+    * SaveMode.Overwrite issue TRUNCATE instead of DROP+CREATE (preserving
+    * indexes/grants — the reference's tables are long-lived),
+    * `isolationLevel` defaults to READ_COMMITTED (each partition's batch
+    * commits independently; exactly-once needs the staging pattern below). */
+  def jdbcWriteOptions(url: String, table: String, batchSize: Int,
+                       truncate: Boolean,
+                       props: Map[String, String] = Map.empty): Map[String, String] =
+    Map("url" -> url, "dbtable" -> table,
+      "batchsize" -> batchSize.toString,
+      "truncate" -> truncate.toString,
+      "isolationLevel" -> "READ_COMMITTED") ++ props
+
+  /** S6 write path — the symmetric sink for [[jdbc]]: the reference's
+    * system of record is WRITTEN over a DB connection
+    * (loader/get_realtime.py:51-55 bulk-loads CSV into the table;
+    * scripts/realtime_extractor.py:191-236 commits batched INSERTs). Each
+    * partition opens one connection and writes `batchSize`-row batches —
+    * the parallel bulk-load shape. Untestable here (no DB/driver in the
+    * sandbox); [[jdbcWriteOptions]] and [[stagingMergeSql]] carry the
+    * spec-verified logic. */
+  def jdbcWrite(df: DataFrame, url: String, table: String,
+                mode: String = "append", batchSize: Int = 10000,
+                truncate: Boolean = false,
+                props: Map[String, String] = Map.empty): Unit =
+    jdbcWriteOptions(url, table, batchSize, truncate, props)
+      .foldLeft(df.write.format("jdbc")) { case (w, (k, v)) => w.option(k, v) }
+      .mode(mode).save()
+
+  /** The staging-table upsert: bulk-append the batch into a staging table
+    * with [[jdbcWrite]], then run ONE set-based statement merging staging
+    * into the target — the DB-side mirror of
+    * [[graft.operators.Upsert.upsert]]'s semantics (insert new keys,
+    * update existing rows ONLY when a non-key column actually changed —
+    * `IS DISTINCT FROM` is the SQL spelling of Upsert's change predicate,
+    * NULL-safe like Spark's `<=>` negation). Row-by-row upserts from
+    * executors would hold row locks across the write; staging + one merge
+    * is the scalable pattern the reference's ON CONFLICT loader
+    * (loader/get_realtime.py:51-55) approximates per-batch.
+    *
+    * Generates PostgreSQL `INSERT ... ON CONFLICT` (the reference's
+    * dialect). `keyCols` must carry a unique index on the target. */
+  def stagingMergeSql(target: String, staging: String,
+                      keyCols: Seq[String], valueCols: Seq[String]): String = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty,
+      "staging merge needs at least one key and one value column")
+    val all = (keyCols ++ valueCols).mkString(", ")
+    val sets = valueCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    val changed = valueCols
+      .map(c => s"$target.$c IS DISTINCT FROM EXCLUDED.$c")
+      .mkString(" OR ")
+    s"""INSERT INTO $target ($all)
+       |SELECT $all FROM $staging
+       |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $sets
+       |WHERE $changed""".stripMargin
+  }
 }
