@@ -53,6 +53,91 @@ object DedupProps extends Properties("Dedup") {
       got == want
     }
 
+  /** Corpora with PLANTED near-duplicates: base docs of 10-14 tokens from
+    * a wider vocabulary (so unrelated docs rarely collide), each with a
+    * variant that rewrites the last 1-3 tokens — true bigram jaccard
+    * lands mostly in [0.5, 0.95]. */
+  private val wideVocab: Vector[String] =
+    Vector.tabulate(30)(i => s"w$i")
+  private val genNearDupCorpus: Gen[List[String]] = for {
+    nBase <- Gen.chooseNum(2, 5)
+    bases <- Gen.listOfN(nBase,
+      Gen.chooseNum(10, 14).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(wideVocab))))
+    variants <- Gen.sequence[List[List[String]], List[String]](bases.map { b =>
+      Gen.chooseNum(1, 3).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf(wideVocab)).map(tail =>
+          b.dropRight(k) ++ tail))
+    })
+  } yield (bases ++ variants).map(_.mkString(" "))
+
+  property("minhash LSH recall: with 32 bands of 2 rows, EVERY " +
+    "representative pair with true bigram jaccard >= 0.5 is a candidate " +
+    "with >= 90% aggregate recall (the q16 family's recall knob, pinned " +
+    "where the DuckDB oracle cannot go)") =
+    forAll(genNearDupCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // representative level, like the operator: exact dups collapse to
+      // their min id; <2-token docs can't shingle (none generated here)
+      val reps = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }
+        .groupBy(_._2).map { case (_, g) => g.map(_._1).min -> g.head._2 }
+      val qualifying = (for {
+        (ia, ta) <- reps; (ib, tb) <- reps if ia < ib
+        sa = naiveShingles(ta); sb = naiveShingles(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+        if j >= 0.5
+      } yield (ia, ib)).toSet
+      val got = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+          numHashes = 64, bands = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = qualifying.count(got.contains)
+      qualifying.isEmpty ||
+        found.toDouble / qualifying.size >= 0.9
+    }
+
+  property("the LSH-gated pipeline (q37 shape) is SOUND: every verified " +
+    "pair's score equals the exact inverted-index jaccard for that pair " +
+    "— candidates only ever restrict, never distort") =
+    forAll(genNearDupCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "b") }
+        .toDF("doc_id", "text", "b")
+      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16)
+      val piped = Dedup.jaccardOnPairs(cand, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.05)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", Seq("b"),
+          minJaccard = 0.05)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      piped.forall { case (pair, score) => exact.get(pair).contains(score) }
+    }
+
+  property("simhashPairs pigeonhole completeness holds for EVERY " +
+    "maxHamming budget in [1, 10], not just the default banding") =
+    forAll(genCorpus, Gen.chooseNum(1, 10)) { (texts, maxHamming) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val fps = docs
+        .select(col("doc_id"),
+          Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val reps = fps.groupBy(_._2).map { case (fp, g) =>
+        g.map(_._1).min -> fp }.toSeq
+      val want = (for {
+        (ia, fa) <- reps; (ib, fb) <- reps if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= maxHamming
+      } yield (ia, ib)).toSet
+      val got = Dedup.simhashPairs(docs, "doc_id", "text",
+          maxHamming = maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      want.subsetOf(got)
+    }
+
   property("simhashPairs is COMPLETE for hamming <= 3 (4x16-bit " +
     "pigeonhole): every qualifying representative pair is returned") =
     forAll(genCorpus) { texts =>
