@@ -131,6 +131,101 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream == batch Sessionize on the same events: " +
+    "identical session sets across keys, batches, gap-boundary ties, and " +
+    "equal timestamps") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingAnalytics.{SEvent, Session}
+    def ev(key: String, epoch: Long) =
+      SEvent(key, new java.sql.Timestamp(epoch * 1000L))
+    // batch 1 in-batch splits; batch 2 continues A's open session and
+    // splits B's — all in event-time order (watermark 0)
+    val batch1 = Seq(ev("A", 1000L), ev("A", 1000L), ev("A", 1050L),
+      ev("A", 2000L), ev("B", 1500L), ev("B", 1600L), ev("B", 1800L))
+    val batch2 = Seq(ev("A", 2050L), ev("B", 2500L))
+    val gap = 100L
+
+    val in = MemoryStream[SEvent]
+    val q = StreamingAnalytics.sessionizeStream(in.toDS, gapSeconds = gap)
+      .writeStream.format("memory").queryName("parity_sessions")
+      .outputMode("append").start()
+    val streamed = try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      in.addData(ev("Z", 100000L)) // watermark leaps past every deadline
+      q.processAllAvailable()
+      in.addData(ev("Z", 100001L)) // next trigger fires the timeouts
+      q.processAllAvailable()
+      spark.table("parity_sessions").as[Session].collect()
+        .filterNot(_.key == "Z")
+        .map(s => (s.key, s.start_epoch, s.end_epoch, s.n_events)).toSet
+    } finally q.stop()
+
+    // batch formulation over the SAME events, sessions derived from the
+    // per-event session_seq (tie col: the epoch itself — equal-ts events
+    // are interchangeable for session membership)
+    val events = (batch1 ++ batch2)
+      .map(e => (e.key, e.event_time.getTime / 1000))
+      .toDF("key", "ts")
+    val assigned = graft.operators.Sessionize.assignSessions(
+      events, Seq("key"), "ts", "ts", gap)
+    val batch = assigned.groupBy("key", "session_seq")
+      .agg(min("ts").as("s"), max("ts").as("e"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed === batch, s"stream=$streamed batch=$batch")
+    assert(batch.size >= 5) // non-vacuous: multiple sessions per key
+  }
+
+  test("sessionizeStream parity holds for WITHIN-WATERMARK out-of-order " +
+    "arrivals: backward start extension and too-early singleton emission " +
+    "match the batch result") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingAnalytics.{SEvent, Session}
+    def ev(key: String, epoch: Long) =
+      SEvent(key, new java.sql.Timestamp(epoch * 1000L))
+    val gap = 100L
+    val in = MemoryStream[SEvent]
+    // generous watermark delay keeps the out-of-order batch-2 events alive
+    val q = StreamingAnalytics.sessionizeStream(in.toDS, gapSeconds = gap,
+        watermark = "1000 seconds")
+      .writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+    val streamed = try {
+      in.addData(ev("A", 1000L), ev("B", 1000L))
+      q.processAllAvailable()
+      // A: 950 is within gap of A's open-session start (1000) → extends
+      // the session backward; B: 700 precedes 1000 by > gap → its own
+      // already-closed singleton
+      in.addData(ev("A", 950L), ev("B", 700L))
+      q.processAllAvailable()
+      in.addData(ev("Z", 100000L))
+      q.processAllAvailable()
+      in.addData(ev("Z", 100001L))
+      q.processAllAvailable()
+      spark.table("ooo_sessions").as[Session].collect()
+        .filterNot(_.key == "Z")
+        .map(s => (s.key, s.start_epoch, s.end_epoch, s.n_events)).toSet
+    } finally q.stop()
+    val events = Seq(("A", 1000L), ("B", 1000L), ("A", 950L), ("B", 700L))
+      .toDF("key", "ts")
+    val batch = graft.operators.Sessionize.assignSessions(
+        events, Seq("key"), "ts", "ts", gap)
+      .groupBy("key", "session_seq")
+      .agg(min("ts").as("s"), max("ts").as("e"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed === batch, s"stream=$streamed batch=$batch")
+    assert(batch === Set(("A", 950L, 1000L, 2L), ("B", 700L, 700L, 1L),
+      ("B", 1000L, 1000L, 1L)))
+  }
+
   test("lateStreaks: per-trip consecutive-late state survives batches and " +
     "resets on an on-time observation") {
     import spark.implicits._
