@@ -808,6 +808,16 @@ object SparkEntry {
         MultiModal.mediaFromDocuments(t(s, dir, "documents"))).toDF()
     }),
 
+    // The Arrow-batched multimodal path driven end-to-end: identical
+    // features to q25, but extracted through per-partition Arrow
+    // VectorSchemaRoot batches (the columnar decoder interface at scale).
+    // Shares q25's oracle verbatim — byte-exact parity is the contract.
+    "q56_multimodal_arrow" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      MultiModal.extractFeaturesArrow(
+        MultiModal.mediaFromDocuments(t(s, dir, "documents"))).toDF()
+    }),
+
     // Bucketed co-located join: both sides of the user_id join (and both
     // aggregations) read one bucketed table, so the plan has NO shuffle
     // before the join — the pre-partitioning scale path for repeated joins
@@ -1692,18 +1702,24 @@ object SparkEntry {
     // q25 operates on the UTF-8 BYTES of the media blob (the Spark side
     // decodes binary), so the oracle folds over octets, not characters —
     // byte-exact for non-ASCII text too.
-    "q25_multimodal" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, n_chars, ${utf8BytesSql("text")} AS bytes
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(len(bytes) AS BIGINT) AS byte_len,
-         |  CASE WHEN len(bytes) = 0 THEN -1 ELSE bytes[1] END AS first_byte,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
-         |    (a,x) -> (a*31+x) % 1000000007) AS content_fp,
-         |  n_chars % 640 AS width,
-         |  n_chars % 480 AS height,
-         |  CAST(len(bytes) AS BIGINT) % 30 + 1 AS n_frames
-         |FROM b""".stripMargin,
+    "q25_multimodal" -> MM_FEATURES_SQL,
+
+    // q56 extracts the identical features through Arrow batches — same
+    // oracle, verbatim.
+    "q56_multimodal_arrow" -> MM_FEATURES_SQL,
   )
+
+  private lazy val MM_FEATURES_SQL: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, n_chars, ${utf8BytesSql("text")} AS bytes
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(bytes) AS BIGINT) AS byte_len,
+       |  CASE WHEN len(bytes) = 0 THEN -1 ELSE bytes[1] END AS first_byte,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+       |    (a,x) -> (a*31+x) % 1000000007) AS content_fp,
+       |  n_chars % 640 AS width,
+       |  n_chars % 480 AS height,
+       |  CAST(len(bytes) AS BIGINT) % 30 + 1 AS n_frames
+       |FROM b""".stripMargin
 }

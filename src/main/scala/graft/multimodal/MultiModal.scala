@@ -55,6 +55,80 @@ object MultiModal {
     media.as[MediaRow].mapPartitions(_.map(decodeStub))
   }
 
+  /** Arrow-BATCHED feature extraction — row-identical to
+    * [[extractFeatures]], but each partition is processed as a sequence
+    * of real Arrow `VectorSchemaRoot` batches of up to `batchSize` rows:
+    * the columnar interface production decoders consume (a GPU/native
+    * image codec takes a buffer of blobs, not one row at a time). Scala
+    * Spark has no `mapInArrow` (that operator is Python-facing), so the
+    * batching runs inside `mapPartitions` against the public Arrow Java
+    * API Spark ships: rows → `VarBinaryVector`/`BigIntVector` batch →
+    * [[arrowDecodeKernel]] reads the offset/data BUFFERS directly
+    * (columnar access, no per-row byte[] materialization) → typed rows
+    * out. Allocator lifecycle is per batch, closed eagerly, so a failed
+    * task leaks nothing. */
+  def extractFeaturesArrow(media: DataFrame, batchSize: Int = 512)
+                          (implicit s: SparkSession): Dataset[MediaFeatures] = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+    import s.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        val alloc = new RootAllocator(Long.MaxValue)
+        val docV = new BigIntVector("doc_id", alloc)
+        val mediaV = new VarBinaryVector("media", alloc)
+        val widthV = new BigIntVector("width", alloc)
+        val heightV = new BigIntVector("height", alloc)
+        val root = VectorSchemaRoot.of(docV, mediaV, widthV, heightV)
+        try {
+          root.allocateNew()
+          rows.zipWithIndex.foreach { case (r, i) =>
+            docV.setSafe(i, r.doc_id)
+            mediaV.setSafe(i, r.media)
+            widthV.setSafe(i, r.width)
+            heightV.setSafe(i, r.height)
+          }
+          root.setRowCount(rows.size)
+          arrowDecodeKernel(root)
+        } finally {
+          root.close()
+          alloc.close()
+        }
+      }
+    }
+  }
+
+  /** The batch-level decode kernel: one call per Arrow batch, reading the
+    * binary column through its offset/data buffers — the loop shape a
+    * vectorized decoder plugs into. Must emit exactly [[decodeStub]]'s
+    * features (parity is spec-enforced). Output is materialized before
+    * the caller closes the batch's buffers. */
+  private def arrowDecodeKernel(
+      root: org.apache.arrow.vector.VectorSchemaRoot): Seq[MediaFeatures] = {
+    import org.apache.arrow.vector.{BigIntVector, VarBinaryVector}
+    val docV = root.getVector("doc_id").asInstanceOf[BigIntVector]
+    val mediaV = root.getVector("media").asInstanceOf[VarBinaryVector]
+    val widthV = root.getVector("width").asInstanceOf[BigIntVector]
+    val heightV = root.getVector("height").asInstanceOf[BigIntVector]
+    val offsets = mediaV.getOffsetBuffer
+    val data = mediaV.getDataBuffer
+    (0 until root.getRowCount).map { i =>
+      val start = offsets.getInt(i.toLong * 4L)
+      val end = offsets.getInt((i + 1).toLong * 4L)
+      var fp = 0L
+      var j = start.toLong
+      while (j < end) { fp = (fp * 31L + (data.getByte(j) & 0xffL)) % Mod; j += 1L }
+      val len = (end - start).toLong
+      MediaFeatures(
+        doc_id = docV.get(i),
+        byte_len = len,
+        first_byte = if (len > 0) (data.getByte(start.toLong) & 0xffL) else -1L,
+        content_fp = fp,
+        width = widthV.get(i), height = heightV.get(i),
+        n_frames = len % 30L + 1L)
+    }
+  }
+
   /** Stub frame size in bytes: the blob is treated as a sequence of
     * fixed-size frames (a real video decoder would use container metadata). */
   val FrameBytes = 32

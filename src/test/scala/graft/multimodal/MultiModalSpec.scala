@@ -47,6 +47,31 @@ class MultiModalSpec extends SparkSpec {
     assert(r.width === (7L % 640L) / 3L)
   }
 
+  test("extractFeaturesArrow == extractFeatures row-for-row on the real " +
+    "documents table, across batch boundaries (batchSize 7 forces " +
+    "partial final batches) and empty/nonempty blobs") {
+    implicit val s = spark
+    val m = MultiModal.mediaFromDocuments(
+      graft.Tables.t(spark, "/root/testdata/sf0.001", "documents"))
+    val rowPath = MultiModal.extractFeatures(m).collect().sortBy(_.doc_id)
+    val arrowPath = MultiModal.extractFeaturesArrow(m, batchSize = 7)
+      .collect().sortBy(_.doc_id)
+    assert(arrowPath.length === rowPath.length)
+    assert(arrowPath.toSeq === rowPath.toSeq)
+  }
+
+  test("extractFeaturesArrow handles the empty blob inside a batch") {
+    implicit val s = spark
+    import spark.implicits._
+    val m = MultiModal.mediaFromDocuments(
+      Seq((1L, "", 0L), (2L, "ab", 2L)).toDF("doc_id", "text", "n_chars"))
+    val got = MultiModal.extractFeaturesArrow(m, batchSize = 2)
+      .collect().sortBy(_.doc_id)
+    assert(got(0).byte_len === 0L && got(0).first_byte === -1L &&
+      got(0).content_fp === 0L)
+    assert(got(1).byte_len === 2L && got(1).first_byte === 'a'.toLong)
+  }
+
   test("empty media: no frames, empty resize") {
     implicit val s = spark
     assert(MultiModal.sampleFrames(media(""), step = 1).count() === 0L)
