@@ -352,12 +352,17 @@ object Dedup {
         .select(col("b").as("a"), col("m").as("b"))
       rewired.union(mins.select(col("a"), col("m").as("b"))).distinct()
     }
+    // Checkpoint the RAW distinct edge set first: `nodes` and the star
+    // loop's working set both derive from it, so the (possibly expensive
+    // — q51 feeds a whole LSH candidate pipeline in here) upstream
+    // subtree is evaluated exactly ONCE, not once per consumer.
+    val base = truncate(edges0.distinct())
     // every node that appears in the input — including self-loop-only
     // nodes, which the star rounds never see — gets an output row
-    val nodes = edges0.select(col("a").as("id"))
-      .union(edges0.select(col("b").as("id"))).distinct()
-    var cur = truncate(edges0.where(col("a") =!= col("b")).distinct())
-    var fp = fingerprint(cur)
+    val nodes = base.select(col("a").as("id"))
+      .union(base.select(col("b").as("id"))).distinct()
+    var cur = base.where(col("a") =!= col("b"))
+    var fp = fingerprint(cur) // materializes base's checkpoint too
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIters) {
