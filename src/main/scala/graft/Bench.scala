@@ -7,6 +7,7 @@ object Bench {
     // Per-query medians over N full passes decide regressions that a
     // single shared-JVM pass cannot (documented run-to-run jitter ±30%).
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(nRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $nRuns")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,25 +27,32 @@ object Bench {
     for (_ <- 1 to nRuns) {
       // Each pass starts cache-cold so every pass measures the same thing
       // (within a pass the mart cache still pays off for its dependents,
-      // by design — that IS the measured architecture).
-      spark.catalog.clearCache()
+      // by design — that IS the measured architecture). resetCaches, not
+      // catalog.clearCache: the latter would leave the memoized mart
+      // DataFrames behind with their persistence silently dropped.
+      SparkEntry.resetCaches()
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         // The noop sink forces full materialization of every output column
         // — a bare count() would let column pruning delete the per-row
         // expression work this benchmark exists to measure.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // only successful executions enter the median — a fast failure
+          // must not masquerade as a speedup
+          times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           errors.getOrElseUpdate(name,
             e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
         }
-        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
     }
-    def median(xs: List[Double]): Double = {
-      val s = xs.sorted
-      s(s.size / 2) // odd run counts: the true median; even: upper median
+    def median(xs: List[Double]): Double = xs match {
+      case Nil => 0.0 // query failed every pass; the errors map carries it
+      case _ =>
+        val s = xs.sorted
+        s(s.size / 2) // odd run counts: the true median; even: upper median
     }
     val medians = names.map(n => n -> median(times(n)))
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -55,6 +55,16 @@ object SparkEntry {
         buildDiffMart(s, dir).persist())
     }
 
+  /** Drop the memoized marts AND their persisted blocks — for harnesses
+    * (Bench) that need each measurement pass to start cache-cold. A bare
+    * `spark.catalog.clearCache()` would drop the blocks but leave the
+    * memoized DataFrames behind, silently un-persisted for every later
+    * use. */
+  def resetCaches(): Unit = martCache.synchronized {
+    martCache.values.foreach(_.unpersist(blocking = false))
+    martCache.clear()
+  }
+
   private def buildDiffMart(s: SparkSession, dir: String): DataFrame = {
     // Two independent reads: tu/gd must not share a Dataset lineage, or
     // Spark's ambiguous-self-join check misfires on downstream rollups.

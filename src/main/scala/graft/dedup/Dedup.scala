@@ -319,10 +319,25 @@ object Dedup {
     val spark = edges0.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     // eager=false: the checkpoint materializes under the SAME job as the
-    // fingerprint action below — one driver action per round total
+    // fingerprint action below — one driver action per round total.
+    // Reliable mode must persist FIRST: unlike localCheckpoint (whose
+    // cached blocks ARE the data), a reliable checkpoint write re-runs
+    // the full lineage in its own pass unless the RDD is cached — which
+    // would re-evaluate the upstream subtree this function exists to
+    // bound. Superseded rounds' blocks are dropped by the caller once the
+    // following round is safely on reliable storage.
+    val cachedRounds = scala.collection.mutable.Queue.empty[DataFrame]
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      if (checkpointDir.isDefined) {
+        val cached = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cachedRounds.enqueue(cached)
+        cached.checkpoint(eager = false)
+      } else df.localCheckpoint(eager = false)
+    // safe only after the successor round's checkpoint has materialized
+    def dropSupersededCaches(): Unit =
+      while (cachedRounds.size > 1)
+        cachedRounds.dequeue().unpersist(blocking = false)
     // count + XOR of per-edge hashes: commutative, duplicate-free input
     // (edges are distinct-ed), and — unlike a sum — can never hit the
     // ANSI long-overflow error at any cardinality
@@ -367,7 +382,8 @@ object Dedup {
     var converged = false
     while (!converged && rounds < maxIters) {
       val next = truncate(smallStar(largeStar(cur)))
-      val nfp = fingerprint(next)
+      val nfp = fingerprint(next) // materializes next's checkpoint
+      dropSupersededCaches()
       converged = nfp == fp
       cur = next
       fp = nfp
