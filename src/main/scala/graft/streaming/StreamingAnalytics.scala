@@ -53,8 +53,8 @@ object StreamingAnalytics {
     * so the watermark (and event-time timeouts) can track it. */
   final case class SEvent(key: String, event_time: java.sql.Timestamp)
 
-  /** A closed session: emitted when the gap passes or the watermark
-    * overtakes the session's timeout. */
+  /** A closed session: emitted once the watermark passes the session's
+    * gap deadline (no admissible event can extend it any more). */
   final case class Session(key: String, start_epoch: Long, end_epoch: Long,
                            n_events: Long)
 
@@ -63,67 +63,70 @@ object StreamingAnalytics {
   final case class OpenSession(startEpoch: Long, endEpoch: Long,
                                nEvents: Long)
 
+  /** Per-key [[sessionizeStream]] state: EVERY session not yet sealed by
+    * the watermark, sorted by start, pairwise gap-separated. Holding the
+    * full in-watermark set (not just the latest session) is what makes
+    * out-of-order arrivals exact: an event t may merge with, bridge, or
+    * precede ANY session whose horizon the watermark hasn't passed —
+    * eagerly closing a "too early" event as a singleton is wrong, because
+    * a later within-watermark event can still bridge it to a neighbor.
+    * Size is bounded by the watermark: a session seals (and leaves state)
+    * as soon as watermark > end + gap, so at most
+    * ceil(watermarkDelay / gap) + 1 sessions per key ever coexist. */
+  final case class SessState(sessions: List[OpenSession])
+
   /** Streaming gap-sessionization — [[graft.operators.Sessionize]]'s
-    * unbounded sibling: sessions close either when a later event of the
-    * same key arrives past the gap, or when the WATERMARK passes the open
-    * session's gap deadline (EventTimeTimeout) — so idle keys emit their
-    * last session instead of holding state forever. State per key is one
-    * (start, end, n) triple: fixed-size, the flatMapGroupsWithState
-    * contract at any key cardinality. */
+    * unbounded sibling, with EXACT batch parity for every within-watermark
+    * arrival order: events merge into (possibly several) open sessions per
+    * key, and a session is emitted only when the WATERMARK passes its gap
+    * deadline (end + gap) — the first moment no admissible future event
+    * (all of which are >= watermark) can extend or bridge it. Idle keys
+    * emit via EventTimeTimeout at the earliest open deadline. Like Spark's
+    * own append-mode window aggregates, emission therefore trails the
+    * watermark by one trigger — the price of out-of-order exactness. */
   def sessionizeStream(events: Dataset[SEvent], gapSeconds: Long,
                        watermark: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.withWatermark("event_time", watermark)
       .groupByKey(_.key)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, rows: Iterator[SEvent], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(key, s.startEpoch, s.endEpoch, s.nEvents))
-          } else {
-            val times = rows.map(_.event_time.getTime / 1000).toSeq.sorted
-            val closed = Seq.newBuilder[Session]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur = cur match {
-                case Some(s) if t >= s.startEpoch && t - s.endEpoch <= gapSeconds =>
-                  Some(OpenSession(s.startEpoch, math.max(s.endEpoch, t),
-                    s.nEvents + 1))
-                case Some(s) if t < s.startEpoch =>
-                  // within-watermark arrival BEFORE the open session (only
-                  // possible across batches — within a batch times are
-                  // sorted): extend the session backward when within the
-                  // gap of its start, matching what batch Sessionize would
-                  // have computed; otherwise the event is its own session,
-                  // already closed (nothing later can merge with it —
-                  // everything after the open session's start is >= start).
-                  if (s.startEpoch - t <= gapSeconds)
-                    Some(OpenSession(t, s.endEpoch, s.nEvents + 1))
-                  else {
-                    closed += Session(key, t, t, 1)
-                    Some(s)
-                  }
-                case Some(s) =>
-                  closed += Session(key, s.startEpoch, s.endEpoch, s.nEvents)
-                  Some(OpenSession(t, t, 1))
-                case None => Some(OpenSession(t, t, 1))
-              }
+        (key: String, rows: Iterator[SEvent], state: GroupState[SessState]) =>
+          // Fold new events in (timeout invocations carry none): event t
+          // absorbs every session within gap of it — when t lands between
+          // two sessions at most 2*gap apart, both match and t BRIDGES
+          // them into one, exactly as batch Sessionize would.
+          var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+          rows.map(_.event_time.getTime / 1000).foreach { t =>
+            val (touching, rest) = sessions.partition(s =>
+              t >= s.startEpoch - gapSeconds && t <= s.endEpoch + gapSeconds)
+            val merged = touching.foldLeft(OpenSession(t, t, 1L)) { (acc, s) =>
+              OpenSession(math.min(acc.startEpoch, s.startEpoch),
+                math.max(acc.endEpoch, s.endEpoch), acc.nEvents + s.nEvents)
             }
-            cur.foreach { s =>
-              state.update(s)
-              // clamp above the watermark: a deadline computed from a
-              // late-arriving event would be below it, which
-              // setTimeoutTimestamp rejects (killing the query). Current
-              // Spark filters late rows before the operator, but the
-              // clamp keeps the contract version-independent.
-              state.setTimeoutTimestamp(
-                math.max((s.endEpoch + gapSeconds) * 1000L + 1L,
-                  state.getCurrentWatermarkMs() + 1L))
-            }
-            closed.result().iterator
+            sessions = (merged :: rest).sortBy(_.startEpoch)
           }
+          // Seal: admissible future events are >= watermark, so a session
+          // with (end + gap) strictly below it can never change again.
+          val wmMs = state.getCurrentWatermarkMs()
+          val (sealed_, open) =
+            sessions.partition(s => (s.endEpoch + gapSeconds) * 1000L < wmMs)
+          if (open.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(SessState(open))
+            // clamp above the watermark: a deadline computed from a
+            // late-arriving event would be below it, which
+            // setTimeoutTimestamp rejects (killing the query). Current
+            // Spark filters late rows before the operator, but the clamp
+            // keeps the contract version-independent.
+            state.setTimeoutTimestamp(math.max(
+              open.map(s => (s.endEpoch + gapSeconds) * 1000L + 1L).min,
+              wmMs + 1L))
+          }
+          sealed_.sortBy(_.startEpoch)
+            .map(s => Session(key, s.startEpoch, s.endEpoch, s.nEvents))
+            .iterator
       }
   }
 

@@ -67,8 +67,8 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionizeStream: in-batch gap splits close immediately; idle " +
-    "keys close via event-time timeout when the watermark passes") {
+  test("sessionizeStream: sessions seal only once the watermark passes " +
+    "their gap deadline; idle keys seal via event-time timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     import StreamingAnalytics.{SEvent, Session}
@@ -79,17 +79,20 @@ class StreamingAnalyticsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     try {
-      // one batch, key A: (1000, 1050) then a gap > 100 → (2000) opens new
+      // one batch, key A: (1000, 1050) then a gap > 100 → (2000) opens
+      // new. Sealing waits for the WATERMARK (the exact-parity contract:
+      // an out-of-order arrival could still bridge the split), but the
+      // data batch advances it to 2000 and the follow-up no-data
+      // micro-batch fires the timeout — so processAllAvailable already
+      // surfaces the sealed (1000, 1050); (2000, 2000) (deadline 2100)
+      // stays open.
       in.addData(ev("A", 1000L), ev("A", 1050L), ev("A", 2000L))
       q.processAllAvailable()
       val afterBatch1 = spark.table("sessions").as[Session].collect().toSet
       assert(afterBatch1 === Set(Session("A", 1000L, 1050L, 2L)))
 
-      // key B far in the future advances the watermark past A's deadline
-      // (2100); A's open session times out and closes on the next trigger
+      // watermark reaches 5000: A's idle (2000, 2000) times out and seals
       in.addData(ev("B", 5000L))
-      q.processAllAvailable()
-      in.addData(ev("B", 5001L)) // one more trigger to fire the timeout
       q.processAllAvailable()
       val all = spark.table("sessions").as[Session].collect().toSet
       assert(all.contains(Session("A", 2000L, 2000L, 1L)),
@@ -119,7 +122,9 @@ class StreamingAnalyticsSpec extends SparkSpec {
       // phantom session.
       in.addData(ev("A", 1500L))
       q.processAllAvailable()
-      in.addData(ev("B", 9000L)) // trigger timeouts
+      in.addData(ev("B", 9000L)) // advances the watermark past B's deadline
+      q.processAllAvailable()
+      in.addData(ev("B", 9500L)) // next trigger fires B's timeout
       q.processAllAvailable()
       assert(q.exception.isEmpty, q.exception.toString)
       val sessions = spark.table("late_sessions").as[Session].collect().toSet
@@ -223,6 +228,51 @@ class StreamingAnalyticsSpec extends SparkSpec {
       .toSet
     assert(streamed === batch, s"stream=$streamed batch=$batch")
     assert(batch === Set(("A", 950L, 1000L, 2L), ("B", 700L, 700L, 1L),
+      ("B", 1000L, 1000L, 1L)))
+  }
+
+  test("sessionizeStream parity: a later out-of-order event BRIDGES a " +
+    "too-early event to the open session, and two too-early events within " +
+    "gap of each other form ONE session — not eager singletons") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingAnalytics.{SEvent, Session}
+    def ev(key: String, epoch: Long) =
+      SEvent(key, new java.sql.Timestamp(epoch * 1000L))
+    val gap = 100L
+    val in = MemoryStream[SEvent]
+    val q = StreamingAnalytics.sessionizeStream(in.toDS, gapSeconds = gap,
+        watermark = "1000 seconds")
+      .writeStream.format("memory").queryName("bridge_sessions")
+      .outputMode("append").start()
+    val streamed = try {
+      in.addData(ev("A", 1000L), ev("B", 1000L))
+      q.processAllAvailable()
+      // A: 850 precedes 1000 by > gap (its own pending session), then 920
+      // lands within gap of BOTH → all three must merge into (850, 1000).
+      // B: 700 and 780 are each > gap before 1000 but within gap of each
+      // other → one (700, 780) session plus the untouched (1000, 1000).
+      in.addData(ev("A", 850L), ev("A", 920L), ev("B", 700L), ev("B", 780L))
+      q.processAllAvailable()
+      in.addData(ev("Z", 100000L))
+      q.processAllAvailable()
+      in.addData(ev("Z", 100001L))
+      q.processAllAvailable()
+      spark.table("bridge_sessions").as[Session].collect()
+        .filterNot(_.key == "Z")
+        .map(s => (s.key, s.start_epoch, s.end_epoch, s.n_events)).toSet
+    } finally q.stop()
+    val events = Seq(("A", 1000L), ("B", 1000L), ("A", 850L), ("A", 920L),
+      ("B", 700L), ("B", 780L)).toDF("key", "ts")
+    val batch = graft.operators.Sessionize.assignSessions(
+        events, Seq("key"), "ts", "ts", gap)
+      .groupBy("key", "session_seq")
+      .agg(min("ts").as("s"), max("ts").as("e"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed === batch, s"stream=$streamed batch=$batch")
+    assert(batch === Set(("A", 850L, 1000L, 3L), ("B", 700L, 780L, 2L),
       ("B", 1000L, 1000L, 1L)))
   }
 
