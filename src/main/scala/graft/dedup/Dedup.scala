@@ -51,13 +51,29 @@ object Dedup {
     * empty array yields an all-MaxValue signature that would collide in
     * every band.
     *
-    * Single-pass formulation (the SimHash-vote shape): one `aggregate`
-    * carries a numHashes-slot min vector and traverses the shingle array
-    * once — the obvious `array(array_min(transform(...)) × numHashes)`
-    * spelling traverses it numHashes times, each an interpreted HOF pass
-    * re-evaluating the shingle expression. Hash inputs are identical
-    * (int seed, string shingle), so signatures are unchanged. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    * Evaluated by the native codegen kernel
+    * [[graft.expressions.MinHashSignature]] — higher-order functions
+    * always run interpreted, and the per-(shingle × component) lambda
+    * boxing was the dominant cost of every full-corpus signature pass.
+    * Value-identical to [[minhashSignatureHof]] (parity-pinned by
+    * SignatureKernelsSpec). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.expressions.SignatureKernels.minhashSig(shingles, numHashes)
+
+  /** Polynomial-family MinHash signature — [[minhashSignature]]'s
+    * oracle-expressible sibling: component j is the min over shingles of
+    * (a_j * charPolyHash(s) + b_j) mod 1e9+7, every ingredient of which
+    * has an exact DuckDB mirror ([[graft.expressions.PolyMinHash]]). Use
+    * when end-to-end hash-checkability of the signatures and the banding
+    * built on them matters more than xxhash64's wider 64-bit hash space. */
+  def polyMinhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.expressions.SignatureKernels.polyMinhashSig(shingles, numHashes)
+
+  /** The replaced single-pass HOF spelling of [[minhashSignature]], kept
+    * as the executable specification the kernel is parity-tested against:
+    * one `aggregate` carries a numHashes-slot min vector and traverses
+    * the shingle array once. */
+  private[graft] def minhashSignatureHof(shingles: Column, numHashes: Int): Column = {
     val seeds = typedLit((0 until numHashes).toList)
     aggregate(
       shingles,
@@ -131,17 +147,23 @@ object Dedup {
   }
 
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is set when
-    * the +1/-1 vote of all token-hash bits j sums positive.
-    *
-    * Single-pass formulation: one `aggregate` carries a 64-slot vote array
-    * and each token is hashed exactly once. (64 per-bit `aggregate`
-    * expressions — the obvious spelling — would re-evaluate the token-hash
-    * transform per bit: 64 hashes per token, interpreted, since HOFs sit
-    * outside codegen.) Bit j is tested by mask (`h & (1<<j)`), identical to
-    * an arithmetic-shift test, and the fingerprint is the sum of masks with
-    * positive votes — masks are distinct powers of two, and the fold adds
-    * the sign-bit mask last, so intermediate sums cannot overflow. */
-  def simhash64(tk: Column): Column = {
+    * the +1/-1 vote of all token-hash bits j sums positive. Evaluated by
+    * the native codegen kernel [[graft.expressions.SimHash64]] — each
+    * token is hashed once and voted in a primitive loop, vs the
+    * interpreted 64-slot `zip_with` per token of the HOF spelling.
+    * Value-identical to [[simhash64Hof]] (parity-pinned by
+    * SignatureKernelsSpec). */
+  def simhash64(tk: Column): Column =
+    graft.expressions.SignatureKernels.simhashFp(tk)
+
+  /** The replaced single-pass HOF spelling of [[simhash64]], kept as the
+    * executable specification the kernel is parity-tested against: one
+    * `aggregate` carries a 64-slot vote array and each token is hashed
+    * exactly once. Bit j is tested by mask (`h & (1<<j)`), and the
+    * fingerprint is the sum of masks with positive votes — masks are
+    * distinct powers of two, and the fold adds the sign-bit mask last, so
+    * intermediate sums cannot overflow. */
+  private[graft] def simhash64Hof(tk: Column): Column = {
     val masks = typedLit((0 until 64).map(j => 1L << j))
     aggregate(
       transform(tk, t => xxhash64(t)),

@@ -1,0 +1,223 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen kernels for tokenization, shingling, and polynomial
+  * fingerprints — the other half of the dedup family's per-row CPU
+  * (signatures are [[SignatureKernels]]; this file is the text they
+  * consume). The HOF spellings (`filter(split(...))`,
+  * `zip_with`+`concat`+`array_distinct` chains, char-level `aggregate`
+  * folds) all run interpreted; at round 5 the shingle construction feeding
+  * q16/q18/q37/q38/q43/q48/q51-q53 was the single largest CPU block in the
+  * bench. Each expression here is value-identical to the Column spelling
+  * it replaces (parity-pinned by TextKernelsSpec, and — for the poly
+  * hashes — by the q24/q45/q46 DuckDB oracles that mirror them).
+  */
+object TextKernels {
+
+  /** Token byte-offsets (start, end) into `text`: maximal runs of
+    * non-space bytes. Splitting on the 0x20 byte is UTF-8-safe (a space
+    * never occurs inside a multibyte sequence), and empty runs are
+    * dropped — exactly `filter(split(text, " "), _ <> "")` (regex " "
+    * splits at every single space; consecutive spaces yield empties,
+    * which the filter removes). */
+  private def tokenSpans(text: UTF8String): java.util.ArrayList[Array[Int]] = {
+    val n = text.numBytes()
+    val spans = new java.util.ArrayList[Array[Int]]()
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      if (i == n || text.getByte(i) == 0x20.toByte) {
+        if (start >= 0) spans.add(Array(start, i))
+        start = -1
+      } else if (start < 0) start = i
+      i += 1
+    }
+    spans
+  }
+
+  /** Tokens row kernel (the real one): see [[tokenSpans]]. */
+  def tokenize(text: UTF8String): ArrayData = {
+    val spans = tokenSpans(text)
+    val out = new Array[AnyRef](spans.size())
+    var k = 0
+    while (k < spans.size()) {
+      val s = spans.get(k)
+      out(k) = copyRange(text, s(0), s(1))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def copyRange(text: UTF8String, from: Int, until: Int): UTF8String = {
+    val len = until - from
+    val bytes = new Array[Byte](len)
+    var i = 0
+    while (i < len) { bytes(i) = text.getByte(from + i); i += 1 }
+    UTF8String.fromBytes(bytes)
+  }
+
+  /** Shingle row kernel over a TOKEN ARRAY: windows of n consecutive
+    * tokens joined with a single space, first-occurrence-distinct —
+    * exactly `array_distinct(filter(fold of zip_with+concat, notNull))`.
+    * Incomplete tail windows (fewer than n tokens) don't exist by
+    * construction (the HOF form's null-filter). */
+  def shingles(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= m) {
+      var len = n - 1 // separators
+      var j = 0
+      var hasNull = false
+      while (j < n) {
+        if (arr.isNullAt(i + j)) hasNull = true
+        else len += arr.getUTF8String(i + j).numBytes()
+        j += 1
+      }
+      // a null token nulls the whole concat in the HOF form, and the
+      // filter drops it — skip the window
+      if (!hasNull) {
+        val bytes = new Array[Byte](len)
+        var pos = 0
+        j = 0
+        while (j < n) {
+          if (j > 0) { bytes(pos) = 0x20.toByte; pos += 1 }
+          val t = arr.getUTF8String(i + j)
+          val tb = t.numBytes()
+          var b = 0
+          while (b < tb) { bytes(pos) = t.getByte(b); pos += 1; b += 1 }
+          j += 1
+        }
+        out.add(UTF8String.fromBytes(bytes))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  /** Order-sensitive token fingerprint row kernel:
+    * h = (h*131 + charPolyHash(token)) mod 1e9+7 over the token array; a
+    * null token contributes its transform's NULL, which the HOF
+    * `aggregate`'s `+` poisons to NULL — mirrored here. */
+  def tokenFingerprint(arr: ArrayData): java.lang.Long = {
+    val m = arr.numElements()
+    var h = 0L
+    var i = 0
+    while (i < m) {
+      if (arr.isNullAt(i)) return null
+      h = (h * 131L + SignatureKernels.polyHash(arr.getUTF8String(i))) %
+        SignatureKernels.PolyMod
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  // ------------------------------------------------------- Column surface --
+
+  def tokensOf(text: Column): Column =
+    Bridge.column(TokensOf(Bridge.expression(text)))
+
+  def ngramShinglesOf(tk: Column, n: Int): Column =
+    Bridge.column(NgramShinglesOf(Bridge.expression(tk), n))
+
+  def charPolyHashOf(text: Column): Column =
+    Bridge.column(CharPolyHash(Bridge.expression(text)))
+
+  def tokenFingerprintOf(tk: Column): Column =
+    Bridge.column(TokenFingerprintOf(Bridge.expression(tk)))
+}
+
+/** Whitespace tokens of a string column (empties dropped). */
+case class TokensOf(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.tokenize(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextKernels.tokenize($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokensOf =
+    copy(child = newChild)
+}
+
+/** Distinct word n-gram shingles of a token-array column. */
+case class NgramShinglesOf(child: Expression, n: Int)
+    extends SignatureExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.shingles(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextKernels.shingles($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramShinglesOf =
+    copy(child = newChild)
+}
+
+/** Codepoint-level polynomial rolling hash of a string column —
+  * [[graft.text.TextAnalysis.charPolyHash]] as one codegen'd loop. */
+case class CharPolyHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_char_poly_hash"
+
+  override def nullSafeEval(a: Any): Any =
+    SignatureKernels.polyHash(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.SignatureKernels.polyHash($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharPolyHash =
+    copy(child = newChild)
+}
+
+/** Order-sensitive polynomial fingerprint of a token-array column —
+  * [[graft.text.TextAnalysis.tokenFingerprint]] as one codegen'd loop.
+  * Nullable even for non-null input (a null ELEMENT poisons the fold,
+  * mirroring the HOF aggregate). */
+case class TokenFingerprintOf(child: Expression) extends SignatureExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_token_fingerprint"
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.tokenFingerprint(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("fp")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |java.lang.Long $tmp = graft.expressions.TextKernels.tokenFingerprint($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenFingerprintOf =
+    copy(child = newChild)
+}

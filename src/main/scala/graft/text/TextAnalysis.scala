@@ -15,20 +15,39 @@ object TextAnalysis {
 
   val Mod = 1000000007L
 
-  /** Whitespace tokens, empty strings dropped (texts have trailing spaces). */
+  /** Whitespace tokens, empty strings dropped (texts have trailing
+    * spaces). Evaluated by the native codegen kernel
+    * [[graft.expressions.TokensOf]] (the `filter` HOF of the replaced
+    * spelling ran interpreted on every corpus pass); value-identical to
+    * [[tokensHof]], parity-pinned by TextKernelsSpec. */
   def tokens(text: Column): Column =
+    graft.expressions.TextKernels.tokensOf(text)
+
+  /** The replaced HOF spelling of [[tokens]], kept as the executable
+    * specification the kernel is parity-tested against. */
+  private[graft] def tokensHof(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
   /** Distinct word n-gram shingles of a token array (for Jaccard/MinHash).
+    * Evaluated by the native codegen kernel
+    * [[graft.expressions.NgramShinglesOf]]: windows of n consecutive
+    * tokens joined with a single space, first-occurrence-distinct.
+    * Value-identical to [[ngramShinglesHof]] (TextKernelsSpec parity). */
+  def ngramShingles(tk: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    graft.expressions.TextKernels.ngramShinglesOf(tk, n)
+  }
+
+  /** The replaced HOF spelling of [[ngramShingles]], kept as the
+    * executable specification the kernel is parity-tested against.
     *
     * Formulated as a fold of `zip_with(acc, tk[j+1..])` rather than an
-    * indexed transform with `element_at(tk, i)` in the lambda: higher-order
-    * functions run interpreted (outside whole-stage codegen), and a lambda
+    * indexed transform with `element_at(tk, i)` in the lambda: a lambda
     * that re-derives `tk` per element would make shingling O(tokens²) per
     * row per plan occurrence. Here `tk` is evaluated a constant (n) number
     * of times per row. zip_with pads the shorter side with NULL, `concat`
     * propagates it, and the filter drops the incomplete tail shingles. */
-  def ngramShingles(tk: Column, n: Int): Column = {
+  private[graft] def ngramShinglesHof(tk: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")
     val joined = (1 until n).foldLeft(tk) { (acc, j) =>
       zip_with(acc, slice(tk, lit(j + 1), greatest(size(tk) - j, lit(0))),
@@ -41,17 +60,32 @@ object TextAnalysis {
     * [[ngramShingles]], the reference grain for the dedup operators. */
   def bigramShingles(tk: Column): Column = ngramShingles(tk, 2)
 
-  /** Polynomial rolling hash over a string's characters:
-    * h = (h*31 + code(c)) mod 1e9+7. The char-level inner loop stays inside
-    * codegen (`aggregate` over `split`). */
+  /** Polynomial rolling hash over a string's codepoints:
+    * h = (h*31 + code(c)) mod 1e9+7. Evaluated by the native codegen
+    * kernel [[graft.expressions.CharPolyHash]]; value-identical to
+    * [[charPolyHashHof]] (TextKernelsSpec parity, and the q24/q45/q46
+    * DuckDB oracles mirror it). */
   def charPolyHash(text: Column): Column =
+    graft.expressions.TextKernels.charPolyHashOf(text)
+
+  /** The replaced HOF spelling of [[charPolyHash]] (`aggregate` over
+    * `split(text, "")` with `ascii` — the leading codepoint of each
+    * one-codepoint cell), kept for the parity spec. */
+  private[graft] def charPolyHashHof(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * 31L + ascii(c).cast("long")) % Mod)
 
   /** Order-sensitive document fingerprint over token hashes:
-    * h = (h*131 + charPolyHash(token)) mod 1e9+7. */
+    * h = (h*131 + charPolyHash(token)) mod 1e9+7. Native kernel
+    * ([[graft.expressions.TokenFingerprintOf]]); value-identical to
+    * [[tokenFingerprintHof]]. */
   def tokenFingerprint(tk: Column): Column =
-    aggregate(transform(tk, charPolyHash _), lit(0L),
+    graft.expressions.TextKernels.tokenFingerprintOf(tk)
+
+  /** The replaced HOF spelling of [[tokenFingerprint]], kept for the
+    * parity spec. */
+  private[graft] def tokenFingerprintHof(tk: Column): Column =
+    aggregate(transform(tk, charPolyHashHof _), lit(0L),
       (acc, h) => (acc * 131L + h) % Mod)
 
   /** Occurrences of any of `words` in the token array. */

@@ -1,0 +1,83 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The native text kernels vs the HOF spellings they replace — tokens,
+  * shingles (order AND first-occurrence-distinctness), poly hashes — over
+  * adversarial whitespace/unicode inputs, plus codegen participation. */
+class TextKernelsSpec extends SparkSpec {
+
+  private def texts: DataFrame = {
+    import spark.implicits._
+    Seq(
+      "the quick brown fox",
+      "  leading and   multiple   spaces  ",
+      "",
+      " ",
+      "single",
+      "dup dup dup dup",
+      "a b a b a b", // repeated bigrams → distinct must collapse, in order
+      "naïve 日本語 \uD83D\uDE00 mix",
+      "tail space ",
+      "a"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+  }
+
+  test("tokens kernel == filter(split) HOF on adversarial whitespace") {
+    val got = texts.select(
+      TextAnalysis.tokens(col("text")).as("native"),
+      TextAnalysis.tokensHof(col("text")).as("hof")).collect()
+    got.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
+  test("ngram shingle kernel == zip_with/concat/distinct HOF for n=1..4, " +
+    "including element ORDER") {
+    for (n <- 1 to 4) {
+      val tk = TextAnalysis.tokens(col("text"))
+      val got = texts.select(
+        TextAnalysis.ngramShingles(tk, n).as("native"),
+        TextAnalysis.ngramShinglesHof(TextAnalysis.tokensHof(col("text")), n)
+          .as("hof")).collect()
+      got.foreach(r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n"))
+    }
+  }
+
+  test("charPolyHash and tokenFingerprint kernels == HOF folds; null " +
+    "input → NULL") {
+    val got = texts.select(
+      TextAnalysis.charPolyHash(col("text")).as("n1"),
+      TextAnalysis.charPolyHashHof(col("text")).as("h1"),
+      TextAnalysis.tokenFingerprint(TextAnalysis.tokens(col("text"))).as("n2"),
+      TextAnalysis.tokenFingerprintHof(TextAnalysis.tokensHof(col("text")))
+        .as("h2")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+    val nulls = spark.sql("SELECT CAST(NULL AS STRING) AS text").select(
+      TextAnalysis.charPolyHash(col("text")).as("h"),
+      TextAnalysis.tokenFingerprint(TextAnalysis.tokens(col("text"))).as("fp"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("tokens/shingles/charPolyHash participate in whole-stage codegen") {
+    val df = spark.range(8).select(
+        concat(lit("w"), col("id").cast("string"), lit(" x y w"),
+          col("id").cast("string")).as("text"))
+      .select(
+        TextAnalysis.tokens(col("text")).as("tk"),
+        TextAnalysis.ngramShingles(TextAnalysis.tokens(col("text")), 2).as("sg"),
+        TextAnalysis.charPolyHash(col("text")).as("ph"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    Seq("graft_tokens", "graft_shingles", "graft_char_poly_hash").foreach { fn =>
+      assert(plan.linesIterator.exists(l =>
+        l.contains(fn) && l.trim.startsWith("*")), s"$fn not codegen'd:\n$plan")
+    }
+  }
+}
