@@ -285,6 +285,55 @@ object SparkEntry {
     "list_distinct(list_transform(range(1, len(tk) - 1), " +
       "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
 
+  /** The poly-MinHash affine coefficients as a DuckDB VALUES list — the
+    * same [[graft.expressions.SignatureKernels.polyCoeffs]] constants the
+    * Spark kernel uses (operator constants are part of the definition, so
+    * the oracle embeds them verbatim — the q20/q54 plane-literal pattern). */
+  private def polySeedsSql(numHashes: Int): String = {
+    val (as, bs) = graft.expressions.SignatureKernels.polyCoeffs(numHashes)
+    (0 until numHashes).map(j =>
+      s"(${j}::BIGINT, ${as(j)}::BIGINT, ${bs(j)}::BIGINT)").mkString(", ")
+  }
+
+  /** Shared poly-MinHash oracle CTEs: shingled documents (`shf`: doc_id,
+    * text, non-empty distinct bigram list) and the seed table. */
+  private def polyBaseCtes(numHashes: Int): String =
+    s"""WITH toks AS (SELECT doc_id, text, $TOKENS_SQL AS tk FROM documents),
+       |sh0 AS (SELECT doc_id, text, $BIGRAM_SQL AS sg FROM toks),
+       |shf AS (SELECT doc_id, text, sg FROM sh0 WHERE len(sg) > 0),
+       |seeds(i, a, b) AS (VALUES ${polySeedsSql(numHashes)}),
+       |""".stripMargin
+
+  /** q58/q59 shared CTEs through the candidate-pair set: exact-dup
+    * collapse (min-id representative per identical text — the SHA-256
+    * grouping's SQL mirror), per-shingle charPolyHash, per-component
+    * affine minima, contiguous band slices as list keys, the bucket-size
+    * cap, and the distinct (id_a < id_b) band-join candidates. */
+  private def polyCandCtes(numHashes: Int, bands: Int,
+                           maxBucketSize: Int): String = {
+    val rows = numHashes / bands
+    polyBaseCtes(numHashes) +
+      s"""uniq AS (SELECT min(doc_id) AS doc_id FROM shf GROUP BY text),
+         |usg AS (SELECT u.doc_id, s.sg FROM uniq u JOIN shf s ON u.doc_id = s.doc_id),
+         |post AS (SELECT doc_id, unnest(sg) AS s FROM usg),
+         |ph AS (SELECT doc_id, ${charPolySql("s")} AS h FROM post),
+         |sig AS (
+         |  SELECT doc_id, i, min((a*h + b) % 1000000007) AS m
+         |  FROM ph CROSS JOIN seeds GROUP BY doc_id, i),
+         |bandk AS (
+         |  SELECT doc_id, i // $rows AS band, list(m ORDER BY i) AS bk
+         |  FROM sig GROUP BY doc_id, band),
+         |bsz AS (SELECT band, bk, count(*) AS n FROM bandk GROUP BY band, bk),
+         |kept AS (
+         |  SELECT k.doc_id, k.band, k.bk FROM bandk k
+         |  JOIN bsz z ON k.band = z.band AND k.bk = z.bk AND z.n <= $maxBucketSize),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |""".stripMargin
+  }
+
   /** Shared q51/q53 oracle: exact-Jaccard pair graph → connected
     * components via a recursive transitive-closure CTE, labels = the
     * component minimum (mirror of [[graft.dedup.Dedup.dupClusters]]'
@@ -1027,6 +1076,44 @@ object SparkEntry {
           Similarity.cosineQ(hof("qv", "cv"), col("qn"), col("cn")).as("cosine"))
       Similarity.topKPerQuery(scored, "vec_id", k = 5)
     }),
+
+    // --- polynomial-family MinHash: the ORACLE-EXPRESSIBLE LSH path ---
+    // (xxhash64 MinHash — q16/q37 — can never hash-check against DuckDB;
+    // this family's every ingredient has an exact SQL mirror, so the
+    // signature math, the banding, and the gated pipeline are each
+    // END-TO-END hash-checked.)
+
+    // The signatures themselves, exploded to (doc_id, seed_i, component):
+    // component j = min over bigram shingles of
+    // (a_j * charPolyHash(s) + b_j) mod 1e9+7, recomputed verbatim by the
+    // oracle from the same affine coefficients.
+    "q57_poly_minhash_sig" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bigramShingles(TextAnalysis.tokens(col("text"))).as("sh"))
+        .where(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          posexplode(Dedup.polyMinhashSignature(col("sh"), 16)))
+        .select(col("doc_id"), col("pos").cast("long").as("seed_i"),
+          col("col").as("component"))),
+
+    // Banded LSH candidate pairs over poly signatures — band keys are the
+    // raw component slices (array equi-join both engines express), with
+    // the exact-dup collapse and the bucket cap mirrored in SQL.
+    "q58_poly_minhash_pairs" -> ((s, dir) =>
+      Dedup.polyMinhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16)),
+
+    // The full LSH-gated dedup pipeline, hash-checked: poly-LSH candidate
+    // generation feeding exact-Jaccard verification — q37's shape with an
+    // oracle instead of a property.
+    "q59_poly_dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.polyMinhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16)
+      Dedup.jaccardOnPairs(cand, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+    }),
   )
 
   // -------------------------------------------------------------- oracle --
@@ -1298,7 +1385,34 @@ object SparkEntry {
       dfCappedJaccardSql(TRIGRAM_SQL, cap = 20L, minJ = 0.05),
 
     // q16_minhash_pairs / q17_simhash: intentionally no oracle — xxhash64
-    // internals are engine-defined (rows-only check).
+    // internals are engine-defined (rows-only check). The POLY family
+    // below (q57-q59) is the oracle-expressible counterpart.
+
+    "q57_poly_minhash_sig" -> (polyBaseCtes(16) +
+      s"""post AS (SELECT doc_id, unnest(sg) AS s FROM shf),
+         |ph AS (SELECT doc_id, ${charPolySql("s")} AS h FROM post)
+         |SELECT doc_id, i AS seed_i, min((a*h + b) % 1000000007) AS component
+         |FROM ph CROSS JOIN seeds GROUP BY doc_id, i""".stripMargin),
+
+    "q58_poly_minhash_pairs" -> (polyCandCtes(64, 16, 200) +
+      """sigl AS (SELECT doc_id, list(m ORDER BY i) AS sl FROM sig GROUP BY doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(len(list_filter(range(1, 65), j -> sa.sl[j] = sb.sl[j])) AS DOUBLE)
+        |    / 64.0 AS est_jaccard
+        |FROM cand c
+        |JOIN sigl sa ON c.id_a = sa.doc_id
+        |JOIN sigl sb ON c.id_b = sb.doc_id""".stripMargin),
+
+    "q59_poly_dedup_pipeline" -> (polyCandCtes(64, 16, 200) +
+      """scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+        |    (CAST(len(a.sg) + len(b.sg) AS DOUBLE)
+        |      - CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)) AS jaccard
+        |  FROM cand c
+        |  JOIN shf a ON c.id_a = a.doc_id
+        |  JOIN shf b ON c.id_b = b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin),
 
     "q20_ann_lsh" -> (EMB_CTE + lshCtes(numPlanes = 8) +
       """q AS (SELECT * FROM c WHERE vec_id < 10),

@@ -146,6 +146,55 @@ object Dedup {
       .where(col("est_jaccard") >= minEstSim)
   }
 
+  /** [[minhashCandidatePairs]] over the POLYNOMIAL hash family — the
+    * end-to-end oracle-checkable LSH path: signatures are
+    * [[polyMinhashSignature]], and the band key is the raw component
+    * slice itself (an array<long> equi-join key both Spark and any SQL
+    * engine can group and join on), so every stage — signature, banding,
+    * bucket cap, candidate pairs, similarity estimate — has an exact
+    * DuckDB mirror. Same scale contract as the xxhash64 path:
+    * exact-dup collapse before banding, key-only band shuffle, capped
+    * buckets with the observed drop metric ("poly_minhash_lsh"),
+    * distinct-then-reattach scoring. */
+  def polyMinhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int = 64, bands: Int = 16,
+                                minEstSim: Double = 0.0,
+                                maxBucketSize: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val shingled = docs
+      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("text_hash"),
+        TextAnalysis.bigramShingles(TextAnalysis.tokens(col(textCol))).as("sh"))
+      .where(size(col("sh")) > 0)
+    val uniq = shingled.groupBy("text_hash")
+      .agg(min(col("id")).as("id"), any_value(col("sh")).as("sh"))
+    val sigs = uniq.select(col("id"),
+      polyMinhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sigs.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          slice(col("sig"), b * rows + 1, rows)): _*)))
+      .select(col("pos").as("band"), col("col").as("band_key"), col("id"))
+    val sizes = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__n"))
+      .observe("poly_minhash_lsh",
+        sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(col("__n") > maxBucketSize, col("__n")).otherwise(0L)).as("dropped_rows"))
+    val kept = banded.join(sizes.where(col("__n") <= maxBucketSize),
+      Seq("band", "band_key"))
+    val a = kept.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = kept.select(col("band"), col("band_key"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
+          x => x)).cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstSim)
+  }
+
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is set when
     * the +1/-1 vote of all token-hash bits j sums positive. Evaluated by
     * the native codegen kernel [[graft.expressions.SimHash64]] — each

@@ -98,6 +98,31 @@ object DedupProps extends Properties("Dedup") {
         found.toDouble / qualifying.size >= 0.9
     }
 
+  property("POLY minhash LSH recall: the oracle-expressible affine family " +
+    "(q58) clears the same >= 90% aggregate recall bar at jaccard >= 0.5 " +
+    "as the xxhash64 family — mirrorability costs hash width (30-bit), " +
+    "not recall") =
+    forAll(genNearDupCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val reps = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }
+        .groupBy(_._2).map { case (_, g) => g.map(_._1).min -> g.head._2 }
+      val qualifying = (for {
+        (ia, ta) <- reps; (ib, tb) <- reps if ia < ib
+        sa = naiveShingles(ta); sb = naiveShingles(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+        if j >= 0.5
+      } yield (ia, ib)).toSet
+      val got = Dedup.polyMinhashCandidatePairs(docs, "doc_id", "text",
+          numHashes = 64, bands = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = qualifying.count(got.contains)
+      qualifying.isEmpty ||
+        found.toDouble / qualifying.size >= 0.9
+    }
+
   property("the LSH-gated pipeline (q37 shape) is SOUND: every verified " +
     "pair's score equals the exact inverted-index jaccard for that pair " +
     "— candidates only ever restrict, never distort") =
