@@ -55,14 +55,53 @@ object SparkEntry {
         buildDiffMart(s, dir).persist())
     }
 
-  /** Drop the memoized marts AND their persisted blocks — for harnesses
-    * (Bench) that need each measurement pass to start cache-cold. A bare
-    * `spark.catalog.clearCache()` would drop the blocks but leave the
-    * memoized DataFrames behind, silently un-persisted for every later
-    * use. */
-  def resetCaches(): Unit = martCache.synchronized {
-    martCache.values.foreach(_.unpersist(blocking = false))
-    martCache.clear()
+  /** The near-dup cluster labels are likewise a materialized artifact in
+    * any production corpus pipeline (clusters are computed once, then
+    * consumed by reporting AND by corpus filtering); q51 and q53 share
+    * one cached build per (session, dir) instead of each re-running the
+    * full LSH-candidate + connected-components subtree. */
+  private val clustersCache =
+    scala.collection.mutable.HashMap.empty[(Int, String), DataFrame]
+
+  private def docClusters(s: SparkSession, dir: String): DataFrame =
+    clustersCache.synchronized {
+      clustersCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        Dedup.dupClusters(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            Seq("lang", "source"), minJaccard = 0.05)).persist())
+    }
+
+  /** Poly-LSH candidate pairs, shared by q58 (the pairs themselves) and
+    * q59 (their exact verification) — in production the candidate set is
+    * materialized once and fanned out to scoring/reporting consumers. */
+  private val polyCandCache =
+    scala.collection.mutable.HashMap.empty[(Int, String), DataFrame]
+
+  private def polyCands(s: SparkSession, dir: String): DataFrame =
+    polyCandCache.synchronized {
+      polyCandCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        Dedup.polyMinhashCandidatePairs(t(s, dir, "documents"),
+          "doc_id", "text", numHashes = 64, bands = 16).persist())
+    }
+
+  /** Drop the memoized marts/clusters AND their persisted blocks — for
+    * harnesses (Bench) that need each measurement pass to start
+    * cache-cold. A bare `spark.catalog.clearCache()` would drop the
+    * blocks but leave the memoized DataFrames behind, silently
+    * un-persisted for every later use. */
+  def resetCaches(): Unit = {
+    martCache.synchronized {
+      martCache.values.foreach(_.unpersist(blocking = false))
+      martCache.clear()
+    }
+    clustersCache.synchronized {
+      clustersCache.values.foreach(_.unpersist(blocking = false))
+      clustersCache.clear()
+    }
+    polyCandCache.synchronized {
+      polyCandCache.values.foreach(_.unpersist(blocking = false))
+      polyCandCache.clear()
+    }
   }
 
   private def buildDiffMart(s: SparkSession, dir: String): DataFrame = {
@@ -706,25 +745,20 @@ object SparkEntry {
         Seq("lang", "source"), minJaccard = 0.05, maxDf = Some(20L),
         shingleN = 3)),
 
-    // Near-dup clustering: connected components (min-label propagation to
+    // Near-dup clustering: connected components (large-star/small-star to
     // fixpoint) over exact-Jaccard pairs — pairwise matches become
     // keep-one-per-group clusters. The oracle computes the same
-    // components via a recursive transitive-closure CTE.
-    "q51_dup_clusters" -> ((s, dir) =>
-      Dedup.dupClusters(
-        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          Seq("lang", "source"), minJaccard = 0.05))),
+    // components via a recursive transitive-closure CTE. Built once per
+    // (session, dir) and shared with q53, like the mart (clusters are a
+    // materialized artifact in a production corpus pipeline).
+    "q51_dup_clusters" -> ((s, dir) => docClusters(s, dir)),
 
     // The near-dup-deduplicated corpus: q51's clusters applied back to
     // the documents — non-representative members dropped, singletons
     // untouched. The full dedup ladder's end deliverable.
-    "q53_neardup_corpus" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val clusters = Dedup.dupClusters(
-        Dedup.jaccardPairs(docs, "doc_id", "text",
-          Seq("lang", "source"), minJaccard = 0.05))
-      Dedup.nearDupCorpus(docs, "doc_id", clusters)
-    }),
+    "q53_neardup_corpus" -> ((s, dir) =>
+      Dedup.nearDupCorpus(t(s, dir, "documents"), "doc_id",
+        docClusters(s, dir))),
 
     // MinHash + LSH near-dup candidate pairs (rows-only check: xxhash64
     // has no DuckDB equivalent).
@@ -1099,21 +1133,17 @@ object SparkEntry {
 
     // Banded LSH candidate pairs over poly signatures — band keys are the
     // raw component slices (array equi-join both engines express), with
-    // the exact-dup collapse and the bucket cap mirrored in SQL.
-    "q58_poly_minhash_pairs" -> ((s, dir) =>
-      Dedup.polyMinhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16)),
+    // the exact-dup collapse and the bucket cap mirrored in SQL. Built
+    // once per (session, dir) and shared with q59's verification.
+    "q58_poly_minhash_pairs" -> ((s, dir) => polyCands(s, dir)),
 
     // The full LSH-gated dedup pipeline, hash-checked: poly-LSH candidate
     // generation feeding exact-Jaccard verification — q37's shape with an
     // oracle instead of a property.
-    "q59_poly_dedup_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cand = Dedup.polyMinhashCandidatePairs(docs, "doc_id", "text",
-        numHashes = 64, bands = 16)
-      Dedup.jaccardOnPairs(cand, docs, "doc_id", "text")
-        .where(col("jaccard") >= 0.5)
-    }),
+    "q59_poly_dedup_pipeline" -> ((s, dir) =>
+      Dedup.jaccardOnPairs(polyCands(s, dir), t(s, dir, "documents"),
+          "doc_id", "text")
+        .where(col("jaccard") >= 0.5)),
   )
 
   // -------------------------------------------------------------- oracle --

@@ -91,18 +91,29 @@ object Tables {
     *
     * Generates PostgreSQL `INSERT ... ON CONFLICT` (the reference's
     * dialect). `keyCols` must carry a unique index on the target. */
+  /** Quote a (possibly schema-qualified) identifier for Postgres: each
+    * dot-separated part is double-quoted with embedded quotes doubled —
+    * so mixed-case or reserved-word names generate valid SQL, and a
+    * hostile name cannot break out of its identifier position. */
+  private[graft] def quoteIdent(name: String): String =
+    name.split('.')
+      .map(p => "\"" + p.replace("\"", "\"\"") + "\"").mkString(".")
+
   def stagingMergeSql(target: String, staging: String,
                       keyCols: Seq[String], valueCols: Seq[String]): String = {
     require(keyCols.nonEmpty && valueCols.nonEmpty,
       "staging merge needs at least one key and one value column")
-    val all = (keyCols ++ valueCols).mkString(", ")
-    val sets = valueCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")
-    val changed = valueCols
-      .map(c => s"$target.$c IS DISTINCT FROM EXCLUDED.$c")
+    val qt = quoteIdent(target)
+    val qk = keyCols.map(quoteIdent)
+    val qv = valueCols.map(quoteIdent)
+    val all = (qk ++ qv).mkString(", ")
+    val sets = qv.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    val changed = qv
+      .map(c => s"$qt.$c IS DISTINCT FROM EXCLUDED.$c")
       .mkString(" OR ")
-    s"""INSERT INTO $target ($all)
-       |SELECT $all FROM $staging
-       |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $sets
+    s"""INSERT INTO $qt ($all)
+       |SELECT $all FROM ${quoteIdent(staging)}
+       |ON CONFLICT (${qk.mkString(", ")}) DO UPDATE SET $sets
        |WHERE $changed""".stripMargin
   }
 }

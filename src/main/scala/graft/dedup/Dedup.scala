@@ -395,16 +395,23 @@ object Dedup {
     // cached blocks ARE the data), a reliable checkpoint write re-runs
     // the full lineage in its own pass unless the RDD is cached — which
     // would re-evaluate the upstream subtree this function exists to
-    // bound. Superseded rounds' blocks are dropped by the caller once the
-    // following round is safely on reliable storage.
+    // bound. In BOTH modes a superseded round's blocks are released once
+    // the following round is safely materialized (reliable mode keeps the
+    // checkpoint files; local mode's blocks for finished rounds are never
+    // read again) — without this, up to maxIters superseded edge-set
+    // snapshots would sit in executor block storage until GC.
     val cachedRounds = scala.collection.mutable.Queue.empty[DataFrame]
-    def truncate(df: DataFrame): DataFrame =
+    def truncate(df: DataFrame, track: Boolean = true): DataFrame =
       if (checkpointDir.isDefined) {
         val cached = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cachedRounds.enqueue(cached)
+        if (track) cachedRounds.enqueue(cached)
         cached.checkpoint(eager = false)
-      } else df.localCheckpoint(eager = false)
+      } else {
+        val lc = df.localCheckpoint(eager = false)
+        if (track) cachedRounds.enqueue(lc)
+        lc
+      }
     // safe only after the successor round's checkpoint has materialized
     def dropSupersededCaches(): Unit =
       while (cachedRounds.size > 1)
@@ -441,8 +448,11 @@ object Dedup {
     // Checkpoint the RAW distinct edge set first: `nodes` and the star
     // loop's working set both derive from it, so the (possibly expensive
     // — q51 feeds a whole LSH candidate pipeline in here) upstream
-    // subtree is evaluated exactly ONCE, not once per consumer.
-    val base = truncate(edges0.distinct())
+    // subtree is evaluated exactly ONCE, not once per consumer. In LOCAL
+    // mode base must stay untracked: its blocks ARE the data and `nodes`/
+    // `labels` read it after the loop (reliable mode re-reads the
+    // checkpoint files, so there the cache is droppable).
+    val base = truncate(edges0.distinct(), track = checkpointDir.isDefined)
     // every node that appears in the input — including self-loop-only
     // nodes, which the star rounds never see — gets an output row
     val nodes = base.select(col("a").as("id"))

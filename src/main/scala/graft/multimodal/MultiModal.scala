@@ -74,7 +74,11 @@ object MultiModal {
     import s.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { rows =>
-        val alloc = new RootAllocator(Long.MaxValue)
+        // hard allocator bound, not MaxValue: a batch is batchSize blobs
+        // plus fixed-width columns, so 1 GiB only trips on a genuinely
+        // pathological row — and trips as an Arrow OutOfMemory with the
+        // allocator's accounting, not an executor OOM kill
+        val alloc = new RootAllocator(1L << 30)
         val docV = new BigIntVector("doc_id", alloc)
         val mediaV = new VarBinaryVector("media", alloc)
         val widthV = new BigIntVector("width", alloc)

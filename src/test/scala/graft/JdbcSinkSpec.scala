@@ -29,10 +29,19 @@ class JdbcSinkSpec extends AnyFunSuite {
       keyCols = Seq("trip_id", "stop_sequence"),
       valueCols = Seq("arrival_delay", "departure_delay"))
     assert(sql ===
-      """INSERT INTO trip_updates (trip_id, stop_sequence, arrival_delay, departure_delay)
-        |SELECT trip_id, stop_sequence, arrival_delay, departure_delay FROM trip_updates_stage
-        |ON CONFLICT (trip_id, stop_sequence) DO UPDATE SET arrival_delay = EXCLUDED.arrival_delay, departure_delay = EXCLUDED.departure_delay
-        |WHERE trip_updates.arrival_delay IS DISTINCT FROM EXCLUDED.arrival_delay OR trip_updates.departure_delay IS DISTINCT FROM EXCLUDED.departure_delay""".stripMargin)
+      """INSERT INTO "trip_updates" ("trip_id", "stop_sequence", "arrival_delay", "departure_delay")
+        |SELECT "trip_id", "stop_sequence", "arrival_delay", "departure_delay" FROM "trip_updates_stage"
+        |ON CONFLICT ("trip_id", "stop_sequence") DO UPDATE SET "arrival_delay" = EXCLUDED."arrival_delay", "departure_delay" = EXCLUDED."departure_delay"
+        |WHERE "trip_updates"."arrival_delay" IS DISTINCT FROM EXCLUDED."arrival_delay" OR "trip_updates"."departure_delay" IS DISTINCT FROM EXCLUDED."departure_delay"""".stripMargin)
+  }
+
+  test("stagingMergeSql quotes hostile and schema-qualified identifiers") {
+    val sql = Tables.stagingMergeSql("analytics.Trip\"Updates", "stage",
+      keyCols = Seq("user"), valueCols = Seq("order"))
+    // schema.table quotes each part; embedded quote doubles; reserved
+    // words (user, order) are safe inside quotes
+    assert(sql.startsWith("INSERT INTO \"analytics\".\"Trip\"\"Updates\" (\"user\", \"order\")"))
+    assert(sql.contains("ON CONFLICT (\"user\") DO UPDATE SET \"order\" = EXCLUDED.\"order\""))
   }
 
   test("stagingMergeSql rejects empty key or value column lists") {
