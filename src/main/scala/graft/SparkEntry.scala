@@ -1144,6 +1144,50 @@ object SparkEntry {
       Dedup.jaccardOnPairs(polyCands(s, dir), t(s, dir, "documents"),
           "doc_id", "text")
         .where(col("jaccard") >= 0.5)),
+
+    // Per-document top-5 TF-IDF terms (score = tf × N/df — log-free so
+    // every arithmetic step mirrors exactly; see CorpusOps scaladoc).
+    "q60_tfidf" -> ((s, dir) =>
+      CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+        topK = 5)),
+
+    // Gopher-family repetition quality signals: duplicate-bigram fraction
+    // and top-bigram coverage per document, bigrams WITH multiplicity via
+    // the (id, pos)⋈(id, pos+1) posting self-join.
+    "q61_repetition" -> ((s, dir) =>
+      CorpusOps.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Sequential concat-and-cut packing into 2048-token budgets within
+    // (lang, source) blocks — the pretraining data layout; the only
+    // ordering is the per-block running sum.
+    "q62_pack_sequences" -> ((s, dir) =>
+      CorpusOps.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), budget = 2048L)),
+
+    // Mean-pool + L2-normalize embeddings per group of 50 vectors
+    // (chunk→document pooling): exact integer pooled sums, one
+    // deterministic divide-by-sqrt for the unit vector.
+    "q63_pooled_embeddings" -> ((s, dir) =>
+      Similarity.pooledUnitEmbeddings(
+        t(s, dir, "embeddings").withColumn("group_id",
+          expr("vec_id DIV 50")),
+        "group_id", "embedding")),
+
+    // PII redaction over text enriched with deterministic synthetic
+    // emails/IDs (the raw corpus carries none — the enrichment makes the
+    // scrub observable and is mirrored verbatim in the oracle).
+    "q64_pii_redaction" -> ((s, dir) => {
+      val enriched = concat(col("text"),
+        when(col("doc_id") % 3L === 0L,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5L === 0L,
+          concat(lit(" ref "), (col("doc_id") * 1234567L).cast("string")))
+          .otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(enriched).as("redacted"),
+        (TextAnalysis.redactPii(enriched) =!= enriched).as("was_redacted"))
+    }),
   )
 
   // -------------------------------------------------------------- oracle --
@@ -1432,6 +1476,102 @@ object SparkEntry {
         |FROM cand c
         |JOIN sigl sa ON c.id_a = sa.doc_id
         |JOIN sigl sb ON c.id_b = sb.doc_id""".stripMargin),
+
+    "q60_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |post AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         |tf AS (SELECT doc_id AS id, term, count(*) AS tf
+         |       FROM post GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+         |r AS (
+         |  SELECT id, term, tf, df, score,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT id, term, tf, df, score, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q61_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  FROM toks),
+         |perbg AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |    count(*) AS n_distinct_bigrams, max(n) AS top_bigram_n
+         |  FROM perbg GROUP BY doc_id)
+         |SELECT t.doc_id AS id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(p.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+         |  COALESCE(p.top_bigram_n, 0) AS top_bigram_n,
+         |  CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+         |       ELSE CAST(p.n_bigrams - p.n_distinct_bigrams AS DOUBLE)
+         |            / CAST(p.n_bigrams AS DOUBLE) END AS dup_bigram_frac,
+         |  CASE WHEN len(t.tk) = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(p.top_bigram_n, 0) * 2 AS DOUBLE)
+         |            / CAST(len(t.tk) AS DOUBLE) END AS top_bigram_frac
+         |FROM toks t LEFT JOIN perdoc p ON t.doc_id = p.doc_id""".stripMargin,
+
+    "q62_pack_sequences" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
+         |base AS (
+         |  SELECT lang, source, doc_id, CAST(len(tk) AS BIGINT) AS n_tokens
+         |  FROM toks),
+         |off AS (
+         |  SELECT lang, source, doc_id, n_tokens,
+         |    COALESCE(CAST(sum(n_tokens) OVER (
+         |      PARTITION BY lang, source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |      AS start_offset
+         |  FROM base)
+         |SELECT lang, source, doc_id, n_tokens, start_offset,
+         |  start_offset // 2048 AS bin
+         |FROM off""".stripMargin,
+
+    "q63_pooled_embeddings" ->
+      """WITH e AS (
+        |  SELECT vec_id // 50 AS group_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 100000.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT group_id, unnest(range(len(v))) AS dim, unnest(v) AS q
+        |  FROM e),
+        |sums AS (
+        |  SELECT group_id, dim, CAST(sum(q) AS BIGINT) AS s_q
+        |  FROM q GROUP BY group_id, dim),
+        |norms AS (
+        |  SELECT group_id, sum(CAST(s_q AS HUGEINT) * s_q) AS n2
+        |  FROM sums GROUP BY group_id)
+        |SELECT s.group_id, s.dim, s.s_q,
+        |  CASE WHEN n.n2 = 0 THEN NULL
+        |       ELSE CAST(s.s_q AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) END AS unit
+        |FROM sums s JOIN norms n USING (group_id)""".stripMargin,
+
+    "q64_pii_redaction" ->
+      """WITH enr AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' ref ' || CAST(doc_id * 1234567 AS VARCHAR)
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(
+        |      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |  FROM enr)
+        |SELECT doc_id, redacted, (redacted <> t) AS was_redacted FROM red""".stripMargin,
 
     "q59_poly_dedup_pipeline" -> (polyCandCtes(64, 16, 200) +
       """scored AS (

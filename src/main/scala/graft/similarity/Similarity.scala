@@ -37,6 +37,41 @@ object Similarity {
   def intDot(a: Column, b: Column): Column =
     graft.expressions.IntDotProduct.intDot(a, b)
 
+  /** Group-wise mean-pool + L2-normalize of embeddings (chunk embeddings →
+    * document embedding, document embeddings → cluster centroid — the
+    * standard retrieval-pipeline pooling), emitted EXPLODED as
+    * (groupCol, dim, s_q, unit): s_q is the exact integer sum of the
+    * quantized components and unit = s_q / sqrt(Σ_d s_q²) — the
+    * mean-pool's L2 unit vector (the 1/n mean factor cancels under
+    * normalization, so no division by the group size ever happens and
+    * every value is either an exact integer or one deterministic
+    * divide-by-sqrt).
+    *
+    * Determinism at scale: floating-point sums over a group are
+    * partition-order-dependent, so pooling sums QUANTIZED longs (exact,
+    * commutative); the norm accumulates s_q² into DECIMAL(38,0) (exact at
+    * any group size — two billion-row groups of ±1e5-scaled components
+    * stay under 38 digits). Shape: one slim (group, dim, q) explode, two
+    * map-side-combined hash aggregates, one broadcast-sized join back on
+    * group — never a per-group collect. */
+  def pooledUnitEmbeddings(emb: DataFrame, groupCol: String,
+                           vecCol: String): DataFrame = {
+    val q = emb.select(col(groupCol).as("group_id"),
+        posexplode(quantize(col(vecCol))))
+      .select(col("group_id"), col("pos").cast("long").as("dim"),
+        col("col").as("q"))
+    val sums = q.groupBy("group_id", "dim").agg(sum(col("q")).as("s_q"))
+    val norms = sums.groupBy("group_id")
+      // cast BEFORE multiplying: a long×long square overflows silently at
+      // |s_q| > 3e9 (≈30k-doc groups); (18,0)×(18,0) → exact decimal
+      .agg(sum(col("s_q").cast("decimal(18,0)") *
+        col("s_q").cast("decimal(18,0)")).as("__n2"))
+    sums.join(norms, "group_id")
+      .select(col("group_id"), col("dim"), col("s_q"),
+        try_divide(col("s_q").cast("double"), sqrt(col("__n2").cast("double")))
+          .as("unit"))
+  }
+
   /** Cosine from quantized dot + squared norms (scale cancels). try_divide:
     * an all-zero vector has norm 0 — its cosine is NULL (ranked last), not
     * an ANSI DIVIDE_BY_ZERO error. */

@@ -34,6 +34,112 @@ object CorpusOps {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-document top-k TF-IDF terms. Score = tf × (N / df) — the inverse
+    * document frequency WITHOUT the logarithm: `ln` is the one ingredient
+    * whose last-ulp behavior is libm-specific, and this operator's
+    * contract (like every scoring op here) is bit-reproducibility against
+    * an external SQL oracle; tf × N/df ranks identically for any fixed tf
+    * and keeps every arithmetic step an exactly-mirrored IEEE op
+    * (long→double casts, one divide, one multiply).
+    *
+    * Scale: tokens explode to slim (id, term) postings; tf and df are
+    * map-side-combined hash aggregates (df counts the DISTINCT (id, term)
+    * tf rows, so no count-distinct shuffle); N is a broadcast 1-row
+    * aggregate, not a driver action; the final top-k is a window
+    * partitioned BY DOCUMENT — no global ordering anywhere. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val posting = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = posting.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+  }
+
+  /** Per-document repetition signals — the Gopher-family quality rules
+    * (Rae et al. 2021, §A1.1: excessive repetition predicts low-quality
+    * text): total vs distinct bigram counts, the top bigram's occurrence
+    * count, the duplicate-bigram fraction, and the fraction of tokens
+    * covered by the single most-repeated bigram. Zero-bigram docs (< 2
+    * tokens) report zero fractions, not NULLs.
+    *
+    * Bigrams here carry MULTIPLICITY (unlike [[TextAnalysis.ngramShingles]],
+    * which is a distinct set): the stream is rebuilt as slim
+    * (id, pos, token) postings self-joined on (id, pos+1) — the
+    * co-partitioned equi-join shape, never an indexed per-row lambda
+    * (an `element_at(tk, i)` transform would be interpreted AND O(n²)
+    * per row). */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(col(textCol))))
+      .select(col("id"), col("pos"), col("col").as("tok"))
+    val bigrams = toks.alias("a")
+      .join(toks.alias("b"),
+        col("a.id") === col("b.id") && (col("a.pos") + 1) === col("b.pos"))
+      .select(col("a.id").as("id"),
+        concat(col("a.tok"), lit(" "), col("b.tok")).as("bg"))
+    val perBigram = bigrams.groupBy("id", "bg").agg(count(lit(1)).as("n"))
+    val perDoc = perBigram.groupBy("id").agg(
+      sum(col("n")).as("n_bigrams"),
+      count(lit(1)).as("n_distinct_bigrams"),
+      max(col("n")).as("top_bigram_n"))
+    val nTokens = docs.select(col(idCol).as("id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    nTokens.join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .select(col("id"), col("n_tokens"), col("n_bigrams"),
+        col("n_distinct_bigrams"), col("top_bigram_n"),
+        when(col("n_bigrams") === 0L, lit(0.0))
+          .otherwise((col("n_bigrams") - col("n_distinct_bigrams")).cast("double")
+            / col("n_bigrams").cast("double")).as("dup_bigram_frac"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise((col("top_bigram_n") * 2L).cast("double")
+            / col("n_tokens").cast("double")).as("top_bigram_frac"))
+  }
+
+  /** Sequential concat-and-cut packing — the pretraining data layout:
+    * documents are concatenated in a deterministic order within each
+    * block and cut into fixed token budgets; a document belongs to the
+    * bin where its first token lands (bin = floor(exclusive-prefix-sum /
+    * budget)). Emits (id, blockCols..., n_tokens, start_offset, bin).
+    *
+    * Scale: the only ordering is a window partitioned by BLOCK (running
+    * sum per (lang, source, ...)), never a global sort — block count
+    * scales with the corpus while each block's window is an independent
+    * range-partitioned sort. Zero-token documents occupy no budget but
+    * keep a deterministic position (they inherit the running offset). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    blockCols: Seq[String], budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(blockCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select((blockCols.map(col) :+ col(idCol) :+
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens")): _*)
+      .select((blockCols.map(col) :+ col(idCol) :+ col("n_tokens") :+
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("start_offset")): _*)
+      // integer DIV, not `/` (which is double division on longs): exact
+      // at any offset magnitude, and the oracle's `//` mirrors it
+      .withColumn("bin", expr(s"start_offset DIV ${budget}L"))
+  }
+
   /** Context chunking: split each document's token stream into windows of
     * `size` tokens starting every `stride` tokens (stride < size gives
     * overlapping windows) — the pretraining sequence-packing precursor.

@@ -88,6 +88,21 @@ object TextAnalysis {
     aggregate(transform(tk, charPolyHashHof _), lit(0L),
       (acc, h) => (acc * 131L + h) % Mod)
 
+  /** PII redaction: replace email addresses and long digit runs (IDs,
+    * phone numbers) with typed placeholder tags — the pre-training scrub
+    * every public-web corpus needs. Patterns are deliberately restricted
+    * to the regex intersection both Java (Spark) and RE2-family engines
+    * compile identically — character classes, bounded counts, no
+    * backrefs/lookaround — so the operator stays oracle-checkable. Pure
+    * per-row Column expression: embarrassingly parallel, no shuffle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitsRe = "[0-9]{6,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      LongDigitsRe, "<NUM>")
+
   /** Occurrences of any of `words` in the token array. */
   def wordCount(tk: Column, words: Seq[String]): Column =
     size(filter(tk, t => t.isin(words: _*))).cast("long")

@@ -158,4 +158,28 @@ class SimilaritySpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("dim mismatch")), msgs(ex).mkString("; "))
   }
+
+  test("pooledUnitEmbeddings: exact quantized sums per dim, unit vector " +
+    "has L2 norm 1, zero group yields NULL units") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // group 0
+      (1L, Seq(0.0f, 1.0f)),   // group 0 → pooled (1e5, 1e5)
+      (10L, Seq(0.0f, 0.0f)),  // group 1: all-zero → NULL unit
+      (20L, Seq(-0.5f, 0.5f))) // group 2
+      .toDF("vec_id", "embedding")
+      .withColumn("group_id", org.apache.spark.sql.functions.expr("vec_id DIV 10"))
+    val got = Similarity.pooledUnitEmbeddings(emb, "group_id", "embedding")
+      .collect()
+      .map(r => (r.getAs[Long]("group_id"), r.getAs[Long]("dim")) ->
+        ((r.getAs[Long]("s_q"), Option(r.getAs[java.lang.Double]("unit")))))
+      .toMap
+    assert(got((0L, 0L))._1 === 100000L)
+    assert(got((0L, 1L))._1 === 100000L)
+    val u0 = math.sqrt(List(0L, 1L).map(d => math.pow(got((0L, d))._2.get, 2)).sum)
+    assert(math.abs(u0 - 1.0) < 1e-12)
+    assert(got((1L, 0L))._2.isEmpty && got((1L, 1L))._2.isEmpty)
+    assert(got((2L, 0L)) === ((-50000L, Some(-1.0 / math.sqrt(2.0)))))
+  }
 }

@@ -48,4 +48,81 @@ class CorpusOpsSpec extends SparkSpec {
     // doc 3: no output
     assert(!byDoc.contains(3L))
   }
+
+  test("tfidfTopTerms: rare terms outscore common ones; ties break by " +
+    "term; topK truncates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "common rare common"),   // tf(common)=2, tf(rare)=1
+      (2L, "common other"),
+      (3L, "common zebra"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.tfidfTopTerms(docs, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank")))
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._6)
+    // "rare": tf 1, df 1 → score 1*(3/1)=3; "common": tf 2, df 3 → 2*(3/3)=2
+    assert(doc1.map(t => (t._2, t._5, t._6)).toSeq ===
+      Seq(("rare", 3.0, 1L), ("common", 2.0, 2L)))
+    // doc 2: "other" (3.0) then "common" (1.0)
+    val doc2 = got.filter(_._1 == 2L).sortBy(_._6)
+    assert(doc2.map(t => (t._2, t._6)).toSeq ===
+      Seq(("other", 1L), ("common", 2L)))
+    // equal scores tie-break by term asc: give doc 4 two singleton terms
+    val tied = CorpusOps.tfidfTopTerms(
+      Seq((4L, "bbb aaa")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .orderBy(col("rank")).collect().map(_.getAs[String]("term")).toSeq
+    assert(tied === Seq("aaa", "bbb"))
+  }
+
+  test("repetitionSignals: multiplicity bigrams, duplicate fraction, " +
+    "top-bigram coverage; sub-2-token docs report zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),        // bigrams: "a a"×3 → dup 2/3, top frac 6/4
+      (2L, "x y x y"),        // "x y"×2, "y x"×1 → dup 1/3, top 4/4
+      (3L, "solo"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.repetitionSignals(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Long]("n_distinct_bigrams"), r.getAs[Long]("top_bigram_n"),
+          r.getAs[Double]("dup_bigram_frac"),
+          r.getAs[Double]("top_bigram_frac")))).toMap
+    assert(got(1L) === ((4L, 3L, 1L, 3L, 2.0 / 3.0, 6.0 / 4.0)))
+    assert(got(2L) === ((4L, 3L, 2L, 2L, 1.0 / 3.0, 4.0 / 4.0)))
+    assert(got(3L) === ((1L, 0L, 0L, 0L, 0.0, 0.0)))
+    assert(got(4L) === ((0L, 0L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("packSequences: per-block running offsets cut at the budget; a doc " +
+    "starting before the boundary stays in its bin; zero-token docs hold " +
+    "position without consuming budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b1", "t1 t2 t3"),     // 3 tokens, offset 0 → bin 0
+      (2L, "b1", "t1 t2"),        // offset 3 → bin 0 (crosses 4? budget 4)
+      (3L, "b1", ""),             // offset 5, zero tokens → bin 1
+      (4L, "b1", "t1"),           // offset 5 → bin 1
+      (5L, "b2", "t1 t2 t3 t4 t5"), // independent block: offset 0 → bin 0
+      (6L, "b2", "t1"))           // offset 5 → bin 1
+      .toDF("doc_id", "blk", "text")
+    val got = CorpusOps.packSequences(docs, "doc_id", "text", Seq("blk"),
+        budget = 4L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"),
+          r.getAs[Long]("bin")))).toMap
+    assert(got(1L) === ((3L, 0L, 0L)))
+    assert(got(2L) === ((2L, 3L, 0L))) // starts at 3 < 4 → bin 0
+    assert(got(3L) === ((0L, 5L, 1L)))
+    assert(got(4L) === ((1L, 5L, 1L)))
+    assert(got(5L) === ((5L, 0L, 0L)))
+    assert(got(6L) === ((1L, 5L, 1L)))
+  }
 }

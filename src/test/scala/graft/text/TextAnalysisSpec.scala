@@ -70,4 +70,23 @@ class TextAnalysisSpec extends SparkSpec {
     // all scores 0 → every "is >= all others" holds → first in order: en
     assert(predict("xyzzy") === "en")
   }
+
+  test("redactPii replaces emails and 6+ digit runs, leaves short " +
+    "numbers and plain text alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "mail me at a.b-c%d@sub.example.co today",
+      "order 12345 ok but 123456 and 9876543210 are ids",
+      "no pii here",
+      "two mails x@y.io and z@w.org")
+      .toDF("text")
+    val got = texts.select(TextAnalysis.redactPii(col("text")))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "mail me at <EMAIL> today",
+      "order 12345 ok but <NUM> and <NUM> are ids",
+      "no pii here",
+      "two mails <EMAIL> and <EMAIL>"))
+  }
 }
