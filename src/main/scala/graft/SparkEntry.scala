@@ -1173,6 +1173,23 @@ object SparkEntry {
           expr("vec_id DIV 50")),
         "group_id", "embedding")),
 
+    // The tokenizer rewrite driven end-to-end: q23's token stats with the
+    // tokenization spelled the way a USER would write it — the
+    // `filter(split(...))` higher-order function — with GraftOptimizations
+    // installed. RewriteHofTokens swaps in the codegen'd graft_tokens
+    // kernel (PlanSpec asserts the optimized plan) and the result
+    // hash-checks against q23's oracle verbatim.
+    "q65_hof_tokens_rewrite" -> ((s, dir) => {
+      graft.plans.GraftOptimizations.install(s)
+      val d = t(s, dir, "documents")
+      val hofTokens = expr("filter(split(text, ' '), t -> t != '')")
+      val ws = size(hofTokens).cast("long")
+      val re = size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
+      d.select(col("doc_id"), ws.as("ws_tokens"), re.as("re_tokens"),
+        try_divide(length(col("text")).cast("double"), ws.cast("double"))
+          .as("chars_per_token"))
+    }),
+
     // PII redaction over text enriched with deterministic synthetic
     // emails/IDs (the raw corpus carries none — the enrichment makes the
     // scrub observable and is mirrored verbatim in the oracle).
@@ -1660,6 +1677,16 @@ object SparkEntry {
     // q55 computes the identical result through the HOF spelling + the
     // optimizer rewrite — same oracle, verbatim.
     "q55_hof_dot_rewrite" -> BRUTE_TOPK_SQL,
+
+    // q65 is q23 with the tokenization HOF-spelled and optimizer-rewritten
+    // to the graft_tokens kernel — same semantics, same oracle.
+    "q65_hof_tokens_rewrite" ->
+      s"""SELECT doc_id,
+         |  CAST(len($TOKENS_SQL) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_tokens,
+         |  CAST(length(text) AS DOUBLE) / CAST(len($TOKENS_SQL) AS BIGINT)
+         |    AS chars_per_token
+         |FROM documents""".stripMargin,
 
     "q32_ivf_topk" -> (EMB_CTE +
       """dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM n) + 1)) AS i),

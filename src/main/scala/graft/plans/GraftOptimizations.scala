@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
 /** Catalyst optimizer rule applying the library's own escalation policy
   * (SURVEY.md §7.4) automatically: a user who writes the natural
@@ -70,17 +70,57 @@ object RewriteHofIntDot extends Rule[LogicalPlan] {
     }
 }
 
+/** Rewrites the natural whitespace-tokenization spelling —
+  *
+  *   filter(split(text, ' '), t -> t != '')
+  *
+  * — to the codegen'd [[graft.expressions.TokensOf]] kernel. `filter` is
+  * a higher-order function (always interpreted), and tokenization sits
+  * under every text operator, so this single shape is the highest-leverage
+  * rewrite after the dot product. Fires only on a literal single-space
+  * regex with the default -1 limit (exactly one split semantics) and a
+  * lambda that is `v <> ''` / `NOT (v = '')` over the lambda's own
+  * variable; [[TokensOf]] is value-identical to that spelling (the
+  * TextKernelsSpec parity contract), including empty-run dropping, so no
+  * guard expression is needed. */
+object RewriteHofTokens extends Rule[LogicalPlan] {
+
+  private def isNotEmptyTest(body: Expression, v: NamedLambdaVariable): Boolean =
+    body match {
+      case Not(EqualTo(x: NamedLambdaVariable, Literal(s, StringType)))
+        if x.exprId == v.exprId => s != null && s.toString.isEmpty
+      case Not(EqualTo(Literal(s, StringType), x: NamedLambdaVariable))
+        if x.exprId == v.exprId => s != null && s.toString.isEmpty
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayFilter(
+            StringSplit(text, Literal(sep, StringType), Literal(-1, _)),
+            LambdaFunction(body, Seq(v: NamedLambdaVariable), _))
+          if text.deterministic && text.dataType == StringType &&
+            sep != null && sep.toString == " " &&
+            isNotEmptyTest(body, v) =>
+        graft.expressions.TokensOf(text)
+    }
+}
+
 object GraftOptimizations {
+  /** The library's optimizer rules, in application order. */
+  val rules: Seq[Rule[LogicalPlan]] = Seq(RewriteHofIntDot, RewriteHofTokens)
+
   /** Idempotently install the graft optimizer rules on a session. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(RewriteHofIntDot))
-      spark.experimental.extraOptimizations = cur :+ RewriteHofIntDot
+    val missing = rules.filterNot(cur.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = cur ++ missing
   }
 }
 
 /** `spark.sql.extensions` entry point for config-based deployment. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectOptimizerRule(_ => RewriteHofIntDot)
+    GraftOptimizations.rules.foreach(r => ext.injectOptimizerRule(_ => r))
 }

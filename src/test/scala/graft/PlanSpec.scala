@@ -83,11 +83,14 @@ class PlanSpec extends SparkSpec {
     assert(nCols === 6, s"lineitem scan reads $nCols columns: $schema")
   }
 
-  /** The two DECLARED all-pairs baselines: brute-force cosine scoring is
-    * a cross join by definition (every corpus vector × every query), with
-    * the 10-row query side broadcast — a BroadcastNestedLoopJoin is the
-    * correct physical shape there and only there. */
-  private val declaredBruteForce = Set("q19_cosine_topk", "q55_hof_dot_rewrite")
+  /** The DECLARED product joins: the two brute-force cosine baselines
+    * (every corpus vector × every query, 10-row side broadcast — a
+    * BroadcastNestedLoopJoin is the correct physical shape there), and
+    * q60's scalar-attach (corpus count N joined onto every tf row: the
+    * build side is a 1-ROW aggregate, so the "nested loop" is a constant
+    * broadcast — the standard scalar-subquery shape, safe at any scale). */
+  private val declaredBruteForce =
+    Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +
@@ -112,6 +115,17 @@ class PlanSpec extends SparkSpec {
     assert(optimized.contains("graft_int_dot"),
       s"rewrite did not fire:\n$optimized")
     assert(!optimized.contains("zip_with") && !optimized.contains("aggregate("),
+      s"interpreted HOF survives in the optimized plan:\n$optimized")
+  }
+
+  test("q65: the HOF tokenization spelling is rewritten to the codegen'd " +
+    "graft_tokens kernel — no interpreted filter(split(...)) survives in " +
+    "the optimized plan") {
+    val df = SparkEntry.queries("q65_hof_tokens_rewrite")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_tokens"),
+      s"rewrite did not fire:\n$optimized")
+    assert(!optimized.contains("filter(split("),
       s"interpreted HOF survives in the optimized plan:\n$optimized")
   }
 

@@ -49,4 +49,32 @@ class GraftOptimizationsSpec extends SparkSpec {
     assert(!other.queryExecution.optimizedPlan.toString.contains("graft_int_dot"))
     assert(other.head().getLong(0) === 10L)
   }
+
+  test("the canonical HOF tokenization is rewritten to graft_tokens with " +
+    "identical results, in both != and NOT(=) spellings and both operand " +
+    "orders; near-miss shapes are left alone") {
+    GraftOptimizations.install(spark)
+    val data = spark.range(2).select(
+      concat(lit("a  b "), col("id").cast("string")).as("text"))
+    for (spelling <- Seq(
+        "filter(split(text, ' '), t -> t != '')",
+        "filter(split(text, ' '), t -> NOT (t = ''))",
+        "filter(split(text, ' '), t -> '' != t)")) {
+      val df = data.select(expr(spelling).as("tk"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("graft_tokens"),
+        s"$spelling:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.getSeq[String](0)).toSeq ===
+        Seq(Seq("a", "b", "0"), Seq("a", "b", "1")))
+    }
+    // near misses: a different separator, or a different predicate —
+    // neither may rewrite (the kernel's semantics are space-split +
+    // drop-empty ONLY)
+    for (miss <- Seq(
+        "filter(split(text, ','), t -> t != '')",
+        "filter(split(text, ' '), t -> t != 'a')")) {
+      val df = data.select(expr(miss).as("tk"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("graft_tokens"),
+        s"$miss:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
 }
