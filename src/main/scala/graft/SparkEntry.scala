@@ -148,8 +148,18 @@ object SparkEntry {
     * [0, 41) so the >24h service-day branch of F1 is exercised on real CSV
     * columns. Dates are pinned to June 2024: EDT throughout, no DST edge
     * in the oracle (the edges are pinned by TimeOpsSpec). */
+  /** Fixture dirs already written this JVM. INPUT data, not a cache of
+    * measured work: the fixtures are a deterministic function of the
+    * testdata dir, so rewriting them per q29 invocation only charges
+    * fixture generation to the E2 pipeline's timing. Deliberately NOT
+    * cleared by [[resetCaches]] — a cache-cold bench pass must re-measure
+    * the pipeline, not re-create its inputs. */
+  private val fixturesWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def gtfsCsvFixtures(s: SparkSession, dir: String): String = {
     val out = s"target/gtfs_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!fixturesWritten.add(out)) return out
     val ev = t(s, dir, "events").select("event_id", "user_id")
     val tnum = col("event_id") / lit(100L) cast "long"
     def clock(h: Column): Column = concat_ws(":",

@@ -276,6 +276,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
       ("B", 1000L, 1000L, 1L)))
   }
 
+  test("the native text/signature kernels run unchanged inside Structured " +
+    "Streaming micro-batches (stateless per-row expressions — the " +
+    "streaming corpus-scrub path)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.text.TextAnalysis
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("tk"),
+        TextAnalysis.ngramShingles(TextAnalysis.tokens(col("text")), 2).as("sg"),
+        graft.dedup.Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("fp"),
+        TextAnalysis.redactPii(col("text")).as("clean"))
+      .writeStream.format("memory").queryName("kernel_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(1L -> "a b a", 2L -> "mail x@y.io now 1234567")
+      q.processAllAvailable()
+      val rows = spark.table("kernel_stream").orderBy("doc_id").collect()
+      assert(rows(0).getSeq[String](1) === Seq("a", "b", "a"))
+      assert(rows(0).getSeq[String](2) === Seq("a b", "b a"))
+      // fingerprint matches the batch evaluation of the same kernel
+      val batchFp = Seq("a b a").toDF("text")
+        .select(graft.dedup.Dedup.simhash64(TextAnalysis.tokens(col("text"))))
+        .head().getLong(0)
+      assert(rows(0).getLong(3) === batchFp)
+      assert(rows(1).getString(4) === "mail <EMAIL> now <NUM>")
+    } finally q.stop()
+  }
+
   test("lateStreaks: per-trip consecutive-late state survives batches and " +
     "resets on an on-time observation") {
     import spark.implicits._
