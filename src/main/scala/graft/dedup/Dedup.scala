@@ -426,13 +426,17 @@ object Dedup {
     }
     // Large-star: for each node u, connect every STRICTLY LARGER neighbor
     // to m = min(N(u) ∪ {u}). Keeps connectivity, never creates self
-    // loops (m ≤ u < v), and halves long chains.
+    // loops (m ≤ u < v), and halves long chains. NO distinct here: the
+    // duplicates it would remove are bounded by the input's own multi-
+    // edges, smallStar consumes them via min/groupBy unchanged, and the
+    // round's terminal distinct (smallStar's) canonicalizes the edge set
+    // the fingerprint needs — so the extra shuffle bought nothing.
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.union(e.select(col("b").as("a"), col("a").as("b")))
       val mins = nbrs.groupBy("a").agg(min("b").as("mb"))
         .select(col("a"), least(col("a"), col("mb")).as("m"))
       nbrs.join(mins, "a").where(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b")).distinct()
+        .select(col("b").as("a"), col("m").as("b"))
     }
     // Small-star: orient edges toward the smaller endpoint, then connect
     // each node and its smaller neighbors to their collective minimum.
