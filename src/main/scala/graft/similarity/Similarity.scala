@@ -241,13 +241,28 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, embCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              kmeansIters: Int = 0): DataFrame = {
+              kmeansIters: Int = 0,
+              trainFraction: Double = 1.0): DataFrame = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     // Driver action at plan time: collect the tiny centroid set.
     val init: Seq[Seq[Long]] = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(quantize(col(embCol)).as("cv")).collect()
       .map(_.getSeq[Long](0).toSeq).toSeq
     val cq = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
-    val cents = refineCentroids(cq, init, kmeansIters)
+    // The 100 TB training contract: every Lloyd iteration scans its
+    // training set, so the quantizer trains on a bounded DETERMINISTIC
+    // id-hash sample (trainFraction < 1 — production IVF trains on a
+    // sample and assigns the full corpus in one pass); centroids stay
+    // plan-time constants either way, and with nProbe = nCentroids the
+    // search result is exact REGARDLESS of where the centroids came
+    // from (quantizer quality moves recall, never correctness —
+    // SimilaritySpec pins both claims).
+    val train =
+      if (trainFraction >= 1.0) cq
+      else cq.where(pmod(xxhash64(col(idCol)), lit(1000L)) <
+        lit(math.round(trainFraction * 1000).toLong))
+    val cents = refineCentroids(train, init, kmeansIters)
     val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
 
     val c = cq

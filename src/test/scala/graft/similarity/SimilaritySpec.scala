@@ -159,6 +159,33 @@ class SimilaritySpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("dim mismatch")), msgs(ex).mkString("; "))
   }
 
+  test("IVF sampled training: quantizer quality moves recall, never " +
+    "correctness — with nProbe = nCentroids the sampled-training result " +
+    "equals the full-training result equals brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    val emb = (0L until 200L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank"))).toSet
+    val brute = res(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3))
+    val full = res(Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 3,
+      nCentroids = 4, nProbe = 4, kmeansIters = 2))
+    val sampled = res(Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 3,
+      nCentroids = 4, nProbe = 4, kmeansIters = 2, trainFraction = 0.3))
+    assert(full === brute)
+    assert(sampled === brute)
+    // and with FEWER probes the sampled variant still returns k rows per
+    // query (an approximate result, never a truncated one)
+    val few = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 3,
+      nCentroids = 4, nProbe = 2, kmeansIters = 2, trainFraction = 0.3)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(few.forall(_ === 3L))
+  }
+
   test("pooledUnitEmbeddings: exact quantized sums per dim, unit vector " +
     "has L2 norm 1, zero group yields NULL units") {
     import spark.implicits._
