@@ -46,63 +46,70 @@ object SparkEntry {
     * it); caching the built mart per (session, dir) mirrors that — q03-q07
     * aggregate the one cached build instead of re-running the join
     * pipeline per query. */
-  private val martCache =
-    scala.collection.mutable.HashMap.empty[(Int, String), DataFrame]
+  /** One memoized persisted artifact per (session, dir). Keyed by a
+    * WeakHashMap on the session itself (identity equals): an
+    * identityHashCode key could be reused by a NEW session after the old
+    * one is GC'd, silently returning a DataFrame bound to a dead
+    * session. `onRelease` runs before each unpersist so operators can
+    * free state they retain for the artifact (the dupClusters
+    * checkpoint blocks). */
+  private final class SessionDirCache(
+      build: (SparkSession, String) => DataFrame,
+      onRelease: DataFrame => Unit = _ => ()) {
+    private val bySession = new java.util.WeakHashMap[
+      SparkSession, scala.collection.mutable.HashMap[String, DataFrame]]()
+    def apply(s: SparkSession, dir: String): DataFrame = synchronized {
+      bySession.computeIfAbsent(s,
+          _ => scala.collection.mutable.HashMap.empty[String, DataFrame])
+        .getOrElseUpdate(dir, build(s, dir).persist())
+    }
+    def reset(): Unit = synchronized {
+      bySession.values.forEach(_.values.foreach { df =>
+        onRelease(df)
+        df.unpersist(blocking = false)
+      })
+      bySession.clear()
+    }
+  }
+
+  private val martCache = new SessionDirCache(buildDiffMart)
 
   private def diffMart(s: SparkSession, dir: String): DataFrame =
-    martCache.synchronized {
-      martCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        buildDiffMart(s, dir).persist())
-    }
+    martCache(s, dir)
 
   /** The near-dup cluster labels are likewise a materialized artifact in
     * any production corpus pipeline (clusters are computed once, then
     * consumed by reporting AND by corpus filtering); q51 and q53 share
     * one cached build per (session, dir) instead of each re-running the
-    * full LSH-candidate + connected-components subtree. */
-  private val clustersCache =
-    scala.collection.mutable.HashMap.empty[(Int, String), DataFrame]
+    * full LSH-candidate + connected-components subtree. On reset the
+    * clustering's retained checkpoint blocks are released too. */
+  private val clustersCache = new SessionDirCache(
+    (s, dir) => Dedup.dupClusters(
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), minJaccard = 0.05)),
+    onRelease = Dedup.releaseClusterState)
 
   private def docClusters(s: SparkSession, dir: String): DataFrame =
-    clustersCache.synchronized {
-      clustersCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        Dedup.dupClusters(
-          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-            Seq("lang", "source"), minJaccard = 0.05)).persist())
-    }
+    clustersCache(s, dir)
 
   /** Poly-LSH candidate pairs, shared by q58 (the pairs themselves) and
     * q59 (their exact verification) — in production the candidate set is
     * materialized once and fanned out to scoring/reporting consumers. */
-  private val polyCandCache =
-    scala.collection.mutable.HashMap.empty[(Int, String), DataFrame]
+  private val polyCandCache = new SessionDirCache(
+    (s, dir) => Dedup.polyMinhashCandidatePairs(t(s, dir, "documents"),
+      "doc_id", "text", numHashes = 64, bands = 16))
 
   private def polyCands(s: SparkSession, dir: String): DataFrame =
-    polyCandCache.synchronized {
-      polyCandCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        Dedup.polyMinhashCandidatePairs(t(s, dir, "documents"),
-          "doc_id", "text", numHashes = 64, bands = 16).persist())
-    }
+    polyCandCache(s, dir)
 
-  /** Drop the memoized marts/clusters AND their persisted blocks — for
-    * harnesses (Bench) that need each measurement pass to start
-    * cache-cold. A bare `spark.catalog.clearCache()` would drop the
-    * blocks but leave the memoized DataFrames behind, silently
+  private val allCaches = Seq(martCache, clustersCache, polyCandCache)
+
+  /** Drop the memoized marts/clusters/candidates AND their persisted
+    * blocks — for harnesses (Bench) that need each measurement pass to
+    * start cache-cold. A bare `spark.catalog.clearCache()` would drop
+    * the blocks but leave the memoized DataFrames behind, silently
     * un-persisted for every later use. */
-  def resetCaches(): Unit = {
-    martCache.synchronized {
-      martCache.values.foreach(_.unpersist(blocking = false))
-      martCache.clear()
-    }
-    clustersCache.synchronized {
-      clustersCache.values.foreach(_.unpersist(blocking = false))
-      clustersCache.clear()
-    }
-    polyCandCache.synchronized {
-      polyCandCache.values.foreach(_.unpersist(blocking = false))
-      polyCandCache.clear()
-    }
-  }
+  def resetCaches(): Unit = allCaches.foreach(_.reset())
 
   private def buildDiffMart(s: SparkSession, dir: String): DataFrame = {
     // Two independent reads: tu/gd must not share a Dataset lineage, or
@@ -159,7 +166,10 @@ object SparkEntry {
 
   private def gtfsCsvFixtures(s: SparkSession, dir: String): String = {
     val out = s"target/gtfs_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (!fixturesWritten.add(out)) return out
+    // membership is recorded only AFTER all five writes succeed — adding
+    // first would poison the JVM on a failed write (every later call
+    // would skip the rewrite and read a partial fixture dir)
+    if (fixturesWritten.contains(out)) return out
     val ev = t(s, dir, "events").select("event_id", "user_id")
     val tnum = col("event_id") / lit(100L) cast "long"
     def clock(h: Column): Column = concat_ws(":",
@@ -188,6 +198,7 @@ object SparkEntry {
     w(ev.select(concat(lit("r"), (tnum % 10L).cast("string")).as("route_id"),
       concat(lit("Route "), (tnum % 10L).cast("string")).as("route_long_name"))
       .distinct(), "routes")
+    fixturesWritten.add(out)
     out
   }
 
@@ -1211,9 +1222,10 @@ object SparkEntry {
         when(col("doc_id") % 5L === 0L,
           concat(lit(" ref "), (col("doc_id") * 1234567L).cast("string")))
           .otherwise(lit("")))
-      t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.redactPii(enriched).as("redacted"),
-        (TextAnalysis.redactPii(enriched) =!= enriched).as("was_redacted"))
+      t(s, dir, "documents")
+        .withColumn("redacted", TextAnalysis.redactPii(enriched))
+        .select(col("doc_id"), col("redacted"),
+          (col("redacted") =!= enriched).as("was_redacted"))
     }),
   )
 

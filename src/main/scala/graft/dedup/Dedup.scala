@@ -102,7 +102,26 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 64, bands: Int = 16,
                             minEstSim: Double = 0.0,
-                            maxBucketSize: Int = 200): DataFrame = {
+                            maxBucketSize: Int = 200): DataFrame =
+    bandedCandidatePairs(docs, idCol, textCol, numHashes, bands, minEstSim,
+      maxBucketSize, metricName = "minhash_lsh",
+      signature = minhashSignature(_, numHashes),
+      // hash each band's slice to one long — signatures stay out of the
+      // bucket shuffle and the pair join
+      bandKey = (sig, b, rows) => xxhash64(lit(b), slice(sig, b * rows + 1, rows)))
+
+  /** The shared banded-LSH candidate pipeline behind
+    * [[minhashCandidatePairs]] and [[polyMinhashCandidatePairs]] — ONE
+    * implementation of the scale contract (exact-dup collapse before
+    * banding, key-only band shuffle, capped buckets with observed drops,
+    * distinct-then-reattach scoring); the families differ only in the
+    * signature expression and the band-bucket key. */
+  private def bandedCandidatePairs(docs: DataFrame, idCol: String,
+                                   textCol: String, numHashes: Int,
+                                   bands: Int, minEstSim: Double,
+                                   maxBucketSize: Int, metricName: String,
+                                   signature: Column => Column,
+                                   bandKey: (Column, Int, Int) => Column): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val shingled = docs
@@ -113,28 +132,27 @@ object Dedup {
     // shingle set, so any_value is deterministic up to SHA-256 collision).
     val uniq = shingled.groupBy("text_hash")
       .agg(min(col("id")).as("id"), any_value(col("sh")).as("sh"))
-    val sigs = uniq.select(col("id"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
-    // Band on (band, band_hash, id) ONLY — signatures stay out of the
-    // bucket shuffle and the pair join.
+    val sigs = uniq.select(col("id"), signature(col("sh")).as("sig"))
+    // Band on (band, band_key, id) ONLY — signatures ride the bucket
+    // shuffle only if the family's band key IS the slice itself.
     val banded = sigs.select(col("id"),
         posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
-      .select(col("pos").as("band"), col("col").as("band_hash"), col("id"))
+          bandKey(col("sig"), b, rows)): _*)))
+      .select(col("pos").as("band"), col("col").as("band_key"), col("id"))
     // Cap pathological buckets. Count via map-side-combined groupBy (never
     // materializes a bucket's members in one task) and join back.
-    val sizes = banded.groupBy("band", "band_hash")
+    val sizes = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("__n"))
-      .observe("minhash_lsh",
+      .observe(metricName,
         sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
         sum(when(col("__n") > maxBucketSize, col("__n")).otherwise(0L)).as("dropped_rows"))
     val kept = banded.join(sizes.where(col("__n") <= maxBucketSize),
-      Seq("band", "band_hash"))
-    val a = kept.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = kept.select(col("band"), col("band_hash"), col("id").as("id_b"))
+      Seq("band", "band_key"))
+    val a = kept.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = kept.select(col("band"), col("band_key"), col("id").as("id_b"))
     // Distinct bare id pairs first; only then re-attach the two signatures
     // via slim id-keyed joins to score the (much smaller) candidate set.
-    val pairs = a.join(b, Seq("band", "band_hash"))
+    val pairs = a.join(b, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
@@ -159,41 +177,14 @@ object Dedup {
   def polyMinhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                                 numHashes: Int = 64, bands: Int = 16,
                                 minEstSim: Double = 0.0,
-                                maxBucketSize: Int = 200): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val shingled = docs
-      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("text_hash"),
-        TextAnalysis.bigramShingles(TextAnalysis.tokens(col(textCol))).as("sh"))
-      .where(size(col("sh")) > 0)
-    val uniq = shingled.groupBy("text_hash")
-      .agg(min(col("id")).as("id"), any_value(col("sh")).as("sh"))
-    val sigs = uniq.select(col("id"),
-      polyMinhashSignature(col("sh"), numHashes).as("sig"))
-    val banded = sigs.select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          slice(col("sig"), b * rows + 1, rows)): _*)))
-      .select(col("pos").as("band"), col("col").as("band_key"), col("id"))
-    val sizes = banded.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("__n"))
-      .observe("poly_minhash_lsh",
-        sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
-        sum(when(col("__n") > maxBucketSize, col("__n")).otherwise(0L)).as("dropped_rows"))
-    val kept = banded.join(sizes.where(col("__n") <= maxBucketSize),
-      Seq("band", "band_key"))
-    val a = kept.select(col("band"), col("band_key"), col("id").as("id_a"))
-    val b = kept.select(col("band"), col("band_key"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
-    val sigB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
-    pairs.join(sigA, "id_a").join(sigB, "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
-          x => x)).cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
-      .where(col("est_jaccard") >= minEstSim)
-  }
+                                maxBucketSize: Int = 200): DataFrame =
+    bandedCandidatePairs(docs, idCol, textCol, numHashes, bands, minEstSim,
+      maxBucketSize, metricName = "poly_minhash_lsh",
+      signature = polyMinhashSignature(_, numHashes),
+      // the band key is the raw component slice — an array<long> both
+      // Spark and the SQL oracle can group and join on (xxhash64 of the
+      // slice would be engine-defined, losing the oracle)
+      bandKey = (sig, b, rows) => slice(sig, b * rows + 1, rows))
 
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is set when
     * the +1/-1 vote of all token-hash bits j sums positive. Evaluated by
@@ -382,6 +373,21 @@ object Dedup {
       pairs.select(col(idACol).as("a"), col(idBCol).as("b")),
       maxIters, checkpointDir)._1
 
+  /** Checkpoint snapshots each [[dupClusters]] result still reads (the
+    * base edge set and the converged round), keyed WEAKLY by the returned
+    * labels frame: they cannot be unpersisted while the labels are in
+    * use (in local mode the blocks ARE the data), but a caller done with
+    * a result releases them eagerly here instead of waiting for RDD GC. */
+  private val retainedByLabels = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]())
+
+  /** Release the checkpoint blocks retained by a [[dupClusters]] result.
+    * The labels frame must not be evaluated again afterwards. */
+  def releaseClusterState(labels: DataFrame): Unit = {
+    val kept = retainedByLabels.remove(labels)
+    if (kept != null) kept.foreach(_.unpersist(blocking = false))
+  }
+
   /** [[dupClusters]] internals, exposing the round count for convergence
     * tests. Input: bare (a, b) edges; output: ((id, cluster_id), rounds). */
   private[graft] def connectedComponents(
@@ -482,6 +488,10 @@ object Dedup {
     val labels = nodes
       .join(cur.select(col("a").as("id"), col("b").as("__m")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__m"), col("id")).as("cluster_id"))
+    // base + the surviving round are what `labels` still reads; register
+    // them so a caller done with the result can release the blocks
+    // eagerly ([[releaseClusterState]]) instead of waiting for RDD GC
+    retainedByLabels.put(labels, base +: cachedRounds.toSeq)
     (labels, rounds)
   }
 

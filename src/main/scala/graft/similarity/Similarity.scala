@@ -260,8 +260,11 @@ object Similarity {
     // SimilaritySpec pins both claims).
     val train =
       if (trainFraction >= 1.0) cq
-      else cq.where(pmod(xxhash64(col(idCol)), lit(1000L)) <
-        lit(math.round(trainFraction * 1000).toLong))
+      // 1e9 granularity: a 1e-6-scale fraction (the realistic input at
+      // corpus scale) must still select a non-empty stratum, not
+      // silently round to `< 0` and train on nothing
+      else cq.where(pmod(xxhash64(col(idCol)), lit(1000000000L)) <
+        lit(math.max(1L, math.round(trainFraction * 1e9))))
     val cents = refineCentroids(train, init, kmeansIters)
     val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
 
