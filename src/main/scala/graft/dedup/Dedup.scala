@@ -321,13 +321,18 @@ object Dedup {
         // dropped shingles), so recount from the kept postings.
         (kept, kept.groupBy("id").agg(count(lit(1)).as("n")))
     }
-    val a = posting.select(blockCols.map(col) :+ col("shingle") :+
-      col("id").as("id_a"): _*)
-    val b = posting.select(blockCols.map(col) :+ col("shingle") :+
-      col("id").as("id_b"): _*)
-    val inter = a.join(b, blockCols :+ "shingle")
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+    // Self-join with both sides CANONICALLY IDENTICAL (same projection,
+    // renames only after the join): the two shuffles of the posting
+    // subtree then canonicalize equal and ReuseExchange materializes the
+    // postings ONCE — with per-side renames Spark re-evaluated the whole
+    // shingle+explode pipeline for each side.
+    val pa = posting.alias("pa")
+    val pb = posting.alias("pb")
+    val joinCond = (blockCols :+ "shingle")
+      .map(c => col(s"pa.$c") === col(s"pb.$c")).reduce(_ && _) &&
+      col("pa.id") < col("pb.id")
+    val inter = pa.join(pb, joinCond)
+      .groupBy(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
