@@ -58,4 +58,59 @@ object CorpusOpsProps extends Properties("CorpusOps") {
         keptIds.contains(i.toLong) == !contaminated
       }
     }
+
+  property("packSequences invariants on any corpus and budget: offsets " +
+    "are the exact exclusive prefix sums in id order per block, bins are " +
+    "floor(offset/budget) and nondecreasing, and every token is " +
+    "accounted for exactly once") =
+    forAll(genCorpus, Gen.chooseNum(1L, 12L)) { (texts, budget) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, if (i % 2 == 0) "b0" else "b1", t) }
+        .toDF("doc_id", "blk", "text")
+      val got = CorpusOps.packSequences(docs, "doc_id", "text", Seq("blk"),
+          budget)
+        .collect()
+        .map(r => (r.getAs[String]("blk"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"),
+          r.getAs[Long]("bin")))
+      got.groupBy(_._1).forall { case (_, rows) =>
+        val inOrder = rows.sortBy(_._2)
+        val offsets = inOrder.scanLeft(0L)(_ + _._3).init
+        inOrder.map(_._4).sameElements(offsets) &&
+          inOrder.forall { case (_, _, _, off, bin) => bin == off / budget } &&
+          inOrder.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1))
+      } && got.map(_._3).sum == texts.map(_.split(" ").count(_.nonEmpty)).sum
+    }
+
+  property("tfidfTopTerms soundness: every reported (tf, df) is the true " +
+    "count, scores follow tf*(N/df), and ranks are dense per doc in " +
+    "(score desc, term asc) order") =
+    forAll(genCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val n = texts.size.toDouble
+      val toks = texts.map(_.split(" ").filter(_.nonEmpty).toSeq)
+      val trueTf = toks.zipWithIndex.flatMap { case (tk, i) =>
+        tk.groupBy(identity).map { case (w, g) => (i.toLong, w) -> g.size.toLong }
+      }.toMap
+      val trueDf = toks.map(_.toSet).flatten.groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      val got = CorpusOps.tfidfTopTerms(docs, "doc_id", "text", topK = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("term"),
+          r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("score"), r.getAs[Long]("rank")))
+      got.forall { case (id, term, tf, df, score, _) =>
+        trueTf.get((id, term)).contains(tf) &&
+          trueDf.get(term).contains(df) &&
+          score == tf.toDouble * (n / df.toDouble)
+      } && got.groupBy(_._1).forall { case (_, rows) =>
+        val sorted = rows.sortBy(_._6)
+        sorted.map(_._6).sameElements(1L to sorted.size) &&
+          sorted.sliding(2).forall(w => w.length < 2 ||
+            w(0)._5 > w(1)._5 || (w(0)._5 == w(1)._5 && w(0)._2 < w(1)._2))
+      }
+    }
 }
