@@ -147,20 +147,17 @@ object Dedup {
         sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
         sum(when(col("__n") > maxBucketSize, col("__n")).otherwise(0L)).as("dropped_rows"))
     val kept = banded.join(sizes.where(col("__n") <= maxBucketSize),
-        Seq("band", "band_key"))
-      .select("band", "band_key", "id")
+      Seq("band", "band_key"))
     // Distinct bare id pairs first; only then re-attach the two signatures
     // via slim id-keyed joins to score the (much smaller) candidate set.
-    // Both self-join sides are the SAME projection (renames after the
-    // join) so their exchanges canonicalize equal → ReuseExchange
-    // materializes the capped bucket set once at shuffle scale.
-    val ka = kept.alias("ka")
-    val kb = kept.alias("kb")
-    val pairs = ka.join(kb,
-        col("ka.band") === col("kb.band") &&
-          col("ka.band_key") === col("kb.band_key") &&
-          col("ka.id") < col("kb.id"))
-      .select(col("ka.id").as("id_a"), col("kb.id").as("id_b")).distinct()
+    // (Per-side renames do NOT hurt exchange reuse: canonicalization
+    // strips alias names, so both sides' shuffles already dedupe —
+    // verified empirically against an alias-based spelling.)
+    val a = kept.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = kept.select(col("band"), col("band_key"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val sigB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
     pairs.join(sigA, "id_a").join(sigB, "id_b")
@@ -262,20 +259,17 @@ object Dedup {
       .observe("simhash_lsh",
         sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"))
     val kept = banded.join(sizes.where(col("__n") <= maxBucketSize),
-        Seq("band", "chunk"))
-      .select("band", "chunk", "id", "fp")
-    // The fingerprint is one long — cheap enough to ride the pair join,
-    // so no distinct-then-reattach detour is needed here. Identical
-    // self-join sides (renames after the join) for exchange reuse, as in
-    // the MinHash pipeline.
-    val ka = kept.alias("ka")
-    val kb = kept.alias("kb")
-    ka.join(kb,
-        col("ka.band") === col("kb.band") &&
-          col("ka.chunk") === col("kb.chunk") &&
-          col("ka.id") < col("kb.id"))
-      .select(col("ka.id").as("id_a"), col("kb.id").as("id_b"),
-        bit_count(col("ka.fp").bitwiseXOR(col("kb.fp"))).cast("long").as("hamming"))
+      Seq("band", "chunk"))
+    // The fingerprint is one long — cheap enough to ride the pair join, so
+    // no distinct-then-reattach detour is needed here.
+    val a = kept.select(col("band"), col("chunk"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = kept.select(col("band"), col("chunk"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -330,18 +324,17 @@ object Dedup {
         // dropped shingles), so recount from the kept postings.
         (kept, kept.groupBy("id").agg(count(lit(1)).as("n")))
     }
-    // Self-join with both sides CANONICALLY IDENTICAL (same projection,
-    // renames only after the join): the two shuffles of the posting
-    // subtree then canonicalize equal and ReuseExchange materializes the
-    // postings ONCE — with per-side renames Spark re-evaluated the whole
-    // shingle+explode pipeline for each side.
-    val pa = posting.alias("pa")
-    val pb = posting.alias("pb")
-    val joinCond = (blockCols :+ "shingle")
-      .map(c => col(s"pa.$c") === col(s"pb.$c")).reduce(_ && _) &&
-      col("pa.id") < col("pb.id")
-    val inter = pa.join(pb, joinCond)
-      .groupBy(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+    // Per-side renames do NOT hurt exchange reuse (canonicalization
+    // strips alias names; both sides' posting shuffles dedupe either
+    // way — verified empirically), and using-column joins keep block
+    // column names with dots or other exotic characters working.
+    val a = posting.select(blockCols.map(col) :+ col("shingle") :+
+      col("id").as("id_a"): _*)
+    val b = posting.select(blockCols.map(col) :+ col("shingle") :+
+      col("id").as("id_b"): _*)
+    val inter = a.join(b, blockCols :+ "shingle")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")

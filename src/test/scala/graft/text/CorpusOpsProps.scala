@@ -102,15 +102,21 @@ object CorpusOpsProps extends Properties("CorpusOps") {
         .map(r => (r.getAs[Long]("id"), r.getAs[String]("term"),
           r.getAs[Long]("tf"), r.getAs[Long]("df"),
           r.getAs[Double]("score"), r.getAs[Long]("rank")))
+      // COMPLETENESS: the reported rows must be exactly the true top-k
+      // per doc under (score desc, term asc) — not merely an internally
+      // consistent subset (scores recomputed with the identical IEEE
+      // ops, so equality is exact)
+      val expected = trueTf.keys.groupBy(_._1).flatMap { case (id, keys) =>
+        keys.toSeq.map { case (_, w) =>
+          (id, w, -(trueTf((id, w)).toDouble * (n / trueDf(w).toDouble)), w)
+        }.sortBy(t => (t._3, t._4)).take(3).zipWithIndex
+          .map { case ((_, w, _, _), r) => (id, w, (r + 1).toLong) }
+      }.toSet
+      got.map(t => (t._1, t._2, t._6)).toSet == expected &&
       got.forall { case (id, term, tf, df, score, _) =>
         trueTf.get((id, term)).contains(tf) &&
           trueDf.get(term).contains(df) &&
           score == tf.toDouble * (n / df.toDouble)
-      } && got.groupBy(_._1).forall { case (_, rows) =>
-        val sorted = rows.sortBy(_._6)
-        sorted.map(_._6).sameElements(1L to sorted.size) &&
-          sorted.sliding(2).forall(w => w.length < 2 ||
-            w(0)._5 > w(1)._5 || (w(0)._5 == w(1)._5 && w(0)._2 < w(1)._2))
       }
     }
 }
