@@ -285,11 +285,55 @@ object SparkEntry {
   private val EXACT_AVG = "CAST(sum(CAST(%s AS DECIMAL(20,6))) AS DOUBLE) / count(%s)"
   private def exactAvgSql(c: String) = EXACT_AVG.format(c, c)
 
-  /** DuckDB mirror of TextAnalysis.charPolyHash over expression `e`. */
-  private def charPolySql(e: String) =
+  /** DuckDB mirror of the generalized codepoint polynomial hash
+    * h = (h*mult + cp) mod `mod` over expression `e`. */
+  private def charPolySqlM(e: String, mult: Long, mod: Long) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($e)+1), i -> CAST(ord($e[i]) AS BIGINT))), " +
-      "(a,b) -> (a*31+b) % 1000000007)"
+      s"(a,b) -> (a*$mult+b) % $mod)"
+
+  /** DuckDB mirror of TextAnalysis.charPolyHash over expression `e`. */
+  private def charPolySql(e: String) = charPolySqlM(e, 31L, 1000000007L)
+
+  /** Shared q66/q67 oracle CTEs: per-document 60-bit poly-SimHash
+    * fingerprints (`docfp`: doc_id, fp — zero-token docs carry fp 0,
+    * mirroring the kernel's empty-array result). The token hash is
+    * poly31 | (poly131 << 30), bit j votes +1/-1 over all tokens. */
+  // lazy: references TOKENS_SQL, which is declared further down — a
+  // strict val here would interpolate null (the DUP_CLUSTERS_SQL lesson)
+  private lazy val POLY_SIMHASH_CTES: String =
+    s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+       |th AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+       |hh AS (
+       |  SELECT doc_id,
+       |    ${charPolySqlM("tok", 31L, 1000000007L)} |
+       |      (${charPolySqlM("tok", 131L, 998244353L)} << 30) AS h
+       |  FROM th),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hh CROSS JOIN (SELECT unnest(range(60)) AS j) bits
+       |  GROUP BY doc_id, j),
+       |fps AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+       |      AS BIGINT) AS fp
+       |  FROM votes GROUP BY doc_id),
+       |docfp AS (
+       |  SELECT t.doc_id, CAST(COALESCE(f.fp, 0) AS BIGINT) AS fp
+       |  FROM toks t LEFT JOIN fps f ON t.doc_id = f.doc_id),
+       |""".stripMargin
+
+  /** The pigeonhole band slicing of [[graft.dedup.Dedup.bandWidths]] as a
+    * DuckDB VALUES table (band, bit offset, in-band mask) — generated
+    * from the SAME Scala helper the operator uses. */
+  private def polySimhashBandsSql(maxHamming: Int): String = {
+    val widths = Dedup.bandWidths(60, maxHamming + 1)
+    val offsets = widths.scanLeft(0)(_ + _)
+    widths.indices.map { b =>
+      s"(${b}, ${offsets(b)}, ${(1L << widths(b)) - 1L}::BIGINT)"
+    }.mkString(", ")
+  }
 
   /** DuckDB: UTF-8 bytes of string expression `e` as a BIGINT list (byte i
     * recovered from the hex dump — DuckDB has no direct blob-byte indexing).
@@ -1166,6 +1210,19 @@ object SparkEntry {
           "doc_id", "text")
         .where(col("jaccard") >= 0.5)),
 
+    // The oracle-expressible SimHash family (q17/q26's hash-checked
+    // sibling, like q57-q59 for MinHash): 60-bit fingerprints from two
+    // mirrorable polynomial token hashes packed side by side.
+    "q66_poly_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Dedup.polySimhash64(TextAnalysis.tokens(col("text"))).as("fp"))),
+
+    // Pigeonhole-banded near-dup pairs over the poly fingerprint —
+    // banding, bucket cap, and Hamming filter all mirrored in SQL.
+    "q67_poly_simhash_pairs" -> ((s, dir) =>
+      Dedup.polySimhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8)),
+
     // Per-document top-5 TF-IDF terms (score = tf × N/df — log-free so
     // every arithmetic step mirrors exactly; see CorpusOps scaladoc).
     "q60_tfidf" -> ((s, dir) =>
@@ -1515,6 +1572,26 @@ object SparkEntry {
         |FROM cand c
         |JOIN sigl sa ON c.id_a = sa.doc_id
         |JOIN sigl sb ON c.id_b = sb.doc_id""".stripMargin),
+
+    "q66_poly_simhash" -> (POLY_SIMHASH_CTES +
+      """out AS (SELECT doc_id, fp FROM docfp)
+        |SELECT doc_id, fp FROM out""".stripMargin),
+
+    "q67_poly_simhash_pairs" -> (POLY_SIMHASH_CTES +
+      s"""rep AS (SELECT fp, min(doc_id) AS id FROM docfp GROUP BY fp),
+         |bands(band, off, mask) AS (VALUES ${polySimhashBandsSql(8)}),
+         |bd AS (
+         |  SELECT r.id, r.fp, b.band, (r.fp >> b.off) & b.mask AS chunk
+         |  FROM rep r CROSS JOIN bands b),
+         |bsz AS (SELECT band, chunk, count(*) AS n FROM bd GROUP BY band, chunk),
+         |kept AS (
+         |  SELECT d.id, d.fp, d.band, d.chunk FROM bd d
+         |  JOIN bsz z ON d.band = z.band AND d.chunk = z.chunk AND z.n <= 1000)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM kept a JOIN kept b
+         |  ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin),
 
     "q60_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),

@@ -199,6 +199,14 @@ object Dedup {
   def simhash64(tk: Column): Column =
     graft.expressions.SignatureKernels.simhashFp(tk)
 
+  /** 60-bit poly-SimHash fingerprint — [[simhash64]]'s oracle-expressible
+    * sibling: each token hashes to two mirrorable ~30-bit polynomial
+    * hashes packed side by side ([[graft.expressions.PolySimHash]]), so
+    * the fingerprints and the banding built on them are hash-checkable
+    * end-to-end (q66/q67). */
+  def polySimhash64(tk: Column): Column =
+    graft.expressions.SignatureKernels.polySimhashFp(tk)
+
   /** The replaced single-pass HOF spelling of [[simhash64]], kept as the
     * executable specification the kernel is parity-tested against: one
     * `aggregate` carries a 64-slot vote array and each token is hashed
@@ -231,21 +239,50 @@ object Dedup {
     * "simhash_lsh"). maxHamming <= 31: beyond that band widths hit 1-2
     * bits and the bucket join degenerates toward all-pairs. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    bandedHammingPairs(docs, idCol,
+      simhash64(TextAnalysis.tokens(col(textCol))), bits = 64,
+      maxHamming, maxBucketSize, metricName = "simhash_lsh")
+
+  /** [[simhashPairs]] over the 60-bit POLY fingerprint
+    * ([[polySimhash64]]) — the oracle-expressible SimHash path: the
+    * fingerprints, the pigeonhole banding, and the Hamming filter all
+    * have exact SQL mirrors (q66/q67), unlike xxhash64's. */
+  def polySimhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    bandedHammingPairs(docs, idCol,
+      polySimhash64(TextAnalysis.tokens(col(textCol))), bits = 60,
+      maxHamming, maxBucketSize, metricName = "poly_simhash_lsh")
+
+  /** The shared pigeonhole-banded Hamming pipeline behind
+    * [[simhashPairs]] and [[polySimhashPairs]]: identical fingerprints
+    * collapse to their minimum-id representative, the `bits`-wide
+    * fingerprint splits into maxHamming+1 non-empty contiguous bands
+    * (completeness by pigeonhole), oversized buckets are dropped with an
+    * observed metric, and surviving same-bucket pairs are Hamming-
+    * filtered exactly. */
+  /** Non-empty contiguous band widths: the first `bits % nBands` bands
+    * are one bit wider. Shared with the oracle-SQL generators so both
+    * engines slice identically. */
+  private[graft] def bandWidths(bits: Int, nBands: Int): Seq[Int] = {
+    val base = bits / nBands; val extra = bits % nBands
+    (0 until nBands).map(b => base + (if (b < extra) 1 else 0))
+  }
+
+  private def bandedHammingPairs(docs: DataFrame, idCol: String,
+                                 fpCol: Column, bits: Int, maxHamming: Int,
+                                 maxBucketSize: Int,
+                                 metricName: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
     val nBands = maxHamming + 1
-    // partition the 64 bits into nBands NON-EMPTY contiguous bands (the
-    // first 64 % nBands bands are one bit wider) — a zero-width band
-    // would give every row the same chunk and cross-join the corpus
-    val widths = {
-      val base = 64 / nBands; val extra = 64 % nBands
-      (0 until nBands).map(b => base + (if (b < extra) 1 else 0))
-    }
+    // NON-EMPTY bands (the first bits % nBands bands are one bit wider) —
+    // a zero-width band would give every row the same chunk and
+    // cross-join the corpus
+    val widths = bandWidths(bits, nBands)
     val offsets = widths.scanLeft(0)(_ + _)
     val fp = docs
-      .select(col(idCol).as("id"),
-        simhash64(TextAnalysis.tokens(col(textCol))).as("fp"))
+      .select(col(idCol).as("id"), fpCol.as("fp"))
       .groupBy("fp").agg(min(col("id")).as("id"))
     val banded = fp.select(col("id"), col("fp"),
         posexplode(array((0 until nBands).map { b =>
@@ -256,7 +293,7 @@ object Dedup {
         col("id"), col("fp"))
     val sizes = banded.groupBy("band", "chunk")
       .agg(count(lit(1)).as("__n"))
-      .observe("simhash_lsh",
+      .observe(metricName,
         sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"))
     val kept = banded.join(sizes.where(col("__n") <= maxBucketSize),
       Seq("band", "chunk"))

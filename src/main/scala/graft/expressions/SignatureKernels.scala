@@ -99,16 +99,59 @@ object SignatureKernels {
     * 1e9+7; the HOF form's `ascii` returns the leading CODEPOINT of each
     * `split(s, "")` cell, and Java's zero-width regex split never splits a
     * surrogate pair, so codepoints — not UTF-16 units — are the grain). */
-  def polyHash(s: UTF8String): Long = {
+  def polyHash(s: UTF8String): Long = polyHashM(s, 31L, PolyMod)
+
+  /** The generalized family: h = (h*mult + codepoint) mod `mod`. Both
+    * parameters must keep h*mult + cp < 2^63 (mod ≲ 2^31 with mult ≲
+    * 2^30 is safe). */
+  def polyHashM(s: UTF8String, mult: Long, mod: Long): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      h = (h * 31L + cp) % PolyMod
+      h = (h * mult + cp) % mod
       i += Character.charCount(cp)
     }
     h
+  }
+
+  /** Second independent poly modulus/multiplier pair for the 60-bit
+    * combined token hash of [[polySimhash]]. */
+  val PolyMod2 = 998244353L
+  val PolyMult2 = 131L
+
+  /** Oracle-expressible SimHash row kernel: each non-null token hashes to
+    * the 60-bit combination h = poly31(t) | (poly131(t) << 30) of two
+    * independent ~30-bit polynomial hashes (every ingredient has an
+    * exact SQL mirror — the whole point, vs xxhash64's engine-defined
+    * bits); bit j of the fingerprint is set when the +1/-1 votes of all
+    * token-hash bits j sum positive, over bits 0..59. Null tokens are
+    * skipped. An empty/all-null array yields fingerprint 0. */
+  def polySimhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        val h = polyHashM(t, 31L, PolyMod) |
+          (polyHashM(t, PolyMult2, PolyMod2) << 30)
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
   }
 
   /** Polynomial-family MinHash row kernel: the shingle is reduced ONCE to
@@ -164,6 +207,10 @@ object SignatureKernels {
   /** 64-bit SimHash fingerprint of an array<string> column. */
   def simhashFp(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  /** 60-bit oracle-expressible poly-SimHash fingerprint. */
+  def polySimhashFp(tokens: Column): Column =
+    Bridge.column(PolySimHash(Bridge.expression(tokens)))
 
   /** Polynomial-family MinHash signature of an array<string> column. */
   def polyMinhashSig(shingles: Column, numHashes: Int): Column =
@@ -224,6 +271,25 @@ case class SimHash64(child: Expression) extends SignatureExpression {
       s"${ev.value} = graft.expressions.SignatureKernels.simhash($a);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** 60-bit poly-SimHash — [[SimHash64]]'s oracle-expressible sibling: the
+  * token hash is two mirrorable polynomial hashes packed side by side
+  * instead of xxhash64, so fingerprints AND the pigeonhole banding built
+  * on them hash-check against an external SQL engine. */
+case class PolySimHash(child: Expression) extends SignatureExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_simhash"
+
+  override def nullSafeEval(a: Any): Any =
+    SignatureKernels.polySimhash(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.SignatureKernels.polySimhash($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolySimHash =
     copy(child = newChild)
 }
 

@@ -163,6 +163,29 @@ object DedupProps extends Properties("Dedup") {
       want.subsetOf(got)
     }
 
+  property("POLY simhashPairs pigeonhole completeness holds for EVERY " +
+    "maxHamming budget in [1, 10] over the 60-bit fingerprint (the q67 " +
+    "family: same banding contract as xxhash64's, plus an oracle)") =
+    forAll(genCorpus, Gen.chooseNum(1, 10)) { (texts, maxHamming) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val fps = docs
+        .select(col("doc_id"),
+          Dedup.polySimhash64(TextAnalysis.tokens(col("text"))).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val reps = fps.groupBy(_._2).map { case (fp, g) =>
+        g.map(_._1).min -> fp }.toSeq
+      val want = (for {
+        (ia, fa) <- reps; (ib, fb) <- reps if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= maxHamming
+      } yield (ia, ib)).toSet
+      val got = Dedup.polySimhashPairs(docs, "doc_id", "text",
+          maxHamming = maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      want.subsetOf(got)
+    }
+
   property("simhashPairs is COMPLETE for hamming <= 3 (4x16-bit " +
     "pigeonhole): every qualifying representative pair is returned") =
     forAll(genCorpus) { texts =>

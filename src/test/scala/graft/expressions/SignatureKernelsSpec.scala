@@ -102,17 +102,47 @@ class SignatureKernelsSpec extends SparkSpec {
     }
   }
 
-  test("all three kernels participate in whole-stage codegen") {
+  test("poly-simhash: 60-bit range, empty/null edges, and agreement with " +
+    "a per-bit reference over the two poly token hashes") {
+    import spark.implicits._
+    val got = corpus.select(col("text"),
+      Dedup.polySimhash64(TextAnalysis.tokens(col("text"))).as("fp")).collect()
+    got.foreach { r =>
+      val fp = r.getLong(1)
+      assert(fp >= 0L && fp < (1L << 60))
+      // reference: recompute per-bit votes from the scalar kernels
+      val toks = r.getString(0).split(" ").filter(_.nonEmpty)
+      val want = (0 until 60).map { j =>
+        val v = toks.map { t =>
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+          val h = SignatureKernels.polyHashM(u, 31L, SignatureKernels.PolyMod) |
+            (SignatureKernels.polyHashM(u, SignatureKernels.PolyMult2,
+              SignatureKernels.PolyMod2) << 30)
+          if (((h >>> j) & 1L) == 1L) 1 else -1
+        }.sum
+        if (v > 0) 1L << j else 0L
+      }.sum
+      assert(fp === want)
+    }
+    val edges = Seq((1L, Some(Seq[String]())), (2L, None)).toDF("id", "arr")
+      .select(Dedup.polySimhash64(col("arr"))).orderBy(lit(1)).collect()
+    assert(edges.exists(r => !r.isNullAt(0) && r.getLong(0) == 0L))
+    assert(edges.exists(_.isNullAt(0)))
+  }
+
+  test("all four kernels participate in whole-stage codegen") {
     val df = spark.range(8).select(
         transform(sequence(lit(0L), lit(3L)),
           i => concat(lit("w"), (i + col("id")).cast("string"))).as("arr"))
       .select(
         Dedup.minhashSignature(col("arr"), 8).as("mh"),
         Dedup.simhash64(col("arr")).as("sh"),
-        Dedup.polyMinhashSignature(col("arr"), 8).as("pm"))
+        Dedup.polyMinhashSignature(col("arr"), 8).as("pm"),
+        Dedup.polySimhash64(col("arr")).as("ps"))
     df.collect() // must execute, not just plan
     val plan = df.queryExecution.executedPlan.toString
-    Seq("graft_minhash", "graft_simhash", "graft_poly_minhash").foreach { fn =>
+    Seq("graft_minhash", "graft_simhash", "graft_poly_minhash",
+        "graft_poly_simhash").foreach { fn =>
       assert(plan.linesIterator.exists(l =>
         l.contains(fn) && l.trim.startsWith("*")), s"$fn not codegen'd:\n$plan")
     }
