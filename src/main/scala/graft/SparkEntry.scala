@@ -1223,6 +1223,14 @@ object SparkEntry {
       Dedup.polySimhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 8)),
 
+    // Deterministic mixture resampling: per-source permille rates via the
+    // content-hash threshold — the training-mix constructor (the q45
+    // stratified sample generalized to per-group rates).
+    "q68_mixture_sample" -> ((s, dir) =>
+      CorpusOps.mixtureSample(t(s, dir, "documents"), "text", "source",
+        permille = Map("src0" -> 900, "src1" -> 500, "src2" -> 250),
+        defaultPermille = 100)),
+
     // Per-document top-5 TF-IDF terms (score = tf × N/df — log-free so
     // every arithmetic step mirrors exactly; see CorpusOps scaladoc).
     "q60_tfidf" -> ((s, dir) =>
@@ -1576,6 +1584,14 @@ object SparkEntry {
     "q66_poly_simhash" -> (POLY_SIMHASH_CTES +
       """out AS (SELECT doc_id, fp FROM docfp)
         |SELECT doc_id, fp FROM out""".stripMargin),
+
+    "q68_mixture_sample" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE ${charPolySql("text")} % 1000 <
+         |  CASE WHEN source = 'src2' THEN 250
+         |       WHEN source = 'src1' THEN 500
+         |       WHEN source = 'src0' THEN 900
+         |       ELSE 100 END""".stripMargin,
 
     "q67_poly_simhash_pairs" -> (POLY_SIMHASH_CTES +
       s"""rep AS (SELECT fp, min(doc_id) AS id FROM docfp GROUP BY fp),

@@ -140,6 +140,26 @@ object CorpusOps {
       .withColumn("bin", expr(s"start_offset DIV ${budget}L"))
   }
 
+  /** Deterministic mixture resampling — the training-mix constructor:
+    * each group (e.g. source) keeps documents at its own target permille
+    * rate, selected by a CONTENT-hash threshold (charPolyHash mod 1000 <
+    * rate) rather than a random draw, so the sample is reproducible
+    * across runs, engines, and partitionings, and the same document
+    * always makes the same decision (the q45 stratified-sample contract,
+    * generalized to per-group rates). Groups absent from `permille`
+    * default to `defaultPermille`. Pure per-row predicate: no shuffle. */
+  def mixtureSample(docs: DataFrame, textCol: String, groupCol: String,
+                    permille: Map[String, Int],
+                    defaultPermille: Int = 0): DataFrame = {
+    require((defaultPermille +: permille.values.toSeq)
+      .forall(r => r >= 0 && r <= 1000), "rates must be permille in [0, 1000]")
+    val rate = permille.foldLeft(lit(defaultPermille)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    docs.where(TextAnalysis.charPolyHash(col(textCol)) % 1000L <
+      rate.cast("long"))
+  }
+
   /** Context chunking: split each document's token stream into windows of
     * `size` tokens starting every `stride` tokens (stride < size gives
     * overlapping windows) — the pretraining sequence-packing precursor.

@@ -49,6 +49,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!byDoc.contains(3L))
   }
 
+  test("mixtureSample: per-group permille rates via the content hash — " +
+    "reproducible, group-targeted, 0 drops all, 1000 keeps all") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0 until 300).map(i => (i.toLong,
+      if (i % 3 == 0) "keepall" else if (i % 3 == 1) "dropall" else "half",
+      s"document number $i with content"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.mixtureSample(docs, "text", "source",
+      Map("keepall" -> 1000, "dropall" -> 0), defaultPermille = 500)
+    val bySrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("keepall", 0L) === 100L)
+    assert(!bySrc.contains("dropall"))
+    val half = bySrc.getOrElse("half", 0L)
+    assert(half > 20L && half < 80L, s"half-rate kept $half of 100")
+    // reproducible: the same call yields the same kept set
+    val again = CorpusOps.mixtureSample(docs, "text", "source",
+      Map("keepall" -> 1000, "dropall" -> 0), defaultPermille = 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === got.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("tfidfTopTerms: rare terms outscore common ones; ties break by " +
     "term; topK truncates") {
     import spark.implicits._
