@@ -468,11 +468,19 @@ object Dedup {
         cachedRounds.dequeue().unpersist(blocking = false)
     // count + XOR of per-edge hashes: commutative, duplicate-free input
     // (edges are distinct-ed), and — unlike a sum — can never hit the
-    // ANSI long-overflow error at any cardinality
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // ANSI long-overflow error at any cardinality. The pass is routed
+    // through observe() so each round's edge cardinality reaches every
+    // registered QueryExecutionListener as a `graft_cc_round_<n>` metric
+    // (production convergence alarms read the same channel as the bucket
+    // caps' drop metrics) while Observation.get hands this loop the
+    // values synchronously.
+    def fingerprint(e: DataFrame, round: Int): (Long, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_round_$round")
+      e.observe(obs, count(lit(1)).as("edges"),
+          coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("edge_hash"))
+        .foreach((_: org.apache.spark.sql.Row) => ())
+      val m = obs.get
+      (m("edges").asInstanceOf[Long], m("edge_hash").asInstanceOf[Long])
     }
     // Large-star: for each node u, connect every STRICTLY LARGER neighbor
     // to m = min(N(u) ∪ {u}). Keeps connectivity, never creates self
@@ -512,12 +520,12 @@ object Dedup {
     val nodes = base.select(col("a").as("id"))
       .union(base.select(col("b").as("id"))).distinct()
     var cur = base.where(col("a") =!= col("b"))
-    var fp = fingerprint(cur) // materializes base's checkpoint too
+    var fp = fingerprint(cur, 0) // materializes base's checkpoint too
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIters) {
       val next = truncate(smallStar(largeStar(cur)))
-      val nfp = fingerprint(next) // materializes next's checkpoint
+      val nfp = fingerprint(next, rounds + 1) // materializes next's checkpoint
       dropSupersededCaches()
       converged = nfp == fp
       cur = next
@@ -532,6 +540,12 @@ object Dedup {
     val labels = nodes
       .join(cur.select(col("a").as("id"), col("b").as("__m")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__m"), col("id")).as("cluster_id"))
+      // every downstream action on the labels re-emits the converged
+      // round count + id cardinality to QueryExecutionListeners, so a
+      // production consumer can alarm on rounds creeping toward maxIters
+      // without threading the internal API's return value around
+      .observe("graft_cc_summary",
+        max(lit(rounds)).as("rounds"), count(lit(1)).as("ids"))
     // base + the surviving round are what `labels` still reads; register
     // them so a caller done with the result can release the blocks
     // eagerly ([[releaseClusterState]]) instead of waiting for RDD GC

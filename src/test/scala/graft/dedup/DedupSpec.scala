@@ -190,6 +190,45 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 7L -> 7L))
   }
 
+  test("dupClusters convergence is observable: per-round edge cardinality " +
+    "and the converged summary reach QueryExecutionListeners") {
+    import spark.implicits._
+    val seen = new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => seen.put(k, v) }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+      val (labels, rounds) = Dedup.connectedComponents(
+        pairs.select(col("id_a").as("a"), col("id_b").as("b")),
+        maxIters = 30, checkpointDir = None)
+      assert(labels.count() === 4L)
+      // listener delivery is async — poll until the summary lands
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!seen.containsKey("graft_cc_summary") &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      val summary = seen.get("graft_cc_summary")
+      assert(summary != null,
+        s"graft_cc_summary never reached the listener; saw ${seen.keySet()}")
+      assert(summary.getAs[Int]("rounds") === rounds)
+      assert(summary.getAs[Long]("ids") === 4L)
+      // round 0 = the base (distinct, self-loop-free) edge set: 3 edges
+      val r0 = seen.get("graft_cc_round_0")
+      assert(r0 != null && r0.getAs[Long]("edges") === 3L)
+      // every star round reported a cardinality a monitor could alarm on
+      (1 to rounds).foreach(i =>
+        assert(seen.containsKey(s"graft_cc_round_$i"), s"missing round $i"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("nearDupCorpus drops exactly the non-representative cluster " +
     "members; singletons survive") {
     import spark.implicits._
