@@ -1158,13 +1158,19 @@ object SparkEntry {
     // type non-null-element (the rule's safety precondition: the kernel
     // reads raw long slots).
     "q55_hof_dot_rewrite" -> ((s, dir) => {
-      graft.plans.GraftOptimizations.install(s)
+      // Session hygiene: install the rule set on an ISOLATED session
+      // (same SparkContext, fresh SessionState seeded from the builder
+      // options) so the shared session every other registered query runs
+      // on is never mutated — PlanSpec asserts the outer session's rule
+      // list stays empty and q19's plan is identical after q55 has run.
+      val iso = s.newSession()
+      graft.plans.GraftOptimizations.install(iso)
       def qz(e: Column): Column = transform(e, x =>
         coalesce(round(x.cast("double") * lit(Similarity.Scale)).cast("long"),
           lit(0L)))
       def hof(a: String, b: String): Column = expr(
         s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-      val emb = t(s, dir, "embeddings")
+      val emb = t(iso, dir, "embeddings")
       val q = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), qz(col("embedding")).as("qv"))
         .withColumn("qn", hof("qv", "qv"))
@@ -1266,8 +1272,11 @@ object SparkEntry {
     // kernel (PlanSpec asserts the optimized plan) and the result
     // hash-checks against q23's oracle verbatim.
     "q65_hof_tokens_rewrite" -> ((s, dir) => {
-      graft.plans.GraftOptimizations.install(s)
-      val d = t(s, dir, "documents")
+      // isolated-session install, exactly as in q55 — no shared-session
+      // optimizer mutation from inside the registered-query map
+      val iso = s.newSession()
+      graft.plans.GraftOptimizations.install(iso)
+      val d = t(iso, dir, "documents")
       val hofTokens = expr("filter(split(text, ' '), t -> t != '')")
       val ws = size(hofTokens).cast("long")
       val re = size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")

@@ -129,6 +129,29 @@ class PlanSpec extends SparkSpec {
       s"interpreted HOF survives in the optimized plan:\n$optimized")
   }
 
+  test("q55/q65 session hygiene: running the rewrite queries leaves the " +
+    "shared session's optimizer untouched — other queries' plans are " +
+    "identical with and without q55/q65 having run") {
+    import spark.implicits._
+    // a probe with the exact HOF shape the rules target, planned on the
+    // SHARED session: if install leaked, this would come back rewritten
+    def probePlan(): String = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+      .selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS d",
+        "filter(split('x y', ' '), t -> t != '') AS tk")
+      .queryExecution.optimizedPlan.toString
+      .replaceAll("#\\d+", "#") // exprIds differ per planning, shapes must not
+    val before = probePlan()
+    SparkEntry.queries("q55_hof_dot_rewrite")(spark, sf).collect()
+    SparkEntry.queries("q65_hof_tokens_rewrite")(spark, sf).collect()
+    assert(spark.experimental.extraOptimizations.isEmpty,
+      "the registered-query map mutated the shared session's rule list")
+    val after = probePlan()
+    assert(after === before)
+    assert(!after.contains("graft_int_dot") && !after.contains("graft_tokens"),
+      s"rewrite leaked onto the shared session:\n$after")
+  }
+
   test("q01: the fact-fact composite-key join carries NO broadcast hint " +
     "(a hint here OOMs executors at 100 TB; tiny-SF broadcasts are AQE's " +
     "size-based call, which scales), and the W1 global sort is present") {
