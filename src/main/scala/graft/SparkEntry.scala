@@ -4,7 +4,7 @@ import graft.analytics.Dashboard
 import graft.dedup.Dedup
 import graft.functions.{TimeOps, WeatherOps}
 import graft.multimodal.MultiModal
-import graft.operators.{Salt, Sessionize, Upsert}
+import graft.operators.{AsOfJoin, Salt, Sessionize, Upsert}
 import graft.pipelines.DiffTimes
 import graft.similarity.Similarity
 import graft.text.{CorpusOps, TextAnalysis}
@@ -1237,6 +1237,25 @@ object SparkEntry {
         permille = Map("src0" -> 900, "src1" -> 500, "src2" -> 250),
         defaultPermille = 100)),
 
+    // As-of join: each click gets the user's latest purchase at-or-before
+    // it — the temporal-attach operator (trade←quote, event←state). ONE
+    // shuffle (union + window sweep, AsOfJoinSpec pins the plan), no
+    // range-join explosion; oracle is DuckDB's native ASOF LEFT JOIN.
+    // The right side is pre-aggregated to one row per (user, second) so
+    // the tie-free contract holds on both engines.
+    "q69_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("p_epoch"),
+          col("value"))
+        .groupBy("user_id", "p_epoch").agg(max("value").as("purchase_value"))
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts_epoch", "p_epoch",
+        matchedTimeCol = "purchase_epoch")
+    }),
+
     // Per-document top-5 TF-IDF terms (score = tf × N/df — log-free so
     // every arithmetic step mirrors exactly; see CorpusOps scaladoc).
     "q60_tfidf" -> ((s, dir) =>
@@ -1617,6 +1636,17 @@ object SparkEntry {
          |FROM kept a JOIN kept b
          |  ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin),
+
+    "q69_asof_join" ->
+      """SELECT l.user_id, l.event_id, l.ts_epoch,
+        |  r.purchase_value, r.p_epoch AS purchase_epoch
+        |FROM (SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS ts_epoch
+        |      FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, FLOOR(epoch(ts))::BIGINT AS p_epoch,
+        |    max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
+        |ON l.user_id = r.user_id AND l.ts_epoch >= r.p_epoch""".stripMargin,
 
     "q60_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
