@@ -4,7 +4,7 @@ import graft.analytics.Dashboard
 import graft.dedup.Dedup
 import graft.functions.{TimeOps, WeatherOps}
 import graft.multimodal.MultiModal
-import graft.operators.{AsOfJoin, Salt, Sessionize, Upsert}
+import graft.operators.{AsOfJoin, RangeJoin, Salt, Sessionize, Upsert}
 import graft.pipelines.DiffTimes
 import graft.similarity.Similarity
 import graft.text.{CorpusOps, TextAnalysis}
@@ -1256,6 +1256,24 @@ object SparkEntry {
         matchedTimeCol = "purchase_epoch")
     }),
 
+    // Range join: clicks within ±1 h of each error event per user —
+    // bucketized to an equi-join on (user, bucket) with bounded interval
+    // replication (RangeJoinSpec pins the no-nested-loop plan); the
+    // oracle is the naive BETWEEN join DuckDB runs as an IEJoin.
+    "q70_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_timestamp(col("ts")).as("click_epoch"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          (unix_timestamp(col("ts")) - 3600L).as("lo"),
+          (unix_timestamp(col("ts")) + 3600L).as("hi"))
+      RangeJoin.pointInInterval(clicks, errors, Seq("user_id"),
+          "click_epoch", "lo", "hi", bucketWidth = 7200L)
+        .select("user_id", "error_id", "click_id", "click_epoch")
+    }),
+
     // Per-document top-5 TF-IDF terms (score = tf × N/df — log-free so
     // every arithmetic step mirrors exactly; see CorpusOps scaladoc).
     "q60_tfidf" -> ((s, dir) =>
@@ -1647,6 +1665,16 @@ object SparkEntry {
         |    max(value) AS purchase_value
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
         |ON l.user_id = r.user_id AND l.ts_epoch >= r.p_epoch""".stripMargin,
+
+    "q70_range_join" ->
+      """SELECT c.user_id, e.event_id AS error_id, c.event_id AS click_id,
+        |  c.click_epoch
+        |FROM (SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS click_epoch
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS err_epoch
+        |      FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id
+        | AND c.click_epoch BETWEEN e.err_epoch - 3600 AND e.err_epoch + 3600""".stripMargin,
 
     "q60_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
