@@ -383,6 +383,28 @@ object SparkEntry {
        |JOIN sizes nb ON inter.id_b = nb.doc_id
        |WHERE CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) >= $minJ""".stripMargin
 
+  /** Exact trigram decontamination — shared by q48 (exact shuffle path)
+    * and q71 (Bloom-gated path): the gate changes the plan, not the rows. */
+  private lazy val DECON_SQL: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, lang, source, n_chars, $TOKENS_SQL AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg
+       |  FROM toks),
+       |ev AS (
+       |  SELECT DISTINCT unnest(sg) AS shingle FROM sh WHERE doc_id % 10 = 0),
+       |bad AS (
+       |  SELECT DISTINCT p.doc_id
+       |  FROM (SELECT doc_id, unnest(sg) AS shingle FROM sh
+       |        WHERE doc_id % 10 <> 0) p
+       |  JOIN ev ON p.shingle = ev.shingle)
+       |SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE doc_id % 10 <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
   private val BIGRAM_SQL =
     "list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))"
   private val TRIGRAM_SQL =
@@ -1125,6 +1147,18 @@ object SparkEntry {
         docs.where(col("doc_id") % 10L =!= 0L),
         docs.where(col("doc_id") % 10L === 0L),
         "doc_id", "text", n = 3)
+    }),
+
+    // Bloom-gated decontamination: the fixed-size sketch drops clean
+    // postings inside the scan's codegen stage BEFORE the shuffle; the
+    // fpp sliver is verified away by the exact join, so the rows are
+    // bit-identical to q48 (whose oracle this reuses verbatim).
+    "q71_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusOps.decontaminateBloom(
+        docs.where(col("doc_id") % 10L =!= 0L),
+        docs.where(col("doc_id") % 10L === 0L),
+        "doc_id", "text", n = 3, capacity = 1L << 17)
     }),
 
     // Context chunking: overlapping 12-token windows every 8 tokens —
@@ -2087,25 +2121,11 @@ object SparkEntry {
          |  ${exactAvgSql("quality")} AS avg_quality
          |FROM clean GROUP BY lang, source""".stripMargin,
 
-    "q48_decontaminate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, text, lang, source, n_chars, $TOKENS_SQL AS tk
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(tk) - 1),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg
-         |  FROM toks),
-         |ev AS (
-         |  SELECT DISTINCT unnest(sg) AS shingle FROM sh WHERE doc_id % 10 = 0),
-         |bad AS (
-         |  SELECT DISTINCT p.doc_id
-         |  FROM (SELECT doc_id, unnest(sg) AS shingle FROM sh
-         |        WHERE doc_id % 10 <> 0) p
-         |  JOIN ev ON p.shingle = ev.shingle)
-         |SELECT doc_id, text, lang, source, n_chars FROM documents
-         |WHERE doc_id % 10 <> 0
-         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "q48_decontaminate" -> DECON_SQL,
+
+    // the Bloom gate changes the SHAPE, never the rows — q71 reuses
+    // q48's oracle verbatim (the same exact-decontamination SQL)
+    "q71_decontaminate_bloom" -> DECON_SQL,
 
     "q49_chunk_docs" ->
       s"""WITH toks AS (

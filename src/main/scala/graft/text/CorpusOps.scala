@@ -34,6 +34,45 @@ object CorpusOps {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]] with a Bloom prefilter — SAME results, different
+    * scale shape. The exact path shuffles EVERY train posting into the
+    * postings⋈shingles join; at corpus scale that shuffle is almost
+    * entirely wasted, because nearly all postings are clean. Here the
+    * eval shingle set is additionally compressed into a fixed-size Bloom
+    * filter over xxhash64 keys (a bounded plan-time driver action — the
+    * sketch is `O(capacity·ln 1/fpp)` BITS regardless of corpus size,
+    * the same budget class as the IVF centroid collect), and the gate
+    * [[graft.expressions.BloomMightContainLong]] drops clean postings
+    * BEFORE the shuffle, inside the scan's codegen stage. Survivors —
+    * true contaminations plus the fpp sliver — still go through the
+    * exact shingle join, so false positives are verified away and the
+    * output is bit-identical to [[decontaminate]] (the spec and q71's
+    * reuse of q48's oracle both pin this). False negatives cannot occur:
+    * every eval hash is in the filter by construction.
+    *
+    * `capacity` must be >= the true distinct-shingle count of the eval
+    * corpus or the realized fpp degrades (never correctness — only gate
+    * selectivity). */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         capacity: Long = 1L << 20,
+                         fpp: Double = 0.03): DataFrame = {
+    val evalShingles = eval
+      .select(explode(TextAnalysis.ngramShingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+    val bloom = evalShingles.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", capacity, fpp)
+    val gated = train.select(col(idCol),
+      explode(TextAnalysis.ngramShingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+      .where(graft.expressions.BloomMightContainLong.mightContain(
+        xxhash64(col("shingle")), bloom))
+    val contaminated = gated.join(evalShingles, "shingle")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Per-document top-k TF-IDF terms. Score = tf × (N / df) — the inverse
     * document frequency WITHOUT the logarithm: `ln` is the one ingredient
     * whose last-ulp behavior is libm-specific, and this operator's
