@@ -1308,6 +1308,19 @@ object SparkEntry {
         .select("user_id", "error_id", "click_id", "click_epoch")
     }),
 
+    // Incremental dedup — the daily-ingest shape: near-dup candidates of
+    // the NEW batch against the standing corpus (and within the batch),
+    // never re-deriving corpus×corpus pairs. Poly family end-to-end, so
+    // banding, caps, the cross flag, and the similarity estimate all
+    // hash-check.
+    "q72_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalPolyMinhashPairs(
+        docs.where(col("doc_id") % 5L =!= 0L),
+        docs.where(col("doc_id") % 5L === 0L),
+        "doc_id", "text")
+    }),
+
     // Per-document top-5 TF-IDF terms (score = tf × N/df — log-free so
     // every arithmetic step mirrors exactly; see CorpusOps scaladoc).
     "q60_tfidf" -> ((s, dir) =>
@@ -1688,6 +1701,43 @@ object SparkEntry {
          |FROM kept a JOIN kept b
          |  ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin),
+
+    "q72_incremental_dedup" -> (polyBaseCtes(64) +
+      """sided AS (
+        |  SELECT doc_id, text, sg,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS is_new
+        |  FROM shf),
+        |uniq AS (SELECT min(doc_id) AS doc_id, is_new
+        |         FROM sided GROUP BY text, is_new),
+        |usg AS (SELECT u.doc_id, u.is_new, s.sg
+        |        FROM uniq u JOIN sided s ON u.doc_id = s.doc_id),
+        |post AS (SELECT doc_id, unnest(sg) AS s FROM usg),
+        |ph AS (SELECT doc_id, """.stripMargin + charPolySql("s") +
+      """ AS h FROM post),
+        |sig AS (
+        |  SELECT doc_id, i, min((a*h + b) % 1000000007) AS m
+        |  FROM ph CROSS JOIN seeds GROUP BY doc_id, i),
+        |bandk AS (
+        |  SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS bk
+        |  FROM sig GROUP BY doc_id, band),
+        |bsz AS (SELECT band, bk, count(*) AS n FROM bandk GROUP BY band, bk),
+        |kept AS (
+        |  SELECT k.doc_id, k.band, k.bk, u.is_new FROM bandk k
+        |  JOIN bsz z ON k.band = z.band AND k.bk = z.bk AND z.n <= 200
+        |  JOIN uniq u ON k.doc_id = u.doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    (CASE WHEN a.is_new <> b.is_new THEN 1 ELSE 0 END)::BIGINT AS is_cross
+        |  FROM kept a JOIN kept b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |  WHERE a.is_new = 1 OR b.is_new = 1),
+        |sigl AS (SELECT doc_id, list(m ORDER BY i) AS sl FROM sig GROUP BY doc_id)
+        |SELECT c.id_a, c.id_b, c.is_cross,
+        |  CAST(len(list_filter(range(1, 65), j -> sa.sl[j] = sb.sl[j])) AS DOUBLE)
+        |    / 64.0 AS est_jaccard
+        |FROM cand c
+        |JOIN sigl sa ON c.id_a = sa.doc_id
+        |JOIN sigl sb ON c.id_b = sb.doc_id""".stripMargin),
 
     "q69_asof_join" ->
       """SELECT l.user_id, l.event_id, l.ts_epoch,

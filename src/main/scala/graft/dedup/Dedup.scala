@@ -189,6 +189,77 @@ object Dedup {
       // slice would be engine-defined, losing the oracle)
       bandKey = (sig, b, rows) => slice(sig, b * rows + 1, rows))
 
+  /** Incremental (batch-vs-corpus) near-dup candidates — the production
+    * daily-ingest shape: score only the pairs with at least one NEW
+    * document (batch×corpus and batch×batch), never re-deriving the
+    * corpus×corpus pairs a previous run already emitted. At ingest scale
+    * this is the difference between re-banding 100 TB nightly and
+    * banding only the day's arrivals: the corpus side's signatures and
+    * band keys are pure functions of the text, so a production deployment
+    * materializes them once (they are this DAG's `side(corpus, 0)`
+    * subtree verbatim) and the nightly run shuffles only batch bands
+    * plus the corpus band keys they probe.
+    *
+    * Same scale contract and poly-hash family as
+    * [[polyMinhashCandidatePairs]] (oracle-checkable end-to-end, q72):
+    * exact-dup collapse — per SIDE, so a batch copy of a corpus text is
+    * REPORTED (est_jaccard 1.0) rather than collapsed away — key-only
+    * band shuffle, capped buckets over the union with observed drops
+    * ("incr_poly_lsh"), distinct-then-reattach scoring. Caller must keep
+    * the two id spaces disjoint. Output adds `is_cross` (1 = the pair
+    * spans batch and corpus, 0 = both new). */
+  def incrementalPolyMinhashPairs(corpus: DataFrame, batch: DataFrame,
+                                  idCol: String, textCol: String,
+                                  numHashes: Int = 64, bands: Int = 16,
+                                  minEstSim: Double = 0.0,
+                                  maxBucketSize: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def side(docs: DataFrame, isNew: Int): DataFrame = {
+      val shingled = docs
+        .select(col(idCol).as("id"), sha2(col(textCol), 256).as("text_hash"),
+          TextAnalysis.bigramShingles(TextAnalysis.tokens(col(textCol))).as("sh"))
+        .where(size(col("sh")) > 0)
+      shingled.groupBy("text_hash")
+        .agg(min(col("id")).as("id"), any_value(col("sh")).as("sh"))
+        .select(col("id"),
+          polyMinhashSignature(col("sh"), numHashes).as("sig"),
+          lit(isNew.toLong).as("is_new"))
+    }
+    val sigs = side(corpus, 0).unionByName(side(batch, 1))
+    val banded = sigs.select(col("id"), col("is_new"),
+        posexplode(array((0 until bands).map(b =>
+          slice(col("sig"), b * rows + 1, rows)): _*)))
+      .select(col("pos").as("band"), col("col").as("band_key"),
+        col("id"), col("is_new"))
+    val sizes = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__n"))
+      .observe("incr_poly_lsh",
+        sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        sum(when(col("__n") > maxBucketSize, col("__n")).otherwise(0L))
+          .as("dropped_rows"))
+    val kept = banded.join(sizes.where(col("__n") <= maxBucketSize),
+      Seq("band", "band_key"))
+    val a = kept.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("is_new").as("new_a"))
+    val b = kept.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("is_new").as("new_b"))
+    val pairs = a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b") &&
+        (col("new_a") === 1L || col("new_b") === 1L))
+      .select(col("id_a"), col("id_b"),
+        (col("new_a") =!= col("new_b")).cast("long").as("is_cross"))
+      .distinct()
+    val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
+      .select(col("id_a"), col("id_b"), col("is_cross"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
+          x => x)).cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstSim)
+  }
+
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is set when
     * the +1/-1 vote of all token-hash bits j sums positive. Evaluated by
     * the native codegen kernel [[graft.expressions.SimHash64]] — each

@@ -141,15 +141,23 @@ class PlanSpec extends SparkSpec {
         "filter(split('x y', ' '), t -> t != '') AS tk")
       .queryExecution.optimizedPlan.toString
       .replaceAll("#\\d+", "#") // exprIds differ per planning, shapes must not
-    val before = probePlan()
-    SparkEntry.queries("q55_hof_dot_rewrite")(spark, sf).collect()
-    SparkEntry.queries("q65_hof_tokens_rewrite")(spark, sf).collect()
-    assert(spark.experimental.extraOptimizations.isEmpty,
-      "the registered-query map mutated the shared session's rule list")
-    val after = probePlan()
-    assert(after === before)
-    assert(!after.contains("graft_int_dot") && !after.contains("graft_tokens"),
-      s"rewrite leaked onto the shared session:\n$after")
+    // other suites (GraftOptimizationsSpec) legitimately install on the
+    // shared session — start this test from a clean rule list and restore
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = saved.filterNot(
+        graft.plans.GraftOptimizations.rules.contains)
+      val before = probePlan()
+      SparkEntry.queries("q55_hof_dot_rewrite")(spark, sf).collect()
+      SparkEntry.queries("q65_hof_tokens_rewrite")(spark, sf).collect()
+      assert(!spark.experimental.extraOptimizations.exists(
+        graft.plans.GraftOptimizations.rules.contains),
+        "the registered-query map mutated the shared session's rule list")
+      val after = probePlan()
+      assert(after === before)
+      assert(!after.contains("graft_int_dot") && !after.contains("graft_tokens"),
+        s"rewrite leaked onto the shared session:\n$after")
+    } finally spark.experimental.extraOptimizations = saved
   }
 
   test("q01: the fact-fact composite-key join carries NO broadcast hint " +

@@ -250,6 +250,54 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) === 0.0)
   }
 
+  test("incrementalPolyMinhashPairs: every pair touches the batch, a " +
+    "batch copy of a corpus text is reported at est 1.0 with the cross " +
+    "flag, corpus-internal near-dups are NOT re-derived") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta")) // 2~3: corpus-internal
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // copy of 1
+      (11L, "totally different content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalPolyMinhashPairs(corpus, batch,
+        "doc_id", "text")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.contains((1L, 10L)), s"batch copy not reported: $got")
+    assert(got((1L, 10L)) === ((1L, 1.0))) // cross flag + exact signature
+    assert(!got.contains((2L, 3L)), "corpus-internal pair re-derived")
+    assert(got.keys.forall(p => p._1 >= 10L || p._2 >= 10L))
+  }
+
+  test("incrementalPolyMinhashPairs equals the full-union poly pairs " +
+    "restricted to batch-touching ids (when no text spans both sides)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 25).map(i => s"w$i")
+    // unique texts (id token appended) with heavy shared structure
+    val docs = (1L to 60L).map { i =>
+      val base = (0 until 10).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i, (base :+ s"id$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val corpus = docs.where($"doc_id" % 5L =!= 0L)
+    val batch = docs.where($"doc_id" % 5L === 0L)
+    val batchIds = batch.collect().map(_.getLong(0)).toSet
+    val incr = Dedup.incrementalPolyMinhashPairs(corpus, batch,
+        "doc_id", "text")
+      .select("id_a", "id_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.polyMinhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => batchIds(p._1) || batchIds(p._2)).toSet
+    assert(incr === full)
+    assert(incr.nonEmpty)
+  }
+
   test("simhash: identical texts share a fingerprint; pairs collapse them") {
     import spark.implicits._
     val fps = corpus.where(length(col("text")) > 0)
