@@ -847,6 +847,14 @@ object SparkEntry {
       Dedup.nearDupCorpus(t(s, dir, "documents"), "doc_id",
         docClusters(s, dir))),
 
+    // Best-member representative selection: q51's clusters applied with
+    // the production keep rule — the LONGEST member of each near-dup
+    // cluster survives (tie → min id) instead of the minimum id. One
+    // hash aggregate of (score, -id) structs per cluster, no window sort.
+    "q73_neardup_best" -> ((s, dir) =>
+      Dedup.nearDupCorpusBest(t(s, dir, "documents"), "doc_id",
+        docClusters(s, dir), col("n_chars"))),
+
     // MinHash + LSH near-dup candidate pairs (rows-only check: xxhash64
     // has no DuckDB equivalent).
     "q16_minhash_pairs" -> ((s, dir) =>
@@ -1646,6 +1654,21 @@ object SparkEntry {
          |)
          |SELECT doc_id, text, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin,
+
+    "q73_neardup_best" ->
+      s"""WITH clusters AS (
+         |$DUP_CLUSTERS_SQL
+         |),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cid, d.n_chars
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
+         |keep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY cid ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |    FROM lab) WHERE rn = 1)
+         |SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM keep)""".stripMargin,
 
     "q42_dedup_corpus" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents

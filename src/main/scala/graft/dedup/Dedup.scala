@@ -638,6 +638,31 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[nearDupCorpus]] with a caller-supplied keep rule: per cluster the
+    * member with the HIGHEST `score` survives (ties broken toward the
+    * minimum id), instead of the minimum id — a production curation
+    * pipeline keeps the best-quality member of a near-dup cluster (the
+    * longest, the highest quality score), not the numerically first.
+    * Singleton documents (in no pair) are untouched.
+    *
+    * Scale: the labels frame is slim (id, cluster_id); the keep decision
+    * is ONE hash aggregate of (score, -id) structs per cluster (struct
+    * ordering is lexicographic, so max picks score-then-min-id with no
+    * window sort); full-width rows move once, through the final
+    * left-semi join. */
+  def nearDupCorpusBest(docs: DataFrame, idCol: String, clusters: DataFrame,
+                        score: Column): DataFrame = {
+    val scored = docs.select(col(idCol).as("id"), score.as("__score"))
+    val lab = scored.join(clusters, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("__cid"), col("__score"))
+    val keep = lab.groupBy("__cid")
+      .agg(max(struct(col("__score"), (-col("id")).as("__negId")))
+        .as("__best"))
+      .select((-col("__best.__negId")).as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Exact Jaccard verification of externally supplied candidate pairs
     * (e.g. [[minhashCandidatePairs]] output): re-attaches shingle sets by
     * id and scores only those pairs — the LSH-gated verification path,

@@ -240,6 +240,21 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L, 10L)) // 2,3 fold into 1; 11 into 10
   }
 
+  test("nearDupCorpusBest keeps the highest-scoring member per cluster " +
+    "(tie toward min id); singletons survive") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docsAll = Seq(
+      (1L, "a", 5L), (2L, "b", 9L), (3L, "c", 9L), // cluster {1,2,3}: 2 wins (tie 2 vs 3 → min id)
+      (4L, "d", 1L), (5L, "e", 2L),                // singletons
+      (10L, "f", 3L), (11L, "g", 7L))              // cluster {10,11}: 11 wins
+      .toDF("doc_id", "text", "len")
+    val kept = Dedup.nearDupCorpusBest(docsAll, "doc_id",
+        Dedup.dupClusters(pairs), col("len"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 5L, 11L))
+  }
+
   test("jaccardOnPairs verifies exactly the supplied candidate pairs") {
     import spark.implicits._
     val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
