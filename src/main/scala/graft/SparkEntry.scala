@@ -774,6 +774,38 @@ object SparkEntry {
           sum(col("event_id")).as("sum_ids"))
     }),
 
+    // O4 in a columnar format: ORC write + read-back (schema preserved by
+    // the format, unlike CSV) through the same aggregate as q31 — source
+    // AND sink coverage for the second columnar format Spark ships.
+    "q74_orc_roundtrip" -> ((s, dir) => {
+      val out = s"target/orc_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Dashboard.exactAvg(col("value")).as("avg_value"),
+          sum(col("event_id")).as("sum_ids"))
+    }),
+
+    // Hive-style partitioned layout + partition PRUNING: the write lays
+    // events out by event_type directory, and the read-back filter is
+    // satisfied from the file listing — the scan never opens the other
+    // partitions (PlanSpec asserts the PartitionFilters entry). The
+    // data-layout primitive that turns a 100 TB scan into a 20 TB one.
+    "q75_partitioned_pruning" -> ((s, dir) => {
+      val out = s"target/part_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out).where(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          Dashboard.exactAvg(col("value")).as("avg_value"),
+          sum(col("event_id")).as("sum_ids"))
+    }),
+
     // E1 — the composed realtime micro-batch over real wire bytes: encode
     // one entity per event (unique keys → the oracle needs no tie-break),
     // then Realtime.microBatch runs decode → epoch-0 sentinel defaults →
@@ -1626,6 +1658,19 @@ object SparkEntry {
          |  ${exactAvgSql("value")} AS avg_value,
          |  CAST(sum(event_id) AS BIGINT) AS sum_ids
          |FROM events GROUP BY event_type""".stripMargin,
+
+    // the ORC write/read is lossless, so the roundtrip answers q31's SQL
+    "q74_orc_roundtrip" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${exactAvgSql("value")} AS avg_value,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q75_partitioned_pruning" ->
+      s"""SELECT user_id, count(*) AS n_clicks,
+         |  ${exactAvgSql("value")} AS avg_value,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+         |FROM events WHERE event_type = 'click' GROUP BY user_id""".stripMargin,
 
     "q36_realtime_e1" ->
       """WITH e AS (SELECT *, FLOOR(epoch(ts))::BIGINT AS ets FROM events)

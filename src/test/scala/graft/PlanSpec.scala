@@ -160,6 +160,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("q75: the partitioned read-back prunes at the file listing — the " +
+    "event_type predicate lands in PartitionFilters, not a row-level " +
+    "Filter over all partitions") {
+    val df = SparkEntry.queries("q75_partitioned_pruning")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*event_type[^\\]]*click".r
+        .findFirstIn(plan).isDefined,
+      s"partition pruning missing from the scan:\n$plan")
+  }
+
   test("q01: the fact-fact composite-key join carries NO broadcast hint " +
     "(a hint here OOMs executors at 100 TB; tiny-SF broadcasts are AQE's " +
     "size-based call, which scales), and the W1 global sort is present") {
