@@ -806,6 +806,19 @@ object SparkEntry {
           sum(col("event_id")).as("sum_ids"))
     }),
 
+    // Deterministic corpus shuffle: training order = global rank by a
+    // seeded content hash — reproducible from the seed alone, computed
+    // by the two-pass range-partitioned ranking (RankSpec pins the
+    // no-single-task-window plan), not a global window sort.
+    "q76_corpus_shuffle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("h", TextAnalysis.charPolyHash(
+          concat(lit("seed42:"), col("doc_id").cast("string"))))
+      graft.operators.Rank.globalRank(d, Seq(col("h"), col("doc_id")),
+          "shuffle_pos")
+        .select("doc_id", "h", "shuffle_pos")
+    }),
+
     // E1 — the composed realtime micro-batch over real wire bytes: encode
     // one entity per event (unique keys → the oracle needs no tie-break),
     // then Realtime.microBatch runs decode → epoch-0 sentinel defaults →
@@ -1671,6 +1684,15 @@ object SparkEntry {
          |  ${exactAvgSql("value")} AS avg_value,
          |  CAST(sum(event_id) AS BIGINT) AS sum_ids
          |FROM events WHERE event_type = 'click' GROUP BY user_id""".stripMargin,
+
+    "q76_corpus_shuffle" ->
+      s"""WITH sk AS (
+         |  SELECT doc_id, 'seed42:' || CAST(doc_id AS VARCHAR) AS sk
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${charPolySql("sk")} AS h FROM sk)
+         |SELECT doc_id, h,
+         |  row_number() OVER (ORDER BY h, doc_id) AS shuffle_pos
+         |FROM h""".stripMargin,
 
     "q36_realtime_e1" ->
       """WITH e AS (SELECT *, FLOOR(epoch(ts))::BIGINT AS ets FROM events)
