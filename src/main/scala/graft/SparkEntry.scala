@@ -819,6 +819,29 @@ object SparkEntry {
         .select("doc_id", "h", "shuffle_pos")
     }),
 
+    // Exact-sufficient-statistics Pearson correlation per day type:
+    // decimal-exact Σx/Σy/Σxy/Σx²/Σy², closed form in mirrored doubles —
+    // partial-aggregation order cannot flip a bit (the exactAvg
+    // discipline extended to second moments).
+    "q77_delay_temp_corr" -> ((s, dir) =>
+      diffMart(s, dir)
+        .where(col("average_diff_in_minutes").isNotNull &&
+          col("temperature").isNotNull)
+        .groupBy("day_type")
+        .agg(count(lit(1)).as("n_rows"),
+          Dashboard.exactCorr(col("average_diff_in_minutes"),
+            col("temperature")).as("corr_delay_temp"))),
+
+    // Fixed-width delay histogram per day type: floor(x/5) binning —
+    // one IEEE divide + floor, identical in any engine; the dashboard
+    // distribution primitive.
+    "q78_delay_histogram" -> ((s, dir) =>
+      diffMart(s, dir).where(col("average_diff_in_minutes").isNotNull)
+        .groupBy(col("day_type"),
+          floor(col("average_diff_in_minutes") / lit(5.0)).cast("long")
+            .as("bin"))
+        .agg(count(lit(1)).as("n"))),
+
     // E1 — the composed realtime micro-batch over real wire bytes: encode
     // one entity per event (unique keys → the oracle needs no tie-break),
     // then Realtime.microBatch runs decode → epoch-0 sentinel defaults →
@@ -1684,6 +1707,33 @@ object SparkEntry {
          |  ${exactAvgSql("value")} AS avg_value,
          |  CAST(sum(event_id) AS BIGINT) AS sum_ids
          |FROM events WHERE event_type = 'click' GROUP BY user_id""".stripMargin,
+
+    "q77_delay_temp_corr" -> (MART_CTE +
+      """, s AS (
+        |  SELECT day_type, count(*) AS n_rows,
+        |    count(*)::DOUBLE AS n,
+        |    CAST(sum(CAST(average_diff_in_minutes AS DECIMAL(15,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(temperature AS DECIMAL(15,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(average_diff_in_minutes AS DECIMAL(15,6)) *
+        |             CAST(temperature AS DECIMAL(15,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(average_diff_in_minutes AS DECIMAL(15,6)) *
+        |             CAST(average_diff_in_minutes AS DECIMAL(15,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(temperature AS DECIMAL(15,6)) *
+        |             CAST(temperature AS DECIMAL(15,6))) AS DOUBLE) AS syy
+        |  FROM mart
+        |  WHERE average_diff_in_minutes IS NOT NULL AND temperature IS NOT NULL
+        |  GROUP BY day_type)
+        |SELECT day_type, n_rows,
+        |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+        |    AS corr_delay_temp
+        |FROM s""".stripMargin),
+
+    "q78_delay_histogram" -> (MART_CTE +
+      """SELECT day_type,
+        |  CAST(floor(average_diff_in_minutes / 5.0) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM mart WHERE average_diff_in_minutes IS NOT NULL
+        |GROUP BY day_type, bin""".stripMargin),
 
     "q76_corpus_shuffle" ->
       s"""WITH sk AS (

@@ -19,6 +19,27 @@ object Dashboard {
   def exactAvg(c: Column): Column =
     try_divide(sum(c.cast("decimal(20,6)")).cast("double"), count(c))
 
+  /** Order-insensitive exact Pearson correlation: the five sufficient
+    * statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT decimals —
+    * decimal(15,6) inputs so the products stay inside decimal(38,12)
+    * in any ANSI engine — and only the final closed-form combination
+    * runs in doubles, as a fixed operation sequence an oracle mirrors
+    * op-for-op. Degenerate variance (constant column) → NULL via
+    * try_divide, not an error. Rows with a NULL in either column must
+    * be filtered by the caller (so n counts complete pairs). */
+  def exactCorr(x: Column, y: Column): Column = {
+    val dx = x.cast("decimal(15,6)")
+    val dy = y.cast("decimal(15,6)")
+    val n = count(lit(1)).cast("double")
+    val sx = sum(dx).cast("double")
+    val sy = sum(dy).cast("double")
+    val sxy = sum(dx * dy).cast("double")
+    val sxx = sum(dx * dx).cast("double")
+    val syy = sum(dy * dy).cast("double")
+    try_divide(n * sxy - sx * sy,
+      sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+
   /** A1 — average delay by local hour of day. */
   def avgDelayByHour(mart: DataFrame): DataFrame =
     mart.groupBy("sudbury_hour_of_day")
