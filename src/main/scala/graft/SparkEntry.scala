@@ -56,17 +56,37 @@ object SparkEntry {
   private final class SessionDirCache(
       build: (SparkSession, String) => DataFrame,
       onRelease: DataFrame => Unit = _ => ()) {
-    private val bySession = new java.util.WeakHashMap[
-      SparkSession, scala.collection.mutable.HashMap[String, DataFrame]]()
+    // Values hold the memoized frames through SoftReferences: a strongly
+    // held DataFrame references its SparkSession, i.e. the weak KEY —
+    // the WeakHashMap value-refers-to-key pitfall — and the entry (and
+    // the dead session behind it) would never be collected. Soft values
+    // break that path: a discarded session becomes only softly reachable
+    // and is reclaimed under memory pressure, while live-session hits
+    // stay warm. A cleared reference just rebuilds (and the session's
+    // CacheManager still recognizes the equivalent plan, so the persisted
+    // blocks are not lost in the meantime).
+    private val bySession = new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.HashMap[
+        String, java.lang.ref.SoftReference[DataFrame]]]()
     def apply(s: SparkSession, dir: String): DataFrame = synchronized {
-      bySession.computeIfAbsent(s,
-          _ => scala.collection.mutable.HashMap.empty[String, DataFrame])
-        .getOrElseUpdate(dir, build(s, dir).persist())
+      val m = bySession.computeIfAbsent(s, _ =>
+        scala.collection.mutable.HashMap
+          .empty[String, java.lang.ref.SoftReference[DataFrame]])
+      m.get(dir).flatMap(r => Option(r.get)) match {
+        case Some(df) => df
+        case None =>
+          val df = build(s, dir).persist()
+          m(dir) = new java.lang.ref.SoftReference(df)
+          df
+      }
     }
     def reset(): Unit = synchronized {
-      bySession.values.forEach(_.values.foreach { df =>
-        onRelease(df)
-        df.unpersist(blocking = false)
+      bySession.values.forEach(_.values.foreach { ref =>
+        val df = ref.get
+        if (df != null) {
+          onRelease(df)
+          df.unpersist(blocking = false)
+        }
       })
       bySession.clear()
     }
@@ -165,7 +185,12 @@ object SparkEntry {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def gtfsCsvFixtures(s: SparkSession, dir: String): String = {
-    val out = s"target/gtfs_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // the raw dir rides in as a hash suffix: sanitization alone maps
+    // distinct dirs like "sf0.1" and "sf0_1" to one path, and the memo
+    // would then serve the first dir's data for the second
+    val out = s"target/gtfs_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir))
     // membership is recorded only AFTER all five writes succeed — adding
     // first would poison the JVM on a failed write (every later call
     // would skip the rewrite and read a partial fixture dir)

@@ -496,11 +496,22 @@ object Dedup {
   private val retainedByLabels = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]())
 
+  /** Drop one retained snapshot's blocks. Reliable mode persists at the
+    * DATASET level (CacheManager) — `unpersist` works; local mode's
+    * snapshots are `localCheckpoint` blocks, an RDD-level persist that
+    * `Dataset.unpersist` does not touch — those need the underlying
+    * LogicalRDD's own unpersist. */
+  private def releaseSnapshot(df: DataFrame): Unit = {
+    org.apache.spark.sql.graftbridge.Bridge.localCheckpointRdd(df)
+      .foreach(_.unpersist(blocking = false))
+    df.unpersist(blocking = false)
+  }
+
   /** Release the checkpoint blocks retained by a [[dupClusters]] result.
     * The labels frame must not be evaluated again afterwards. */
   def releaseClusterState(labels: DataFrame): Unit = {
     val kept = retainedByLabels.remove(labels)
-    if (kept != null) kept.foreach(_.unpersist(blocking = false))
+    if (kept != null) kept.foreach(releaseSnapshot)
   }
 
   /** [[dupClusters]] internals, exposing the round count for convergence
@@ -536,7 +547,7 @@ object Dedup {
     // safe only after the successor round's checkpoint has materialized
     def dropSupersededCaches(): Unit =
       while (cachedRounds.size > 1)
-        cachedRounds.dequeue().unpersist(blocking = false)
+        releaseSnapshot(cachedRounds.dequeue())
     // count + XOR of per-edge hashes: commutative, duplicate-free input
     // (edges are distinct-ed), and — unlike a sum — can never hit the
     // ANSI long-overflow error at any cardinality. The pass is routed
@@ -646,20 +657,23 @@ object Dedup {
     * Singleton documents (in no pair) are untouched.
     *
     * Scale: the labels frame is slim (id, cluster_id); the keep decision
-    * is ONE hash aggregate of (score, -id) structs per cluster (struct
-    * ordering is lexicographic, so max picks score-then-min-id with no
-    * window sort); full-width rows move once, through the final
-    * left-semi join. */
+    * is a min_by/max_by-style aggregate over (score desc, id asc) via a
+    * per-cluster window on the SLIM frame (clusters are near-dup groups,
+    * typically tiny — the window sort is per-cluster, never global);
+    * full-width rows move once, through the final left-semi join. The id
+    * needs only an ordering, not a numeric type (UUID ids work). */
   def nearDupCorpusBest(docs: DataFrame, idCol: String, clusters: DataFrame,
                         score: Column): DataFrame = {
     val scored = docs.select(col(idCol).as("id"), score.as("__score"))
     val lab = scored.join(clusters, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), col("id")).as("__cid"), col("__score"))
-    val keep = lab.groupBy("__cid")
-      .agg(max(struct(col("__score"), (-col("id")).as("__negId")))
-        .as("__best"))
-      .select((-col("__best.__negId")).as(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cid"))
+      .orderBy(col("__score").desc, col("id").asc)
+    val keep = lab.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("id").as(idCol))
     docs.join(keep, Seq(idCol), "left_semi")
   }
 

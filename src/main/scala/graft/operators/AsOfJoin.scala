@@ -59,15 +59,23 @@ object AsOfJoin {
     // rights after lefts for forward (first() over the following frame
     // still sees them)
     val (rSide, lSide) = if (forward) (1, 0) else (0, 1)
-    val rTagged = right.select(
+    // NULL-time RIGHT rows can never legitimately match — and unfiltered
+    // they would sort NULLS FIRST and become the backward fill for lefts
+    // with no true match. NULL-time LEFT rows are kept (left rows always
+    // survive) but must see no right row: backward sorts them NULLS
+    // FIRST (nothing precedes them), forward sorts them NULLS LAST
+    // (only other null-time rows follow).
+    val rTagged = right.where(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(rSide).as("__side"),
         struct(col(rightTime).as("__rt") +: rvCols.map(col): _*).as("__r")) ++
         lvCols.map(c => lit(null).cast(lSchema(c).dataType).as(c)): _*)
     val lTagged = left.select(
       keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(lSide).as("__side"),
         lit(null).cast(rStructType).as("__r")) ++ lvCols.map(col): _*)
+    val tOrder =
+      if (forward) col("__t").asc_nulls_last else col("__t").asc_nulls_first
     val w0 = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(tOrder, col("__side").asc)
     val fill =
       if (forward) first(col("__r"), ignoreNulls = true)
         .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
@@ -76,8 +84,10 @@ object AsOfJoin {
     rTagged.unionByName(lTagged)
       .withColumn("__r", fill)
       .where(col("__side") === lSide)
+      // getField extracts by LITERAL field name (a parsed col("__r.x")
+      // would mangle payload names containing dots)
       .select(keys.map(col) ++ Seq(col("__t").as(leftTime)) ++
-        lvCols.map(col) ++ rvCols.map(c => col(s"__r.$c").as(c)) :+
-        col("__r.__rt").as(matchedTimeCol): _*)
+        lvCols.map(col) ++ rvCols.map(c => col("__r").getField(c).as(c)) :+
+        col("__r").getField("__rt").as(matchedTimeCol): _*)
   }
 }

@@ -10,45 +10,75 @@ import org.apache.spark.sql.functions._
   * the first thing to die at corpus scale. This is the classic two-pass
   * alternative:
   *
-  *  1. range-repartition on the sort key (Spark samples split bounds;
-  *     partition i holds keys <= partition i+1's — a distributed sort's
-  *     first half);
-  *  2. rank WITHIN each partition (parallel windows over
-  *     `spark_partition_id`), count rows per partition (a tiny
-  *     #partitions-row aggregate), prefix-sum those counts into offsets
+  *  1. range-repartition on the sort key and sort within partitions
+  *     (a distributed sort: partition i's keys all precede partition
+  *     i+1's), then stamp `monotonically_increasing_id` — whose
+  *     documented layout is (partitionId << 33) | rowIndexInPartition,
+  *     so partition id AND the local sort position ride one long with
+  *     NO window operator and no second shuffle of the data;
+  *  2. count rows per partition (a tiny #partitions-row aggregate),
+  *     prefix-sum those counts into per-partition starting offsets
   *     (single-task, but over #partitions rows of metadata — the same
   *     bounded-driver-state budget as IVF centroids), and broadcast-join
-  *     the offsets back: global rank = partition offset + local rank.
+  *     them back: global rank = partition offset + local index + 1.
   *
-  * The result depends only on the key's TOTAL order, not on where the
-  * sampled bounds land — callers must make the key total (append a
-  * unique tiebreak) or equal-key ranks are partition-placement-defined.
+  * The sorted pass is `localCheckpoint`'d before the fan-out: the rank
+  * branch and the offsets branch must observe the SAME sampled range
+  * bounds and row order, and two separate materializations of a range
+  * exchange sample with different RDD-derived seeds — relying on
+  * exchange reuse to merge them would make correctness hostage to a
+  * plan-canonicalization detail. Call [[release]] when done with a
+  * result to drop the pinned blocks eagerly.
+  *
+  * The result depends only on the key's TOTAL order — callers must make
+  * the key total (append a unique tiebreak) or equal-key ranks are
+  * partition-placement-defined. Partitions must stay under 2^33 rows
+  * (the id layout's row-index field).
   *
   * The motivating use is the deterministic corpus shuffle: rank by a
   * seeded content hash and the training order is reproducible from the
   * seed alone, with no RNG state and no single-reducer sort. */
 object Rank {
 
+  /** Results still reading a [[globalRank]] frame's pinned sorted pass,
+    * for eager release via [[release]]. */
+  private val retainedByResult = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, DataFrame]())
+
   /** Append `rankCol` (1-based BIGINT) ranking rows by `sortCols`
     * lexicographically. `sortCols` must induce a total order. */
   def globalRank(df: DataFrame, sortCols: Seq[Column],
                  rankCol: String = "rank"): DataFrame = {
     require(sortCols.nonEmpty, "globalRank requires at least one sort key")
-    val ranged = df.repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val local = ranged.withColumn("__lr",
-      row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(sortCols: _*)).cast("long"))
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(eager = false)
+    val mask = (1L << 33) - 1L
+    val stamped = sorted
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+      .withColumn("__lr", col("__mid").bitwiseAND(lit(mask)) + 1L)
     // #partitions rows of metadata: count per partition, prefix-sum into
     // the partition's starting offset
-    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val offsets = stamped.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
         coalesce(sum(col("__n")).over(
           Window.orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off"))
-    local.join(broadcast(offsets), "__pid")
+    val out = stamped.join(broadcast(offsets), "__pid")
       .withColumn(rankCol, col("__lr") + col("__off"))
-      .drop("__pid", "__lr")
+      .drop("__mid", "__pid", "__lr")
+    retainedByResult.put(out, sorted)
+    out
+  }
+
+  /** Drop the sorted-pass blocks a [[globalRank]] result pins. The
+    * result must not be evaluated again afterwards. */
+  def release(result: DataFrame): Unit = {
+    val sorted = retainedByResult.remove(result)
+    if (sorted != null)
+      org.apache.spark.sql.graftbridge.Bridge.localCheckpointRdd(sorted)
+        .foreach(_.unpersist(blocking = false))
   }
 }

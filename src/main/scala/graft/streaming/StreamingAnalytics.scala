@@ -106,11 +106,15 @@ object StreamingAnalytics {
             }
             sessions = (merged :: rest).sortBy(_.startEpoch)
           }
-          // Seal: admissible future events are >= watermark, so a session
-          // with (end + gap) strictly below it can never change again.
+          // Seal: admissible future events have event-time >= watermark
+          // (in MILLIS), and an event at t_ms merges while
+          // floor(t_ms/1000) <= end + gap, i.e. while
+          // t_ms < (end + gap + 1) * 1000 — second-floored event times
+          // make every millisecond of that last second mergeable. Safe
+          // to seal only once the watermark clears the whole second.
           val wmMs = state.getCurrentWatermarkMs()
           val (sealed_, open) =
-            sessions.partition(s => (s.endEpoch + gapSeconds) * 1000L < wmMs)
+            sessions.partition(s => (s.endEpoch + gapSeconds + 1) * 1000L <= wmMs)
           if (open.isEmpty) {
             if (state.exists) state.remove()
           } else {
@@ -121,7 +125,7 @@ object StreamingAnalytics {
             // Spark filters late rows before the operator, but the clamp
             // keeps the contract version-independent.
             state.setTimeoutTimestamp(math.max(
-              open.map(s => (s.endEpoch + gapSeconds) * 1000L + 1L).min,
+              open.map(s => (s.endEpoch + gapSeconds + 1) * 1000L).min,
               wmMs + 1L))
           }
           sealed_.sortBy(_.startEpoch)

@@ -190,6 +190,27 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 7L -> 7L))
   }
 
+  test("local-mode round snapshots are released eagerly: persistent RDDs " +
+    "do not accumulate with round count, and releaseClusterState drops " +
+    "what the labels still read") {
+    import spark.implicits._
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    val before = persisted
+    val pairs = (1L until 3000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponents(
+      pairs.select(col("id_a").as("a"), col("id_b").as("b")),
+      maxIters = 30, checkpointDir = None)
+    assert(labels.count() === 3000L)
+    assert(rounds >= 3) // enough rounds that accumulation would show
+    val during = persisted -- before
+    assert(during.size <= 3,
+      s"${during.size} persistent RDDs for $rounds rounds — superseded " +
+        "localCheckpoint blocks are not being released")
+    Dedup.releaseClusterState(labels)
+    val after = persisted -- before
+    assert(after.isEmpty, s"release left ${after.size} persistent RDDs")
+  }
+
   test("dupClusters convergence is observable: per-round edge cardinality " +
     "and the converged summary reach QueryExecutionListeners") {
     import spark.implicits._

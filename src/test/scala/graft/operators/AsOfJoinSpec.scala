@@ -49,6 +49,27 @@ class AsOfJoinSpec extends SparkSpec {
       ("k3", 10L, "e", None, None)))          // k3's only right is at 8
   }
 
+  test("NULL time columns: a NULL-time right row never matches anything, " +
+    "a NULL-time left row survives with a NULL match, both directions") {
+    import spark.implicits._
+    val l = Seq(("k1", Some(5L), "x"), ("k1", Option.empty[Long], "y"))
+      .toDF("k", "lt", "lv")
+    val r = Seq(("k1", Option.empty[Long], Some(9.0)),
+      ("k1", Some(3L), Some(1.0))).toDF("k", "rt", "rv")
+    for (fwd <- Seq(false, true)) {
+      val got = AsOfJoin.asOf(l, r, Seq("k"), "lt", "rt", forward = fwd)
+        .collect().map { row =>
+          row.getString(2) -> (Option(row.get(3)), Option(row.get(4)))
+        }.toMap
+      // the NULL-lt left row matches nothing in either direction
+      assert(got("y") === ((None, None)), s"forward=$fwd: $got")
+      if (!fwd) // lt=5 matches rt=3, never the NULL-rt row's 9.0
+        assert(got("x") === (Some(1.0), Some(3L)), s"backward: $got")
+      else // nothing at-or-after 5
+        assert(got("x") === (None, None), s"forward: $got")
+    }
+  }
+
   test("asOf matches a naive reference on a randomized dense timeline") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

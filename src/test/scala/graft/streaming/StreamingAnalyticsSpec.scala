@@ -67,6 +67,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: a sub-second watermark position does not split " +
+    "a mergeable session — event times floor to seconds, so the seal " +
+    "waits for the watermark to clear the WHOLE last mergeable second") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingAnalytics.{SEvent, Session}
+    val in = MemoryStream[SEvent]
+    val q = StreamingAnalytics.sessionizeStream(in.toDS, gapSeconds = 100L)
+      .writeStream.format("memory").queryName("subsec_sessions")
+      .outputMode("append").start()
+    try {
+      // watermark lands MID-second at 1100.6s: A's open (1000,1000) has
+      // deadline second end+gap = 1100, and an admissible event can still
+      // floor into it — sealing now would split the session
+      in.addData(SEvent("A", new java.sql.Timestamp(1000000L)),
+        SEvent("B", new java.sql.Timestamp(1100600L)))
+      q.processAllAvailable()
+      // admissible (1100900 >= wm 1100600), floors to 1100 <= end+gap —
+      // batch Sessionize would merge; the stream must too
+      in.addData(SEvent("A", new java.sql.Timestamp(1100900L)))
+      q.processAllAvailable()
+      in.addData(SEvent("C", new java.sql.Timestamp(2000000L)))
+      q.processAllAvailable()
+      val aSessions = spark.table("subsec_sessions").as[Session]
+        .collect().filter(_.key == "A").toSet
+      assert(aSessions === Set(Session("A", 1000L, 1100L, 2L)),
+        s"split or lost session: $aSessions")
+    } finally q.stop()
+  }
+
   test("sessionizeStream: sessions seal only once the watermark passes " +
     "their gap deadline; idle keys seal via event-time timeout") {
     import spark.implicits._
