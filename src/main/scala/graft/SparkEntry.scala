@@ -844,6 +844,29 @@ object SparkEntry {
         .select("doc_id", "h", "shuffle_pos")
     }),
 
+    // Full CUBE over (day_type, weather_group) with an explicit grouping
+    // id — every marginal the dashboard can slice, in one pass (A5's
+    // rollup generalized to all 2^k marginals).
+    "q79_delay_cube" -> ((s, dir) =>
+      diffMart(s, dir)
+        .cube(col("day_type"), col("weather_group"))
+        .agg(Dashboard.exactAvg(col("average_diff_in_minutes"))
+            .as("avg_delay_min"),
+          count(lit(1)).as("n_rows"),
+          (grouping(col("day_type")) * 2 + grouping(col("weather_group")))
+            .cast("long").as("gid"))),
+
+    // Pivot: average delay by day type ACROSS weather columns — the
+    // wide dashboard matrix. Explicit pivot values keep the schema
+    // static (a discovery pivot is a separate distinct scan + a
+    // driver-defined column set); the oracle is the conditional
+    // aggregation the pivot desugars to.
+    "q80_delay_pivot" -> ((s, dir) =>
+      diffMart(s, dir)
+        .groupBy(col("day_type"))
+        .pivot("weather_group", Seq("Clear", "Clouds", "Rain", "Snow"))
+        .agg(Dashboard.exactAvg(col("average_diff_in_minutes")))),
+
     // Exact-sufficient-statistics Pearson correlation per day type:
     // decimal-exact Σx/Σy/Σxy/Σx²/Σy², closed form in mirrored doubles —
     // partial-aggregation order cannot flip a bit (the exactAvg
@@ -1732,6 +1755,21 @@ object SparkEntry {
          |  ${exactAvgSql("value")} AS avg_value,
          |  CAST(sum(event_id) AS BIGINT) AS sum_ids
          |FROM events WHERE event_type = 'click' GROUP BY user_id""".stripMargin,
+
+    "q79_delay_cube" -> (MART_CTE +
+      s"""SELECT day_type, weather_group,
+         |  ${exactAvgSql("average_diff_in_minutes")} AS avg_delay_min,
+         |  count(*) AS n_rows,
+         |  CAST(GROUPING(day_type)*2 + GROUPING(weather_group) AS BIGINT) AS gid
+         |FROM mart GROUP BY CUBE (day_type, weather_group)""".stripMargin),
+
+    "q80_delay_pivot" -> (MART_CTE + Seq("Clear", "Clouds", "Rain", "Snow")
+      .map(wg =>
+        s"""  CAST(sum(CASE WHEN weather_group = '$wg'
+           |    THEN CAST(average_diff_in_minutes AS DECIMAL(20,6)) END) AS DOUBLE)
+           |  / count(CASE WHEN weather_group = '$wg'
+           |    THEN average_diff_in_minutes END) AS "$wg"""".stripMargin)
+      .mkString("SELECT day_type,\n", ",\n", "\nFROM mart GROUP BY day_type")),
 
     "q77_delay_temp_corr" -> (MART_CTE +
       """, s AS (
