@@ -844,6 +844,20 @@ object SparkEntry {
         .select("doc_id", "h", "shuffle_pos")
     }),
 
+    // Z-order (Morton) sort key over quantized (user, value): the
+    // multi-dimensional layout key behind min-max file skipping —
+    // computed as a pure codegen'd shift/or fold, bit-for-bit mirrored
+    // in the oracle (ZOrder.zorderedWrite is the layout pass itself;
+    // ZOrderSpec proves disjoint per-file z ranges + 2-D locality).
+    "q81_zorder_key" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val x = pmod(col("user_id"), lit(256L))
+      val y = greatest(least(floor(col("value")).cast("long"), lit(255L)),
+        lit(0L))
+      ev.select(col("event_id"), x.as("xq"), y.as("yq"),
+        graft.operators.ZOrder.zValue(Seq(x, y), bits = 8).as("z"))
+    }),
+
     // Full CUBE over (day_type, weather_group) with an explicit grouping
     // id — every marginal the dashboard can slice, in one pass (A5's
     // rollup generalized to all 2^k marginals).
@@ -1755,6 +1769,17 @@ object SparkEntry {
          |  ${exactAvgSql("value")} AS avg_value,
          |  CAST(sum(event_id) AS BIGINT) AS sum_ids
          |FROM events WHERE event_type = 'click' GROUP BY user_id""".stripMargin,
+
+    "q81_zorder_key" ->
+      """WITH q AS (
+        |  SELECT event_id, user_id % 256 AS xq,
+        |    greatest(least(CAST(floor(value) AS BIGINT), 255), 0) AS yq
+        |  FROM events)
+        |SELECT event_id, xq, yq,
+        |  list_reduce(list_transform(range(0, 8), i ->
+        |    (((xq >> i) & 1) << (2*i)) | (((yq >> i) & 1) << (2*i+1))),
+        |    (a, b) -> a | b) AS z
+        |FROM q""".stripMargin,
 
     "q79_delay_cube" -> (MART_CTE +
       s"""SELECT day_type, weather_group,
