@@ -844,6 +844,23 @@ object SparkEntry {
         .select("doc_id", "h", "shuffle_pos")
     }),
 
+    // The BUILT-IN session_window sessionization (vs q44's window-sum
+    // Sessionize): grouping by the gap-merged session window directly.
+    // Boundary semantics differ from q44 — session_window starts a NEW
+    // session at exactly gap distance (diff >= gap) where Sessionize
+    // continues (diff > gap) — so the oracle encodes the >= rule.
+    // Event times are truncated to whole seconds on both sides first.
+    "q82_session_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("tss"))
+      ev.groupBy(col("user_id"), session_window(col("tss"), "1800 seconds"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("start_epoch"),
+          unix_timestamp(col("session_window.end")).as("end_epoch"),
+          col("n_events"))
+    }),
+
     // Z-order (Morton) sort key over quantized (user, value): the
     // multi-dimensional layout key behind min-max file skipping —
     // computed as a pure codegen'd shift/or fold, bit-for-bit mirrored
@@ -1769,6 +1786,23 @@ object SparkEntry {
          |  ${exactAvgSql("value")} AS avg_value,
          |  CAST(sum(event_id) AS BIGINT) AS sum_ids
          |FROM events WHERE event_type = 'click' GROUP BY user_id""".stripMargin,
+
+    "q82_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, FLOOR(epoch(ts))::BIGINT AS t FROM events),
+        |m AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR t - lag(t) OVER w >= 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (
+        |  SELECT user_id, t,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(t) AS start_epoch,
+        |  max(t) + 1800 AS end_epoch, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q81_zorder_key" ->
       """WITH q AS (
