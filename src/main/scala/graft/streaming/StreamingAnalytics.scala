@@ -49,6 +49,29 @@ object StreamingAnalytics {
     stream.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same key within [lt - beforeSec, lt + afterSec] —
+    * the unbounded formulation of [[graft.operators.RangeJoin]] (q70's
+    * error↔click correlation as both sides arrive live). Both sides
+    * MUST carry watermarks (set by the caller, who knows each source's
+    * disorder bound): Spark derives the join-state retention from the
+    * watermarks plus this time-range condition, so per-side state is
+    * bounded to the interval width + watermark delay — the stream-stream
+    * join contract at unbounded rates. Inner join: results emit as soon
+    * as both sides are present; no waiting for the watermark. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         keys: Seq[String], leftTime: String,
+                         rightTime: String, beforeSec: Long,
+                         afterSec: Long): DataFrame = {
+    require(keys.nonEmpty, "intervalJoinStream requires join keys")
+    val cond = keys.map(k => left(k) === right(k)).reduce(_ && _) &&
+      right(rightTime) >= left(leftTime) -
+        expr(s"INTERVAL $beforeSec seconds") &&
+      right(rightTime) <= left(leftTime) +
+        expr(s"INTERVAL $afterSec seconds")
+    left.join(right, cond)
+  }
+
   /** One event for [[sessionizeStream]] — needs a real timestamp column
     * so the watermark (and event-time timeouts) can track it. */
   final case class SEvent(key: String, event_time: java.sql.Timestamp)

@@ -67,6 +67,42 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: within-window pairs emit across " +
+    "micro-batches as both sides arrive; a right row behind the joint " +
+    "watermark is dropped, not joined") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(epoch: Long) = new java.sql.Timestamp(epoch * 1000L)
+    val lin = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rin = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val joined = StreamingAnalytics.intervalJoinStream(
+      lin.toDF.toDF("k", "lt", "lid").withWatermark("lt", "0 seconds"),
+      rin.toDF.toDF("k", "rt", "rid").withWatermark("rt", "0 seconds"),
+      Seq("k"), "lt", "rt", beforeSec = 100L, afterSec = 100L)
+      .select(col("lid"), col("rid"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    def pairs = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      lin.addData(("a", t(1000L), 1L)); rin.addData(("a", t(1050L), 10L))
+      q.processAllAvailable()
+      assert(pairs === Set((1L, 10L)))
+      // the left row is still in join state — a later right arrival pairs
+      rin.addData(("a", t(1090L), 11L))
+      q.processAllAvailable()
+      assert(pairs === Set((1L, 10L), (1L, 11L)))
+      // advance both watermarks far past the interval...
+      lin.addData(("z", t(10000L), 2L)); rin.addData(("z", t(10000L), 20L))
+      q.processAllAvailable()
+      // ...then a right row behind the watermark: dropped, no pair
+      rin.addData(("a", t(1080L), 12L))
+      q.processAllAvailable()
+      assert(pairs === Set((1L, 10L), (1L, 11L), (2L, 20L)),
+        s"late row joined or pair lost: $pairs")
+    } finally q.stop()
+  }
+
   test("sessionizeStream: a sub-second watermark position does not split " +
     "a mergeable session — event times floor to seconds, so the seal " +
     "waits for the watermark to clear the WHOLE last mergeable second") {
