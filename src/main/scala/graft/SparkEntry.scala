@@ -868,7 +868,9 @@ object SparkEntry {
     // ZOrderSpec proves disjoint per-file z ranges + 2-D locality).
     "q81_zorder_key" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val x = pmod(col("user_id"), lit(256L))
+      // % (not pmod) to match the oracle's % exactly; zValue's
+      // non-negative contract holds because user_id >= 0 in this schema
+      val x = col("user_id") % lit(256L)
       val y = greatest(least(floor(col("value")).cast("long"), lit(255L)),
         lit(0L))
       ev.select(col("event_id"), x.as("xq"), y.as("yq"),

@@ -40,9 +40,15 @@ object ZOrder {
   /** Write `df` z-ordered by `z` to parquet at `path`: files carry
     * pairwise-disjoint z ranges (ZOrderSpec reads the footprint back and
     * proves it), so engines prune on footer min-max stats. */
-  def zorderedWrite(df: DataFrame, z: Column, path: String): Unit =
+  def zorderedWrite(df: DataFrame, z: Column, path: String): Unit = {
+    require(!df.columns.contains("__z"),
+      "input already has a __z column — rename it before zorderedWrite")
     df.withColumn("__z", z)
       .repartitionByRange(col("__z"))
       .sortWithinPartitions(col("__z"))
+      // the helper column must not leak into the written schema; a
+      // projection preserves the partition-local sort
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 }

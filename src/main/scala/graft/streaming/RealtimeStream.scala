@@ -72,8 +72,10 @@ object RealtimeStream {
     snapshotPath(fs, targetPath).foreach { cur =>
       val bytes = fs.getContentSummary(cur).getLength
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      // coalesce, not repartition: compaction only GLUES input splits —
+      // a full shuffle of the snapshot buys nothing but network
       spark.read.parquet(cur.toString)
-        .repartition(nFiles.toInt)
+        .coalesce(nFiles.toInt)
         .write.mode("overwrite").parquet(targetPath + ".next")
       promote(fs, targetPath)
     }
