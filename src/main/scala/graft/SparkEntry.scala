@@ -814,6 +814,20 @@ object SparkEntry {
           sum(col("event_id")).as("sum_ids"))
     }),
 
+    // JSON-lines roundtrip — the training-data interchange format:
+    // write documents as JSONL, read back with an EXPLICIT schema (a
+    // schema-inference pass over 100 TB is a full extra scan), aggregate.
+    "q83_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"target/jsonl_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .json(out)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+    }),
+
     // Hive-style partitioned layout + partition PRUNING: the write lays
     // events out by event_type directory, and the read-back filter is
     // satisfied from the file listing — the scan never opens the other
@@ -1858,6 +1872,12 @@ object SparkEntry {
         |  count(*) AS n
         |FROM mart WHERE average_diff_in_minutes IS NOT NULL
         |GROUP BY day_type, bin""".stripMargin),
+
+    "q83_jsonl_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM documents GROUP BY lang, source""".stripMargin,
 
     "q76_corpus_shuffle" ->
       s"""WITH sk AS (
