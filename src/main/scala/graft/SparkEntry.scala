@@ -814,6 +814,22 @@ object SparkEntry {
           sum(col("event_id")).as("sum_ids"))
     }),
 
+    // One BPE tokenizer-training step: the corpus-wide argmax adjacent
+    // pair (count desc, pair asc — one bounded driver action) merged
+    // greedily into every document by the codegen'd graft_bpe_merge
+    // scan. The oracle recomputes the argmax and mirrors the greedy
+    // fold exactly.
+    "q84_bpe_merge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (pa, pb, _) = CorpusOps.topAdjacentPair(d, "doc_id", "text")
+        .getOrElse(("", "", 0L))
+      val merged = graft.expressions.TextKernels.bpeMergeOf(
+        TextAnalysis.tokens(col("text")), pa, pb)
+      d.select(col("doc_id"), lit(pa).as("pair_a"), lit(pb).as("pair_b"),
+        array_join(merged, " ").as("merged_text"),
+        size(merged).cast("long").as("n_after"))
+    }),
+
     // JSON-lines roundtrip — the training-data interchange format:
     // write documents as JSONL, read back with an EXPLICIT schema (a
     // schema-inference pass over 100 TB is a full extra scan), aggregate.
@@ -1872,6 +1888,32 @@ object SparkEntry {
         |  count(*) AS n
         |FROM mart WHERE average_diff_in_minutes IS NOT NULL
         |GROUP BY day_type, bin""".stripMargin),
+
+    "q84_bpe_merge" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  FROM toks),
+         |cnt AS (SELECT bg, count(*) AS n FROM bg GROUP BY bg),
+         |top AS (
+         |  SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b
+         |  FROM cnt
+         |  ORDER BY n DESC, string_split(bg, ' ')[1] ASC,
+         |    string_split(bg, ' ')[2] ASC
+         |  LIMIT 1),
+         |m AS (
+         |  SELECT t.doc_id, p.a, p.b,
+         |    CASE WHEN len(t.tk) = 0 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_reduce(list_transform(t.tk, x -> [x]), (acc, x) ->
+         |      CASE WHEN acc[-1] = p.a AND x[1] = p.b
+         |           THEN list_append(acc[1:len(acc)-1], p.a || ' ' || p.b)
+         |           ELSE list_concat(acc, x) END) END AS mg
+         |  FROM toks t CROSS JOIN top p)
+         |SELECT doc_id, a AS pair_a, b AS pair_b,
+         |  array_to_string(mg, ' ') AS merged_text,
+         |  CAST(len(mg) AS BIGINT) AS n_after
+         |FROM m""".stripMargin,
 
     "q83_jsonl_roundtrip" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -120,6 +120,29 @@ object TextKernels {
     java.lang.Long.valueOf(h)
   }
 
+  /** Greedy left-to-right BPE merge row kernel: each adjacent (a, b)
+    * occurrence collapses to one "a b" token, consuming both positions
+    * (so "a a a" with pair (a, a) yields ["a a", "a"]). Tokens never
+    * contain spaces (whitespace tokenization), so the merged spelling
+    * cannot collide with an input token and re-trigger the match. */
+  def bpeMerge(arr: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    val merged = UTF8String.concat(a, UTF8String.fromString(" "), b)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && arr.getUTF8String(i).equals(a) &&
+          arr.getUTF8String(i + 1).equals(b)) {
+        out.add(merged)
+        i += 2
+      } else {
+        out.add(arr.getUTF8String(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+
   // ------------------------------------------------------- Column surface --
 
   def tokensOf(text: Column): Column =
@@ -133,6 +156,9 @@ object TextKernels {
 
   def tokenFingerprintOf(tk: Column): Column =
     Bridge.column(TokenFingerprintOf(Bridge.expression(tk)))
+
+  def bpeMergeOf(tk: Column, a: String, b: String): Column =
+    Bridge.column(BpeMergeTokens(Bridge.expression(tk), a, b))
 }
 
 /** Whitespace tokens of a string column (empties dropped). */
@@ -219,5 +245,33 @@ case class TokenFingerprintOf(child: Expression) extends SignatureExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenFingerprintOf =
+    copy(child = newChild)
+}
+
+/** One greedy BPE merge applied to a token-array column: adjacent
+  * (a, b) occurrences collapse left-to-right into the "a b" token —
+  * the tokenizer-training inner step, as a codegen'd scan instead of a
+  * per-row interpreted fold. The pair rides as plan-time constants
+  * (it comes from the driver's argmax over pair counts, a bounded
+  * 1-row action — the IVF-centroid budget class). */
+case class BpeMergeTokens(child: Expression, a: String, b: String)
+    extends SignatureExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merge"
+
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.bpeMerge(v.asInstanceOf[ArrayData], ua, ub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refA = ctx.addReferenceObj("bpeA", ua, classOf[UTF8String].getName)
+    val refB = ctx.addReferenceObj("bpeB", ub, classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.bpeMerge($c, $refA, $refB);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeTokens =
     copy(child = newChild)
 }

@@ -73,6 +73,37 @@ object CorpusOps {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** The most frequent adjacent token pair across the corpus — the
+    * BPE/WordPiece training selector. Deterministic tie-break
+    * (count desc, then pair asc); ONE bounded driver action returning
+    * one row (the IVF-centroid budget class). Pairs carry multiplicity
+    * via the (id, pos)⋈(id, pos+1) posting self-join (the
+    * [[repetitionSignals]] shape — co-partitioned equi-join, never a
+    * per-row indexed lambda). */
+  def topAdjacentPair(docs: DataFrame, idCol: String,
+                      textCol: String): Option[(String, String, Long)] = {
+    val pos = docs.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("p", "t")))
+    val a = pos.select(col("id"), col("p"), col("t").as("a"))
+    val b = pos.select(col("id"), (col("p") - 1).as("p"), col("t").as("b"))
+    a.join(b, Seq("id", "p"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a").asc, col("b").asc)
+      .limit(1).collect().headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
+  /** One BPE merge step corpus-wide: every greedy left-to-right
+    * occurrence of adjacent (a, b) collapses into the "a b" token, via
+    * the codegen'd [[graft.expressions.BpeMergeTokens]] scan. Iterating
+    * [[topAdjacentPair]] + this IS tokenizer training — each round is
+    * one bounded driver argmax plus one distributed map pass. */
+  def bpeMergeStep(docs: DataFrame, idCol: String, textCol: String,
+                   a: String, b: String): DataFrame =
+    docs.select(col(idCol),
+      graft.expressions.TextKernels.bpeMergeOf(
+        TextAnalysis.tokens(col(textCol)), a, b).as("merged_tokens"))
+
   /** Per-document top-k TF-IDF terms. Score = tf × (N / df) — the inverse
     * document frequency WITHOUT the logarithm: `ln` is the one ingredient
     * whose last-ulp behavior is libm-specific, and this operator's

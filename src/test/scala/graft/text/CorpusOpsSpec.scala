@@ -74,6 +74,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("topAdjacentPair: most frequent pair with (count desc, pair asc) " +
+    "tie-break; bpeMergeStep merges greedily left-to-right, overlapping " +
+    "runs consume pairwise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x"), (3L, ""))
+      .toDF("doc_id", "text")
+    assert(CorpusOps.topAdjacentPair(docs, "doc_id", "text") ===
+      Some(("a", "b", 3L)))
+    val merged = CorpusOps.bpeMergeStep(docs, "doc_id", "text", "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(merged(1L) === List("a b", "a b", "c"))
+    assert(merged(2L) === List("a b", "x"))
+    assert(merged(3L) === Nil)
+    // overlapping same-token runs: greedy consumes pairwise
+    val runs = Seq((1L, "a a a")).toDF("doc_id", "text")
+    assert(CorpusOps.bpeMergeStep(runs, "doc_id", "text", "a", "a")
+      .collect().head.getSeq[String](1).toList === List("a a", "a"))
+    // a genuine count tie: (a,b) and (b,a) once each — pair-asc decides
+    val tie = Seq((1L, "b a"), (2L, "a b")).toDF("doc_id", "text")
+    assert(CorpusOps.topAdjacentPair(tie, "doc_id", "text") ===
+      Some(("a", "b", 1L))) // counts equal, pair-asc picks (a,b)
+  }
+
   test("chunkDocuments: stride windows, short final window, empty docs " +
     "emit nothing") {
     import spark.implicits._
