@@ -1508,6 +1508,22 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // q69's FORWARD direction: the earliest purchase at-or-after each
+    // click (time-to-conversion attach). Same one-shuffle union+window
+    // sweep; the oracle flips DuckDB's ASOF inequality.
+    "q85_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("p_epoch"),
+          col("value"))
+        .groupBy("user_id", "p_epoch").agg(max("value").as("purchase_value"))
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts_epoch", "p_epoch",
+        matchedTimeCol = "purchase_epoch", forward = true)
+    }),
+
     // Per-document top-5 TF-IDF terms (score = tf × N/df — log-free so
     // every arithmetic step mirrors exactly; see CorpusOps scaladoc).
     "q60_tfidf" -> ((s, dir) =>
@@ -2064,6 +2080,17 @@ object SparkEntry {
         |FROM cand c
         |JOIN sigl sa ON c.id_a = sa.doc_id
         |JOIN sigl sb ON c.id_b = sb.doc_id""".stripMargin),
+
+    "q85_asof_forward" ->
+      """SELECT l.user_id, l.event_id, l.ts_epoch,
+        |  r.purchase_value, r.p_epoch AS purchase_epoch
+        |FROM (SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS ts_epoch
+        |      FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, FLOOR(epoch(ts))::BIGINT AS p_epoch,
+        |    max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
+        |ON l.user_id = r.user_id AND l.ts_epoch <= r.p_epoch""".stripMargin,
 
     "q69_asof_join" ->
       """SELECT l.user_id, l.event_id, l.ts_epoch,
