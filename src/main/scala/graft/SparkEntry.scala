@@ -372,6 +372,47 @@ object SparkEntry {
   /** DuckDB mirror of TextAnalysis.tokens. */
   private val TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** q86's query vocabulary — sorted, so the Spark pivot slots and the
+    * oracle's generated slot columns line up position-for-position. */
+  private val BM25_TERMS = Seq("customer", "merge", "spark", "stream")
+
+  /** q86's oracle, GENERATED from the same term list as the Spark side so
+    * the per-term pivot slots and the left-to-right score additions (double
+    * addition is order-sensitive) match the operator exactly. Constant
+    * subexpressions (k1+1, 1-b) are spelled as arithmetic on both sides —
+    * identical IEEE folds either way. */
+  private def bm25Sql(terms: Seq[String], topK: Int): String = {
+    val ts = terms.distinct.sorted
+    val inList = ts.map(t => s"'$t'").mkString(", ")
+    val slotCols = ts.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN term = '$t' THEN c END) AS __c_$i"
+    }.mkString(",\n    ")
+    val scoreSum = ts.indices.map(i => s"COALESCE(__c_$i, 0.0)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+       |dl AS (SELECT doc_id AS id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+       |stats AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+       |post AS (SELECT doc_id AS id, unnest(tk) AS term FROM toks),
+       |tf AS (SELECT id, term, count(*) AS tf FROM post
+       |       WHERE term IN ($inList) GROUP BY id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT id, term,
+       |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |       / (CAST(df AS DOUBLE) + 0.5))
+       |     * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+       |     / (CAST(tf AS DOUBLE)
+       |       + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS c
+       |  FROM tf JOIN dl USING (id) CROSS JOIN stats JOIN dfreq USING (term)),
+       |piv AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+       |    $slotCols
+       |  FROM contrib GROUP BY id)
+       |SELECT id, n_terms_matched, $scoreSum AS score
+       |FROM piv ORDER BY score DESC, id ASC LIMIT $topK""".stripMargin
+  }
+
   /** Shared oracle body for the df-capped inverted-index Jaccard
     * (q38 bigram / q43 trigram): `shingleSql` builds the distinct shingle
     * list from a token list `tk`; shingles with document frequency > `cap`
@@ -1530,6 +1571,14 @@ object SparkEntry {
       CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         topK = 5)),
 
+    // BM25 top-k retrieval over the corpus for a literal query-term set —
+    // log-free rational idf and fixed-order pivot summation keep every
+    // arithmetic step bit-mirrorable (CorpusOps.bm25TopK scaladoc); the
+    // final top-k is a TakeOrdered, not a global sort.
+    "q86_bm25" -> ((s, dir) =>
+      CorpusOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        BM25_TERMS, topK = 20)),
+
     // Gopher-family repetition quality signals: duplicate-bigram fraction
     // and top-bigram coverage per document, bigrams WITH multiplicity via
     // the (id, pos)⋈(id, pos+1) posting self-join.
@@ -1904,6 +1953,8 @@ object SparkEntry {
         |  count(*) AS n
         |FROM mart WHERE average_diff_in_minutes IS NOT NULL
         |GROUP BY day_type, bin""".stripMargin),
+
+    "q86_bm25" -> bm25Sql(BM25_TERMS, topK = 20),
 
     "q84_bpe_merge" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),

@@ -230,6 +230,74 @@ object CorpusOps {
       rate.cast("long"))
   }
 
+  /** BM25 top-k retrieval for a literal query-term set — the full-text
+    * relevance scorer (Robertson–Spärck Jones, the Okapi weighting) over
+    * the corpus, with two determinism choices that make it bit-verifiable
+    * against an external SQL oracle:
+    *
+    *   - idf is the LOG-FREE rational `(N - df + 0.5) / (df + 0.5)`: as in
+    *     [[tfidfTopTerms]], `ln` is the one ingredient whose last-ulp
+    *     behavior is libm-specific; the rational idf preserves the
+    *     rare-term-dominates ordering and keeps every step an
+    *     exactly-mirrored IEEE op.
+    *   - The per-document score sums its per-term contributions in FIXED
+    *     sorted-term order via a pivot (one `max(when(term = t, c))` slot
+    *     per literal term, added left-to-right), never a `sum()` whose
+    *     accumulation order depends on partitioning — double addition is
+    *     not associative, and an order-free sum would be the one
+    *     nondeterminism in an otherwise exact pipeline.
+    *
+    * Scale: tokens explode to slim (id, term) postings FILTERED to the
+    * query vocabulary before any aggregation (the scan's codegen stage
+    * drops ~everything); tf/df are map-side-combined hash aggregates; df
+    * and the (N, avgdl) stats row are broadcast; the only per-document
+    * state is one fixed-width pivot row per MATCHED document. The final
+    * top-k is a TakeOrdered (bounded per-partition heads merged on the
+    * driver), not a global sort. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val terms = queryTerms.distinct.sorted
+    require(terms.nonEmpty, "queryTerms must be non-empty")
+    val dl = docs.select(col(idCol).as("id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val posting = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .where(col("term").isin(terms: _*))
+    val tf = posting.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // Arithmetic shape (parenthesization included) is mirrored verbatim in
+    // the oracle — k1+1 and 1-b are computed IN the expression on both
+    // sides so the constant folding is the same IEEE add either way.
+    val contrib = tf.join(broadcast(dfreq), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("term"),
+        (((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))
+          * (col("tf").cast("double") * (lit(k1) + lit(1.0)))
+          / (col("tf").cast("double")
+            + lit(k1) * ((lit(1.0) - lit(b))
+              + lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .as("c"))
+    val slots = terms.indices.map(i => s"__c_$i")
+    val aggCols = count(lit(1)).cast("long").as("n_terms_matched") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === t, col("c"))).as(slots(i))
+      }
+    val pivoted = contrib.groupBy("id").agg(aggCols.head, aggCols.tail: _*)
+    // missing-term slots add an exact 0.0 — x + 0.0 == x for the positive
+    // finite contributions, so absent terms cannot perturb the sum
+    val score = slots.map(s => coalesce(col(s), lit(0.0))).reduce(_ + _)
+    pivoted.select(col("id"), col("n_terms_matched"), score.as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(topK)
+  }
+
   /** Context chunking: split each document's token stream into windows of
     * `size` tokens starting every `stride` tokens (stride < size gives
     * overlapping windows) — the pretraining sequence-packing precursor.
