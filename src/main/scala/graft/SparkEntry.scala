@@ -1168,6 +1168,18 @@ object SparkEntry {
         nCentroids = 16, nProbe = 4, kmeansIters = 2)
     }),
 
+    // Product-quantization ANN (ADC): per-subspace codebooks trained by
+    // one deterministic Lloyd iteration, corpus encoded to 4 code ids,
+    // search = broadcast LUT join + integer partial-distance sum — the
+    // memory-bound ANN shape, fully hash-checked (codebook training
+    // mirrored in SQL like q32's k-means).
+    "q87_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
+      Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 5,
+        numSubspaces = 4, codebookSize = 16, trainIters = 1)
+    }),
+
     // Language-ID heuristic (marker-word overlap + argmax).
     "q21_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2439,6 +2451,75 @@ object SparkEntry {
         |      ORDER BY cosine DESC, vec_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin),
+
+    // PQ-ADC mirrored end-to-end: subvector split, seed codebooks (first 16
+    // corpus vectors), one Lloyd iteration with floor means, argmin encode
+    // (score drops the code-independent |sub|² term; smallest-code
+    // tie-break), query LUT with the full |qsub−cv|² expansion, integer
+    // partial-distance sum, (adist asc, vec_id asc) rank.
+    "q87_pq_ann" -> (EMB_CTE +
+      """subs AS (SELECT unnest(range(0, 4)) AS m),
+        |cs AS (
+        |  SELECT n.vec_id, s.m, list_slice(n.v, s.m*16+1, (s.m+1)*16) AS sv
+        |  FROM n CROSS JOIN subs s),
+        |seeds AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS code
+        |  FROM n ORDER BY vec_id LIMIT 16),
+        |cb0 AS (SELECT c.m, s.code, c.sv AS cv
+        |        FROM seeds s JOIN cs c USING (vec_id)),
+        |sc0 AS (
+        |  SELECT c.vec_id, c.m, b.code,
+        |    CAST(list_sum(list_transform(range(1, len(b.cv)+1),
+        |      i -> b.cv[i]*b.cv[i])) AS BIGINT)
+        |    - 2 * CAST(list_sum(list_transform(range(1, len(c.sv)+1),
+        |      i -> c.sv[i]*b.cv[i])) AS BIGINT) AS score
+        |  FROM cs c JOIN cb0 b ON c.m = b.m),
+        |asn0 AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY score ASC, code ASC) AS rn FROM sc0) WHERE rn = 1),
+        |sd AS (SELECT unnest(range(1, 17)) AS i),
+        |mu AS (
+        |  SELECT a.m, a.code, sd.i,
+        |    CAST(floor(CAST(sum(c.sv[sd.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+        |  FROM asn0 a JOIN cs c ON a.vec_id = c.vec_id AND a.m = c.m
+        |  CROSS JOIN sd GROUP BY a.m, a.code, sd.i),
+        |cb1 AS (
+        |  SELECT b.m, b.code, COALESCE(l.cv, b.cv) AS cv FROM cb0 b
+        |  LEFT JOIN (SELECT m, code, list(mv ORDER BY i) AS cv
+        |             FROM mu GROUP BY m, code) l
+        |    ON b.m = l.m AND b.code = l.code),
+        |sc1 AS (
+        |  SELECT c.vec_id, c.m, b.code,
+        |    CAST(list_sum(list_transform(range(1, len(b.cv)+1),
+        |      i -> b.cv[i]*b.cv[i])) AS BIGINT)
+        |    - 2 * CAST(list_sum(list_transform(range(1, len(c.sv)+1),
+        |      i -> c.sv[i]*b.cv[i])) AS BIGINT) AS score
+        |  FROM cs c JOIN cb1 b ON c.m = b.m),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY score ASC, code ASC) AS rn FROM sc1) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, m, sv FROM cs WHERE vec_id < 10),
+        |lut AS (
+        |  SELECT q.query_id, b.m, b.code,
+        |    CAST(list_sum(list_transform(range(1, len(q.sv)+1),
+        |      i -> q.sv[i]*q.sv[i])) AS BIGINT)
+        |    - 2 * CAST(list_sum(list_transform(range(1, len(q.sv)+1),
+        |      i -> q.sv[i]*b.cv[i])) AS BIGINT)
+        |    + CAST(list_sum(list_transform(range(1, len(b.cv)+1),
+        |      i -> b.cv[i]*b.cv[i])) AS BIGINT) AS pd
+        |  FROM q JOIN cb1 b ON q.m = b.m),
+        |ad AS (
+        |  SELECT l.query_id, c.vec_id, CAST(sum(l.pd) AS BIGINT) AS adist
+        |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+        |  GROUP BY l.query_id, c.vec_id),
+        |r2 AS (
+        |  SELECT query_id, vec_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist ASC, vec_id ASC) AS rank
+        |  FROM ad)
+        |SELECT query_id, vec_id, adist, rank FROM r2 WHERE rank <= 5""".stripMargin),
 
     "q21_langid" ->
       s"""WITH toks AS (

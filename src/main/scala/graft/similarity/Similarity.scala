@@ -91,9 +91,19 @@ object Similarity {
     * 2. exact rank window over the surviving ≤ k × partitions rows per
     *    query, with the deterministic (cosine desc, id asc) tie-break.
     */
-  private[graft] def topKPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame = {
-    val sorted = scored.sortWithinPartitions(
-      col("query_id"), col("cosine").desc, col(idCol).asc)
+  private[graft] def topKPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    topKPerQueryOrdered(scored, idCol, k,
+      Seq(col("cosine").desc, col(idCol).asc))
+
+  /** [[topKPerQuery]] generalized over the ranking order (cosine ranks
+    * DESCENDING, a distance like PQ's ADC ranks ASCENDING): same bounded
+    * local-scan-then-exact-rank shape, with `order` driving both the
+    * within-partition sort and the rank window. `order` MUST be total per
+    * query (end it with an id tie-break), or the rank is nondeterministic. */
+  private[graft] def topKPerQueryOrdered(scored: DataFrame, idCol: String,
+                                         k: Int,
+                                         order: Seq[Column]): DataFrame = {
+    val sorted = scored.sortWithinPartitions(col("query_id") +: order: _*)
     val qIdx = scored.schema.fieldIndex("query_id")
     val local = sorted.mapPartitions { it =>
       var prev: Any = null
@@ -106,8 +116,7 @@ object Similarity {
         n <= k
       }
     }(Encoders.row(scored.schema))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
+    val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
     local.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
@@ -287,6 +296,130 @@ object Similarity {
       .select(col("query_id"), col(idCol),
         cosineQ(intDot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     topKPerQuery(scored, idCol, k)
+  }
+
+  /** Product-quantization ANN top-k (Jégou, Douze, Schmid 2011, IEEE
+    * TPAMI 33(1), "Product quantization for nearest neighbor search"):
+    * each quantized vector is split into `numSubspaces` contiguous
+    * subvectors; every subspace learns its own `codebookSize`-entry
+    * codebook (deterministic seeds = the first `codebookSize` corpus
+    * vectors' subvectors in id order, refined by `trainIters` Lloyd
+    * iterations with integer floor means — the [[refineCentroids]]
+    * discipline per subspace); a corpus vector is ENCODED as its
+    * per-subspace nearest-codebook-entry ids, and search runs
+    * asymmetric-distance computation (ADC): the query precomputes a
+    * (subspace, code) → partial-squared-L2 lookup table against the
+    * codebooks, and each corpus vector's approximate distance is the SUM
+    * of LUT hits for its codes — exact squared L2 to the vector's
+    * codebook RECONSTRUCTION, approximate only through quantization.
+    *
+    * Determinism: everything is integer arithmetic on quantized values
+    * (encoding argmin drops the code-independent |sub|² term; the
+    * first-min tie-break picks the smallest code; Lloyd means floor
+    * through one mirrored double divide), so the operator is fully
+    * oracle-checkable like [[ivfTopK]].
+    *
+    * Scale: this is THE memory-bound ANN shape — the corpus is scanned
+    * once to 8-byte × `numSubspaces` code rows (vs dim × 8 raw: 16×
+    * compression at dim=64, M=4), training/LUT state is bounded driver
+    * state (`numSubspaces × codebookSize × subDim` longs), the LUT join
+    * is a broadcast, and the per-query aggregation is a map-side-combined
+    * integer sum. Rows with NULL or wrong-dimension vectors encode to
+    * NULL codes and drop out of the join rather than poisoning a bucket.
+    * Composing with [[ivfTopK]]'s coarse partitioning (IVF-ADC) bounds
+    * the scan too; here the inverted-list gate is orthogonal and omitted. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             embCol: String, k: Int, numSubspaces: Int = 4,
+             codebookSize: Int = 16, trainIters: Int = 1): DataFrame = {
+    require(numSubspaces > 0, "numSubspaces must be positive")
+    require(codebookSize > 0, "codebookSize must be positive")
+    require(trainIters >= 0, "trainIters must be >= 0")
+    val dim = corpus.select(size(col(embCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % numSubspaces == 0,
+      s"embedding dim $dim must be a positive multiple of $numSubspaces")
+    val subDim = dim / numSubspaces
+    val cqv = corpus.select(col(idCol), quantize(col(embCol)).as("cv"))
+
+    // Driver action at plan time: the tiny seed set (same budget class as
+    // the IVF centroid collect).
+    val seeds: Seq[Seq[Long]] = corpus.orderBy(col(idCol)).limit(codebookSize)
+      .select(quantize(col(embCol)).as("cv")).collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq
+    var cb: Seq[Seq[Seq[Long]]] = (0 until numSubspaces).map(m =>
+      seeds.map(_.slice(m * subDim, (m + 1) * subDim)))
+
+    def withSubs(df: DataFrame, vCol: String): DataFrame =
+      (0 until numSubspaces).foldLeft(df) { (d, m) =>
+        d.withColumn(s"__sub_$m", slice(col(vCol), m * subDim + 1, subDim))
+      }
+    // 1-based argmin code per subspace over a bound score-array column:
+    // score_j = |cb_j|² − 2·(sub·cb_j) — the |sub|² term is constant
+    // across j and dropped; array_position takes the FIRST minimum, i.e.
+    // the smallest code on ties.
+    def withCodes(df: DataFrame): DataFrame =
+      (0 until numSubspaces).foldLeft(df) { (d, m) =>
+        d.withColumn(s"__sc_$m", array(cb(m).map { e =>
+            lit(e.map(x => x * x).sum) -
+              lit(2L) * intDot(col(s"__sub_$m"), typedLit(e))
+          }: _*))
+          .withColumn(s"__code_$m",
+            expr(s"array_position(__sc_$m, array_min(__sc_$m))"))
+      }
+    val codeArray = array((0 until numSubspaces).map(m => col(s"__code_$m")): _*)
+
+    // Lloyd refinement per subspace: one distributed assignment+aggregation
+    // job per iteration collecting numSubspaces × codebookSize × subDim
+    // slim rows; floor means keep the codebooks integer (and mirrored).
+    for (_ <- 0 until trainIters) {
+      val sums = withCodes(withSubs(cqv, "cv"))
+        .select(codeArray.as("codes"), posexplode(col("cv")))
+        .select(expr(s"CAST(pos DIV $subDim AS INT)").as("m"), col("pos"),
+          col("col").as("v"), col("codes"))
+        .withColumn("code", expr("element_at(codes, m + 1)"))
+        .groupBy("m", "code", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val grouped = sums.groupBy(r => (r.getInt(0), r.getLong(1)))
+      cb = (0 until numSubspaces).map { m =>
+        cb(m).zipWithIndex.map { case (old, j) =>
+          grouped.get((m, (j + 1).toLong)) match {
+            case Some(rows) => rows.sortBy(_.getInt(2)).toSeq
+              .map(r => math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong)
+            case None => old
+          }
+        }
+      }
+    }
+
+    // Encode: the corpus collapses to slim (id, m, code) rows.
+    val codes = withCodes(withSubs(cqv, "cv"))
+      .select(col(idCol), posexplode(codeArray))
+      .select(col(idCol), col("pos").as("m"), col("col").as("code"))
+
+    // Query-side ADC lookup table: (query, m, code) → full partial squared
+    // L2 |qsub − cb_j|² = |qsub|² − 2·(qsub·cb_j) + |cb_j|², with |qsub|²
+    // bound once per subspace.
+    val qb = (0 until numSubspaces).foldLeft(
+        withSubs(queries.select(col(idCol).as("query_id"),
+          quantize(col(embCol)).as("qv")), "qv")) { (d, m) =>
+        d.withColumn(s"__qn_$m", intDot(col(s"__sub_$m"), col(s"__sub_$m")))
+      }
+    val lutEntries: Seq[Column] = for {
+      m <- 0 until numSubspaces
+      (e, j) <- cb(m).zipWithIndex
+    } yield struct(lit(m).as("m"), lit((j + 1).toLong).as("code"),
+      (col(s"__qn_$m") - lit(2L) * intDot(col(s"__sub_$m"), typedLit(e)) +
+        lit(e.map(x => x * x).sum)).as("pd"))
+    val lut = qb.select(col("query_id"), explode(array(lutEntries: _*)).as("e"))
+      .select(col("query_id"), col("e.m").as("m"), col("e.code").as("code"),
+        col("e.pd").as("pd"))
+
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("pd")).as("adist"))
+    topKPerQueryOrdered(scored, idCol, k,
+      Seq(col("adist").asc, col(idCol).asc))
   }
 
   /** Recall-tunable ANN via BANDED sign-LSH — the vector analog of

@@ -88,9 +88,10 @@ class PlanSpec extends SparkSpec {
     * BroadcastNestedLoopJoin is the correct physical shape there), and
     * q60's scalar-attach (corpus count N joined onto every tf row: the
     * build side is a 1-ROW aggregate, so the "nested loop" is a constant
-    * broadcast — the standard scalar-subquery shape, safe at any scale). */
+    * broadcast — the standard scalar-subquery shape, safe at any scale;
+    * q86's (N, avgdl) stats attach is the same 1-row shape). */
   private val declaredBruteForce =
-    Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf")
+    Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +
