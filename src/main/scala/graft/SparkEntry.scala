@@ -1583,6 +1583,13 @@ object SparkEntry {
       CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         topK = 5)),
 
+    // Exact corpus heavy hitters (count > total/30) through a per-partition
+    // Misra-Gries candidate gate: bounded sketch state prunes the long tail
+    // pre-shuffle, the exact recount + threshold make the output provably
+    // sketch-independent — hash-checked against plain GROUP BY / HAVING.
+    "q88_heavy_hitters" -> ((s, dir) =>
+      CorpusOps.heavyHitters(t(s, dir, "documents"), "text", k = 30)),
+
     // BM25 top-k retrieval over the corpus for a literal query-term set —
     // log-free rational idf and fixed-order pivot summation keep every
     // arithmetic step bit-mirrorable (CorpusOps.bm25TopK scaladoc); the
@@ -1967,6 +1974,14 @@ object SparkEntry {
         |GROUP BY day_type, bin""".stripMargin),
 
     "q86_bm25" -> bm25Sql(BM25_TERMS, topK = 20),
+
+    "q88_heavy_hitters" ->
+      s"""WITH toks AS (SELECT $TOKENS_SQL AS tk FROM documents),
+         |post AS (SELECT unnest(tk) AS term FROM toks),
+         |tot AS (SELECT count(*) AS n_total FROM post),
+         |c AS (SELECT term, count(*) AS cnt FROM post GROUP BY term)
+         |SELECT c.term, c.cnt, t.n_total FROM c CROSS JOIN tot t
+         |WHERE c.cnt * 30 > t.n_total""".stripMargin,
 
     "q84_bpe_merge" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),

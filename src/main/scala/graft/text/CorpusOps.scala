@@ -298,6 +298,57 @@ object CorpusOps {
       .limit(topK)
   }
 
+  /** Exact corpus heavy hitters — every token whose global count exceeds
+    * total/`k` — with BOUNDED-MEMORY candidate pruning (Misra & Gries
+    * 1982, "Finding repeated elements", Sci. Comput. Program. 2):
+    *
+    * Pass 1 runs the Misra–Gries summary with `k−1` counters
+    * independently per partition. MG guarantees any item occurring more
+    * than n_p/k times in a partition of n_p tokens survives that
+    * partition's summary, so by pigeonhole any GLOBAL heavy hitter
+    * (count > N/k, N total) survives in at least one partition — the
+    * union of per-partition candidates (≤ (k−1) × partitions slim rows,
+    * broadcastable) is a provable superset of the answer. Pass 2 exactly
+    * recounts ONLY candidate tokens (the left-semi gate drops the long
+    * tail BEFORE the shuffle, the decontamination-Bloom discipline) and
+    * the threshold filter discards sketch survivors that are not truly
+    * heavy. The output is therefore EXACT and independent of partition
+    * order — MG is purely a scalability mechanism, which is why the
+    * operator hash-checks against a plain GROUP BY / HAVING oracle.
+    *
+    * At 100 TB the distinct-token domain is what kills a naive global
+    * groupBy (the shuffle carries every rare term); here shuffle volume
+    * collapses to candidate postings only. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val posting = docs.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    import org.apache.spark.sql.Encoders
+    val candidates = posting.select(col("term"))
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { r =>
+          val t = r.getString(0)
+          counters.get(t) match {
+            case Some(c) => counters.update(t, c + 1)
+            case None if counters.size < k - 1 => counters.update(t, 1L)
+            case None => // decrement-all; drop zeros
+              counters.mapValuesInPlace((_, c) => c - 1)
+              counters.filterInPlace((_, c) => c > 0)
+          }
+        }
+        counters.keysIterator.map(org.apache.spark.sql.Row(_))
+      }(Encoders.row(posting.schema))
+      .distinct()
+    val total = posting.agg(count(lit(1)).as("n_total"))
+    posting.join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      // integer comparison — no double threshold arithmetic to mirror
+      .where(col("cnt") * lit(k.toLong) > col("n_total"))
+      .select(col("term"), col("cnt"), col("n_total"))
+  }
+
   /** Context chunking: split each document's token stream into windows of
     * `size` tokens starting every `stride` tokens (stride < size gives
     * overlapping windows) — the pretraining sequence-packing precursor.

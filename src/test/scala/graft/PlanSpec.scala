@@ -89,9 +89,11 @@ class PlanSpec extends SparkSpec {
     * q60's scalar-attach (corpus count N joined onto every tf row: the
     * build side is a 1-ROW aggregate, so the "nested loop" is a constant
     * broadcast — the standard scalar-subquery shape, safe at any scale;
-    * q86's (N, avgdl) stats attach is the same 1-row shape). */
+    * q86's (N, avgdl) stats attach and q88's total-count attach are the
+    * same 1-row shape). */
   private val declaredBruteForce =
-    Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25")
+    Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
+      "q88_heavy_hitters")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +
