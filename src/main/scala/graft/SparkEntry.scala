@@ -376,12 +376,13 @@ object SparkEntry {
     * oracle's generated slot columns line up position-for-position. */
   private val BM25_TERMS = Seq("customer", "merge", "spark", "stream")
 
-  /** q86's oracle, GENERATED from the same term list as the Spark side so
-    * the per-term pivot slots and the left-to-right score additions (double
-    * addition is order-sensitive) match the operator exactly. Constant
-    * subexpressions (k1+1, 1-b) are spelled as arithmetic on both sides —
-    * identical IEEE folds either way. */
-  private def bm25Sql(terms: Seq[String], topK: Int): String = {
+  /** The BM25 oracle CTE chain (no leading WITH, trailing comma) and its
+    * score expression, GENERATED from the same term list as the Spark side
+    * so the per-term pivot slots and the left-to-right score additions
+    * (double addition is order-sensitive) match the operator exactly.
+    * Constant subexpressions (k1+1, 1-b) are spelled as arithmetic on both
+    * sides — identical IEEE folds either way. Shared by q86 and q89. */
+  private def bm25Ctes(terms: Seq[String]): (String, String) = {
     val ts = terms.distinct.sorted
     val inList = ts.map(t => s"'$t'").mkString(", ")
     val slotCols = ts.zipWithIndex.map { case (t, i) =>
@@ -389,28 +390,68 @@ object SparkEntry {
     }.mkString(",\n    ")
     val scoreSum = ts.indices.map(i => s"COALESCE(__c_$i, 0.0)")
       .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
-       |dl AS (SELECT doc_id AS id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
-       |stats AS (SELECT count(*) AS n_docs,
-       |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-       |post AS (SELECT doc_id AS id, unnest(tk) AS term FROM toks),
-       |tf AS (SELECT id, term, count(*) AS tf FROM post
-       |       WHERE term IN ($inList) GROUP BY id, term),
-       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |contrib AS (
-       |  SELECT id, term,
-       |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-       |       / (CAST(df AS DOUBLE) + 0.5))
-       |     * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
-       |     / (CAST(tf AS DOUBLE)
-       |       + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS c
-       |  FROM tf JOIN dl USING (id) CROSS JOIN stats JOIN dfreq USING (term)),
-       |piv AS (
-       |  SELECT id, CAST(count(*) AS BIGINT) AS n_terms_matched,
-       |    $slotCols
-       |  FROM contrib GROUP BY id)
-       |SELECT id, n_terms_matched, $scoreSum AS score
-       |FROM piv ORDER BY score DESC, id ASC LIMIT $topK""".stripMargin
+    val ctes =
+      s"""toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |dl AS (SELECT doc_id AS id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+         |stats AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |post AS (SELECT doc_id AS id, unnest(tk) AS term FROM toks),
+         |tf AS (SELECT id, term, count(*) AS tf FROM post
+         |       WHERE term IN ($inList) GROUP BY id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |contrib AS (
+         |  SELECT id, term,
+         |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |       / (CAST(df AS DOUBLE) + 0.5))
+         |     * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |     / (CAST(tf AS DOUBLE)
+         |       + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS c
+         |  FROM tf JOIN dl USING (id) CROSS JOIN stats JOIN dfreq USING (term)),
+         |piv AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+         |    $slotCols
+         |  FROM contrib GROUP BY id),
+         |""".stripMargin
+    (ctes, scoreSum)
+  }
+
+  /** q86's oracle: the BM25 CTE chain + the top-k cut. */
+  private def bm25Sql(terms: Seq[String], topK: Int): String = {
+    val (ctes, scoreSum) = bm25Ctes(terms)
+    s"""WITH $ctes
+       |bmfinal AS (SELECT id, n_terms_matched, $scoreSum AS score FROM piv)
+       |SELECT id, n_terms_matched, score FROM bmfinal
+       |ORDER BY score DESC, id ASC LIMIT $topK""".stripMargin
+  }
+
+  /** q89's oracle: BM25 ranks × exact-cosine ranks for query vector 0,
+    * blended by reciprocal-rank fusion. The cosine CTE mirrors
+    * BRUTE_TOPK_SQL's arithmetic verbatim (query norm first). */
+  private def rrfSql(terms: Seq[String], listK: Int, rrfK: Int,
+                     outK: Int): String = {
+    val (ctes, scoreSum) = bm25Ctes(terms)
+    EMB_CTE + ctes +
+      s"""bmr AS (
+         |  SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS rank_a
+         |  FROM (SELECT id, $scoreSum AS s FROM piv)),
+         |bmtop AS (SELECT id, rank_a FROM bmr WHERE rank_a <= $listK),
+         |vp AS (
+         |  SELECT c.vec_id AS id,
+         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+         |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         |  FROM n q, n c WHERE q.vec_id = 0),
+         |vr AS (
+         |  SELECT id, row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank_b
+         |  FROM vp),
+         |vtop AS (SELECT id, rank_b FROM vr WHERE rank_b <= $listK),
+         |fused AS (
+         |  SELECT COALESCE(a.id, b.id) AS id, a.rank_a, b.rank_b,
+         |    COALESCE(1.0 / ($rrfK.0 + CAST(a.rank_a AS DOUBLE)), 0.0)
+         |    + COALESCE(1.0 / ($rrfK.0 + CAST(b.rank_b AS DOUBLE)), 0.0) AS rrf
+         |  FROM bmtop a FULL OUTER JOIN vtop b ON a.id = b.id)
+         |SELECT id, rank_a, rank_b, rrf FROM fused
+         |ORDER BY rrf DESC, id ASC LIMIT $outK""".stripMargin
   }
 
   /** Shared oracle body for the df-capped inverted-index Jaccard
@@ -1583,6 +1624,26 @@ object SparkEntry {
       CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         topK = 5)),
 
+    // Hybrid retrieval: BM25 top-50 (q86's scorer) fused with the exact
+    // cosine top-50 for query vector 0 by reciprocal-rank fusion — the
+    // standard lexical+vector blend, needing only ranks (no cross-scorer
+    // calibration), so the whole pipeline stays hash-checkable. The rank
+    // windows run over ALREADY-bounded top-k lists (≤ 50 rows), so the
+    // unpartitioned window is k-bounded, not corpus-bounded.
+    "q89_hybrid_rrf" -> ((s, dir) => {
+      val wb = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)
+      val bm = CorpusOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          BM25_TERMS, topK = 50)
+        .withColumn("rank", row_number().over(wb).cast("long"))
+        .select(col("id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(emb.where(col("vec_id") === 0),
+          emb, "vec_id", "embedding", k = 50)
+        .select(col("vec_id").as("id"), col("rank"))
+      graft.operators.Fusion.rrf(bm, vec, "id", k = 20)
+    }),
+
     // Exact corpus heavy hitters (count > total/30) through a per-partition
     // Misra-Gries candidate gate: bounded sketch state prunes the long tail
     // pre-shuffle, the exact recount + threshold make the output provably
@@ -1974,6 +2035,8 @@ object SparkEntry {
         |GROUP BY day_type, bin""".stripMargin),
 
     "q86_bm25" -> bm25Sql(BM25_TERMS, topK = 20),
+
+    "q89_hybrid_rrf" -> rrfSql(BM25_TERMS, listK = 50, rrfK = 60, outK = 20),
 
     "q88_heavy_hitters" ->
       s"""WITH toks AS (SELECT $TOKENS_SQL AS tk FROM documents),

@@ -90,10 +90,11 @@ class PlanSpec extends SparkSpec {
     * build side is a 1-ROW aggregate, so the "nested loop" is a constant
     * broadcast — the standard scalar-subquery shape, safe at any scale;
     * q86's (N, avgdl) stats attach and q88's total-count attach are the
-    * same 1-row shape). */
+    * same 1-row shape; q89 embeds both the brute-force cosine baseline
+    * AND the q86 stats attach). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
-      "q88_heavy_hitters")
+      "q88_heavy_hitters", "q89_hybrid_rrf")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +
