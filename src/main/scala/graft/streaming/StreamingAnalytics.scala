@@ -181,4 +181,59 @@ object StreamingAnalytics {
           out.iterator
       }
   }
+
+  /** The current Misra–Gries candidate set of one hash bucket, re-emitted
+    * every batch the bucket receives data (Update mode). `n_seen` counts
+    * every row the bucket has absorbed — it is strictly increasing, so a
+    * sink can always identify each bucket's LATEST snapshot. */
+  final case class BucketCandidates(bucket: Int, n_seen: Long,
+                                    terms: Seq[String])
+
+  /** Streaming heavy-hitter CANDIDATES — the unbounded formulation of
+    * [[graft.text.CorpusOps.heavyHitters]]'s pass 1: terms are hash-
+    * partitioned into `buckets` key groups, and each group maintains ONE
+    * Misra–Gries summary with `k−1` counters as keyed state that
+    * persists across micro-batches (never more than `buckets × (k−1)`
+    * counters total, whatever the stream's distinct-term cardinality).
+    *
+    * The batch operator's superset theorem carries over verbatim:
+    * a term's occurrences all land in one bucket (hash partitioning),
+    * and a term with global count > N/k has bucket count > n_b/k
+    * (n_b ≤ N), so MG retains it — after any prefix of the stream, the
+    * union of bucket candidate sets contains every term that is heavy
+    * IN THAT PREFIX. Exact counts still need the batch recount pass
+    * (candidates are a gate, not counts — same contract as pass 1);
+    * the parity spec pins candidates ⊇ heavy(prefix) across batches.
+    *
+    * No watermark/timeout: MG state is size-bounded by construction, so
+    * unlike window or session state it needs no time-based eviction. */
+  def heavyHitterCandidatesStream(terms: Dataset[String], k: Int,
+                                  buckets: Int): Dataset[BucketCandidates] = {
+    require(k >= 2, "k must be >= 2")
+    require(buckets >= 1, "buckets must be >= 1")
+    import terms.sparkSession.implicits._
+    terms.groupByKey(t => math.floorMod(t.hashCode, buckets))
+      .flatMapGroupsWithState[(Long, Map[String, Long]), BucketCandidates](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: Int, rows: Iterator[String],
+         state: GroupState[(Long, Map[String, Long])]) =>
+          val (seen0, saved) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          counters ++= saved
+          var seen = seen0
+          rows.foreach { t =>
+            seen += 1
+            counters.get(t) match {
+              case Some(c) => counters.update(t, c + 1)
+              case None if counters.size < k - 1 => counters.update(t, 1L)
+              case None =>
+                counters.mapValuesInPlace((_, c) => c - 1)
+                counters.filterInPlace((_, c) => c > 0)
+            }
+          }
+          state.update((seen, counters.toMap))
+          Iterator.single(BucketCandidates(bucket, seen,
+            counters.keysIterator.toSeq.sorted))
+      }
+  }
 }

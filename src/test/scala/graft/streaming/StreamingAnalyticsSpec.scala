@@ -400,4 +400,49 @@ class StreamingAnalyticsSpec extends SparkSpec {
         ("T2", 250L, 1)))
     } finally q.stop()
   }
+
+  test("heavyHitterCandidatesStream: after every batch, the candidate " +
+    "union covers all terms heavy in the stream-so-far, and state stays " +
+    "bounded — the batch superset theorem holds across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val k = 4
+    val in = MemoryStream[String]
+    val q = StreamingAnalytics
+      .heavyHitterCandidatesStream(in.toDS(), k = k, buckets = 3)
+      .writeStream.format("memory").queryName("hh_cand")
+      .outputMode("update").start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def feedAndCheck(batch: Seq[String]): Unit = {
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      fed ++= batch
+      // each bucket's LATEST snapshot = its max n_seen emission
+      val snaps = spark.table("hh_cand")
+        .as[(Int, Long, Seq[String])].collect()
+        .groupBy(_._1).values.map(_.maxBy(_._2))
+      // bounded state: never more than k-1 candidates per bucket
+      snaps.foreach { case (b, _, terms) =>
+        assert(terms.size <= k - 1, s"bucket $b overflows: $terms")
+      }
+      val candidates = snaps.flatMap(_._3).toSet
+      val n = fed.size
+      val heavy = fed.groupBy(identity).collect {
+        case (t, os) if os.size.toLong * k > n => t
+      }.toSet
+      assert(heavy.subsetOf(candidates),
+        s"missing heavy terms: ${heavy -- candidates} after ${n} rows")
+    }
+
+    try {
+      // batch 1: 'x' dominates
+      feedAndCheck(Seq.fill(30)("x") ++ (1 to 15).map(i => s"r$i"))
+      // batch 2: regime change — 'y' floods in; 'x' must stay covered
+      // while it is still heavy in the prefix
+      feedAndCheck(Seq.fill(40)("y") ++ (16 to 25).map(i => s"r$i"))
+      // batch 3: long tail only; nothing new becomes heavy, no overflow
+      feedAndCheck((26 to 60).map(i => s"r$i"))
+    } finally q.stop()
+  }
 }
