@@ -1025,6 +1025,29 @@ object SparkEntry {
           Dashboard.exactCorr(col("average_diff_in_minutes"),
             col("temperature")).as("corr_delay_temp"))),
 
+    // Per-day-type z-score outlier flags over the mart: exact decimal
+    // first/second moments (the q77 discipline), then
+    // z = (x·n − Σx) / sqrt(n·Σx² − Σx·Σx) — the algebraic form that
+    // never materializes mean or std separately, so the whole score is
+    // two mirrored IEEE ops deep. Stats are a 7-row broadcast join back;
+    // a zero-variance group yields NaN z (NaN > θ is false in both
+    // engines → no flags), never a divide error.
+    "q91_delay_outliers" -> ((s, dir) => {
+      val x = col("average_diff_in_minutes")
+      val m = diffMart(s, dir).where(x.isNotNull)
+      val stats = m.groupBy("day_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x.cast("decimal(15,6)")).cast("double").as("sx"),
+        sum(x.cast("decimal(15,6)") * x.cast("decimal(15,6)"))
+          .cast("double").as("sxx"))
+      val z = (x * col("n") - col("sx")) /
+        sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+      m.join(broadcast(stats), "day_type")
+        .select(col("trip_id"), col("stop_sequence"), col("start_date"),
+          col("day_type"), x.as("delay_min"), z.as("z"))
+        .where(abs(col("z")) > lit(2.5))
+    }),
+
     // Fixed-width delay histogram per day type: floor(x/5) binning —
     // one IEEE divide + floor, identical in any engine; the dashboard
     // distribution primitive.
@@ -1624,6 +1647,13 @@ object SparkEntry {
       CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         topK = 5)),
 
+    // Per-document novelty (fraction of bigram shingles unique to the
+    // document corpus-wide) and Gini-Simpson lexical diversity — the
+    // log-free complements of q61's repetition signals.
+    "q90_novelty" -> ((s, dir) =>
+      CorpusOps.noveltyDiversity(t(s, dir, "documents"), "doc_id", "text",
+        n = 2)),
+
     // Hybrid retrieval: BM25 top-50 (q86's scorer) fused with the exact
     // cosine top-50 for query vector 0 by reciprocal-rank fusion — the
     // standard lexical+vector blend, needing only ranks (no cross-scorer
@@ -2027,6 +2057,24 @@ object SparkEntry {
         |    AS corr_delay_temp
         |FROM s""".stripMargin),
 
+    "q91_delay_outliers" -> (MART_CTE +
+      """, s AS (
+        |  SELECT day_type, count(*)::DOUBLE AS n,
+        |    CAST(sum(CAST(average_diff_in_minutes AS DECIMAL(15,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(average_diff_in_minutes AS DECIMAL(15,6)) *
+        |             CAST(average_diff_in_minutes AS DECIMAL(15,6))) AS DOUBLE) AS sxx
+        |  FROM mart WHERE average_diff_in_minutes IS NOT NULL
+        |  GROUP BY day_type),
+        |zs AS (
+        |  SELECT m.trip_id, m.stop_sequence, m.start_date, m.day_type,
+        |    m.average_diff_in_minutes AS delay_min,
+        |    (m.average_diff_in_minutes * s.n - s.sx)
+        |      / sqrt(s.n * s.sxx - s.sx * s.sx) AS z
+        |  FROM mart m JOIN s USING (day_type)
+        |  WHERE m.average_diff_in_minutes IS NOT NULL)
+        |SELECT trip_id, stop_sequence, start_date, day_type, delay_min, z
+        |FROM zs WHERE abs(z) > 2.5""".stripMargin),
+
     "q78_delay_histogram" -> (MART_CTE +
       """SELECT day_type,
         |  CAST(floor(average_diff_in_minutes / 5.0) AS BIGINT) AS bin,
@@ -2037,6 +2085,35 @@ object SparkEntry {
     "q86_bm25" -> bm25Sql(BM25_TERMS, topK = 20),
 
     "q89_hybrid_rrf" -> rrfSql(BM25_TERMS, listK = 50, rrfK = 60, outK = 20),
+
+    "q90_novelty" ->
+      s"""WITH toks AS (SELECT doc_id AS id, $TOKENS_SQL AS tk FROM documents),
+         |tc AS (
+         |  SELECT id, t, count(*) AS c
+         |  FROM (SELECT id, unnest(tk) AS t FROM toks) GROUP BY id, t),
+         |mo AS (SELECT id, CAST(sum(c*c) AS BIGINT) AS sumsq,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens FROM tc GROUP BY id),
+         |post AS (
+         |  SELECT id, unnest($BIGRAM_SQL) AS sh FROM toks),
+         |dfreq AS (SELECT sh, count(*) AS df FROM post GROUP BY sh),
+         |nv AS (
+         |  SELECT id, count(*) AS n_shingles,
+         |    count(*) FILTER (df = 1) AS n_novel
+         |  FROM post JOIN dfreq USING (sh) GROUP BY id)
+         |SELECT t.id,
+         |  COALESCE(m.n_tokens, 0) AS n_tokens,
+         |  COALESCE(v.n_shingles, 0) AS n_shingles,
+         |  COALESCE(v.n_novel, 0) AS n_novel,
+         |  CASE WHEN COALESCE(v.n_shingles, 0) = 0 THEN 0.0
+         |    ELSE CAST(v.n_novel AS DOUBLE) / CAST(v.n_shingles AS DOUBLE)
+         |  END AS novelty,
+         |  CASE WHEN COALESCE(m.n_tokens, 0) = 0 THEN 0.0
+         |    ELSE 1.0 - (CAST(m.sumsq AS DOUBLE)
+         |      / (CAST(m.n_tokens AS DOUBLE) * CAST(m.n_tokens AS DOUBLE)))
+         |  END AS gini
+         |FROM toks t
+         |LEFT JOIN mo m ON t.id = m.id
+         |LEFT JOIN nv v ON t.id = v.id""".stripMargin,
 
     "q88_heavy_hitters" ->
       s"""WITH toks AS (SELECT $TOKENS_SQL AS tk FROM documents),

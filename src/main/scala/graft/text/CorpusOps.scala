@@ -298,6 +298,53 @@ object CorpusOps {
       .limit(topK)
   }
 
+  /** Per-document novelty and lexical-diversity signals — the
+    * complement of [[repetitionSignals]]'s redundancy view:
+    *
+    *   - `novelty`: the fraction of the document's distinct `n`-gram
+    *     shingles that occur in NO other document (corpus df = 1) — high
+    *     for unique content, ~0 for boilerplate; the scalable stand-in
+    *     for per-document self-information.
+    *   - `gini`: the Gini–Simpson index of the token distribution,
+    *     1 − Σ c_t² / n_tokens² — the logarithm-free diversity measure
+    *     (token entropy would drag libm `ln` into the hash contract;
+    *     Gini–Simpson ranks repetitive docs the same way with exact
+    *     integer moments and ONE mirrored divide).
+    *
+    * Scale: both signals ride slim exploded postings with map-side-
+    * combined hash aggregates; df is one corpus-wide shingle aggregate
+    * (the [[decontaminate]] shape); nothing joins wide rows. Zero-token
+    * and zero-shingle documents report 0.0, not NULL. */
+  def noveltyDiversity(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 2): DataFrame = {
+    val tk = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val tokCounts = tk.select(col("id"), explode(col("__tk")).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("c"))
+    val moments = tokCounts.groupBy("id").agg(
+      sum(col("c") * col("c")).as("sumsq"), sum(col("c")).as("n_tokens"))
+    val posting = tk.select(col("id"),
+      explode(TextAnalysis.ngramShingles(col("__tk"), n)).as("sh"))
+    val dfreq = posting.groupBy("sh").agg(count(lit(1)).as("df"))
+    val novel = posting.join(dfreq, "sh").groupBy("id").agg(
+      count(lit(1)).as("n_shingles"),
+      count(when(col("df") === 1L, lit(1))).as("n_novel"))
+    tk.select(col("id"))
+      .join(moments, Seq("id"), "left")
+      .join(novel, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_novel").cast("double")
+            / col("n_shingles").cast("double")).as("novelty"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(lit(1.0) - (col("sumsq").cast("double")
+            / (col("n_tokens").cast("double") * col("n_tokens").cast("double"))))
+          .as("gini"))
+  }
+
   /** Exact corpus heavy hitters — every token whose global count exceeds
     * total/`k` — with BOUNDED-MEMORY candidate pruning (Misra & Gries
     * 1982, "Finding repeated elements", Sci. Comput. Program. 2):

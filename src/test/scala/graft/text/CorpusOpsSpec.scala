@@ -26,6 +26,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept4 === Set(2L, 3L))
   }
 
+  test("noveltyDiversity: hand-computed novelty and Gini-Simpson on a " +
+    "tiny corpus, zero-token edge included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),       // bigrams: "a b","b c" — "a b" shared with doc 2
+      (2L, "a b d"),       // bigrams: "a b","b d"
+      (3L, "x x x x"),     // bigrams: {"x x"} (distinct); tokens 4×x
+      (4L, ""))            // zero tokens
+      .toDF("doc_id", "text")
+    val got = CorpusOps.noveltyDiversity(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // doc 1: shingles {"a b"(df2), "b c"(df1)} → novelty 1/2; tokens all
+    // distinct → gini = 1 − 3/9
+    assert(got(1L)._1 === 3L && got(1L)._2 === 2L && got(1L)._3 === 1L)
+    assert(math.abs(got(1L)._4 - 0.5) < 1e-15)
+    assert(math.abs(got(1L)._5 - (1.0 - 3.0 / 9.0)) < 1e-15)
+    // doc 3: one distinct shingle "x x", unique corpus-wide → novelty 1;
+    // tokens 4×"x" → gini = 1 − 16/16 = 0
+    assert(got(3L) === ((4L, 1L, 1L, 1.0, 0.0)))
+    // doc 4: all zeros, no NULLs
+    assert(got(4L) === ((0L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("decontaminateBloom is row-identical to the exact path on a " +
     "generated corpus, and the gate actually prunes postings") {
     import spark.implicits._
