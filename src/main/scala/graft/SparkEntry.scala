@@ -646,6 +646,65 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** The PQ oracle chain (q87, reused by q92): subvector split, seed
+    * codebooks (first 16 corpus vectors), one Lloyd iteration with floor
+    * means, argmin encode, query LUT with the full |qsub−cv|² expansion.
+    * Consumes EMB_CTE's `n`; produces `codes` and `lut`. */
+  private val PQ_CTES: String =
+    """subs AS (SELECT unnest(range(0, 4)) AS m),
+      |cs AS (
+      |  SELECT n.vec_id, s.m, list_slice(n.v, s.m*16+1, (s.m+1)*16) AS sv
+      |  FROM n CROSS JOIN subs s),
+      |seeds AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS code
+      |  FROM n ORDER BY vec_id LIMIT 16),
+      |cb0 AS (SELECT c.m, s.code, c.sv AS cv
+      |        FROM seeds s JOIN cs c USING (vec_id)),
+      |psc0 AS (
+      |  SELECT c.vec_id, c.m, b.code,
+      |    CAST(list_sum(list_transform(range(1, len(b.cv)+1),
+      |      i -> b.cv[i]*b.cv[i])) AS BIGINT)
+      |    - 2 * CAST(list_sum(list_transform(range(1, len(c.sv)+1),
+      |      i -> c.sv[i]*b.cv[i])) AS BIGINT) AS score
+      |  FROM cs c JOIN cb0 b ON c.m = b.m),
+      |asn0 AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY score ASC, code ASC) AS rn FROM psc0) WHERE rn = 1),
+      |sd AS (SELECT unnest(range(1, 17)) AS i),
+      |mu AS (
+      |  SELECT a.m, a.code, sd.i,
+      |    CAST(floor(CAST(sum(c.sv[sd.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+      |  FROM asn0 a JOIN cs c ON a.vec_id = c.vec_id AND a.m = c.m
+      |  CROSS JOIN sd GROUP BY a.m, a.code, sd.i),
+      |cb1 AS (
+      |  SELECT b.m, b.code, COALESCE(l.cv, b.cv) AS cv FROM cb0 b
+      |  LEFT JOIN (SELECT m, code, list(mv ORDER BY i) AS cv
+      |             FROM mu GROUP BY m, code) l
+      |    ON b.m = l.m AND b.code = l.code),
+      |psc1 AS (
+      |  SELECT c.vec_id, c.m, b.code,
+      |    CAST(list_sum(list_transform(range(1, len(b.cv)+1),
+      |      i -> b.cv[i]*b.cv[i])) AS BIGINT)
+      |    - 2 * CAST(list_sum(list_transform(range(1, len(c.sv)+1),
+      |      i -> c.sv[i]*b.cv[i])) AS BIGINT) AS score
+      |  FROM cs c JOIN cb1 b ON c.m = b.m),
+      |codes AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY score ASC, code ASC) AS rn FROM psc1) WHERE rn = 1),
+      |pq AS (SELECT vec_id AS query_id, m, sv FROM cs WHERE vec_id < 10),
+      |lut AS (
+      |  SELECT q.query_id, b.m, b.code,
+      |    CAST(list_sum(list_transform(range(1, len(q.sv)+1),
+      |      i -> q.sv[i]*q.sv[i])) AS BIGINT)
+      |    - 2 * CAST(list_sum(list_transform(range(1, len(q.sv)+1),
+      |      i -> q.sv[i]*b.cv[i])) AS BIGINT)
+      |    + CAST(list_sum(list_transform(range(1, len(b.cv)+1),
+      |      i -> b.cv[i]*b.cv[i])) AS BIGINT) AS pd
+      |  FROM pq q JOIN cb1 b ON q.m = b.m),
+      |""".stripMargin
+
   // ------------------------------------------------------------- queries --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1242,6 +1301,19 @@ object SparkEntry {
       val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
       Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 5,
         numSubspaces = 4, codebookSize = 16, trainIters = 1)
+    }),
+
+    // IVF-PQ composition (Jégou et al.'s IVFADC): q32's coarse
+    // inverted-list gate routes each query to nProbe lists, q87's PQ-ADC
+    // ranks only those candidates — candidate volume and bytes-per-
+    // candidate bound multiplicatively; hash-checked end-to-end by
+    // composing both proven oracle chains.
+    "q92_ivfpq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
+      Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4, numSubspaces = 4,
+        codebookSize = 16, trainIters = 1)
     }),
 
     // Language-ID heuristic (marker-word overlap + argmax).
@@ -2612,62 +2684,52 @@ object SparkEntry {
     // (score drops the code-independent |sub|² term; smallest-code
     // tie-break), query LUT with the full |qsub−cv|² expansion, integer
     // partial-distance sum, (adist asc, vec_id asc) rank.
-    "q87_pq_ann" -> (EMB_CTE +
-      """subs AS (SELECT unnest(range(0, 4)) AS m),
-        |cs AS (
-        |  SELECT n.vec_id, s.m, list_slice(n.v, s.m*16+1, (s.m+1)*16) AS sv
-        |  FROM n CROSS JOIN subs s),
-        |seeds AS (
-        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS code
-        |  FROM n ORDER BY vec_id LIMIT 16),
-        |cb0 AS (SELECT c.m, s.code, c.sv AS cv
-        |        FROM seeds s JOIN cs c USING (vec_id)),
-        |sc0 AS (
-        |  SELECT c.vec_id, c.m, b.code,
-        |    CAST(list_sum(list_transform(range(1, len(b.cv)+1),
-        |      i -> b.cv[i]*b.cv[i])) AS BIGINT)
-        |    - 2 * CAST(list_sum(list_transform(range(1, len(c.sv)+1),
-        |      i -> c.sv[i]*b.cv[i])) AS BIGINT) AS score
-        |  FROM cs c JOIN cb0 b ON c.m = b.m),
-        |asn0 AS (
-        |  SELECT vec_id, m, code FROM (
-        |    SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m
-        |      ORDER BY score ASC, code ASC) AS rn FROM sc0) WHERE rn = 1),
-        |sd AS (SELECT unnest(range(1, 17)) AS i),
-        |mu AS (
-        |  SELECT a.m, a.code, sd.i,
-        |    CAST(floor(CAST(sum(c.sv[sd.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
-        |  FROM asn0 a JOIN cs c ON a.vec_id = c.vec_id AND a.m = c.m
-        |  CROSS JOIN sd GROUP BY a.m, a.code, sd.i),
-        |cb1 AS (
-        |  SELECT b.m, b.code, COALESCE(l.cv, b.cv) AS cv FROM cb0 b
-        |  LEFT JOIN (SELECT m, code, list(mv ORDER BY i) AS cv
-        |             FROM mu GROUP BY m, code) l
-        |    ON b.m = l.m AND b.code = l.code),
-        |sc1 AS (
-        |  SELECT c.vec_id, c.m, b.code,
-        |    CAST(list_sum(list_transform(range(1, len(b.cv)+1),
-        |      i -> b.cv[i]*b.cv[i])) AS BIGINT)
-        |    - 2 * CAST(list_sum(list_transform(range(1, len(c.sv)+1),
-        |      i -> c.sv[i]*b.cv[i])) AS BIGINT) AS score
-        |  FROM cs c JOIN cb1 b ON c.m = b.m),
-        |codes AS (
-        |  SELECT vec_id, m, code FROM (
-        |    SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m
-        |      ORDER BY score ASC, code ASC) AS rn FROM sc1) WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, m, sv FROM cs WHERE vec_id < 10),
-        |lut AS (
-        |  SELECT q.query_id, b.m, b.code,
-        |    CAST(list_sum(list_transform(range(1, len(q.sv)+1),
-        |      i -> q.sv[i]*q.sv[i])) AS BIGINT)
-        |    - 2 * CAST(list_sum(list_transform(range(1, len(q.sv)+1),
-        |      i -> q.sv[i]*b.cv[i])) AS BIGINT)
-        |    + CAST(list_sum(list_transform(range(1, len(b.cv)+1),
-        |      i -> b.cv[i]*b.cv[i])) AS BIGINT) AS pd
-        |  FROM q JOIN cb1 b ON q.m = b.m),
-        |ad AS (
+    "q87_pq_ann" -> (EMB_CTE + PQ_CTES +
+      """ad AS (
         |  SELECT l.query_id, c.vec_id, CAST(sum(l.pd) AS BIGINT) AS adist
         |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+        |  GROUP BY l.query_id, c.vec_id),
+        |r2 AS (
+        |  SELECT query_id, vec_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist ASC, vec_id ASC) AS rank
+        |  FROM ad)
+        |SELECT query_id, vec_id, adist, rank FROM r2 WHERE rank <= 5""".stripMargin),
+
+    // IVF-PQ: q32's unrefined coarse gate (assignment + nProbe=4 probe
+    // lists, cosine rule verbatim) composed with q87's PQ chain — ADC
+    // runs only on candidates from probed lists.
+    "q92_ivfpq_ann" -> (EMB_CTE +
+      """cc0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+        |  FROM n ORDER BY vec_id LIMIT 16),
+        |cc0n AS (
+        |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
+        |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM cc0),
+        |cs0 AS (
+        |  SELECT n.vec_id, c.cid,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
+        |        i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS cos
+        |  FROM n, cc0n c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid ASC) AS rn FROM cs0) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid ASC) AS rn FROM cs0 WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id FROM probe p JOIN assign a ON p.cid = a.cid),
+        |""".stripMargin + PQ_CTES +
+      """ad AS (
+        |  SELECT l.query_id, c.vec_id, CAST(sum(l.pd) AS BIGINT) AS adist
+        |  FROM cand cd
+        |  JOIN codes c ON cd.vec_id = c.vec_id
+        |  JOIN lut l ON l.query_id = cd.query_id
+        |    AND c.m = l.m AND c.code = l.code
         |  GROUP BY l.query_id, c.vec_id),
         |r2 AS (
         |  SELECT query_id, vec_id, adist,

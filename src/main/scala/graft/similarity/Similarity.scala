@@ -331,6 +331,49 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              embCol: String, k: Int, numSubspaces: Int = 4,
              codebookSize: Int = 16, trainIters: Int = 1): DataFrame = {
+    val (subDim, cb) = pqTrain(corpus, idCol, embCol, numSubspaces,
+      codebookSize, trainIters)
+    val cqv = corpus.select(col(idCol), quantize(col(embCol)).as("cv"))
+    val codes = pqCodes(cqv, idCol, cb, subDim)
+    val lut = pqLut(queries, idCol, embCol, cb, subDim)
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("pd")).as("adist"))
+    topKPerQueryOrdered(scored, idCol, k,
+      Seq(col("adist").asc, col(idCol).asc))
+  }
+
+  /** Bind the per-subspace slice columns `__sub_m` of `vCol`. */
+  private def pqWithSubs(df: DataFrame, vCol: String, numSubspaces: Int,
+                         subDim: Int): DataFrame =
+    (0 until numSubspaces).foldLeft(df) { (d, m) =>
+      d.withColumn(s"__sub_$m", slice(col(vCol), m * subDim + 1, subDim))
+    }
+
+  /** Bind the 1-based argmin code columns `__code_m` over bound score
+    * arrays: score_j = |cb_j|² − 2·(sub·cb_j) — the |sub|² term is
+    * constant across j and dropped; array_position takes the FIRST
+    * minimum, i.e. the smallest code on ties. */
+  private def pqWithCodes(df: DataFrame, cb: Seq[Seq[Seq[Long]]]): DataFrame =
+    cb.indices.foldLeft(df) { (d, m) =>
+      d.withColumn(s"__sc_$m", array(cb(m).map { e =>
+          lit(e.map(x => x * x).sum) -
+            lit(2L) * intDot(col(s"__sub_$m"), typedLit(e))
+        }: _*))
+        .withColumn(s"__code_$m",
+          expr(s"array_position(__sc_$m, array_min(__sc_$m))"))
+    }
+
+  /** Train the per-subspace PQ codebooks: deterministic seeds = the first
+    * `codebookSize` corpus vectors' subvectors in id order (one bounded
+    * driver collect, the IVF-centroid budget class), refined by
+    * `trainIters` Lloyd iterations — one distributed
+    * assignment+aggregation job per iteration collecting
+    * numSubspaces × codebookSize × subDim slim rows; floor means keep the
+    * codebooks integer (and mirrored). Returns (subDim, codebooks). */
+  private def pqTrain(corpus: DataFrame, idCol: String, embCol: String,
+                      numSubspaces: Int, codebookSize: Int,
+                      trainIters: Int): (Int, Seq[Seq[Seq[Long]]]) = {
     require(numSubspaces > 0, "numSubspaces must be positive")
     require(codebookSize > 0, "codebookSize must be positive")
     require(trainIters >= 0, "trainIters must be >= 0")
@@ -340,39 +383,14 @@ object Similarity {
       s"embedding dim $dim must be a positive multiple of $numSubspaces")
     val subDim = dim / numSubspaces
     val cqv = corpus.select(col(idCol), quantize(col(embCol)).as("cv"))
-
-    // Driver action at plan time: the tiny seed set (same budget class as
-    // the IVF centroid collect).
     val seeds: Seq[Seq[Long]] = corpus.orderBy(col(idCol)).limit(codebookSize)
       .select(quantize(col(embCol)).as("cv")).collect()
       .map(_.getSeq[Long](0).toSeq).toSeq
     var cb: Seq[Seq[Seq[Long]]] = (0 until numSubspaces).map(m =>
       seeds.map(_.slice(m * subDim, (m + 1) * subDim)))
-
-    def withSubs(df: DataFrame, vCol: String): DataFrame =
-      (0 until numSubspaces).foldLeft(df) { (d, m) =>
-        d.withColumn(s"__sub_$m", slice(col(vCol), m * subDim + 1, subDim))
-      }
-    // 1-based argmin code per subspace over a bound score-array column:
-    // score_j = |cb_j|² − 2·(sub·cb_j) — the |sub|² term is constant
-    // across j and dropped; array_position takes the FIRST minimum, i.e.
-    // the smallest code on ties.
-    def withCodes(df: DataFrame): DataFrame =
-      (0 until numSubspaces).foldLeft(df) { (d, m) =>
-        d.withColumn(s"__sc_$m", array(cb(m).map { e =>
-            lit(e.map(x => x * x).sum) -
-              lit(2L) * intDot(col(s"__sub_$m"), typedLit(e))
-          }: _*))
-          .withColumn(s"__code_$m",
-            expr(s"array_position(__sc_$m, array_min(__sc_$m))"))
-      }
-    val codeArray = array((0 until numSubspaces).map(m => col(s"__code_$m")): _*)
-
-    // Lloyd refinement per subspace: one distributed assignment+aggregation
-    // job per iteration collecting numSubspaces × codebookSize × subDim
-    // slim rows; floor means keep the codebooks integer (and mirrored).
     for (_ <- 0 until trainIters) {
-      val sums = withCodes(withSubs(cqv, "cv"))
+      val codeArray = array(cb.indices.map(m => col(s"__code_$m")): _*)
+      val sums = pqWithCodes(pqWithSubs(cqv, "cv", numSubspaces, subDim), cb)
         .select(codeArray.as("codes"), posexplode(col("cv")))
         .select(expr(s"CAST(pos DIV $subDim AS INT)").as("m"), col("pos"),
           col("col").as("v"), col("codes"))
@@ -391,18 +409,28 @@ object Similarity {
         }
       }
     }
+    (subDim, cb)
+  }
 
-    // Encode: the corpus collapses to slim (id, m, code) rows.
-    val codes = withCodes(withSubs(cqv, "cv"))
+  /** Encode the quantized corpus to slim (id, m, code) rows. */
+  private def pqCodes(cqv: DataFrame, idCol: String, cb: Seq[Seq[Seq[Long]]],
+                      subDim: Int): DataFrame = {
+    val codeArray = array(cb.indices.map(m => col(s"__code_$m")): _*)
+    pqWithCodes(pqWithSubs(cqv, "cv", cb.size, subDim), cb)
       .select(col(idCol), posexplode(codeArray))
       .select(col(idCol), col("pos").as("m"), col("col").as("code"))
+  }
 
-    // Query-side ADC lookup table: (query, m, code) → full partial squared
-    // L2 |qsub − cb_j|² = |qsub|² − 2·(qsub·cb_j) + |cb_j|², with |qsub|²
-    // bound once per subspace.
+  /** Query-side ADC lookup table: (query_id, m, code) → full partial
+    * squared L2 |qsub − cb_j|² = |qsub|² − 2·(qsub·cb_j) + |cb_j|², with
+    * |qsub|² bound once per subspace. */
+  private def pqLut(queries: DataFrame, idCol: String, embCol: String,
+                    cb: Seq[Seq[Seq[Long]]], subDim: Int): DataFrame = {
+    val numSubspaces = cb.size
     val qb = (0 until numSubspaces).foldLeft(
-        withSubs(queries.select(col(idCol).as("query_id"),
-          quantize(col(embCol)).as("qv")), "qv")) { (d, m) =>
+        pqWithSubs(queries.select(col(idCol).as("query_id"),
+          quantize(col(embCol)).as("qv")), "qv", numSubspaces, subDim)) {
+        (d, m) =>
         d.withColumn(s"__qn_$m", intDot(col(s"__sub_$m"), col(s"__sub_$m")))
       }
     val lutEntries: Seq[Column] = for {
@@ -411,11 +439,64 @@ object Similarity {
     } yield struct(lit(m).as("m"), lit((j + 1).toLong).as("code"),
       (col(s"__qn_$m") - lit(2L) * intDot(col(s"__sub_$m"), typedLit(e)) +
         lit(e.map(x => x * x).sum)).as("pd"))
-    val lut = qb.select(col("query_id"), explode(array(lutEntries: _*)).as("e"))
+    qb.select(col("query_id"), explode(array(lutEntries: _*)).as("e"))
       .select(col("query_id"), col("e.m").as("m"), col("e.code").as("code"),
         col("e.pd").as("pd"))
+  }
 
-    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+  /** IVF-PQ: [[ivfTopK]]'s inverted-list gate composed with [[pqTopK]]'s
+    * ADC ranking — the production-scale ANN shape (Jégou et al. 2011,
+    * §IV: "IVFADC"): the coarse quantizer (first `nCentroids` corpus
+    * vectors, unrefined — the oracle-mirrored seed rule) routes each
+    * corpus vector to one inverted list; each query probes its `nProbe`
+    * nearest lists and ADC-ranks ONLY those candidates via the broadcast
+    * LUT. Candidate volume per query drops by ~nProbe/nCentroids while
+    * the scan stays on 8-byte-per-subspace codes — the two bounds
+    * compose multiplicatively. Simplification vs the paper: PQ encodes
+    * raw vectors, not residuals (residual codebooks are
+    * per-coarse-cell, which would break the single-LUT broadcast and
+    * the oracle's shared-codebook mirror; documented trade).
+    *
+    * Deterministic end-to-end (coarse argmax = q32's cosine rule, PQ =
+    * q87's integer rule), so the COMPOSITION is hash-checkable too. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                embCol: String, k: Int, nCentroids: Int = 16,
+                nProbe: Int = 4, numSubspaces: Int = 4,
+                codebookSize: Int = 16, trainIters: Int = 1): DataFrame = {
+    require(nProbe > 0 && nProbe <= nCentroids,
+      s"nProbe must be in [1, $nCentroids]")
+    val (subDim, cb) = pqTrain(corpus, idCol, embCol, numSubspaces,
+      codebookSize, trainIters)
+    // Coarse quantizer: first-nCentroids seeds, exactly q32's
+    // unrefined-init rule (kmeansIters = 0), so the list assignment
+    // mirrors the existing oracle CTE shape.
+    val cents: Seq[Seq[Long]] = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(quantize(col(embCol)).as("cv")).collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq
+    val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
+    val cqv = corpus.select(col(idCol), quantize(col(embCol)).as("cv"))
+      .withColumn("cn", intDot(col("cv"), col("cv")))
+    val assigned = cqv
+      .withColumn("__cos", centCos(cents, cNorms, col("cv"), col("cn")))
+      .withColumn("list_id", nearestCid)
+      .select(col(idCol), col("list_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+        quantize(col(embCol)).as("qv"))
+      .withColumn("qn", intDot(col("qv"), col("qv")))
+      .withColumn("__cos", centCos(cents, cNorms, col("qv"), col("qn")))
+      .withColumn("__probe", slice(transform(array_sort(
+        array(cents.indices.map(j => struct(
+          (col("__cos").getItem(j) * lit(-1.0)).as("nc"),
+          lit(j + 1L).as("cid"))): _*)),
+        s => s.getField("cid")), 1, nProbe))
+      .select(col("query_id"), explode(col("__probe")).as("list_id"))
+    // (query_id, vec_id) candidates from probed lists — slim both sides.
+    val cand = assigned.join(broadcast(q), Seq("list_id"))
+      .select(col("query_id"), col(idCol))
+    val codes = pqCodes(cqv.drop("cn"), idCol, cb, subDim)
+    val lut = pqLut(queries, idCol, embCol, cb, subDim)
+    val scored = cand.join(codes, idCol)
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("pd")).as("adist"))
     topKPerQueryOrdered(scored, idCol, k,

@@ -86,6 +86,36 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK with nProbe = nCentroids degenerates to pqTopK exactly " +
+    "(the coarse gate admits everything)") {
+    val rnd = new scala.util.Random(21)
+    val dim = 8
+    val corpus = (0L until 60L).map(i =>
+      i -> Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    val queries = corpus.take(4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = rows(Similarity.ivfPqTopK(toDF(queries), toDF(corpus),
+      "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 8,
+      numSubspaces = 2, codebookSize = 8, trainIters = 1))
+    val pq = rows(Similarity.pqTopK(toDF(queries), toDF(corpus),
+      "vec_id", "embedding", k = 5, numSubspaces = 2,
+      codebookSize = 8, trainIters = 1))
+    assert(full === pq)
+    // narrowing the probe can only SHRINK each query's candidate pool:
+    // every (query, hit) at nProbe=1 ranks a candidate also admitted at
+    // nProbe=8, and result sets stay k-bounded and rank-complete
+    val narrow = Similarity.ivfPqTopK(toDF(queries), toDF(corpus),
+      "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 1,
+      numSubspaces = 2, codebookSize = 8, trainIters = 1).collect()
+    assert(narrow.length <= 4 * 5)
+    val perQuery = narrow.groupBy(_.getLong(0))
+    perQuery.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to rs.length.toLong))
+    }
+  }
+
   test("invalid configuration fails fast") {
     val d = toDF(Seq(1L -> Seq(1.0f, 2.0f, 3.0f)))
     intercept[IllegalArgumentException] {
