@@ -1088,9 +1088,14 @@ object SparkEntry {
     // first/second moments (the q77 discipline), then
     // z = (x·n − Σx) / sqrt(n·Σx² − Σx·Σx) — the algebraic form that
     // never materializes mean or std separately, so the whole score is
-    // two mirrored IEEE ops deep. Stats are a 7-row broadcast join back;
-    // a zero-variance group yields NaN z (NaN > θ is false in both
-    // engines → no flags), never a divide error.
+    // two mirrored IEEE ops deep. Stats are a 7-row broadcast join back.
+    // The radicand is clamped at 0 on BOTH sides: the moments are exact
+    // but their double casts are not, so a (near-)zero-variance group can
+    // round to a tiny NEGATIVE radicand — Spark's sqrt would give NaN
+    // while DuckDB's sqrt ERRORS on negatives. The divide is try_divide:
+    // DuckDB's double x/0.0 is NULL (not IEEE Inf), so the mirrored
+    // zero-variance outcome is a NULL z in BOTH engines — flagged in
+    // neither, never an engine error, never an Inf-vs-NULL divergence.
     "q91_delay_outliers" -> ((s, dir) => {
       val x = col("average_diff_in_minutes")
       val m = diffMart(s, dir).where(x.isNotNull)
@@ -1099,8 +1104,9 @@ object SparkEntry {
         sum(x.cast("decimal(15,6)")).cast("double").as("sx"),
         sum(x.cast("decimal(15,6)") * x.cast("decimal(15,6)"))
           .cast("double").as("sxx"))
-      val z = (x * col("n") - col("sx")) /
-        sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+      val z = try_divide(x * col("n") - col("sx"),
+        sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"),
+          lit(0.0))))
       m.join(broadcast(stats), "day_type")
         .select(col("trip_id"), col("stop_sequence"), col("start_date"),
           col("day_type"), x.as("delay_min"), z.as("z"))
@@ -2141,7 +2147,7 @@ object SparkEntry {
         |  SELECT m.trip_id, m.stop_sequence, m.start_date, m.day_type,
         |    m.average_diff_in_minutes AS delay_min,
         |    (m.average_diff_in_minutes * s.n - s.sx)
-        |      / sqrt(s.n * s.sxx - s.sx * s.sx) AS z
+        |      / sqrt(greatest(s.n * s.sxx - s.sx * s.sx, 0.0)) AS z
         |  FROM mart m JOIN s USING (day_type)
         |  WHERE m.average_diff_in_minutes IS NOT NULL)
         |SELECT trip_id, stop_sequence, start_date, day_type, delay_min, z

@@ -194,12 +194,36 @@ object Similarity {
     * (the [[centCos]] array the caller must have bound — binding it once
     * keeps the nCentroids dot products evaluated once, not per reference):
     * argmax with the deterministic smallest-cid tie-break. The coalesce
-    * can never fire (the max is always present) but makes the result
-    * non-nullable, so join IsNotNull predicates constant-fold instead of
-    * duplicating the assignment expression. */
+    * fires only for a ZERO-NORM vector (cosine NULL to every centroid —
+    * try_divide in [[cosineQ]]/[[centCos]]): it lands in list 1, the same
+    * list the oracle's NULLS-LAST row_number assigns, so such a vector
+    * stays in a PROBEABLE list instead of vanishing into a list no query
+    * ever probes. The non-nullable result also lets join IsNotNull
+    * predicates constant-fold instead of duplicating the assignment. */
   private val nearestCid: Column =
     coalesce(expr("array_position(__cos, array_max(__cos))").cast("long"),
-      lit(0L))
+      lit(1L))
+
+  /** The deterministic seed rule shared by every trained quantizer here
+    * (IVF centroids, PQ codebooks, the IVF-PQ coarse gate): the first `n`
+    * corpus vectors in id order, quantized — ONE bounded driver collect
+    * (n × dim longs), mirrored by the oracles' row_number-LIMIT CTE. */
+  private def seedVectors(corpus: DataFrame, idCol: String, embCol: String,
+                          n: Int): Seq[Seq[Long]] =
+    corpus.orderBy(col(idCol)).limit(n)
+      .select(quantize(col(embCol)).as("cv")).collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq
+
+  /** The `nProbe` nearest centroid ids (1-based) from a bound `__cos`
+    * array: sort (−cos, cid) structs — cos desc, cid asc — then slice.
+    * Shared by [[ivfTopK]] and [[ivfPqTopK]] so the probe tie-break can
+    * never drift between the two IVF paths. */
+  private def probeListCol(nCentroids: Int, nProbe: Int): Column =
+    slice(transform(array_sort(
+      array((0 until nCentroids).map(j => struct(
+        (col("__cos").getItem(j) * lit(-1.0)).as("nc"),
+        lit(j + 1L).as("cid"))): _*)),
+      s => s.getField("cid")), 1, nProbe)
 
   /** Lloyd's k-means refinement of the coarse quantizer, fully
     * deterministic: fixed iteration count, integer centroid coordinates
@@ -255,9 +279,8 @@ object Similarity {
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
     // Driver action at plan time: collect the tiny centroid set.
-    val init: Seq[Seq[Long]] = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(quantize(col(embCol)).as("cv")).collect()
-      .map(_.getSeq[Long](0).toSeq).toSeq
+    val init: Seq[Seq[Long]] =
+      seedVectors(corpus, idCol, embCol, nCentroids)
     val cq = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
     // The 100 TB training contract: every Lloyd iteration scans its
     // training set, so the quantizer trains on a bounded DETERMINISTIC
@@ -285,11 +308,7 @@ object Similarity {
       .withColumnRenamed(idCol, "query_id")
       .withColumn("__cos", centCos(cents, cNorms, col("qv"), col("qn")))
       // nProbe nearest centroids: sort (−cos, cid) structs — cos desc, cid asc
-      .withColumn("__probe", slice(transform(array_sort(
-        array(cents.indices.map(j => struct(
-          (col("__cos").getItem(j) * lit(-1.0)).as("nc"),
-          lit(j + 1L).as("cid"))): _*)),
-        s => s.getField("cid")), 1, nProbe))
+      .withColumn("__probe", probeListCol(cents.size, nProbe))
       .select(col("query_id"), col("qv"), col("qn"),
         explode(col("__probe")).as("list_id"))
     val scored = c.join(broadcast(q), Seq("list_id"))
@@ -324,10 +343,11 @@ object Similarity {
     * compression at dim=64, M=4), training/LUT state is bounded driver
     * state (`numSubspaces × codebookSize × subDim` longs), the LUT join
     * is a broadcast, and the per-query aggregation is a map-side-combined
-    * integer sum. Rows with NULL or wrong-dimension vectors encode to
-    * NULL codes and drop out of the join rather than poisoning a bucket.
-    * Composing with [[ivfTopK]]'s coarse partitioning (IVF-ADC) bounds
-    * the scan too; here the inverted-list gate is orthogonal and omitted. */
+    * integer sum. NULL vectors encode to NULL codes and drop out of the
+    * ADC join; a present wrong-dimension vector FAIL-FASTS (the
+    * [[lshBucketQ]] guard discipline — see [[pqWithSubs]]). Composing
+    * with [[ivfTopK]]'s coarse partitioning bounds the scan too —
+    * [[ivfPqTopK]]; here the inverted-list gate is omitted. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              embCol: String, k: Int, numSubspaces: Int = 4,
              codebookSize: Int = 16, trainIters: Int = 1): DataFrame = {
@@ -343,12 +363,27 @@ object Similarity {
       Seq(col("adist").asc, col(idCol).asc))
   }
 
-  /** Bind the per-subspace slice columns `__sub_m` of `vCol`. */
+  /** Bind the per-subspace slice columns `__sub_m` of `vCol`, with the
+    * [[lshBucketQ]] three-way guard: a NULL vector gets NULL subvectors
+    * (→ NULL scores → NULL codes → the row drops out of the ADC join);
+    * a PRESENT wrong-dimension vector fail-fasts — without the guard,
+    * `slice` would hand short subvectors to the truncating dot product
+    * and the vector would encode to valid-looking garbage codes and be
+    * RANKED (an artificially small |cb_j|²−2·dot score), silently
+    * displacing true neighbors. */
   private def pqWithSubs(df: DataFrame, vCol: String, numSubspaces: Int,
-                         subDim: Int): DataFrame =
+                         subDim: Int): DataFrame = {
+    val dim = numSubspaces * subDim
     (0 until numSubspaces).foldLeft(df) { (d, m) =>
-      d.withColumn(s"__sub_$m", slice(col(vCol), m * subDim + 1, subDim))
+      d.withColumn(s"__sub_$m",
+        when(col(vCol).isNull, lit(null).cast("array<bigint>"))
+          .when(size(col(vCol)) === dim,
+            slice(col(vCol), m * subDim + 1, subDim))
+          .otherwise(raise_error(concat(
+            lit(s"pq: embedding dim mismatch, expected $dim, got "),
+            size(col(vCol)).cast("string"))).cast("array<bigint>")))
     }
+  }
 
   /** Bind the 1-based argmin code columns `__code_m` over bound score
     * arrays: score_j = |cb_j|² − 2·(sub·cb_j) — the |sub|² term is
@@ -383,9 +418,8 @@ object Similarity {
       s"embedding dim $dim must be a positive multiple of $numSubspaces")
     val subDim = dim / numSubspaces
     val cqv = corpus.select(col(idCol), quantize(col(embCol)).as("cv"))
-    val seeds: Seq[Seq[Long]] = corpus.orderBy(col(idCol)).limit(codebookSize)
-      .select(quantize(col(embCol)).as("cv")).collect()
-      .map(_.getSeq[Long](0).toSeq).toSeq
+    val seeds: Seq[Seq[Long]] =
+      seedVectors(corpus, idCol, embCol, codebookSize)
     var cb: Seq[Seq[Seq[Long]]] = (0 until numSubspaces).map(m =>
       seeds.map(_.slice(m * subDim, (m + 1) * subDim)))
     for (_ <- 0 until trainIters) {
@@ -470,9 +504,8 @@ object Similarity {
     // Coarse quantizer: first-nCentroids seeds, exactly q32's
     // unrefined-init rule (kmeansIters = 0), so the list assignment
     // mirrors the existing oracle CTE shape.
-    val cents: Seq[Seq[Long]] = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(quantize(col(embCol)).as("cv")).collect()
-      .map(_.getSeq[Long](0).toSeq).toSeq
+    val cents: Seq[Seq[Long]] =
+      seedVectors(corpus, idCol, embCol, nCentroids)
     val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
     val cqv = corpus.select(col(idCol), quantize(col(embCol)).as("cv"))
       .withColumn("cn", intDot(col("cv"), col("cv")))
@@ -484,11 +517,7 @@ object Similarity {
         quantize(col(embCol)).as("qv"))
       .withColumn("qn", intDot(col("qv"), col("qv")))
       .withColumn("__cos", centCos(cents, cNorms, col("qv"), col("qn")))
-      .withColumn("__probe", slice(transform(array_sort(
-        array(cents.indices.map(j => struct(
-          (col("__cos").getItem(j) * lit(-1.0)).as("nc"),
-          lit(j + 1L).as("cid"))): _*)),
-        s => s.getField("cid")), 1, nProbe))
+      .withColumn("__probe", probeListCol(cents.size, nProbe))
       .select(col("query_id"), explode(col("__probe")).as("list_id"))
     // (query_id, vec_id) candidates from probed lists — slim both sides.
     val cand = assigned.join(broadcast(q), Seq("list_id"))

@@ -365,17 +365,31 @@ object CorpusOps {
     *
     * At 100 TB the distinct-token domain is what kills a naive global
     * groupBy (the shuffle carries every rare term); here shuffle volume
-    * collapses to candidate postings only. */
+    * collapses to candidate postings only, and the corpus is tokenized
+    * exactly TWICE (sketch pass + recount pass): the sketch pass emits
+    * its partition's token count alongside the candidates, and the
+    * ≤ (k−1+1) × partitions summary rows are localCheckpoint-pinned so
+    * the candidate gate and the total attach both read the materialized
+    * summary instead of re-deriving the corpus scan per branch. */
   def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val posting = docs.select(
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     import org.apache.spark.sql.Encoders
-    val candidates = posting.select(col("term"))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val summarySchema = StructType(Seq(
+      StructField("term", StringType, nullable = true),
+      StructField("n", LongType, nullable = false)))
+    // One pass: per-partition Misra-Gries candidates (term, 0) plus one
+    // (NULL, partition-token-count) row; eagerly materialized so the two
+    // consumers below share it.
+    val summary = posting.select(col("term"))
       .mapPartitions { it =>
         val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        var n = 0L
         it.foreach { r =>
           val t = r.getString(0)
+          n += 1
           counters.get(t) match {
             case Some(c) => counters.update(t, c + 1)
             case None if counters.size < k - 1 => counters.update(t, 1L)
@@ -384,10 +398,13 @@ object CorpusOps {
               counters.filterInPlace((_, c) => c > 0)
           }
         }
-        counters.keysIterator.map(org.apache.spark.sql.Row(_))
-      }(Encoders.row(posting.schema))
-      .distinct()
-    val total = posting.agg(count(lit(1)).as("n_total"))
+        counters.keysIterator.map(org.apache.spark.sql.Row(_, 0L)) ++
+          Iterator.single(org.apache.spark.sql.Row(null, n))
+      }(Encoders.row(summarySchema))
+      .localCheckpoint()
+    val candidates = summary.where(col("term").isNotNull)
+      .select(col("term")).distinct()
+    val total = summary.agg(sum(col("n")).as("n_total"))
     posting.join(broadcast(candidates), Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))

@@ -122,4 +122,41 @@ class PqSpec extends SparkSpec {
       Similarity.pqTopK(d, d, "vec_id", "embedding", k = 1, numSubspaces = 2)
     }
   }
+
+  test("zero-norm corpus vector stays reachable: it lands in a PROBEABLE " +
+    "list and the nProbe=nCentroids degeneracy holds with it present") {
+    val rnd = new scala.util.Random(31)
+    val dim = 4
+    val corpus = (0L until 20L).map(i =>
+      i -> Seq.fill(dim)(rnd.nextGaussian().toFloat)) :+
+      (99L -> Seq.fill(dim)(0.0f)) // all-zero vector: NULL cosine everywhere
+    val queries = corpus.take(2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = rows(Similarity.ivfPqTopK(toDF(queries), toDF(corpus),
+      "vec_id", "embedding", k = corpus.size, nCentroids = 4, nProbe = 4,
+      numSubspaces = 2, codebookSize = 4, trainIters = 1))
+    val pq = rows(Similarity.pqTopK(toDF(queries), toDF(corpus),
+      "vec_id", "embedding", k = corpus.size, numSubspaces = 2,
+      codebookSize = 4, trainIters = 1))
+    assert(full === pq)
+    assert(full.exists(_._2 == 99L),
+      "the zero-norm vector must be ranked, not dropped into list 0")
+  }
+
+  test("wrong-dimension corpus vector fails fast instead of encoding to " +
+    "garbage codes") {
+    val corpus = Seq(
+      1L -> Seq(1.0f, 2.0f, 3.0f, 4.0f),
+      2L -> Seq(1.0f, 2.0f)) // short vector
+    val queries = Seq(corpus.head)
+    val e = intercept[Exception] {
+      Similarity.pqTopK(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 2, numSubspaces = 2,
+        codebookSize = 1, trainIters = 0).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("dim mismatch") ||
+        Option(e.getCause).exists(_.getMessage.contains("dim mismatch"))))
+  }
 }
