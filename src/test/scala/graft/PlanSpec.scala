@@ -83,6 +83,24 @@ class PlanSpec extends SparkSpec {
     assert(nCols === 6, s"lineitem scan reads $nCols columns: $schema")
   }
 
+  test("q88: every documents scan is pruned to the text column — the " +
+    "heavy-hitter passes never read doc metadata") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val df = SparkEntry.queries("q88_heavy_hitters")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents"))
+      .toSeq
+    assert(scans.nonEmpty, s"no documents scan found:\n$plan")
+    scans.foreach { scan =>
+      val schema = scan.split("ReadSchema: ").last
+      assert(!schema.contains("lang") && !schema.contains("source") &&
+        !schema.contains("n_chars") && !schema.contains("doc_id"),
+        s"documents scan reads more than text: $schema")
+    }
+  }
+
   /** The DECLARED product joins: the two brute-force cosine baselines
     * (every corpus vector × every query, 10-row side broadcast — a
     * BroadcastNestedLoopJoin is the correct physical shape there), and
