@@ -124,12 +124,33 @@ object SparkEntry {
 
   private val allCaches = Seq(martCache, clustersCache, polyCandCache)
 
+  /** PQ codebooks are a trained ARTIFACT like the cluster labels: trained
+    * once per (session, dir) and consumed by q87's flat ADC and q92's
+    * IVF-gated ADC — two Lloyd trainings of the IDENTICAL codebooks would
+    * be pure waste in any production pipeline. Plain driver values (no
+    * persisted blocks), same weak-session keying as [[SessionDirCache]]. */
+  private val pqTrainedCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.HashMap[String, (Int, Seq[Seq[Seq[Long]]])]]()
+
+  private def pqTrained(s: SparkSession,
+                        dir: String): (Int, Seq[Seq[Seq[Long]]]) =
+    pqTrainedCache.synchronized {
+      val m = pqTrainedCache.computeIfAbsent(s, _ =>
+        scala.collection.mutable.HashMap.empty)
+      m.getOrElseUpdate(dir, Similarity.pqTrain(t(s, dir, "embeddings"),
+        "vec_id", "embedding", numSubspaces = 4, codebookSize = 16,
+        trainIters = 1))
+    }
+
   /** Drop the memoized marts/clusters/candidates AND their persisted
     * blocks — for harnesses (Bench) that need each measurement pass to
     * start cache-cold. A bare `spark.catalog.clearCache()` would drop
     * the blocks but leave the memoized DataFrames behind, silently
     * un-persisted for every later use. */
-  def resetCaches(): Unit = allCaches.foreach(_.reset())
+  def resetCaches(): Unit = {
+    allCaches.foreach(_.reset())
+    pqTrainedCache.synchronized(pqTrainedCache.clear())
+  }
 
   private def buildDiffMart(s: SparkSession, dir: String): DataFrame = {
     // Two independent reads: tu/gd must not share a Dataset lineage, or
@@ -1306,7 +1327,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
       Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 5,
-        numSubspaces = 4, codebookSize = 16, trainIters = 1)
+        numSubspaces = 4, codebookSize = 16, trainIters = 1,
+        trained = Some(pqTrained(s, dir)))
     }),
 
     // IVF-PQ composition (Jégou et al.'s IVFADC): q32's coarse
@@ -1319,7 +1341,8 @@ object SparkEntry {
       val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
       Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
         nCentroids = 16, nProbe = 4, numSubspaces = 4,
-        codebookSize = 16, trainIters = 1)
+        codebookSize = 16, trainIters = 1,
+        trained = Some(pqTrained(s, dir)))
     }),
 
     // Language-ID heuristic (marker-word overlap + argmax).

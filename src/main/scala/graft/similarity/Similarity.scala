@@ -350,9 +350,10 @@ object Similarity {
     * [[ivfPqTopK]]; here the inverted-list gate is omitted. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              embCol: String, k: Int, numSubspaces: Int = 4,
-             codebookSize: Int = 16, trainIters: Int = 1): DataFrame = {
-    val (subDim, cb) = pqTrain(corpus, idCol, embCol, numSubspaces,
-      codebookSize, trainIters)
+             codebookSize: Int = 16, trainIters: Int = 1,
+             trained: Option[(Int, Seq[Seq[Seq[Long]]])] = None): DataFrame = {
+    val (subDim, cb) = trained.getOrElse(
+      pqTrain(corpus, idCol, embCol, numSubspaces, codebookSize, trainIters))
     val cqv = corpus.select(col(idCol), quantize(col(embCol)).as("cv"))
     val codes = pqCodes(cqv, idCol, cb, subDim)
     val lut = pqLut(queries, idCol, embCol, cb, subDim)
@@ -405,8 +406,11 @@ object Similarity {
     * `trainIters` Lloyd iterations — one distributed
     * assignment+aggregation job per iteration collecting
     * numSubspaces × codebookSize × subDim slim rows; floor means keep the
-    * codebooks integer (and mirrored). Returns (subDim, codebooks). */
-  private def pqTrain(corpus: DataFrame, idCol: String, embCol: String,
+    * codebooks integer (and mirrored). Returns (subDim, codebooks) —
+    * callers that consume the same training from several operators (q87
+    * and q92 share one artifact) pass it back via the `trained` param;
+    * the caller owns parameter consistency. */
+  private[graft] def pqTrain(corpus: DataFrame, idCol: String, embCol: String,
                       numSubspaces: Int, codebookSize: Int,
                       trainIters: Int): (Int, Seq[Seq[Seq[Long]]]) = {
     require(numSubspaces > 0, "numSubspaces must be positive")
@@ -496,11 +500,12 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 embCol: String, k: Int, nCentroids: Int = 16,
                 nProbe: Int = 4, numSubspaces: Int = 4,
-                codebookSize: Int = 16, trainIters: Int = 1): DataFrame = {
+                codebookSize: Int = 16, trainIters: Int = 1,
+                trained: Option[(Int, Seq[Seq[Seq[Long]]])] = None): DataFrame = {
     require(nProbe > 0 && nProbe <= nCentroids,
       s"nProbe must be in [1, $nCentroids]")
-    val (subDim, cb) = pqTrain(corpus, idCol, embCol, numSubspaces,
-      codebookSize, trainIters)
+    val (subDim, cb) = trained.getOrElse(
+      pqTrain(corpus, idCol, embCol, numSubspaces, codebookSize, trainIters))
     // Coarse quantizer: first-nCentroids seeds, exactly q32's
     // unrefined-init rule (kmeansIters = 0), so the list assignment
     // mirrors the existing oracle CTE shape.
