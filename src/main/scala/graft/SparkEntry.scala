@@ -1748,6 +1748,52 @@ object SparkEntry {
       CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         topK = 5)),
 
+    // Ordered conversion funnel over the event stream: per user the
+    // EARLIEST view/click/purchase epochs, staged by temporal order
+    // (view ≤ click ≤ purchase) — one hash aggregate with conditional
+    // mins, one tiny stage rollup; never a self-join per stage. Integer
+    // epochs end-to-end.
+    "q93_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def firstAt(tpe: String) = min(when(col("event_type") === tpe,
+        unix_timestamp(col("ts"))))
+      val perUser = ev.groupBy("user_id").agg(
+        firstAt("view").as("v"), firstAt("click").as("c"),
+        firstAt("purchase").as("p"))
+      val stage = when(col("v").isNotNull && col("c").isNotNull &&
+          col("p").isNotNull && col("v") <= col("c") && col("c") <= col("p"),
+          lit(3L))
+        .when(col("v").isNotNull && col("c").isNotNull &&
+          col("v") <= col("c"), lit(2L))
+        .when(col("v").isNotNull, lit(1L))
+        .otherwise(lit(0L))
+      perUser.select(stage.as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Weekly cohort retention: cohort = ISO week of a user's first event;
+    // retention(k) = users active in cohort-week + k over cohort size.
+    // Slim (user, week) activity distinct, first-week hash aggregate,
+    // cohort sizes broadcast back — the classic growth-analytics query
+    // shaped for a corpus-scale event log.
+    "q94_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_timestamp(date_trunc("week", col("ts"))).as("wk"))
+      val activity = ev.distinct()
+      val firstWk = activity.groupBy("user_id").agg(min("wk").as("cohort"))
+      val sizes = firstWk.groupBy("cohort")
+        .agg(count(lit(1)).as("cohort_size"))
+      activity.join(firstWk, "user_id")
+        .groupBy(col("cohort"),
+          expr("(wk - cohort) DIV 604800").as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort")
+        .select(col("cohort"), col("week_offset"), col("n_active"),
+          col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size").cast("double"))
+            .as("retention"))
+    }),
+
     // Per-document novelty (fraction of bigram shingles unique to the
     // document corpus-wide) and Gini-Simpson lexical diversity — the
     // log-free complements of q61's repetition signals.
@@ -2186,6 +2232,43 @@ object SparkEntry {
     "q86_bm25" -> bm25Sql(BM25_TERMS, topK = 20),
 
     "q89_hybrid_rrf" -> rrfSql(BM25_TERMS, listK = 50, rrfK = 60, outK = 20),
+
+    "q93_funnel" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |      THEN FLOOR(epoch(ts))::BIGINT END) AS v,
+        |    min(CASE WHEN event_type = 'click'
+        |      THEN FLOOR(epoch(ts))::BIGINT END) AS c,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN FLOOR(epoch(ts))::BIGINT END) AS p
+        |  FROM events GROUP BY user_id),
+        |st AS (
+        |  SELECT CAST(CASE
+        |    WHEN v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+        |      AND v <= c AND c <= p THEN 3
+        |    WHEN v IS NOT NULL AND c IS NOT NULL AND v <= c THEN 2
+        |    WHEN v IS NOT NULL THEN 1
+        |    ELSE 0 END AS BIGINT) AS stage
+        |  FROM pu)
+        |SELECT stage, count(*) AS n_users FROM st GROUP BY stage""".stripMargin,
+
+    "q94_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    FLOOR(epoch(date_trunc('week', ts)))::BIGINT AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM fw GROUP BY cohort),
+        |ret AS (
+        |  SELECT f.cohort, (a.wk - f.cohort) // 604800 AS week_offset,
+        |    count(*) AS n_active
+        |  FROM act a JOIN fw f USING (user_id)
+        |  GROUP BY f.cohort, week_offset)
+        |SELECT r.cohort, r.week_offset, r.n_active, s.cohort_size,
+        |  CAST(r.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+        |    AS retention
+        |FROM ret r JOIN sz s USING (cohort)""".stripMargin,
 
     "q90_novelty" ->
       s"""WITH toks AS (SELECT doc_id AS id, $TOKENS_SQL AS tk FROM documents),
