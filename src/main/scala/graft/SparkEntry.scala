@@ -1748,6 +1748,22 @@ object SparkEntry {
       CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         topK = 5)),
 
+    // SLIDING event-time windows (q47 is the tumbling member): error rate
+    // over 1-hour windows every 15 minutes — each event lands in exactly
+    // window/slide = 4 windows; the oracle materializes the same 4
+    // assignments per event with a range(0,4) unnest. Conditional counts
+    // stay integer; one mirrored divide for the rate.
+    "q95_sliding_error_rate" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "error", lit(1))).as("n_errors"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          unix_timestamp(col("window.end")).as("window_end"),
+          col("n_events"), col("n_errors"),
+          (col("n_errors").cast("double") / col("n_events").cast("double"))
+            .as("error_rate"))),
+
     // Ordered conversion funnel over the event stream: per user the
     // EARLIEST view/click/purchase epochs, staged by temporal order
     // (view ≤ click ≤ purchase) — one hash aggregate with conditional
@@ -2232,6 +2248,21 @@ object SparkEntry {
     "q86_bm25" -> bm25Sql(BM25_TERMS, topK = 20),
 
     "q89_hybrid_rrf" -> rrfSql(BM25_TERMS, listK = 50, rrfK = 60, outK = 20),
+
+    "q95_sliding_error_rate" ->
+      """WITH k AS (SELECT unnest(range(0, 4)) AS i),
+        |w AS (
+        |  SELECT (FLOOR(epoch(ts) / 900)::BIGINT - k.i) * 900 AS window_start,
+        |    event_type
+        |  FROM events CROSS JOIN k),
+        |agg AS (
+        |  SELECT window_start, count(*) AS n_events,
+        |    count(*) FILTER (event_type = 'error') AS n_errors
+        |  FROM w GROUP BY window_start)
+        |SELECT window_start, window_start + 3600 AS window_end,
+        |  n_events, n_errors,
+        |  CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS error_rate
+        |FROM agg""".stripMargin,
 
     "q93_funnel" ->
       """WITH pu AS (
