@@ -1748,6 +1748,16 @@ object SparkEntry {
       CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         topK = 5)),
 
+    // Corpus-slice similarity matrix: mergeable group-level MinHash —
+    // the signature of a (lang, source) slice is the slot-wise MIN of
+    // its documents' poly signatures (MinHash-of-union = min-of-
+    // signatures, associative+commutative → map-side combinable), then
+    // pairwise agreement between the bounded set of groups. The sketch
+    // MERGE property is what the oracle re-derives from raw shingles.
+    "q96_group_minhash" -> ((s, dir) =>
+      Dedup.groupJaccardMatrix(t(s, dir, "documents"), "text",
+        Seq("lang", "source"), numHashes = 16)),
+
     // SLIDING event-time windows (q47 is the tumbling member): error rate
     // over 1-hour windows every 15 minutes — each event lands in exactly
     // window/slide = 4 windows; the oracle materializes the same 4
@@ -2248,6 +2258,28 @@ object SparkEntry {
     "q86_bm25" -> bm25Sql(BM25_TERMS, topK = 20),
 
     "q89_hybrid_rrf" -> rrfSql(BM25_TERMS, listK = 50, rrfK = 60, outK = 20),
+
+    // The oracle computes each group's union signature DIRECTLY from the
+    // raw shingle pool — agreeing with Spark's min-of-member-signatures
+    // is precisely the MinHash merge property under test.
+    "q96_group_minhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
+         |sh0 AS (SELECT doc_id, lang, source, $BIGRAM_SQL AS sg FROM toks),
+         |shf AS (SELECT * FROM sh0 WHERE len(sg) > 0),
+         |seeds(i, a, b) AS (VALUES ${polySeedsSql(16)}),
+         |post AS (SELECT lang, source, unnest(sg) AS s FROM shf),
+         |ph AS (SELECT lang, source, ${charPolySql("s")} AS h FROM post),
+         |gsig AS (
+         |  SELECT lang || '|' || source AS gkey, i,
+         |    min((a*h + b) % 1000000007) AS component
+         |  FROM ph CROSS JOIN seeds GROUP BY gkey, i)
+         |SELECT x.gkey AS group_a, y.gkey AS group_b,
+         |  count(*) FILTER (x.component = y.component) AS n_agree,
+         |  CAST(count(*) FILTER (x.component = y.component) AS DOUBLE) / 16.0
+         |    AS est_jaccard
+         |FROM gsig x JOIN gsig y ON x.i = y.i AND x.gkey < y.gkey
+         |GROUP BY x.gkey, y.gkey""".stripMargin,
 
     "q95_sliding_error_rate" ->
       """WITH k AS (SELECT unnest(range(0, 4)) AS i),

@@ -699,4 +699,55 @@ object Dedup {
           (size(col("sg_a")) + size(col("sg_b"))).cast("double") - col("__inter"))
           .as("jaccard"))
   }
+
+  /** Mergeable GROUP-level MinHash signatures: the MinHash of a UNION of
+    * shingle sets is the slot-wise MIN of the member signatures, so a
+    * group's signature is one `min` hash aggregate over exploded
+    * per-document components — associative and commutative, which is
+    * exactly what lets Spark partial-aggregate it map-side (sketch
+    * MERGE is the property that makes MinHash usable as a distributed
+    * aggregate at all; a non-mergeable sketch would force all raw
+    * shingles through the shuffle). Poly family → every slot is
+    * oracle-recomputable from the affine coefficients.
+    * Emits (groupCols..., seed_i, component). */
+  def groupPolyMinhash(docs: DataFrame, textCol: String,
+                       groupCols: Seq[String], numHashes: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val sh = graft.text.TextAnalysis.bigramShingles(
+      graft.text.TextAnalysis.tokens(col(textCol)))
+    docs.select(groupCols.map(col) :+ sh.as("__sh"): _*)
+      .where(size(col("__sh")) > 0)
+      .select(groupCols.map(col) :+
+        posexplode(polyMinhashSignature(col("__sh"), numHashes)): _*)
+      .groupBy(groupCols.map(col) :+ col("pos"): _*)
+      .agg(min(col("col")).as("component"))
+      .select(groupCols.map(col) :+ col("pos").cast("long").as("seed_i") :+
+        col("component"): _*)
+  }
+
+  /** Pairwise estimated Jaccard BETWEEN GROUPS (corpus-slice similarity —
+    * which sources/languages overlap in content): agreement fraction of
+    * the groups' union signatures ([[groupPolyMinhash]]). The corpus-
+    * scale pass is the linear mergeable aggregation; the pair comparison
+    * is quadratic only in the number of GROUPS (bounded: sources ×
+    * languages), riding a slim (group, seed, component) self-join keyed
+    * by seed. */
+  def groupJaccardMatrix(docs: DataFrame, textCol: String,
+                         groupCols: Seq[String],
+                         numHashes: Int): DataFrame = {
+    val sig = groupPolyMinhash(docs, textCol, groupCols, numHashes)
+      .select(concat_ws("|", groupCols.map(col): _*).as("gkey"),
+        col("seed_i"), col("component"))
+    val a = sig.select(col("gkey").as("group_a"), col("seed_i"),
+      col("component").as("ca"))
+    val b = sig.select(col("gkey").as("group_b"), col("seed_i"),
+      col("component").as("cb"))
+    a.join(b, Seq("seed_i"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(when(col("ca") === col("cb"), lit(1))).as("n_agree"))
+      .select(col("group_a"), col("group_b"), col("n_agree"),
+        (col("n_agree").cast("double") / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+  }
 }
