@@ -964,6 +964,30 @@ object SparkEntry {
     // O4 in a columnar format: ORC write + read-back (schema preserved by
     // the format, unlike CSV) through the same aggregate as q31 — source
     // AND sink coverage for the second columnar format Spark ships.
+    // Schema evolution across file generations: generation 1 lacks the
+    // `value` column, generation 2 carries it; `mergeSchema` unifies the
+    // footers at read time (union-by-name: missing columns surface as
+    // NULL, never a positional mis-bind) — the long-lived-dataset
+    // contract every production lake needs. The oracle rebuilds the same
+    // two generations as a UNION ALL with a typed NULL.
+    "q97_schema_evolution" -> ((s, dir) => {
+      val out = s"target/schevo_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+      ev.where(col("event_id") % 2 === 0)
+        .select("event_id", "event_type")
+        .write.mode("overwrite").parquet(s"$out/gen1")
+      ev.where(col("event_id") % 2 =!= 0)
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$out/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$out/gen1", s"$out/gen2")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("n_with_value"),
+          Dashboard.exactAvg(col("value")).as("avg_value"),
+          sum(col("event_id")).as("sum_ids"))
+    }),
+
     "q74_orc_roundtrip" -> ((s, dir) => {
       val out = s"target/orc_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       val ev = t(s, dir, "events")
@@ -2155,6 +2179,19 @@ object SparkEntry {
          |FROM events GROUP BY event_type""".stripMargin,
 
     // the ORC write/read is lossless, so the roundtrip answers q31's SQL
+    "q97_schema_evolution" ->
+      s"""WITH m AS (
+         |  SELECT event_id, event_type, NULL::DOUBLE AS value
+         |  FROM events WHERE event_id % 2 = 0
+         |  UNION ALL
+         |  SELECT event_id, event_type, value
+         |  FROM events WHERE event_id % 2 <> 0)
+         |SELECT event_type, count(*) AS n,
+         |  count(value) AS n_with_value,
+         |  ${exactAvgSql("value")} AS avg_value,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+         |FROM m GROUP BY event_type""".stripMargin,
+
     "q74_orc_roundtrip" ->
       s"""SELECT event_type, count(*) AS n,
          |  ${exactAvgSql("value")} AS avg_value,
