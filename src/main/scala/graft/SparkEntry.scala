@@ -1116,6 +1116,22 @@ object SparkEntry {
         .pivot("weather_group", Seq("Clear", "Clouds", "Rain", "Snow"))
         .agg(Dashboard.exactAvg(col("average_diff_in_minutes")))),
 
+    // UNPIVOT — the inverse relational op of q80: melt the wide weather
+    // matrix back to long (day_type, weather_group, avg_delay) rows.
+    // Combinations absent from the data pivot to NULL cells; the filter
+    // drops them so unpivot∘pivot is exactly the direct long-form
+    // aggregation, which is what the oracle computes.
+    "q98_unpivot" -> ((s, dir) => {
+      val groups = Seq("Clear", "Clouds", "Rain", "Snow")
+      diffMart(s, dir)
+        .groupBy(col("day_type"))
+        .pivot("weather_group", groups)
+        .agg(Dashboard.exactAvg(col("average_diff_in_minutes")))
+        .unpivot(Array(col("day_type")), groups.map(col).toArray,
+          "weather_group", "avg_delay")
+        .where(col("avg_delay").isNotNull)
+    }),
+
     // Exact-sufficient-statistics Pearson correlation per day type:
     // decimal-exact Σx/Σy/Σxy/Σx²/Σy², closed form in mirrored doubles —
     // partial-aggregation order cannot flip a bit (the exactAvg
@@ -2179,6 +2195,16 @@ object SparkEntry {
          |FROM events GROUP BY event_type""".stripMargin,
 
     // the ORC write/read is lossless, so the roundtrip answers q31's SQL
+    "q98_unpivot" -> (MART_CTE +
+      s""", base AS (
+         |  SELECT day_type, weather_group,
+         |    ${exactAvgSql("average_diff_in_minutes")} AS avg_delay
+         |  FROM mart
+         |  WHERE weather_group IN ('Clear', 'Clouds', 'Rain', 'Snow')
+         |  GROUP BY day_type, weather_group)
+         |SELECT day_type, weather_group, avg_delay FROM base
+         |WHERE avg_delay IS NOT NULL""".stripMargin),
+
     "q97_schema_evolution" ->
       s"""WITH m AS (
          |  SELECT event_id, event_type, NULL::DOUBLE AS value
