@@ -1060,6 +1060,21 @@ object SparkEntry {
         .select("doc_id", "h", "shuffle_pos")
     }),
 
+    // Systematic sampling — every k-th document in deterministic
+    // content-hash order (q76's two-pass global rank): unlike q45's
+    // Bernoulli-style hash threshold, systematic sampling guarantees
+    // EXACTLY floor(n/k) rows with even coverage of the shuffled order —
+    // the survey-sampling discipline for held-out/eval splits.
+    "q100_systematic_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("h", TextAnalysis.charPolyHash(
+          concat(lit("seed42:"), col("doc_id").cast("string"))))
+      graft.operators.Rank.globalRank(d, Seq(col("h"), col("doc_id")),
+          "shuffle_pos")
+        .where(col("shuffle_pos") % 10L === 0L)
+        .select("doc_id", "lang", "source", "shuffle_pos")
+    }),
+
     // The BUILT-IN session_window sessionization (vs q44's window-sum
     // Sessionize): grouping by the gap-merged session window directly.
     // Boundary semantics differ from q44 — session_window starts a NEW
@@ -1130,6 +1145,25 @@ object SparkEntry {
         .unpivot(Array(col("day_type")), groups.map(col).toArray,
           "weather_group", "avg_delay")
         .where(col("avg_delay").isNotNull)
+    }),
+
+    // Distribution-position window functions (percent_rank / cume_dist)
+    // over each trip's stop delays. Partitioned by TRIP — high
+    // cardinality, bounded partition size (≤ stops-per-trip) — never by
+    // a 7-value dimension like day_type, whose partitions would be
+    // corpus-sized at scale (the q76 two-pass ranking is the spelling
+    // for THAT shape). Both functions are exact rational positions
+    // computed identically from the SQL standard in either engine.
+    "q99_delay_position" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("trip_id")
+        .orderBy(col("average_diff_in_minutes").asc, col("stop_sequence").asc)
+      diffMart(s, dir)
+        .where(col("average_diff_in_minutes").isNotNull)
+        .select(col("trip_id"), col("stop_sequence"),
+          col("average_diff_in_minutes").as("delay_min"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
     }),
 
     // Exact-sufficient-statistics Pearson correlation per day type:
@@ -2195,6 +2229,15 @@ object SparkEntry {
          |FROM events GROUP BY event_type""".stripMargin,
 
     // the ORC write/read is lossless, so the roundtrip answers q31's SQL
+    "q99_delay_position" -> (MART_CTE +
+      """SELECT trip_id, stop_sequence,
+        |  average_diff_in_minutes AS delay_min,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM mart WHERE average_diff_in_minutes IS NOT NULL
+        |WINDOW w AS (PARTITION BY trip_id
+        |  ORDER BY average_diff_in_minutes ASC, stop_sequence ASC)""".stripMargin),
+
     "q98_unpivot" -> (MART_CTE +
       s""", base AS (
          |  SELECT day_type, weather_group,
@@ -2473,6 +2516,19 @@ object SparkEntry {
          |SELECT doc_id, h,
          |  row_number() OVER (ORDER BY h, doc_id) AS shuffle_pos
          |FROM h""".stripMargin,
+
+    "q100_systematic_sample" ->
+      s"""WITH sk AS (
+         |  SELECT doc_id, lang, source,
+         |    'seed42:' || CAST(doc_id AS VARCHAR) AS sk
+         |  FROM documents),
+         |h AS (SELECT doc_id, lang, source, ${charPolySql("sk")} AS h FROM sk),
+         |r AS (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (ORDER BY h, doc_id) AS shuffle_pos
+         |  FROM h)
+         |SELECT doc_id, lang, source, shuffle_pos
+         |FROM r WHERE shuffle_pos % 10 = 0""".stripMargin,
 
     "q36_realtime_e1" ->
       """WITH e AS (SELECT *, FLOOR(epoch(ts))::BIGINT AS ets FROM events)
