@@ -416,14 +416,14 @@ object Similarity {
     require(numSubspaces > 0, "numSubspaces must be positive")
     require(codebookSize > 0, "codebookSize must be positive")
     require(trainIters >= 0, "trainIters must be >= 0")
-    val dim = corpus.select(size(col(embCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    require(dim > 0 && dim % numSubspaces == 0,
-      s"embedding dim $dim must be a positive multiple of $numSubspaces")
-    val subDim = dim / numSubspaces
     val cqv = corpus.select(col(idCol), quantize(col(embCol)).as("cv"))
     val seeds: Seq[Seq[Long]] =
       seedVectors(corpus, idCol, embCol, codebookSize)
+    // dim comes off the seed collect — no separate 1-row probe job
+    val dim = seeds.headOption.map(_.size).getOrElse(0)
+    require(dim > 0 && dim % numSubspaces == 0,
+      s"embedding dim $dim must be a positive multiple of $numSubspaces")
+    val subDim = dim / numSubspaces
     var cb: Seq[Seq[Seq[Long]]] = (0 until numSubspaces).map(m =>
       seeds.map(_.slice(m * subDim, (m + 1) * subDim)))
     for (_ <- 0 until trainIters) {
