@@ -1060,6 +1060,25 @@ object SparkEntry {
         .select("doc_id", "h", "shuffle_pos")
     }),
 
+    // Malformed-record accounting at ingestion: the raw corpus parses
+    // cleanly, so every 7th row's props is deterministically corrupted
+    // (the q64 enrichment precedent — injected breakage is mirrored
+    // verbatim in the oracle) and the extraction must DEGRADE, not
+    // abort: get_json_object yields NULL on malformed input, the oracle
+    // guards with json_valid, and the per-type rollup counts exactly
+    // which rows survived — the dead-letter bookkeeping every
+    // unvalidated-input pipeline needs.
+    "q101_malformed_json" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val enriched = when(col("event_id") % 7L === 0L,
+        concat(lit("{broken"), col("props"))).otherwise(col("props"))
+      val k = get_json_object(enriched, "$.k").cast("long")
+      ev.select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_valid"),
+          sum(col("k")).as("sum_k"))
+    }),
+
     // Systematic sampling — every k-th document in deterministic
     // content-hash order (q76's two-pass global rank): unlike q45's
     // Bernoulli-style hash threshold, systematic sampling guarantees
@@ -2516,6 +2535,21 @@ object SparkEntry {
          |SELECT doc_id, h,
          |  row_number() OVER (ORDER BY h, doc_id) AS shuffle_pos
          |FROM h""".stripMargin,
+
+    "q101_malformed_json" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN '{broken' || props
+        |         ELSE props END AS pr
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(pr)
+        |         THEN CAST(json_extract_string(pr, '$.k') AS BIGINT) END AS k
+        |  FROM e)
+        |SELECT event_type, count(*) AS n, count(k) AS n_valid,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM x GROUP BY event_type""".stripMargin,
 
     "q100_systematic_sample" ->
       s"""WITH sk AS (
