@@ -133,14 +133,28 @@ object SparkEntry {
     scala.collection.mutable.HashMap[String, (Int, Seq[Seq[Seq[Long]]])]]()
 
   private def pqTrained(s: SparkSession,
-                        dir: String): (Int, Seq[Seq[Seq[Long]]]) =
-    pqTrainedCache.synchronized {
-      val m = pqTrainedCache.computeIfAbsent(s, _ =>
-        scala.collection.mutable.HashMap.empty)
-      m.getOrElseUpdate(dir, Similarity.pqTrain(t(s, dir, "embeddings"),
-        "vec_id", "embedding", numSubspaces = 4, codebookSize = 16,
-        trainIters = 1))
+                        dir: String): (Int, Seq[Seq[Seq[Long]]]) = {
+    // training params ride in the key: a future caller with different
+    // knobs gets its own artifact, never a silently mismatched one
+    val key = s"$dir|M=4|K=16|iters=1"
+    // double-checked publish: the multi-job Lloyd training must NOT run
+    // under the global monitor (it would serialize unrelated sessions
+    // and block resetCaches for the training's duration); a benign race
+    // can train twice, the first published artifact wins for both
+    val cached = pqTrainedCache.synchronized {
+      Option(pqTrainedCache.get(s)).flatMap(_.get(key))
     }
+    cached.getOrElse {
+      val trained = Similarity.pqTrain(t(s, dir, "embeddings"),
+        "vec_id", "embedding", numSubspaces = 4, codebookSize = 16,
+        trainIters = 1)
+      pqTrainedCache.synchronized {
+        val m = pqTrainedCache.computeIfAbsent(s, _ =>
+          scala.collection.mutable.HashMap.empty)
+        m.getOrElseUpdate(key, trained)
+      }
+    }
+  }
 
   /** Drop the memoized marts/clusters/candidates AND their persisted
     * blocks — for harnesses (Bench) that need each measurement pass to
@@ -1867,46 +1881,39 @@ object SparkEntry {
           (col("n_errors").cast("double") / col("n_events").cast("double"))
             .as("error_rate"))),
 
-    // Ordered conversion funnel over the event stream: per user the
-    // EARLIEST view/click/purchase epochs, staged by temporal order
-    // (view ≤ click ≤ purchase) — one hash aggregate with conditional
-    // mins, one tiny stage rollup; never a self-join per stage. Integer
-    // epochs end-to-end.
-    "q93_funnel" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      def firstAt(tpe: String) = min(when(col("event_type") === tpe,
-        unix_timestamp(col("ts"))))
-      val perUser = ev.groupBy("user_id").agg(
-        firstAt("view").as("v"), firstAt("click").as("c"),
-        firstAt("purchase").as("p"))
-      val stage = when(col("v").isNotNull && col("c").isNotNull &&
-          col("p").isNotNull && col("v") <= col("c") && col("c") <= col("p"),
-          lit(3L))
-        .when(col("v").isNotNull && col("c").isNotNull &&
-          col("v") <= col("c"), lit(2L))
-        .when(col("v").isNotNull, lit(1L))
-        .otherwise(lit(0L))
-      perUser.select(stage.as("stage"))
-        .groupBy("stage").agg(count(lit(1)).as("n_users"))
-    }),
+    // Ordered conversion funnel over the event stream (Funnel.userStages
+    // — shared with FunnelSpec so the staging rule cannot drift): one
+    // hash aggregate with conditional mins, one tiny stage rollup; never
+    // a self-join per stage. Integer epochs end-to-end.
+    "q93_funnel" -> ((s, dir) =>
+      graft.analytics.Funnel.userStages(t(s, dir, "events"), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))),
 
     // Weekly cohort retention: cohort = ISO week of a user's first event;
     // retention(k) = users active in cohort-week + k over cohort size.
-    // Slim (user, week) activity distinct, first-week hash aggregate,
-    // cohort sizes broadcast back — the classic growth-analytics query
-    // shaped for a corpus-scale event log.
+    // ONE events scan: per-user distinct weeks collect in one shuffle
+    // (bounded by the corpus timespan in weeks), the exploded
+    // (cohort, offset) counts land in a TINY frame that is
+    // localCheckpoint-pinned so its two consumers don't re-run the big
+    // aggregation — and cohort_size needs no second pass at all: every
+    // user is active in their own cohort week, so size = n_active at
+    // offset 0.
     "q94_cohort_retention" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("user_id"),
-        unix_timestamp(date_trunc("week", col("ts"))).as("wk"))
-      val activity = ev.distinct()
-      val firstWk = activity.groupBy("user_id").agg(min("wk").as("cohort"))
-      val sizes = firstWk.groupBy("cohort")
-        .agg(count(lit(1)).as("cohort_size"))
-      activity.join(firstWk, "user_id")
+      val perUser = t(s, dir, "events")
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("week", col("ts"))).as("wk"))
+        .groupBy("user_id")
+        .agg(min(col("wk")).as("cohort"), collect_set(col("wk")).as("wks"))
+      val ret = perUser
+        .select(col("cohort"), explode(col("wks")).as("wk"))
         .groupBy(col("cohort"),
           expr("(wk - cohort) DIV 604800").as("week_offset"))
         .agg(count(lit(1)).as("n_active"))
-        .join(broadcast(sizes), "cohort")
+        .localCheckpoint()
+      val sizes = ret.where(col("week_offset") === 0L)
+        .select(col("cohort"), col("n_active").as("cohort_size"))
+      ret.join(broadcast(sizes), "cohort")
         .select(col("cohort"), col("week_offset"), col("n_active"),
           col("cohort_size"),
           (col("n_active").cast("double") / col("cohort_size").cast("double"))
@@ -2411,7 +2418,8 @@ object SparkEntry {
         |w AS (
         |  SELECT (FLOOR(epoch(ts) / 900)::BIGINT - k.i) * 900 AS window_start,
         |    event_type
-        |  FROM events CROSS JOIN k),
+        |  FROM events CROSS JOIN k
+        |  WHERE ts IS NOT NULL),
         |agg AS (
         |  SELECT window_start, count(*) AS n_events,
         |    count(*) FILTER (event_type = 'error') AS n_errors

@@ -735,7 +735,12 @@ object Dedup {
   def groupJaccardMatrix(docs: DataFrame, textCol: String,
                          groupCols: Seq[String],
                          numHashes: Int): DataFrame = {
-    val sig = groupPolyMinhash(docs, textCol, groupCols, numHashes)
+    // groups are defined by NON-NULL keys: a NULL group column would
+    // diverge between concat_ws (skips NULLs) and the oracle's `||`
+    // (NULL-propagates, making the group vanish from the pair join) —
+    // dropping such rows up front gives both engines the same matrix
+    val nonNull = docs.where(groupCols.map(col(_).isNotNull).reduce(_ && _))
+    val sig = groupPolyMinhash(nonNull, textCol, groupCols, numHashes)
       .select(concat_ws("|", groupCols.map(col): _*).as("gkey"),
         col("seed_i"), col("component"))
     val a = sig.select(col("gkey").as("group_a"), col("seed_i"),

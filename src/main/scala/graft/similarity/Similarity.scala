@@ -354,6 +354,7 @@ object Similarity {
              trained: Option[(Int, Seq[Seq[Seq[Long]]])] = None): DataFrame = {
     val (subDim, cb) = trained.getOrElse(
       pqTrain(corpus, idCol, embCol, numSubspaces, codebookSize, trainIters))
+    requireTrainedShape(cb, numSubspaces, codebookSize)
     val cqv = corpus.select(col(idCol), quantize(col(embCol)).as("cv"))
     val codes = pqCodes(cqv, idCol, cb, subDim)
     val lut = pqLut(queries, idCol, embCol, cb, subDim)
@@ -362,6 +363,20 @@ object Similarity {
       .agg(sum(col("pd")).as("adist"))
     topKPerQueryOrdered(scored, idCol, k,
       Seq(col("adist").asc, col(idCol).asc))
+  }
+
+  /** A pre-`trained` artifact must match the caller's knobs — the code
+    * paths derive everything from the codebooks, so a mismatch would
+    * otherwise be consumed silently (wrong-codebook ANN results, no
+    * error). Codebooks may be SMALLER than codebookSize (corpora with
+    * fewer rows than seeds), never larger. */
+  private def requireTrainedShape(cb: Seq[Seq[Seq[Long]]],
+                                  numSubspaces: Int,
+                                  codebookSize: Int): Unit = {
+    require(cb.size == numSubspaces,
+      s"trained artifact has ${cb.size} subspaces, caller requested $numSubspaces")
+    require(cb.headOption.forall(_.size <= codebookSize),
+      s"trained artifact has ${cb.head.size} codes/subspace, caller requested <= $codebookSize")
   }
 
   /** Bind the per-subspace slice columns `__sub_m` of `vCol`, with the
@@ -506,6 +521,7 @@ object Similarity {
       s"nProbe must be in [1, $nCentroids]")
     val (subDim, cb) = trained.getOrElse(
       pqTrain(corpus, idCol, embCol, numSubspaces, codebookSize, trainIters))
+    requireTrainedShape(cb, numSubspaces, codebookSize)
     // Coarse quantizer: first-nCentroids seeds, exactly q32's
     // unrefined-init rule (kmeansIters = 0), so the list assignment
     // mirrors the existing oracle CTE shape.

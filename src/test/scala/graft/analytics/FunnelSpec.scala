@@ -1,10 +1,11 @@
 package graft.analytics
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions._
 
-/** Funnel staging semantics via the registered q93 shape: the ORDER of
-  * first occurrences decides the stage, not mere presence. */
+/** Funnel staging semantics through the SHARED [[Funnel.userStages]] —
+  * the same expression tree the registered q93 consumes, so a staging
+  * regression in the operator fails here too. The ORDER of first
+  * occurrences decides the stage, not mere presence. */
 class FunnelSpec extends SparkSpec {
 
   private def ts(day: Int, h: Int): java.sql.Timestamp =
@@ -24,20 +25,21 @@ class FunnelSpec extends SparkSpec {
       // user 4: never viewed: stage 0
       (4L, "click", ts(1, 1)), (4L, "purchase", ts(1, 2)))
       .toDF("user_id", "event_type", "ts")
-    def firstAt(tpe: String) = min(when(col("event_type") === tpe,
-      unix_timestamp(col("ts"))))
-    val perUser = ev.groupBy("user_id").agg(
-      firstAt("view").as("v"), firstAt("click").as("c"),
-      firstAt("purchase").as("p"))
-    val stage = when(col("v").isNotNull && col("c").isNotNull &&
-        col("p").isNotNull && col("v") <= col("c") && col("c") <= col("p"),
-        lit(3L))
-      .when(col("v").isNotNull && col("c").isNotNull &&
-        col("v") <= col("c"), lit(2L))
-      .when(col("v").isNotNull, lit(1L))
-      .otherwise(lit(0L))
-    val got = perUser.select(col("user_id"), stage.as("stage"))
+    val got = Funnel.userStages(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("simultaneous first occurrences count as ordered (<=, not <)") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", ts(1, 1)), (1L, "click", ts(1, 1)),
+      (1L, "purchase", ts(1, 1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.userStages(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L))
   }
 }

@@ -14,10 +14,8 @@ class GroupMinhashSpec extends SparkSpec {
       .toDF("doc_id", "grp", "text")
     val merged = Dedup.groupPolyMinhash(docs, "text", Seq("grp"), 16)
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
-    // the same shingle pool as ONE document
-    val pooled = Seq((9L, "g", "a b c d x c d e f x x y z w"))
-    // NOTE: pooling via concatenated text would create spurious bridge
-    // bigrams ("d x", "x c"), so build the union as the exact shingle set
+    // NOTE: pooling via concatenated TEXT would create spurious bridge
+    // bigrams ("d x", "x c"), so the union is built as the exact shingle set
     val shingles = Seq("a b","b c","c d","d e","e f","x y","y z","z w")
     val sigOfUnion = spark.createDataFrame(Seq(Tuple1(shingles)))
       .toDF("sh")
