@@ -182,6 +182,66 @@ object StreamingAnalytics {
       }
   }
 
+  /** One funnel event for [[funnelStagesStream]]: epoch seconds. */
+  final case class FEvent(user_id: Long, event_type: String, ts: Long)
+
+  /** Emitted whenever a user's funnel stage CHANGES (first batch always
+    * emits the initial stage). `n_seen` counts every event the user has
+    * absorbed — strictly increasing, so a sink can identify the LATEST
+    * stage without relying on sink row order. */
+  final case class StageUpdate(user_id: Long, stage: Int, n_seen: Long)
+
+  /** The ordered conversion funnel over an unbounded stream — the
+    * streaming twin of [[graft.analytics.Funnel.userStages]]. Per-user
+    * state is the per-stage FIRST-occurrence epoch vector: mins are
+    * commutative and associative, so late or out-of-order events can
+    * only refine the state toward the same answer batch staging
+    * computes — no watermark is needed for stage-so-far correctness,
+    * and the parity spec pins streaming-final == batch on identical
+    * event sets. State is stages.length longs per user, bounded. A
+    * stage can move DOWN when an earlier first-occurrence arrives
+    * (e.g. a late view that breaks view ≤ click) — that is batch
+    * semantics too, not an artifact. */
+  def funnelStagesStream(stream: Dataset[FEvent],
+                         stages: Seq[String]): Dataset[StageUpdate] = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    require(stages.distinct == stages, "stages must be distinct")
+    import stream.sparkSession.implicits._
+    val idx = stages.zipWithIndex.toMap
+    val Absent = Long.MaxValue
+    def stageOf(mins: Seq[Long]): Int = {
+      var k = 0
+      var ok = true
+      while (ok && k < mins.length) {
+        val present = mins(k) != Absent
+        val ordered = k == 0 || mins(k - 1) <= mins(k)
+        if (present && ordered) k += 1 else ok = false
+      }
+      k
+    }
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Seq[Long], Int, Long), StageUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FEvent],
+         state: GroupState[(Seq[Long], Int, Long)]) =>
+          val (saved, lastEmitted, seen0) = state.getOption
+            .getOrElse((Seq.fill(stages.length)(Absent), -1, 0L))
+          val mins = saved.toArray
+          var seen = seen0
+          rows.foreach { e =>
+            seen += 1
+            idx.get(e.event_type).foreach { i =>
+              if (e.ts < mins(i)) mins(i) = e.ts
+            }
+          }
+          val stage = stageOf(mins.toSeq)
+          state.update((mins.toSeq, stage, seen))
+          if (stage != lastEmitted)
+            Iterator.single(StageUpdate(user, stage, seen))
+          else Iterator.empty
+      }
+  }
+
   /** The current Misra–Gries candidate set of one hash bucket, re-emitted
     * every batch the bucket receives data (Update mode). `n_seen` counts
     * every row the bucket has absorbed — it is strictly increasing, so a

@@ -83,6 +83,17 @@ class PlanSpec extends SparkSpec {
     assert(nCols === 6, s"lineitem scan reads $nCols columns: $schema")
   }
 
+  test("q94: cohort retention reads the events table exactly ONCE — " +
+    "cohort sizes come from the offset-0 counts, not a second pass") {
+    val df = SparkEntry.queries("q94_cohort_retention")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 1,
+      s"q94 re-scans events ($scans FileScans):\n$plan")
+  }
+
   test("q88: every documents scan is pruned to the text column — the " +
     "heavy-hitter passes never read doc metadata") {
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")

@@ -401,6 +401,56 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStagesStream: final stage per user equals batch staging on " +
+    "the identical event set, including an out-of-order late view that " +
+    "DEMOTES a converted user") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    val in = MemoryStream[StreamingAnalytics.FEvent]
+    val q = StreamingAnalytics.funnelStagesStream(in.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_stages")
+      .outputMode("update").start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def feed(batch: (Long, String, Long)*): Unit = {
+      in.addData(batch.map(e =>
+        StreamingAnalytics.FEvent(e._1, e._2, e._3)): _*)
+      q.processAllAvailable()
+      all ++= batch
+    }
+    try {
+      // user 1 converts in order across batches; user 2 clicks first
+      feed((1L, "view", 100L), (2L, "click", 100L))
+      feed((1L, "click", 200L), (2L, "view", 200L))
+      feed((1L, "purchase", 300L))
+      // LATE view for user 1 at t=250: now view(100) <= click(200) still
+      // holds — but a late view for user 3 breaks nothing since absent
+      feed((3L, "purchase", 50L), (3L, "view", 10L), (3L, "click", 20L))
+      // late CLICK for user 3 at t=5 breaks view(10) <= click(5): demotes
+      feed((3L, "click", 5L))
+
+      // streaming-final = emission with the max n_seen per user
+      val streamed = spark.table("funnel_stages")
+        .as[(Long, Int, Long)].collect().groupBy(_._1)
+      // batch staging over the same full event set
+      val batch = graft.analytics.Funnel.userStages(
+          all.toSeq.toDF("user_id", "event_type", "ts")
+            .select(col("user_id"), col("event_type"),
+              org.apache.spark.sql.functions.timestamp_seconds(col("ts"))
+                .as("ts")),
+          "user_id", "event_type", "ts", stages)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every user's latest (max-n_seen) stage must equal the batch stage
+      val finalStage = streamed.map { case (u, rows) =>
+        u -> rows.maxBy(_._3)._2
+      }
+      assert(finalStage.map { case (u, s) => u -> s.toLong } === batch)
+      // and the demotion actually happened: user 3 was 3, ends at 1
+      assert(streamed(3L).map(_._2).toSeq.contains(3))
+      assert(finalStage(3L) === 1)
+    } finally q.stop()
+  }
+
   test("heavyHitterCandidatesStream: after every batch, the candidate " +
     "union covers all terms heavy in the stream-so-far, and state stays " +
     "bounded — the batch superset theorem holds across micro-batches") {
