@@ -1855,6 +1855,14 @@ object SparkEntry {
       CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         topK = 5)),
 
+    // Asymmetric Jaccard CONTAINMENT pairs — the subset-duplication
+    // detector symmetric Jaccard misses (a short document quoted inside
+    // a long one: containment ~1 in the short direction, Jaccard tiny).
+    // Same blocked inverted-index shape as q18.
+    "q102_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), minContainment = 0.25)),
+
     // Corpus-slice similarity matrix: mergeable group-level MinHash —
     // the signature of a (lang, source) slice is the slot-wise MIN of
     // its documents' poly signatures (MinHash-of-union = min-of-
@@ -2390,6 +2398,27 @@ object SparkEntry {
     "q86_bm25" -> bm25Sql(BM25_TERMS, topK = 20),
 
     "q89_hybrid_rrf" -> rrfSql(BM25_TERMS, listK = 50, rrfK = 60, outK = 20),
+
+    "q102_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
+         |sh0 AS (SELECT doc_id, lang, source, $BIGRAM_SQL AS sg FROM toks),
+         |sh AS (SELECT * FROM sh0 WHERE len(sg) > 0),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sg, b.sg)) AS BIGINT) AS inter,
+         |    CAST(len(a.sg) AS BIGINT) AS n_a,
+         |    CAST(len(b.sg) AS BIGINT) AS n_b
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source
+         |   AND a.doc_id < b.doc_id),
+         |c AS (
+         |  SELECT id_a, id_b, inter,
+         |    CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS contain_a,
+         |    CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS contain_b
+         |  FROM p)
+         |SELECT id_a, id_b, inter, contain_a, contain_b FROM c
+         |WHERE contain_a >= 0.25 OR contain_b >= 0.25""".stripMargin,
 
     // The oracle computes each group's union signature DIRECTLY from the
     // raw shingle pool — agreeing with Spark's min-of-member-signatures
