@@ -978,6 +978,29 @@ object SparkEntry {
     // O4 in a columnar format: ORC write + read-back (schema preserved by
     // the format, unlike CSV) through the same aggregate as q31 — source
     // AND sink coverage for the second columnar format Spark ships.
+    // Dynamic partition overwrite — the surgical-rewrite contract behind
+    // user-erasure/compaction on a partitioned lake: a full snapshot
+    // partitioned by event_type, then ONE partition rewritten with user
+    // 5's click rows erased. partitionOverwriteMode=dynamic replaces
+    // only partitions present in the incoming frame (static mode would
+    // TRUNCATE the whole table to just clicks — the classic data-loss
+    // foot-gun this option exists to prevent); untouched partitions'
+    // files are asserted byte-identical by PartitionOverwriteSpec.
+    "q103_partition_overwrite" -> ((s, dir) => {
+      val out = s"target/gdpr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      ev.where(col("event_type") === "click" && col("user_id") =!= 5L)
+        .write.mode("overwrite").partitionBy("event_type")
+        .option("partitionOverwriteMode", "dynamic").parquet(out)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("user_id") === 5L, lit(1))).as("n_user5"),
+          sum(col("event_id")).as("sum_ids"))
+    }),
+
     // Schema evolution across file generations: generation 1 lacks the
     // `value` column, generation 2 carries it; `mergeSchema` unifies the
     // footers at read time (union-by-name: missing columns surface as
@@ -2281,6 +2304,15 @@ object SparkEntry {
          |  GROUP BY day_type, weather_group)
          |SELECT day_type, weather_group, avg_delay FROM base
          |WHERE avg_delay IS NOT NULL""".stripMargin),
+
+    "q103_partition_overwrite" ->
+      """WITH m AS (
+        |  SELECT * FROM events
+        |  WHERE NOT (event_type = 'click' AND user_id = 5))
+        |SELECT event_type, count(*) AS n,
+        |  count(CASE WHEN user_id = 5 THEN 1 END) AS n_user5,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM m GROUP BY event_type""".stripMargin,
 
     "q97_schema_evolution" ->
       s"""WITH m AS (
