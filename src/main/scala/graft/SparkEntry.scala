@@ -978,6 +978,30 @@ object SparkEntry {
     // O4 in a columnar format: ORC write + read-back (schema preserved by
     // the format, unlike CSV) through the same aggregate as q31 — source
     // AND sink coverage for the second columnar format Spark ships.
+    // Decomposable-aggregate merge — the incremental-maintenance
+    // discipline: the mart is split into two disjoint halves (trip-hash
+    // parity — think "yesterday's materialized partial" and "today's
+    // delta"), each half reduces to (Σ decimal, n) PARTIALS, and the
+    // merge of partials re-derives the exact average. avg is not
+    // mergeable but (sum, count) is — the decomposition every
+    // incremental dashboard rebuild relies on; the oracle computes the
+    // direct full aggregate, so the hash-match proves merge ≡ recompute.
+    "q104_merge_aggregates" -> ((s, dir) => {
+      val m = diffMart(s, dir).where(col("average_diff_in_minutes").isNotNull)
+        .select(col("day_type"), col("trip_id"),
+          col("average_diff_in_minutes").as("x"))
+      def partial(half: DataFrame) = half.groupBy("day_type").agg(
+        sum(col("x").cast("decimal(20,6)")).as("s"),
+        count(col("x")).as("n"))
+      val even = partial(m.where(xxhash64(col("trip_id")) % 2L === 0L))
+      val odd = partial(m.where(xxhash64(col("trip_id")) % 2L =!= 0L))
+      even.unionByName(odd)
+        .groupBy("day_type")
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+        .select(col("day_type"), col("n").as("n_rows"),
+          try_divide(col("s").cast("double"), col("n")).as("avg_delay"))
+    }),
+
     // Dynamic partition overwrite — the surgical-rewrite contract behind
     // user-erasure/compaction on a partitioned lake: a full snapshot
     // partitioned by event_type, then ONE partition rewritten with user
@@ -2304,6 +2328,12 @@ object SparkEntry {
          |  GROUP BY day_type, weather_group)
          |SELECT day_type, weather_group, avg_delay FROM base
          |WHERE avg_delay IS NOT NULL""".stripMargin),
+
+    "q104_merge_aggregates" -> (MART_CTE +
+      s"""SELECT day_type, count(average_diff_in_minutes) AS n_rows,
+         |  ${exactAvgSql("average_diff_in_minutes")} AS avg_delay
+         |FROM mart WHERE average_diff_in_minutes IS NOT NULL
+         |GROUP BY day_type""".stripMargin),
 
     "q103_partition_overwrite" ->
       """WITH m AS (
