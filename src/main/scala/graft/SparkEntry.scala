@@ -978,6 +978,60 @@ object SparkEntry {
     // O4 in a columnar format: ORC write + read-back (schema preserved by
     // the format, unlike CSV) through the same aggregate as q31 — source
     // AND sink coverage for the second columnar format Spark ships.
+    // One-pass dataset profiler — the data-quality summary every
+    // ingestion gate runs first: per column its null count, distinct
+    // count, and min/max rendered as strings (one schema for every
+    // type). ONE scan computes all columns' stats simultaneously (a
+    // per-column loop would scan once per column); the per-column rows
+    // come from a literal unpivot of the single aggregate row.
+    "q105_profile" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val cols = Seq("event_id", "user_id", "event_type", "value")
+      // doubles render to strings via a FIXED-SCALE decimal: shortest-
+      // roundtrip double formatting diverges between engines (Java flips
+      // to scientific notation below 1e-3, DuckDB does not); a
+      // decimal(20,6) prints identically in both
+      def render(c: String): Column => Column =
+        if (c == "value") (x: Column) => x.cast("decimal(20,6)").cast("string")
+        else (x: Column) => x.cast("string")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"__n_$c"),
+          count_distinct(col(c)).as(s"__d_$c"),
+          render(c)(min(col(c))).as(s"__min_$c"),
+          render(c)(max(col(c))).as(s"__max_$c"))
+      }
+      val total = count(lit(1)).as("__total")
+      val one = ev.agg(total, aggs: _*)
+      val rows = cols.map { c =>
+        struct(lit(c).as("col_name"),
+          (col("__total") - col(s"__n_$c")).as("n_null"),
+          col(s"__d_$c").as("n_distinct"),
+          col(s"__min_$c").as("min_str"),
+          col(s"__max_$c").as("max_str"))
+      }
+      one.select(explode(array(rows: _*)).as("p"))
+        .select(col("p.col_name"), col("p.n_null"), col("p.n_distinct"),
+          col("p.min_str"), col("p.max_str"))
+    }),
+
+    // Ratio-to-report: each trip's share of its service day's total
+    // absolute delay — the percent-of-total window shape, partitioned by
+    // START_DATE (one partition per day, cardinality grows with the
+    // data; the all-rows frame needs no ordering). Numerator and
+    // denominator are exact decimal sums; one mirrored divide.
+    "q106_share_of_day" -> ((s, dir) => {
+      val m = diffMart(s, dir).where(col("average_diff_in_minutes").isNotNull)
+        .groupBy(col("start_date"), col("trip_id"))
+        .agg(sum(abs(col("average_diff_in_minutes")).cast("decimal(20,6)"))
+          .as("trip_abs"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("start_date")
+      m.select(col("start_date"), col("trip_id"),
+          col("trip_abs").cast("double").as("trip_abs_delay"),
+          try_divide(col("trip_abs").cast("double"),
+            sum(col("trip_abs")).over(w).cast("double")).as("share"))
+    }),
+
     // Decomposable-aggregate merge — the incremental-maintenance
     // discipline: the mart is split into two disjoint halves (trip-hash
     // parity — think "yesterday's materialized partial" and "today's
@@ -2328,6 +2382,45 @@ object SparkEntry {
          |  GROUP BY day_type, weather_group)
          |SELECT day_type, weather_group, avg_delay FROM base
          |WHERE avg_delay IS NOT NULL""".stripMargin),
+
+    "q105_profile" ->
+      """WITH s AS (
+        |  SELECT count(*) AS total,
+        |    count(event_id) AS n_e, count(DISTINCT event_id) AS d_e,
+        |    CAST(min(event_id) AS VARCHAR) AS mn_e,
+        |    CAST(max(event_id) AS VARCHAR) AS mx_e,
+        |    count(user_id) AS n_u, count(DISTINCT user_id) AS d_u,
+        |    CAST(min(user_id) AS VARCHAR) AS mn_u,
+        |    CAST(max(user_id) AS VARCHAR) AS mx_u,
+        |    count(event_type) AS n_t, count(DISTINCT event_type) AS d_t,
+        |    CAST(min(event_type) AS VARCHAR) AS mn_t,
+        |    CAST(max(event_type) AS VARCHAR) AS mx_t,
+        |    count(value) AS n_v, count(DISTINCT value) AS d_v,
+        |    CAST(CAST(min(value) AS DECIMAL(20,6)) AS VARCHAR) AS mn_v,
+        |    CAST(CAST(max(value) AS DECIMAL(20,6)) AS VARCHAR) AS mx_v
+        |  FROM events)
+        |SELECT 'event_id' AS col_name, total - n_e AS n_null,
+        |  d_e AS n_distinct, mn_e AS min_str, mx_e AS max_str FROM s
+        |UNION ALL
+        |SELECT 'user_id', total - n_u, d_u, mn_u, mx_u FROM s
+        |UNION ALL
+        |SELECT 'event_type', total - n_t, d_t, mn_t, mx_t FROM s
+        |UNION ALL
+        |SELECT 'value', total - n_v, d_v, mn_v, mx_v FROM s""".stripMargin,
+
+    "q106_share_of_day" -> (MART_CTE +
+      """, ta AS (
+        |  SELECT start_date, trip_id,
+        |    sum(CAST(abs(average_diff_in_minutes) AS DECIMAL(20,6))) AS trip_abs
+        |  FROM mart WHERE average_diff_in_minutes IS NOT NULL
+        |  GROUP BY start_date, trip_id),
+        |dt AS (
+        |  SELECT start_date, sum(trip_abs) AS day_total FROM ta
+        |  GROUP BY start_date)
+        |SELECT t.start_date, t.trip_id,
+        |  CAST(t.trip_abs AS DOUBLE) AS trip_abs_delay,
+        |  CAST(t.trip_abs AS DOUBLE) / CAST(d.day_total AS DOUBLE) AS share
+        |FROM ta t JOIN dt d USING (start_date)""".stripMargin),
 
     "q104_merge_aggregates" -> (MART_CTE +
       s"""SELECT day_type, count(average_diff_in_minutes) AS n_rows,
