@@ -402,7 +402,15 @@ object CorpusOps {
           Iterator.single(org.apache.spark.sql.Row(null, n))
       }(Encoders.row(summarySchema))
       .localCheckpoint()
-    val candidates = summary.where(col("term").isNotNull)
+    // the gate's selectivity is observable (the cap-metric discipline):
+    // candidate rows vs total tokens says how much shuffle the sketch
+    // actually saved — a near-1 ratio means k is too large for the
+    // distribution and the gate is pass-through
+    val candidates = summary
+      .observe("heavy_hitters",
+        count(when(col("term").isNotNull, lit(1))).as("candidate_rows"),
+        sum(col("n")).as("total_tokens"))
+      .where(col("term").isNotNull)
       .select(col("term")).distinct()
     val total = summary.agg(sum(col("n")).as("n_total"))
     posting.join(broadcast(candidates), Seq("term"), "left_semi")

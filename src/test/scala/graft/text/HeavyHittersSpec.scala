@@ -58,6 +58,22 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("the gate's selectivity is observed: candidate rows and total " +
+    "tokens surface as the heavy_hitters metric") {
+    import spark.implicits._
+    val texts = (Seq.fill(50)("hot hot hot") ++
+      (1 to 30).map(i => s"rare_$i")).toDF("text")
+    val df = CorpusOps.heavyHitters(texts, "text", k = 4)
+    df.collect()
+    val metrics = df.queryExecution.observedMetrics
+    assert(metrics.contains("heavy_hitters"), s"metrics: ${metrics.keys}")
+    val row = metrics("heavy_hitters")
+    val candidateRows = row.getLong(row.fieldIndex("candidate_rows"))
+    val totalTokens = row.getLong(row.fieldIndex("total_tokens"))
+    assert(totalTokens === 180L) // 50*3 + 30
+    assert(candidateRows >= 1L && candidateRows < totalTokens)
+  }
+
   test("counts include every occurrence even when a candidate emerges in " +
     "only one partition") {
     import spark.implicits._
