@@ -978,6 +978,41 @@ object SparkEntry {
     // O4 in a columnar format: ORC write + read-back (schema preserved by
     // the format, unlike CSV) through the same aggregate as q31 — source
     // AND sink coverage for the second columnar format Spark ships.
+    // Spatial proximity self-join via GRID BUCKETING — the spatial
+    // sibling of LSH candidate generation: points land in coarse grid
+    // cells, one side explodes to its 3×3 neighborhood, candidates come
+    // from the cell equi-join (never all pairs), and the exact integer
+    // squared-distance filter verifies. Cell size = radius guarantees
+    // NO MISSES (two points within r are at most one cell apart on each
+    // axis — the pigeonhole completeness argument SimHash banding uses).
+    // Coordinates are synthetic integer (lat, lon) derived from user_id
+    // exactly like the historical pipeline's geo_coordinates (P3).
+    "q107_spatial_pairs" -> ((s, dir) => {
+      val r2 = 100L // radius² — radius 10 units
+      val cell = 10L // = radius: the no-miss grid size
+      val pts = t(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .select(col("user_id").as("id"),
+          (col("user_id") % 90L).as("lat"), (col("user_id") % 180L).as("lon"))
+      val a = pts.select(col("id").as("id_a"), col("lat").as("lat_a"),
+          col("lon").as("lon_a"),
+          expr(s"lat DIV ${cell}L").as("cx"), expr(s"lon DIV ${cell}L").as("cy"))
+        .select(col("id_a"), col("lat_a"), col("lon_a"),
+          explode(expr("sequence(cx - 1, cx + 1)")).as("cx"), col("cy"))
+        .select(col("id_a"), col("lat_a"), col("lon_a"), col("cx"),
+          explode(expr("sequence(cy - 1, cy + 1)")).as("cy"))
+      val b = pts.select(col("id").as("id_b"), col("lat").as("lat_b"),
+        col("lon").as("lon_b"),
+        expr(s"lat DIV ${cell}L").as("cx"), expr(s"lon DIV ${cell}L").as("cy"))
+      val d2 = (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +
+        (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b"))
+      // B keeps its ONE home cell while A explodes to 9, so a qualifying
+      // pair matches in exactly one (cx, cy) — no dedup pass needed
+      a.join(b, Seq("cx", "cy"))
+        .where(col("id_a") < col("id_b") && d2 <= lit(r2))
+        .select(col("id_a"), col("id_b"), d2.as("dist2"))
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -2382,6 +2417,21 @@ object SparkEntry {
          |  GROUP BY day_type, weather_group)
          |SELECT day_type, weather_group, avg_delay FROM base
          |WHERE avg_delay IS NOT NULL""".stripMargin),
+
+    // The oracle is the NAIVE all-pairs filter — the grid path hashes
+    // equal only if its candidate neighborhood misses nothing, which is
+    // the completeness claim under test.
+    "q107_spatial_pairs" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT user_id AS id, user_id % 90 AS lat,
+        |    user_id % 180 AS lon
+        |  FROM events),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    (a.lat - b.lat)*(a.lat - b.lat)
+        |      + (a.lon - b.lon)*(a.lon - b.lon) AS dist2
+        |  FROM pts a JOIN pts b ON a.id < b.id)
+        |SELECT id_a, id_b, dist2 FROM p WHERE dist2 <= 100""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (
