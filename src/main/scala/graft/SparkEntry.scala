@@ -1023,12 +1023,17 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select("event_id", "user_id", "event_type", "value")
       val cols = Seq("event_id", "user_id", "event_type", "value")
-      // doubles render to strings via a FIXED-SCALE decimal: shortest-
-      // roundtrip double formatting diverges between engines (Java flips
-      // to scientific notation below 1e-3, DuckDB does not); a
-      // decimal(20,6) prints identically in both
+      // doubles render to strings as MICRO-UNIT INTEGERS
+      // (floor(x·1e6 + 0.5)): shortest-roundtrip double formatting
+      // diverges between engines (Java flips to scientific notation
+      // below 1e-3) and even a decimal cast can round decimal-tie
+      // values differently (Spark rounds the shortest STRING half-up,
+      // DuckDB rounds the binary double) — floor over pure binary
+      // arithmetic is the only channel with no string/decimal step
       def render(c: String): Column => Column =
-        if (c == "value") (x: Column) => x.cast("decimal(20,6)").cast("string")
+        if (c == "value")
+          (x: Column) => floor(x * lit(1000000.0) + lit(0.5))
+            .cast("long").cast("string")
         else (x: Column) => x.cast("string")
       val aggs = cols.flatMap { c =>
         Seq(count(col(c)).as(s"__n_$c"),
@@ -1104,8 +1109,17 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select("event_id", "user_id", "event_type", "value")
       ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
-      ev.where(col("event_type") === "click" && col("user_id") =!= 5L)
-        .write.mode("overwrite").partitionBy("event_type")
+      val cleaned = ev.where(col("event_type") === "click" &&
+        col("user_id") =!= 5L)
+      // dynamic overwrite replaces only partitions PRESENT in the frame:
+      // an empty frame would no-op and the erasure would silently fail
+      // (user 5's rows surviving on disk while the oracle excludes them)
+      // — fail loudly instead; a real erasure job with a possibly-empty
+      // remainder must DELETE the partition, not overwrite it
+      require(!cleaned.isEmpty,
+        "q103: cleaned click partition is empty — dynamic overwrite " +
+          "would no-op instead of erasing")
+      cleaned.write.mode("overwrite").partitionBy("event_type")
         .option("partitionOverwriteMode", "dynamic").parquet(out)
       s.read.parquet(out)
         .groupBy("event_type")
@@ -2446,8 +2460,8 @@ object SparkEntry {
         |    CAST(min(event_type) AS VARCHAR) AS mn_t,
         |    CAST(max(event_type) AS VARCHAR) AS mx_t,
         |    count(value) AS n_v, count(DISTINCT value) AS d_v,
-        |    CAST(CAST(min(value) AS DECIMAL(20,6)) AS VARCHAR) AS mn_v,
-        |    CAST(CAST(max(value) AS DECIMAL(20,6)) AS VARCHAR) AS mx_v
+        |    CAST(CAST(floor(min(value) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mn_v,
+        |    CAST(CAST(floor(max(value) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mx_v
         |  FROM events)
         |SELECT 'event_id' AS col_name, total - n_e AS n_null,
         |  d_e AS n_distinct, mn_e AS min_str, mx_e AS max_str FROM s

@@ -399,18 +399,47 @@ object Dedup {
     * semantics stay a true Jaccard, over the reduced sets), and the drop
     * is emitted as the observed metric "jaccard_df". Document frequency
     * is deterministic, so the capped operator remains oracle-checkable. */
+  /** The blocked inverted-index scaffolding shared by [[jaccardPairs]]
+    * and [[containmentPairs]]: shingled docs (zero-shingle rows dropped)
+    * and the slim (block..., id, shingle) postings. */
+  private def blockedPostings(docs: DataFrame, idCol: String,
+                              textCol: String, blockCols: Seq[String],
+                              shingleN: Int): (DataFrame, DataFrame) = {
+    val sh = docs.select((blockCols.map(col) :+ col(idCol).as("id") :+
+        TextAnalysis.ngramShingles(TextAnalysis.tokens(col(textCol)), shingleN)
+          .as("sg")): _*)
+      .where(size(col("sg")) > 0)
+    val posting = sh.select(blockCols.map(col) :+ col("id") :+
+      explode(col("sg")).as("shingle"): _*)
+    (sh, posting)
+  }
+
+  /** Intersection sizes for every posting-sharing pair (id_a < id_b) —
+    * the inverted-index core both exact-similarity operators rank from.
+    * Per-side renames do NOT hurt exchange reuse (canonicalization
+    * strips alias names; both sides' posting shuffles dedupe either
+    * way — verified empirically), and using-column joins keep block
+    * column names with dots or other exotic characters working. */
+  private def intersectionCounts(posting: DataFrame,
+                                 blockCols: Seq[String]): DataFrame = {
+    val a = posting.select(blockCols.map(col) :+ col("shingle") :+
+      col("id").as("id_a"): _*)
+    val b = posting.select(blockCols.map(col) :+ col("shingle") :+
+      col("id").as("id_b"): _*)
+    a.join(b, blockCols :+ "shingle")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+  }
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], minJaccard: Double,
                    maxDf: Option[Long] = None, shingleN: Int = 2): DataFrame = {
     require(minJaccard > 0.0,
       "minJaccard must be positive: the inverted index never sees " +
         "zero-intersection pairs")
-    val sh = docs.select((blockCols.map(col) :+ col(idCol).as("id") :+
-        TextAnalysis.ngramShingles(TextAnalysis.tokens(col(textCol)), shingleN)
-          .as("sg")): _*)
-      .where(size(col("sg")) > 0)
-    val posting0 = sh.select(blockCols.map(col) :+ col("id") :+
-      explode(col("sg")).as("shingle"): _*)
+    val (sh, posting0) = blockedPostings(docs, idCol, textCol, blockCols,
+      shingleN)
     val (posting, sizes) = maxDf match {
       case None =>
         (posting0, sh.select(col("id"), size(col("sg")).cast("long").as("n")))
@@ -432,19 +461,7 @@ object Dedup {
         // dropped shingles), so recount from the kept postings.
         (kept, kept.groupBy("id").agg(count(lit(1)).as("n")))
     }
-    // Per-side renames do NOT hurt exchange reuse (canonicalization
-    // strips alias names; both sides' posting shuffles dedupe either
-    // way — verified empirically), and using-column joins keep block
-    // column names with dots or other exotic characters working.
-    val a = posting.select(blockCols.map(col) :+ col("shingle") :+
-      col("id").as("id_a"): _*)
-    val b = posting.select(blockCols.map(col) :+ col("shingle") :+
-      col("id").as("id_b"): _*)
-    val inter = a.join(b, blockCols :+ "shingle")
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
+    intersectionCounts(posting, blockCols)
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -717,22 +734,10 @@ object Dedup {
     require(minContainment > 0.0,
       "minContainment must be positive: the inverted index never sees " +
         "zero-intersection pairs")
-    val sh = docs.select((blockCols.map(col) :+ col(idCol).as("id") :+
-        TextAnalysis.ngramShingles(TextAnalysis.tokens(col(textCol)), shingleN)
-          .as("sg")): _*)
-      .where(size(col("sg")) > 0)
-    val posting = sh.select(blockCols.map(col) :+ col("id") :+
-      explode(col("sg")).as("shingle"): _*)
+    val (sh, posting) = blockedPostings(docs, idCol, textCol, blockCols,
+      shingleN)
     val sizes = sh.select(col("id"), size(col("sg")).cast("long").as("n"))
-    val a = posting.select(blockCols.map(col) :+ col("shingle") :+
-      col("id").as("id_a"): _*)
-    val b = posting.select(blockCols.map(col) :+ col("shingle") :+
-      col("id").as("id_b"): _*)
-    val inter = a.join(b, blockCols :+ "shingle")
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
+    intersectionCounts(posting, blockCols)
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("inter"),

@@ -89,8 +89,12 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
+    // the healthy plan has ZERO FileScans (the tiny (cohort, offset)
+    // frame is localCheckpoint-pinned, so the final plan reads the
+    // checkpoint RDD); a regression that re-derives cohort sizes from
+    // the events table would surface as exactly one
     val scans = "FileScan parquet".r.findAllIn(plan).size
-    assert(scans <= 1,
+    assert(scans === 0,
       s"q94 re-scans events ($scans FileScans):\n$plan")
   }
 

@@ -423,8 +423,9 @@ class StreamingAnalyticsSpec extends SparkSpec {
       feed((1L, "view", 100L), (2L, "click", 100L))
       feed((1L, "click", 200L), (2L, "view", 200L))
       feed((1L, "purchase", 300L))
-      // LATE view for user 1 at t=250: now view(100) <= click(200) still
-      // holds — but a late view for user 3 breaks nothing since absent
+      // user 3 arrives fully out of order in one batch: purchase(50)
+      // first, then view(10) and click(20) — mins are order-free, so
+      // the stage is 3 despite the arrival order
       feed((3L, "purchase", 50L), (3L, "view", 10L), (3L, "click", 20L))
       // late CLICK for user 3 at t=5 breaks view(10) <= click(5): demotes
       feed((3L, "click", 5L))
