@@ -978,6 +978,40 @@ object SparkEntry {
     // O4 in a columnar format: ORC write + read-back (schema preserved by
     // the format, unlike CSV) through the same aggregate as q31 — source
     // AND sink coverage for the second columnar format Spark ships.
+    // Proportional-allocation sampling by the largest-remainder
+    // (Hamilton) method: per-source quotas floor(n_g·k/N) plus one for
+    // the groups with the largest integer remainders (n_g·k mod N, ties
+    // to the lexicographically first source) — the EXACT-total-size
+    // stratified sample (Σ quotas ≡ k) neither the threshold (q45/q68)
+    // nor systematic (q100) samplers guarantee per group. Quota math
+    // runs over the bounded per-group count table (window over #groups
+    // rows); members are picked per group by deterministic content-hash
+    // rank, so the whole draw is integer-exact and hash-checkable.
+    "q108_proportional_sample" -> ((s, dir) => {
+      val k = 100L
+      val d = t(s, dir, "documents")
+      val counts = d.groupBy("source").agg(count(lit(1)).as("n_g"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy() // bounded: one row per source
+      val wRem = org.apache.spark.sql.expressions.Window
+        .orderBy(expr(s"(n_g * ${k}L) % total").desc, col("source").asc)
+      val quotas = counts
+        .withColumn("total", sum(col("n_g")).over(wAll))
+        .withColumn("base", expr(s"n_g * ${k}L DIV total"))
+        .withColumn("leftover",
+          (lit(k) - sum(col("base")).over(wAll)))
+        .withColumn("extra",
+          when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
+        .select(col("source"), (col("base") + col("extra")).as("quota"))
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(TextAnalysis.charPolyHash(col("text")).asc, col("doc_id").asc)
+      d.withColumn("pick_rank", row_number().over(wPick).cast("long"))
+        .join(broadcast(quotas), "source")
+        .where(col("pick_rank") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("pick_rank"))
+    }),
+
     // Spatial proximity self-join via GRID BUCKETING — the spatial
     // sibling of LSH candidate generation: points land in coarse grid
     // cells, one side explodes to its 3×3 neighborhood, candidates come
@@ -2431,6 +2465,27 @@ object SparkEntry {
          |  GROUP BY day_type, weather_group)
          |SELECT day_type, weather_group, avg_delay FROM base
          |WHERE avg_delay IS NOT NULL""".stripMargin),
+
+    "q108_proportional_sample" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+         |tq AS (
+         |  SELECT source, n_g,
+         |    (n_g * 100) // sum(n_g) OVER () AS base,
+         |    (n_g * 100) % sum(n_g) OVER () AS rem
+         |  FROM counts),
+         |q AS (
+         |  SELECT source, base +
+         |    CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+         |      <= 100 - sum(base) OVER () THEN 1 ELSE 0 END AS quota
+         |  FROM tq),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${charPolySql("text")} ASC, doc_id ASC) AS pick_rank
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, r.pick_rank
+         |FROM r JOIN q USING (source) WHERE r.pick_rank <= q.quota""".stripMargin,
 
     // The oracle is the NAIVE all-pairs filter — the grid path hashes
     // equal only if its candidate neighborhood misses nothing, which is
