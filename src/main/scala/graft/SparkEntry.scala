@@ -1364,6 +1364,45 @@ object SparkEntry {
         .where(col("avg_delay").isNotNull)
     }),
 
+    // Equi-depth bucketing via ntile — the remaining window-family
+    // member: each trip's stops split into 4 delay quartile buckets
+    // (SQL-standard ntile remainder rule: earlier buckets get the extra
+    // rows — identical in both engines). Partitioned by TRIP, like q99.
+    "q109_delay_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("trip_id")
+        .orderBy(col("average_diff_in_minutes").asc, col("stop_sequence").asc)
+      diffMart(s, dir)
+        .where(col("average_diff_in_minutes").isNotNull)
+        .select(col("trip_id"), col("stop_sequence"),
+          col("average_diff_in_minutes").as("delay_min"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // Fuzzy entity matching — the edit-distance member of the dedup
+    // family: stop-name pairs within Levenshtein distance 2, found via
+    // LENGTH BLOCKING (|len_a − len_b| ≤ maxDist is a necessary
+    // condition, so one side explodes to its ±2 length band and
+    // candidates come from the length equi-join — never all pairs).
+    // levenshtein is integer dynamic programming, identical in both
+    // engines, so the fuzzy matcher hash-checks exactly.
+    "q110_fuzzy_names" -> ((s, dir) => {
+      val names = t(s, dir, "events")
+        .select(concat(lit("stop_"), col("user_id").cast("string"))
+          .as("name")).distinct()
+        .withColumn("len", length(col("name")))
+      val a = names.select(col("name").as("name_a"), col("len").as("len_a"),
+          explode(expr("sequence(len - 2, len + 2)")).as("len"))
+      val b = names.select(col("name").as("name_b"), col("len"))
+      a.join(b, "len")
+        .where(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        // one match per pair: b keeps its true length, a's 5-length band
+        // hits it at most once, and name_a < name_b fixes the direction
+        .where(col("dist") <= 2L)
+    }),
+
     // Distribution-position window functions (percent_rank / cume_dist)
     // over each trip's stop delays. Partitioned by TRIP — high
     // cardinality, bounded partition size (≤ stops-per-trip) — never by
@@ -2447,6 +2486,24 @@ object SparkEntry {
          |FROM events GROUP BY event_type""".stripMargin,
 
     // the ORC write/read is lossless, so the roundtrip answers q31's SQL
+    "q109_delay_ntile" -> (MART_CTE +
+      """SELECT trip_id, stop_sequence,
+        |  average_diff_in_minutes AS delay_min,
+        |  CAST(ntile(4) OVER (PARTITION BY trip_id
+        |    ORDER BY average_diff_in_minutes ASC, stop_sequence ASC)
+        |    AS BIGINT) AS quartile
+        |FROM mart WHERE average_diff_in_minutes IS NOT NULL""".stripMargin),
+
+    "q110_fuzzy_names" ->
+      """WITH names AS (
+        |  SELECT DISTINCT 'stop_' || CAST(user_id AS VARCHAR) AS name
+        |  FROM events),
+        |p AS (
+        |  SELECT a.name AS name_a, b.name AS name_b,
+        |    CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |  FROM names a JOIN names b ON a.name < b.name)
+        |SELECT name_a, name_b, dist FROM p WHERE dist <= 2""".stripMargin,
+
     "q99_delay_position" -> (MART_CTE +
       """SELECT trip_id, stop_sequence,
         |  average_diff_in_minutes AS delay_min,
