@@ -1047,6 +1047,26 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), d2.as("dist2"))
     }),
 
+    // Order-independent table checksum — the anti-entropy primitive for
+    // verifying replicas/migrations without moving data: every row
+    // hashes through the mirrorable polynomial hash of its canonical
+    // string form, and the checksum is the EXACT decimal sum of row
+    // hashes (commutative — partitioning and row order cannot perturb
+    // it; decimal(38,0) cannot overflow at any corpus size, where a
+    // long sum would wrap silently around 1e12 rows). Emitted as a
+    // string: both engines print a scale-0 decimal as a plain integer.
+    "q111_table_checksum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val rowStr = concat_ws("|", col("event_id").cast("string"),
+        col("user_id").cast("string"), col("event_type"),
+        unix_timestamp(col("ts")).cast("string"))
+      ev.select(TextAnalysis.charPolyHash(rowStr).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast("decimal(38,0)")).cast("string").as("checksum"))
+        .select(lit("events").as("table_name"), col("n_rows"),
+          col("checksum"))
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -2558,6 +2578,17 @@ object SparkEntry {
         |      + (a.lon - b.lon)*(a.lon - b.lon) AS dist2
         |  FROM pts a JOIN pts b ON a.id < b.id)
         |SELECT id_a, id_b, dist2 FROM p WHERE dist2 <= 100""".stripMargin,
+
+    "q111_table_checksum" ->
+      s"""WITH rs AS (
+         |  SELECT CAST(event_id AS VARCHAR) || '|' ||
+         |    CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+         |    CAST(FLOOR(epoch(ts))::BIGINT AS VARCHAR) AS r
+         |  FROM events),
+         |h AS (SELECT ${charPolySql("r")} AS h FROM rs)
+         |SELECT 'events' AS table_name, count(*) AS n_rows,
+         |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+         |FROM h""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (
