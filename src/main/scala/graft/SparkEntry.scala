@@ -988,7 +988,12 @@ object SparkEntry {
     // rows); members are picked per group by deterministic content-hash
     // rank, so the whole draw is integer-exact and hash-checkable.
     "q108_proportional_sample" -> ((s, dir) => {
-      val k = 100L
+      // k = 77 keeps the largest-remainder branch ACTIVE on the equal-
+      // count source distribution (k = 100 would make every remainder 0
+      // and leave the tie-break dead code the oracle never exercises):
+      // equal counts -> equal remainders -> the leftover goes to the
+      // lexicographically first sources, testing the tie rule itself
+      val k = 77L
       val d = t(s, dir, "documents")
       val counts = d.groupBy("source").agg(count(lit(1)).as("n_g"))
       val wAll = org.apache.spark.sql.expressions.Window
@@ -1057,9 +1062,23 @@ object SparkEntry {
     // string: both engines print a scale-0 decimal as a plain integer.
     "q111_table_checksum" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val rowStr = concat_ws("|", col("event_id").cast("string"),
-        col("user_id").cast("string"), col("event_type"),
-        unix_timestamp(col("ts")).cast("string"))
+      // EVERY column rides the row encoding (an anti-entropy checksum
+      // that skips columns declares diverged replicas in sync); NULLs
+      // take an explicit sentinel on BOTH sides (concat_ws would
+      // silently drop the field AND its separator — non-injective and
+      // diverging from the oracle's NULL-propagating ||); the double
+      // renders through the micro-unit integer channel (q105). The '|'
+      // delimiter must not occur in string fields — true of this
+      // schema; escape before generalizing.
+      def f(c: Column): Column = coalesce(c, lit("<null>"))
+      val rowStr = concat_ws("|",
+        f(col("event_id").cast("string")),
+        f(col("user_id").cast("string")),
+        f(col("event_type")),
+        f(unix_timestamp(col("ts")).cast("string")),
+        f(floor(col("value") * lit(1000000.0) + lit(0.5))
+          .cast("long").cast("string")),
+        f(col("props")))
       ev.select(TextAnalysis.charPolyHash(rowStr).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("h").cast("decimal(38,0)")).cast("string").as("checksum"))
@@ -1411,7 +1430,7 @@ object SparkEntry {
         .select(concat(lit("stop_"), col("user_id").cast("string"))
           .as("name")).distinct()
         .withColumn("len", length(col("name")))
-      val a = names.select(col("name").as("name_a"), col("len").as("len_a"),
+      val a = names.select(col("name").as("name_a"),
           explode(expr("sequence(len - 2, len + 2)")).as("len"))
       val b = names.select(col("name").as("name_b"), col("len"))
       a.join(b, "len")
@@ -2548,13 +2567,13 @@ object SparkEntry {
          |  SELECT source, count(*) AS n_g FROM documents GROUP BY source),
          |tq AS (
          |  SELECT source, n_g,
-         |    (n_g * 100) // sum(n_g) OVER () AS base,
-         |    (n_g * 100) % sum(n_g) OVER () AS rem
+         |    (n_g * 77) // sum(n_g) OVER () AS base,
+         |    (n_g * 77) % sum(n_g) OVER () AS rem
          |  FROM counts),
          |q AS (
          |  SELECT source, base +
          |    CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
-         |      <= 100 - sum(base) OVER () THEN 1 ELSE 0 END AS quota
+         |      <= 77 - sum(base) OVER () THEN 1 ELSE 0 END AS quota
          |  FROM tq),
          |r AS (
          |  SELECT doc_id, source,
@@ -2581,9 +2600,13 @@ object SparkEntry {
 
     "q111_table_checksum" ->
       s"""WITH rs AS (
-         |  SELECT CAST(event_id AS VARCHAR) || '|' ||
-         |    CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
-         |    CAST(FLOOR(epoch(ts))::BIGINT AS VARCHAR) AS r
+         |  SELECT COALESCE(CAST(event_id AS VARCHAR), '<null>') || '|' ||
+         |    COALESCE(CAST(user_id AS VARCHAR), '<null>') || '|' ||
+         |    COALESCE(event_type, '<null>') || '|' ||
+         |    COALESCE(CAST(FLOOR(epoch(ts))::BIGINT AS VARCHAR), '<null>') || '|' ||
+         |    COALESCE(CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+         |      AS VARCHAR), '<null>') || '|' ||
+         |    COALESCE(props, '<null>') AS r
          |  FROM events),
          |h AS (SELECT ${charPolySql("r")} AS h FROM rs)
          |SELECT 'events' AS table_name, count(*) AS n_rows,
