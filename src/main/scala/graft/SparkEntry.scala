@@ -7,6 +7,7 @@ import graft.multimodal.MultiModal
 import graft.operators.{AsOfJoin, RangeJoin, Salt, Sessionize, Upsert}
 import graft.pipelines.DiffTimes
 import graft.similarity.Similarity
+import graft.streaming.RealtimeStream
 import graft.text.{CorpusOps, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1084,6 +1085,42 @@ object SparkEntry {
           sum(col("h").cast("decimal(38,0)")).cast("string").as("checksum"))
         .select(lit("events").as("table_name"), col("n_rows"),
           col("checksum"))
+    }),
+
+    // Partition-scoped streaming merge — the 100 TB shape of the S9
+    // snapshot: the keyed snapshot lives partitioned by its day column, a
+    // multi-date batch arrives touching a THIRD of the days, and
+    // RealtimeStream.mergeBatchPartitioned reads ONLY those partitions
+    // (pruned at the file listing — PartitionedMergeSpec pins the plan)
+    // and dynamic-overwrites exactly them. The oracle computes the FULL
+    // logical merge over all days, so the hash match proves the
+    // partition-scoped physical merge ≡ a full-snapshot rewrite.
+    "q112_partitioned_merge" -> ((s, dir) => {
+      val out = s"target/ptmerge_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(out), true) // fresh run
+      val ev = t(s, dir, "events")
+      def snap(pred: Column): DataFrame = ev.where(pred)
+        .groupBy(to_date(col("ts")).as("day"), col("user_id"),
+          col("event_type"))
+        .agg(max_by(col("value"), col("event_id")).as("value"),
+          min(col("event_id")).as("created_id"),
+          max(col("event_id")).as("updated_id"))
+      val keys = Seq("day", "user_id", "event_type")
+      // bootstrap snapshot: even event ids, every day
+      RealtimeStream.mergeBatchPartitioned(
+        snap(col("event_id") % 2L === 0L), out, keys,
+        compareCols = Seq("value"), orderCol = "updated_id",
+        partitionCol = "day", createdCol = Some("created_id"))
+      // the micro-batch: odd event ids on every third day
+      RealtimeStream.mergeBatchPartitioned(
+        snap(col("event_id") % 2L =!= 0L &&
+          pmod(datediff(to_date(col("ts")), lit("2024-01-01")), lit(3)) === 0),
+        out, keys, compareCols = Seq("value"), orderCol = "updated_id",
+        partitionCol = "day", createdCol = Some("created_id"))
+      s.read.parquet(out).select("day", "user_id", "event_type",
+        "value", "created_id", "updated_id")
     }),
 
     // One-pass dataset profiler — the data-quality summary every
@@ -2612,6 +2649,39 @@ object SparkEntry {
          |SELECT 'events' AS table_name, count(*) AS n_rows,
          |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
          |FROM h""".stripMargin,
+
+    // The oracle is the FULL logical merge over every day — the
+    // partition-scoped physical path hashes equal only if pruning the
+    // snapshot read to touched partitions loses nothing.
+    "q112_partitioned_merge" ->
+      """WITH old AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id, event_type,
+        |    arg_max(value, event_id) AS value,
+        |    min(event_id) AS created_id, max(event_id) AS updated_id
+        |  FROM events WHERE event_id % 2 = 0
+        |  GROUP BY 1, 2, 3),
+        |new AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id, event_type,
+        |    arg_max(value, event_id) AS value,
+        |    min(event_id) AS created_id, max(event_id) AS updated_id
+        |  FROM events
+        |  WHERE event_id % 2 <> 0
+        |    AND (((CAST(ts AS DATE) - DATE '2024-01-01') % 3) + 3) % 3 = 0
+        |  GROUP BY 1, 2, 3)
+        |SELECT
+        |  COALESCE(t.day, u.day) AS day,
+        |  COALESCE(t.user_id, u.user_id) AS user_id,
+        |  COALESCE(t.event_type, u.event_type) AS event_type,
+        |  CASE WHEN u.user_id IS NOT NULL AND (t.user_id IS NULL
+        |         OR t.value IS DISTINCT FROM u.value)
+        |       THEN u.value ELSE t.value END AS value,
+        |  COALESCE(t.created_id, u.created_id) AS created_id,
+        |  CASE WHEN u.user_id IS NOT NULL AND (t.user_id IS NULL
+        |         OR t.value IS DISTINCT FROM u.value)
+        |       THEN u.updated_id ELSE t.updated_id END AS updated_id
+        |FROM old t FULL OUTER JOIN new u
+        |  ON t.day = u.day AND t.user_id = u.user_id
+        |  AND t.event_type = u.event_type""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (

@@ -3,7 +3,9 @@ package graft.streaming
 import graft.operators.Upsert
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** §2.9 — the reference's realtime path as Structured Streaming. The
   * reference hand-rolls a micro-batch stream: cron fires every minute,
@@ -15,9 +17,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * updates (its upsert has no time bound), and state lives in the keyed
   * snapshot, not in stream memory.
   *
-  * The snapshot is maintained parquet-without-ACID: merge into a `.next`
-  * directory, then swap. With a table format (Delta/Iceberg) the body of
-  * [[mergeBatch]] would collapse to a MERGE — the join shape is identical.
+  * The snapshot is maintained parquet-without-ACID, two ways:
+  * [[mergeBatch]] merges into a `.next` directory and swaps — whole-
+  * snapshot crash-atomic, but O(snapshot) write amplification per batch —
+  * while [[mergeBatchPartitioned]] partitions the snapshot by a key
+  * column and rewrites only the partitions the batch touches — the
+  * 100 TB shape. With a table format (Delta/Iceberg) both collapse to a
+  * MERGE — the join shape is identical.
   */
 object RealtimeStream {
 
@@ -102,6 +108,131 @@ object RealtimeStream {
     promote(fs, targetPath)
   }
 
+  /** Partition-pruned snapshot read: only partition directories whose
+    * `partitionCol` value is in `values` are listed and scanned — the
+    * predicate lands in the scan's PartitionFilters, never a row-level
+    * Filter over the full snapshot (PartitionedMergeSpec pins that).
+    * `schema` pins the partition column's TYPE (directory-name inference
+    * would e.g. read a yyyyMMdd string partition back as INT), and the
+    * final select pins column ORDER (a partitioned read always emits
+    * partition columns last, regardless of the user schema's order —
+    * which would break [[Upsert.upsert]]'s schema-equality contract). */
+  def readTouchedPartitions(spark: SparkSession, targetPath: String,
+                            schema: StructType, partitionCol: String,
+                            values: Seq[Any]): DataFrame =
+    spark.read.schema(schema).parquet(targetPath)
+      .where(col(partitionCol).isInCollection(values))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+
+  /** Partition-scoped S9 merge — the 100 TB shape of [[mergeBatch]]. The
+    * snapshot is stored partitioned by `partitionCol` (a KEY column, so a
+    * key can never migrate between partitions); each micro-batch
+    *   1. dedups to latest-per-key,
+    *   2. collects the batch's distinct partition values (bounded: a
+    *      1-minute GTFS batch spans a handful of service dates),
+    *   3. reads ONLY those partitions of the snapshot (pruned at the file
+    *      listing — [[readTouchedPartitions]]),
+    *   4. merges, and
+    *   5. dynamic-partition-overwrites exactly the touched partitions.
+    * Write amplification is O(touched partitions), not O(snapshot): a
+    * 1 GB batch against a 100 TB snapshot rewrites ~the partitions the
+    * batch touches, where [[mergeBatch]] would rewrite all 100 TB.
+    *
+    * The merged rows stage through `targetPath + ".stage"` before the
+    * overwrite — Spark (correctly) refuses a write whose plan reads the
+    * output path, and the staged copy also bounds the crash window:
+    * a crash before the final overwrite leaves the live snapshot
+    * untouched; a crash DURING it can leave a touched partition
+    * half-committed (the known dynamic-overwrite granularity — a table
+    * format's metadata commit is the production fix), and the streaming
+    * checkpoint replays the batch, which heals it because the merge is
+    * idempotent (latest-per-key pre-dedup + change-predicated upsert —
+    * RealtimeStreamSpec replays a batch twice and hashes the snapshot).
+    */
+  def mergeBatchPartitioned(batch: DataFrame, targetPath: String,
+                            keys: Seq[String], compareCols: Seq[String],
+                            orderCol: String, partitionCol: String,
+                            createdCol: Option[String] = None): Unit = {
+    require(keys.contains(partitionCol),
+      s"partitionCol $partitionCol must be a key column — a non-key " +
+        "partition column could change under a key, stranding the old row " +
+        "in a partition the merge never reads")
+    val spark = batch.sparkSession
+    val fs = new Path(targetPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val updates = Upsert.latestPerKey(batch, keys, orderCol)
+    if (!fs.exists(new Path(targetPath))) {
+      // bootstrap: first batch becomes the snapshot (idempotent on replay)
+      updates.write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(targetPath)
+      return
+    }
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return // empty batch — nothing to merge
+    val pruned = readTouchedPartitions(spark, targetPath, updates.schema,
+      partitionCol, touched)
+    val merged = Upsert.upsert(pruned, updates, keys, compareCols, createdCol)
+    val stage = targetPath + ".stage"
+    merged.write.mode("overwrite").parquet(stage)
+    spark.read.schema(updates.schema).parquet(stage)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(targetPath)
+    fs.delete(new Path(stage), true)
+  }
+
+  /** Per-partition compaction for [[mergeBatchPartitioned]] snapshots —
+    * [[compactSnapshot]]'s whole-snapshot rewrite has the same O(snapshot)
+    * cost ceiling the partitioned merge exists to avoid. This one lists
+    * partition directories (driver-side, bounded by the partition count),
+    * selects only those fragmented past `targetFileBytes`-sized files, and
+    * rewrites JUST those through one shuffle job: rows re-hash to
+    * (partition, slice) so each rewritten partition lands in
+    * ceil(bytes / targetFileBytes) files, then dynamic-overwrite swaps the
+    * fragmented partitions. Untouched partitions' files are never opened.
+    * In steady state only recent partitions fragment (old service dates
+    * stop receiving merges), so each maintenance run is O(active dates). */
+  def compactSnapshotPartitioned(spark: SparkSession, targetPath: String,
+                                 partitionCol: String,
+                                 targetFileBytes: Long = 128L * 1024 * 1024)
+      : Unit = {
+    val tgt = new Path(targetPath)
+    val fs = tgt.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tgt)) return
+    val partDirs = fs.listStatus(tgt)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+    val fragmented = partDirs.flatMap { p =>
+      val files = fs.listStatus(p.getPath).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      if (files.length > want) Some((p.getPath, want)) else None
+    }
+    if (fragmented.isEmpty) return
+    // basePath keeps the partition column while reading only the
+    // fragmented directories — no partition-value string decoding
+    val df = spark.read.option("basePath", targetPath)
+      .parquet(fragmented.map(_._1.toString): _*)
+    val stage = targetPath + ".compact-stage"
+    df.write.mode("overwrite").parquet(stage) // break the read-write cycle
+    val staged = spark.read.parquet(stage)
+    val maxWant = fragmented.map(_._2).max
+    // deterministic slice (task retries must re-produce the same rows):
+    // full-row hash spreads each partition over its target file count —
+    // the repartition sits on the FINAL write, so each (partition, slice)
+    // bucket becomes exactly one output file
+    val sliced = staged.withColumn("__slice",
+      pmod(xxhash64(staged.columns.map(col): _*), lit(maxWant)))
+    sliced.repartition(col(partitionCol), col("__slice")).drop("__slice")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(targetPath)
+    fs.delete(new Path(stage), true)
+  }
+
   /** One micro-batch of RAW FEED PAYLOADS: decode + flatten + enrich via
     * [[graft.pipelines.Realtime.microBatch]] against the current snapshot,
     * then swap — E1 end to end per batch. */
@@ -145,17 +276,30 @@ object RealtimeStream {
 
   /** Start the streaming upsert: every micro-batch of realtime rows is
     * merged into the keyed parquet snapshot. `stream` must be a streaming
-    * DataFrame (e.g. rows decoded from fetched feeds). */
+    * DataFrame (e.g. rows decoded from fetched feeds). `partitionCol`
+    * selects the scale path: `Some(keyCol)` stores the snapshot
+    * partitioned by that key column and merges via
+    * [[mergeBatchPartitioned]] (O(touched partitions) per batch — the
+    * production shape; `start_date` is the natural choice for the GTFS
+    * snapshot); `None` keeps the whole-snapshot crash-atomic swap of
+    * [[mergeBatch]] (fine for small snapshots, fatal write amplification
+    * at 100 TB). */
   def start(stream: DataFrame, targetPath: String, checkpointDir: String,
             keys: Seq[String], compareCols: Seq[String], orderCol: String,
             createdCol: Option[String] = None,
-            trigger: Trigger = Trigger.ProcessingTime("1 minute"))
+            trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+            partitionCol: Option[String] = None)
       : StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, targetPath, keys, compareCols, orderCol, createdCol)
+        partitionCol match {
+          case Some(p) => mergeBatchPartitioned(batch, targetPath, keys,
+            compareCols, orderCol, p, createdCol)
+          case None => mergeBatch(batch, targetPath, keys, compareCols,
+            orderCol, createdCol)
+        }
       }
       .start()
 }

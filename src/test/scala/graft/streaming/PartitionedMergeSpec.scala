@@ -1,0 +1,147 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The partition-scoped S9 merge contract (the 100 TB snapshot shape):
+  *  - the snapshot scan is PRUNED to the partitions the batch touches
+  *    (file-listing-level pruning, not a row filter over the snapshot);
+  *  - untouched partitions' files are never rewritten (byte-identical);
+  *  - the merged rows equal the full-snapshot merge (q112 proves this
+  *    against the DuckDB oracle at sf0.01; here on a hand-built fixture);
+  *  - replaying the same batch (checkpoint-replay after a crash between
+  *    commit and checkpoint) leaves the snapshot unchanged — the
+  *    exactly-once-by-idempotence argument for `startFeedStream` restarts;
+  *  - per-partition compaction rewrites only fragmented partitions.
+  */
+class PartitionedMergeSpec extends SparkSpec {
+
+  private def listFiles(dir: java.io.File): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(dir).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+  }
+
+  private def fixture(name: String): (String, DataFrame) = {
+    import spark.implicits._
+    val out = new java.io.File(s"target/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+    // 4 days × 2 keys; value/seq/created/updated per row
+    val snap = (for { d <- 1 to 4; k <- 1 to 2 }
+      yield (s"d$d", k.toLong, s"v$d$k", d.toLong, 100L, 100L))
+      .toDF("day", "k", "v", "seq", "created", "updated")
+    RealtimeStream.mergeBatchPartitioned(snap, out.getPath,
+      keys = Seq("day", "k"), compareCols = Seq("v"), orderCol = "seq",
+      partitionCol = "day", createdCol = Some("created"))
+    (out.getPath, snap)
+  }
+
+  private def snapRows(path: String): Set[(String, Long, String, Long, Long)] =
+    spark.read.parquet(path)
+      .select("day", "k", "v", "created", "updated").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("merge touches only the batch's partitions: pruned scan, untouched " +
+    "files byte-identical, merged rows equal the logical full merge") {
+    import spark.implicits._
+    val (path, _) = fixture("ptm_spec")
+    val before = listFiles(new java.io.File(path))
+    assert(before.keys.exists(_.contains("day=d3")))
+
+    // batch: day 1 changed, day 2 unchanged (no-op update) + a new key
+    val batch = Seq(
+      ("d1", 1L, "V11", 10L, 200L, 200L),
+      ("d2", 1L, "v21", 10L, 200L, 200L),
+      ("d2", 9L, "new", 10L, 200L, 200L))
+      .toDF("day", "k", "v", "seq", "created", "updated")
+    RealtimeStream.mergeBatchPartitioned(batch, path,
+      keys = Seq("day", "k"), compareCols = Seq("v"), orderCol = "seq",
+      partitionCol = "day", createdCol = Some("created"))
+
+    // days 3 and 4 were never opened for write
+    val after = listFiles(new java.io.File(path))
+    val untouched = (f: Map[String, (Long, Long)]) =>
+      f.filter(e => e._1.contains("day=d3") ||
+        e._1.contains("day=d4"))
+    assert(untouched(after) === untouched(before),
+      "untouched partitions were rewritten")
+
+    assert(snapRows(path) === Set(
+      ("d1", 1L, "V11", 100L, 200L), // changed: created kept, updated stamped
+      ("d1", 2L, "v12", 100L, 100L),
+      ("d2", 1L, "v21", 100L, 100L), // unchanged: untouched
+      ("d2", 2L, "v22", 100L, 100L),
+      ("d2", 9L, "new", 200L, 200L), // inserted
+      ("d3", 1L, "v31", 100L, 100L),
+      ("d3", 2L, "v32", 100L, 100L),
+      ("d4", 1L, "v41", 100L, 100L),
+      ("d4", 2L, "v42", 100L, 100L)))
+
+    // the snapshot read prunes at the listing: PartitionFilters carries
+    // the touched-day predicate and only those partitions are counted
+    val pruned = RealtimeStream.readTouchedPartitions(spark, path,
+      batch.schema, "day", Seq("d1", "d2"))
+    pruned.collect()
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no file scan in the pruned read")
+    assert(scans.head.partitionFilters.nonEmpty,
+      s"partition predicate did not reach the listing:\n" +
+        pruned.queryExecution.executedPlan)
+    val nParts = scans.head.metrics.get("numPartitions").map(_.value)
+    assert(nParts === Some(2L),
+      s"expected 2 partitions scanned, got $nParts " +
+        s"(metrics: ${scans.head.metrics.keys.mkString(", ")})")
+  }
+
+  test("replaying the same batch is a no-op: checkpoint-replay after a " +
+    "crash between commit and checkpoint cannot corrupt the snapshot") {
+    import spark.implicits._
+    val (path, _) = fixture("ptm_replay")
+    val batch = Seq(("d1", 1L, "V11", 10L, 200L, 200L))
+      .toDF("day", "k", "v", "seq", "created", "updated")
+    def merge(): Unit = RealtimeStream.mergeBatchPartitioned(batch, path,
+      keys = Seq("day", "k"), compareCols = Seq("v"), orderCol = "seq",
+      partitionCol = "day", createdCol = Some("created"))
+    merge()
+    val once = snapRows(path)
+    merge() // the replay
+    assert(snapRows(path) === once,
+      "replaying an already-applied batch changed the snapshot")
+  }
+
+  test("per-partition compaction rewrites only fragmented partitions and " +
+    "preserves rows") {
+    import spark.implicits._
+    val out = new java.io.File("target/ptm_compact")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+    // day 1: fragmented (4 files); day 2: already compact (1 file)
+    (1L to 40L).map(i => (i, s"a$i", "d1"))
+      .toDF("k", "v", "day").repartition(4)
+      .write.partitionBy("day").parquet(out.getPath)
+    (1L to 10L).map(i => (i, s"b$i", "d2"))
+      .toDF("k", "v", "day").coalesce(1)
+      .write.mode("append").partitionBy("day").parquet(out.getPath)
+    def files(day: String): Seq[String] =
+      listFiles(out).keys.filter(_.contains(s"day=$day")).toSeq
+    assert(files("d1").size === 4 && files("d2").size === 1)
+    val rowsBefore = spark.read.parquet(out.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val day2Before = listFiles(out).filter(_._1.contains("day=d2"))
+
+    RealtimeStream.compactSnapshotPartitioned(spark, out.getPath, "day")
+
+    assert(files("d1").size === 1,
+      s"day 1 not compacted: ${files("d1")}")
+    assert(listFiles(out).filter(_._1.contains("day=d2"))
+      === day2Before, "the already-compact partition was rewritten")
+    val rowsAfter = spark.read.parquet(out.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rowsAfter === rowsBefore)
+    assert(!new java.io.File(out.getPath + ".compact-stage").exists())
+  }
+}
