@@ -804,4 +804,68 @@ object Dedup {
         (col("n_agree").cast("double") / lit(numHashes.toDouble))
           .as("est_jaccard"))
   }
+
+  /** Fuzzy (edit-distance ≤ `maxDist`) name pairs via LENGTH × SEGMENT
+    * blocking — the segment-pigeonhole discipline of the PassJoin family
+    * (Li, Deng & Feng, ICDE 2011; public literature). Completeness
+    * argument: an edit script of ≤ d edits between a and b (1) changes
+    * length by at most d, and (2) leaves at least one of b's d+1
+    * contiguous segments untouched, whose image in a starts within ±d of
+    * its position in b (net insertions/deletions before it are ≤ d). So
+    * candidates = pairs agreeing on (target length, segment index,
+    * segment content) with the windowed start positions enumerated on the
+    * probe side — never all pairs, and never weaker than pure length
+    * blocking: within one length band, pairs must ALSO share a content
+    * segment. The exact `levenshtein` filter then verifies candidates —
+    * blocking can only lose recall, never precision, and the all-pairs
+    * oracle hash-check (q110) is the completeness proof.
+    *
+    * Per name the probe side enumerates ≤ (2d+1)·(d+1)·(2d+1) keys
+    * (lengths × segments × shifts; 75 at d=2) and the build side d+1 —
+    * constant fan-out, so candidate generation is subquadratic whenever
+    * segment content spreads (realistic vocabularies). Degenerate
+    * corpora whose same-length strings share a constant segment (e.g. a
+    * common prefix longer than a segment) degrade to the length-band
+    * bound for that segment index — the observed `fuzzy_block.candidates`
+    * metric makes that visible instead of silent.
+    *
+    * Emits (name_a, name_b, dist) with name_a < name_b, dist ≤ maxDist. */
+  def fuzzyNamePairs(names: DataFrame, nameCol: String,
+                     maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be ≥ 1")
+    val nSeg = maxDist + 1
+    val n = names.select(col(nameCol).as("name")).distinct()
+      .withColumn("len", length(col("name")))
+    val segIdx = explode(array((0 until nSeg).map(i => lit(i)): _*))
+    // build side: each name contributes its d+1 segments at their home
+    // positions, keyed by its own length
+    val b = n.select(col("name").as("name_b"), col("len"), segIdx.as("seg_i"))
+      .withColumn("p", expr(s"(len * seg_i) DIV $nSeg"))
+      .withColumn("slen", expr(s"(len * (seg_i + 1)) DIV $nSeg") - col("p"))
+      .select(col("name_b"), col("len"), col("seg_i"),
+        col("name_b").substr(col("p") + 1, col("slen")).as("seg"))
+    // probe side: for every partner length in [len−d, len+d], every
+    // segment of THAT length's split, every in-range start shift in ±d
+    val a = n.select(col("name").as("name_a"), col("len").as("len_a"),
+        explode(sequence(col("len") - maxDist, col("len") + maxDist))
+          .as("len"))
+      .where(col("len") >= 0)
+      .select(col("name_a"), col("len_a"), col("len"), segIdx.as("seg_i"))
+      .withColumn("p", expr(s"(len * seg_i) DIV $nSeg"))
+      .withColumn("slen", expr(s"(len * (seg_i + 1)) DIV $nSeg") - col("p"))
+      .select(col("name_a"), col("len_a"), col("len"), col("seg_i"),
+        col("p"), col("slen"),
+        explode(sequence(lit(-maxDist), lit(maxDist))).as("shift"))
+      .withColumn("start", col("p") + col("shift"))
+      .where(col("start") >= 0 && col("start") + col("slen") <= col("len_a"))
+      .select(col("name_a"), col("len"), col("seg_i"),
+        col("name_a").substr(col("start") + 1, col("slen")).as("seg"))
+    a.join(b, Seq("len", "seg_i", "seg"))
+      .where(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .observe("fuzzy_block", count(lit(1)).as("candidates"))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
 }

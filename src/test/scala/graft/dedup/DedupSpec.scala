@@ -334,6 +334,37 @@ class DedupSpec extends SparkSpec {
     assert(incr.nonEmpty)
   }
 
+  test("fuzzyNamePairs: segment blocking finds EXACTLY the brute-force " +
+    "edit-distance pairs on an adversarial vocabulary (shared prefixes, " +
+    "length changes, short strings, transposed-ish edits)") {
+    import spark.implicits._
+    val vocab = Seq(
+      "stop_1", "stop_2", "stop_12", "stop_123", "stop_124", "stop_1234",
+      "stpo_1",              // two substitutions from stop_1
+      "sto_1", "stop", "st", // deletions, short strings
+      "a", "ab", "abc", "x", // very short — empty-segment edge
+      "depot_1", "depot_9", "the_terminal", "the_termina1")
+    // brute-force reference over all pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      x <- vocab; y <- vocab if x < y
+      d = lev(x, y) if d <= 2
+    } yield (x, y, d.toLong)).toSet
+    val got = Dedup.fuzzyNamePairs(vocab.toDF("name"), "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === expected,
+      s"missed: ${expected -- got}; extra: ${got -- expected}")
+    assert(expected.nonEmpty)
+  }
+
   test("simhash: identical texts share a fingerprint; pairs collapse them") {
     import spark.implicits._
     val fps = corpus.where(length(col("text")) > 0)
