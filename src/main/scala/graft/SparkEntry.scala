@@ -133,11 +133,13 @@ object SparkEntry {
   private val pqTrainedCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.mutable.HashMap[String, (Int, Seq[Seq[Seq[Long]]])]]()
 
-  private def pqTrained(s: SparkSession,
-                        dir: String): (Int, Seq[Seq[Seq[Long]]]) = {
-    // training params ride in the key: a future caller with different
-    // knobs gets its own artifact, never a silently mismatched one
-    val key = s"$dir|M=4|K=16|iters=1"
+  private def pqTrained(s: SparkSession, dir: String,
+                        numSubspaces: Int = 4, codebookSize: Int = 16,
+                        trainIters: Int = 1): (Int, Seq[Seq[Seq[Long]]]) = {
+    // training params ride in the key, BUILT FROM the actual arguments:
+    // a caller with different knobs gets its own artifact, never a
+    // silently mismatched one
+    val key = s"$dir|M=$numSubspaces|K=$codebookSize|iters=$trainIters"
     // double-checked publish: the multi-job Lloyd training must NOT run
     // under the global monitor (it would serialize unrelated sessions
     // and block resetCaches for the training's duration); a benign race
@@ -147,8 +149,8 @@ object SparkEntry {
     }
     cached.getOrElse {
       val trained = Similarity.pqTrain(t(s, dir, "embeddings"),
-        "vec_id", "embedding", numSubspaces = 4, codebookSize = 16,
-        trainIters = 1)
+        "vec_id", "embedding", numSubspaces = numSubspaces,
+        codebookSize = codebookSize, trainIters = trainIters)
       pqTrainedCache.synchronized {
         val m = pqTrainedCache.computeIfAbsent(s, _ =>
           scala.collection.mutable.HashMap.empty)
@@ -1025,15 +1027,23 @@ object SparkEntry {
     // squared-distance filter verifies. Cell size = radius guarantees
     // NO MISSES (two points within r are at most one cell apart on each
     // axis — the pigeonhole completeness argument SimHash banding uses).
-    // Coordinates are synthetic integer (lat, lon) derived from user_id
-    // exactly like the historical pipeline's geo_coordinates (P3).
+    // Coordinates are synthetic integer (lat, lon) spread by the
+    // mirrorable polynomial hash (a bare user_id % m would collapse ids
+    // onto a tiny lattice of coincident points, and coincident points
+    // make every co-located pair match — quadratic output that says
+    // nothing about the grid); the hash spread keeps expected per-cell
+    // density uniform, so the candidate:output ratio stays the bounded
+    // 9-cell constant.
     "q107_spatial_pairs" -> ((s, dir) => {
       val r2 = 100L // radius² — radius 10 units
       val cell = 10L // = radius: the no-miss grid size
+      def coord(prefix: String): Column =
+        TextAnalysis.charPolyHash(
+          concat(lit(prefix), col("user_id").cast("string"))) % 100L
       val pts = t(s, dir, "events")
         .select(col("user_id")).distinct()
         .select(col("user_id").as("id"),
-          (col("user_id") % 90L).as("lat"), (col("user_id") % 180L).as("lon"))
+          coord("lat_").as("lat"), coord("lon_").as("lon"))
       val a = pts.select(col("id").as("id_a"), col("lat").as("lat_a"),
           col("lon").as("lon_a"),
           expr(s"lat DIV ${cell}L").as("cx"), expr(s"lon DIV ${cell}L").as("cy"))
@@ -1457,26 +1467,20 @@ object SparkEntry {
 
     // Fuzzy entity matching — the edit-distance member of the dedup
     // family: stop-name pairs within Levenshtein distance 2, found via
-    // LENGTH BLOCKING (|len_a − len_b| ≤ maxDist is a necessary
-    // condition, so one side explodes to its ±2 length band and
-    // candidates come from the length equi-join — never all pairs).
-    // levenshtein is integer dynamic programming, identical in both
-    // engines, so the fuzzy matcher hash-checks exactly.
+    // LENGTH × SEGMENT blocking (Dedup.fuzzyNamePairs — the PassJoin
+    // segment-pigeonhole: candidates must share a content segment at an
+    // aligned position WITHIN the length band, so candidate generation
+    // is subquadratic on realistic vocabularies, never weaker than the
+    // length band alone, and the observed fuzzy_block.candidates metric
+    // exposes degenerate corpora). levenshtein is integer dynamic
+    // programming, identical in both engines, and the oracle is the
+    // naive all-pairs filter — the hash match IS the blocking's
+    // completeness proof.
     "q110_fuzzy_names" -> ((s, dir) => {
       val names = t(s, dir, "events")
         .select(concat(lit("stop_"), col("user_id").cast("string"))
           .as("name")).distinct()
-        .withColumn("len", length(col("name")))
-      val a = names.select(col("name").as("name_a"),
-          explode(expr("sequence(len - 2, len + 2)")).as("len"))
-      val b = names.select(col("name").as("name_b"), col("len"))
-      a.join(b, "len")
-        .where(col("name_a") < col("name_b"))
-        .select(col("name_a"), col("name_b"),
-          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
-        // one match per pair: b keeps its true length, a's 5-length band
-        // hits it at most once, and name_a < name_b fixes the direction
-        .where(col("dist") <= 2L)
+      Dedup.fuzzyNamePairs(names, "name", maxDist = 2)
     }),
 
     // Distribution-position window functions (percent_rank / cume_dist)
@@ -2624,16 +2628,18 @@ object SparkEntry {
     // equal only if its candidate neighborhood misses nothing, which is
     // the completeness claim under test.
     "q107_spatial_pairs" ->
-      """WITH pts AS (
-        |  SELECT DISTINCT user_id AS id, user_id % 90 AS lat,
-        |    user_id % 180 AS lon
-        |  FROM events),
-        |p AS (
-        |  SELECT a.id AS id_a, b.id AS id_b,
-        |    (a.lat - b.lat)*(a.lat - b.lat)
-        |      + (a.lon - b.lon)*(a.lon - b.lon) AS dist2
-        |  FROM pts a JOIN pts b ON a.id < b.id)
-        |SELECT id_a, id_b, dist2 FROM p WHERE dist2 <= 100""".stripMargin,
+      s"""WITH ids AS (SELECT DISTINCT user_id AS id FROM events),
+         |pts AS (
+         |  SELECT id,
+         |    ${charPolySql("('lat_' || CAST(id AS VARCHAR))")} % 100 AS lat,
+         |    ${charPolySql("('lon_' || CAST(id AS VARCHAR))")} % 100 AS lon
+         |  FROM ids),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    (a.lat - b.lat)*(a.lat - b.lat)
+         |      + (a.lon - b.lon)*(a.lon - b.lon) AS dist2
+         |  FROM pts a JOIN pts b ON a.id < b.id)
+         |SELECT id_a, id_b, dist2 FROM p WHERE dist2 <= 100""".stripMargin,
 
     "q111_table_checksum" ->
       s"""WITH rs AS (

@@ -217,11 +217,18 @@ object Similarity {
   /** The `nProbe` nearest centroid ids (1-based) from a bound `__cos`
     * array: sort (−cos, cid) structs — cos desc, cid asc — then slice.
     * Shared by [[ivfTopK]] and [[ivfPqTopK]] so the probe tie-break can
-    * never drift between the two IVF paths. */
+    * never drift between the two IVF paths. A ZERO-NORM centroid has
+    * NULL cosine to everything (try_divide); its nc coalesces to +∞ so
+    * it sorts to the END of the probe order — Spark's struct array_sort
+    * would otherwise put NULL fields FIRST while the oracles' ORDER BY
+    * cos DESC is NULLS-LAST, and the probe lists would diverge (the
+    * assignment side's [[nearestCid]] already matched the oracle;
+    * SimilaritySpec pins the probe side with a zero-norm seed). */
   private def probeListCol(nCentroids: Int, nProbe: Int): Column =
     slice(transform(array_sort(
       array((0 until nCentroids).map(j => struct(
-        (col("__cos").getItem(j) * lit(-1.0)).as("nc"),
+        coalesce(col("__cos").getItem(j) * lit(-1.0),
+          lit(Double.PositiveInfinity)).as("nc"),
         lit(j + 1L).as("cid"))): _*)),
       s => s.getField("cid")), 1, nProbe)
 

@@ -86,6 +86,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("ivfTopK: a zero-norm SEED CENTROID is probed LAST (NULLS-LAST " +
+    "probe order, matching the oracle) — with one dead centroid of two, " +
+    "nProbe = 1 still probes the live list and equals brute force") {
+    val base = vecs(40, seed = 9L)
+    // the second seed vector (id order) is all-zero → centroid 2 has
+    // NULL cosine to everything; every corpus vector assigns to list 1
+    val corpus = base.map { case (id, v) =>
+      if (id == 1L) (id, Seq.fill(dim)(0.0f)) else (id, v) }
+    val queries = corpus.filter(_._1 != 1L).take(3)
+    val ivf = Similarity.ivfTopK(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 4, nCentroids = 2, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // dead centroid last ⇒ the single probe hits the live list holding
+    // the whole corpus ⇒ exhaustive; NULL-first probe order would probe
+    // the EMPTY dead list and return nothing
+    val bf = Similarity.bruteForceTopK(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(ivf === bf)
+    assert(ivf.nonEmpty)
+  }
+
   test("ivfTopK with nProbe = nCentroids is exhaustive = brute force") {
     val corpus = vecs(50, seed = 6L)
     val queries = corpus.take(3)
