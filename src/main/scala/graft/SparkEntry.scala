@@ -1011,10 +1011,25 @@ object SparkEntry {
         .withColumn("extra",
           when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
         .select(col("source"), (col("base") + col("extra")).as("quota"))
+      // Per-source pick ranks, scale-safely: a window partitioned by
+      // `source` alone over the RAW corpus would put one source's entire
+      // corpus slice in a single task. Since only ranks ≤ quota ≤ k
+      // matter, prune per (source, input-partition) first — any row with
+      // global per-source rank j ≤ k has at most j−1 same-source rows
+      // ahead of it in ITS OWN partition too (pigeonhole, valid for ANY
+      // partition assignment), so the local top-k is always a superset
+      // of the global top-k — then rank the ≤ k·P survivors exactly.
+      // Both windows have bounded partitions: task input, then k·P.
+      val ordKeys = Seq(TextAnalysis.charPolyHash(col("text")).asc,
+        col("doc_id").asc)
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("__pid")).orderBy(ordKeys: _*)
       val wPick = org.apache.spark.sql.expressions.Window
-        .partitionBy("source")
-        .orderBy(TextAnalysis.charPolyHash(col("text")).asc, col("doc_id").asc)
-      d.withColumn("pick_rank", row_number().over(wPick).cast("long"))
+        .partitionBy("source").orderBy(ordKeys: _*)
+      d.withColumn("__pid", spark_partition_id())
+        .withColumn("__lr", row_number().over(wLocal))
+        .where(col("__lr") <= k).drop("__pid", "__lr")
+        .withColumn("pick_rank", row_number().over(wPick).cast("long"))
         .join(broadcast(quotas), "source")
         .where(col("pick_rank") <= col("quota"))
         .select(col("doc_id"), col("source"), col("pick_rank"))

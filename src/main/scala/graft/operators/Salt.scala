@@ -4,17 +4,35 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Key-salting for skewed shuffles (SURVEY.md §4 / the 100 TB design
-  * rules). AQE's skew-join split handles most cases at runtime; explicit
-  * salting is the declarative fallback when one key dominates so heavily
-  * that even split partitions overwhelm a reducer (power-law user ids,
-  * null-heavy foreign keys), or when the skewed side feeds an aggregation
-  * AQE cannot split.
+  * rules).
+  *
+  * DECISION RULE, measured (90%-hot-key fact-dim join over events at
+  * sf0.1, `runMain graft.Scratch skewbench <dir>`: plain sort-merge
+  * 1.44 s, AQE skew split 0.48 s, saltedJoin ×32 0.93 s):
+  *
+  *  1. DEFAULT: leave AQE's skew split on and the join un-hinted. When it
+  *     applies it wins — it splits the oversized partition at runtime,
+  *     pays no build-side replication, and needs no code change (the
+  *     measured 3× over plain SMJ).
+  *  2. SALT when AQE structurally cannot split: (a) the skewed side feeds
+  *     a grouping/aggregation on the same key (AQE must not split a
+  *     partition an aggregate needs whole); (b) the plan is not a
+  *     sort-merge/shuffled-hash join AQE knows how to rewrite; (c) one
+  *     single key's rows overwhelm even a split partition's reducer
+  *     (power-law ids, null-heavy foreign keys) — a split still leaves
+  *     every sub-partition hot.
+  *  3. Salting costs ×buckets BUILD replication (the measured 2× gap to
+  *     AQE on a shape both can handle) — size `buckets` to the hot key's
+  *     overload factor, not higher, and keep the build side broadcast-
+  *     small relative to it.
+  *
+  * SaltSpec pins row-identity of all three paths and asserts the AQE
+  * plan actually lands `skew=true`.
   *
   * Shape: scatter the skewed (probe) side's rows across `buckets`
   * sub-keys derived deterministically from row content, and replicate the
   * other (build) side once per bucket, joining on (key, salt). Results are
-  * exactly those of the unsalted join; the build side grows ×buckets, so
-  * use for moderate bucket counts on a small-to-medium build side.
+  * exactly those of the unsalted join.
   */
 object Salt {
 

@@ -188,26 +188,73 @@ object CorpusOps {
     * bin where its first token lands (bin = floor(exclusive-prefix-sum /
     * budget)). Emits (id, blockCols..., n_tokens, start_offset, bin).
     *
-    * Scale: the only ordering is a window partitioned by BLOCK (running
-    * sum per (lang, source, ...)), never a global sort — block count
-    * scales with the corpus while each block's window is an independent
-    * range-partitioned sort. Zero-token documents occupy no budget but
-    * keep a deterministic position (they inherit the running offset). */
+    * Scale: the per-block exclusive prefix sum is computed by the
+    * two-pass discipline (the [[graft.operators.Rank]] shape), NOT a
+    * window partitioned by block — blocks like (lang, source) are
+    * bounded-cardinality, so a block-partitioned window would funnel a
+    * corpus-sized slice through one task. Instead:
+    *   1. range-partition + sort by (block, id) — a distributed sort
+    *      whose partition i precedes partition i+1 — and compute the
+    *      LOCAL per-(block, partition) prefix (window bounded by task
+    *      input);
+    *   2. aggregate per-(block, partition) token totals (tiny:
+    *      #blocks × #partitions rows), exclusive-prefix them per block
+    *      (window over the aggregate), broadcast back, and add.
+    * The sorted pass is localCheckpoint-pinned so both branches observe
+    * the SAME sampled range boundaries (the Rank.globalRank lesson);
+    * call [[releasePacked]] when done with a result to drop the blocks.
+    * Zero-token documents occupy no budget but keep a deterministic
+    * position (they inherit the running offset). */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     blockCols: Seq[String], budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(blockCols.map(col): _*)
-      .orderBy(col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
+    val keys = blockCols.map(col) :+ col(idCol)
+    val sorted = docs
       .select((blockCols.map(col) :+ col(idCol) :+
         size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens")): _*)
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy((blockCols.map(col) :+ col("__pid")): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val local = sorted.withColumn("__lp",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    // per-(block, partition) totals, exclusive-prefixed per block: a
+    // window over the AGGREGATE — #blocks × #partitions rows, bounded
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(blockCols.map(col): _*)
+      .orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy((blockCols.map(col) :+ col("__pid")): _*)
+      .agg(sum(col("n_tokens")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+      .select((blockCols.map(col) :+ col("__pid") :+ col("__off")): _*)
+    val out = local
+      .join(broadcast(offsets), blockCols :+ "__pid")
       .select((blockCols.map(col) :+ col(idCol) :+ col("n_tokens") :+
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("start_offset")): _*)
+        (col("__lp") + col("__off")).as("start_offset")): _*)
       // integer DIV, not `/` (which is double division on longs): exact
       // at any offset magnitude, and the oracle's `//` mirrors it
       .withColumn("bin", expr(s"start_offset DIV ${budget}L"))
+    packRetained.put(out, sorted)
+    out
+  }
+
+  /** Results still reading a [[packSequences]] frame's pinned sorted
+    * pass, for eager release via [[releasePacked]]. */
+  private val packRetained = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, DataFrame]())
+
+  /** Drop the sorted-pass blocks a [[packSequences]] result pins. The
+    * result must not be evaluated again afterwards. */
+  def releasePacked(result: DataFrame): Unit = {
+    val sorted = packRetained.remove(result)
+    if (sorted != null)
+      org.apache.spark.sql.graftbridge.Bridge.localCheckpointRdd(sorted)
+        .foreach(_.unpersist(blocking = false))
   }
 
   /** Deterministic mixture resampling — the training-mix constructor:

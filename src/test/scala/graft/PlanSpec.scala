@@ -197,6 +197,33 @@ class PlanSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("window partition-key hygiene: no registered query plans a window " +
+    "partitioned ONLY by bounded-cardinality dimension columns over raw " +
+    "corpus-sized input — such partitions grow with the data and funnel " +
+    "a corpus slice through one task (the q76 two-pass rank or the q108 " +
+    "per-partition bounded top-k is the spelling for that shape). " +
+    "Windows whose input is already bounded — fed by an aggregate or by " +
+    "a pruning window below — are the allowed exceptions (q46, q108).") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val boundedDims = Set("day_type", "weather_group", "weather_description",
+      "event_type", "lang", "source")
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty &&
+          w.partitionSpec.forall(
+            _.references.toSeq.map(_.name).forall(boundedDims)) &&
+          w.child.collect {
+            case a: Aggregate => a
+            case ww: LWindow => ww
+          }.isEmpty =>
+          s"$q: window partitioned by " +
+            s"[${w.partitionSpec.map(_.sql).mkString(", ")}] over raw input"
+      }
+    }
+    assert(bad.isEmpty, s"scale-hazard windows:\n${bad.mkString("\n")}")
+  }
+
   test("q75: the partitioned read-back prunes at the file listing — the " +
     "event_type predicate lands in PartitionFilters, not a row-level " +
     "Filter over all partitions") {

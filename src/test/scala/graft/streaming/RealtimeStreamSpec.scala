@@ -104,6 +104,40 @@ class RealtimeStreamSpec extends SparkSpec {
       === Some(new Path(tgt).toString))
   }
 
+  test("exactly-once-by-idempotence: a crash AFTER promote but BEFORE the " +
+    "checkpoint commit replays the batch — replaying the identical batch " +
+    "leaves the snapshot bit-identical (latestPerKey pre-dedup + " +
+    "change-predicated upsert), so restart cannot corrupt or duplicate") {
+    import spark.implicits._
+    val base = Paths.get("target", "test_replay")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    val tgt = base.resolve("tgt").toString
+    def snapshot(): Set[(Long, String, Long, Long, Long)] =
+      spark.read.parquet(tgt).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    RealtimeStream.mergeBatch(
+      Seq((1L, "a", 1L, 100L, 100L), (2L, "b", 1L, 100L, 100L))
+        .toDF("k", "v", "seq", "created", "updated"),
+      tgt, Seq("k"), Seq("v"), "seq", createdCol = Some("created"))
+    // the batch the checkpoint will replay (key 1 changed, key 3 new,
+    // key 1 also repeated in-batch — latestPerKey must pick seq 3)
+    val batch = Seq((1L, "A0", 2L, 200L, 200L), (1L, "A", 3L, 200L, 200L),
+      (3L, "c", 1L, 200L, 200L))
+      .toDF("k", "v", "seq", "created", "updated")
+    RealtimeStream.mergeBatch(batch, tgt, Seq("k"), Seq("v"), "seq",
+      createdCol = Some("created"))
+    val afterCommit = snapshot()
+    assert(afterCommit === Set((1L, "A", 3L, 100L, 200L),
+      (2L, "b", 1L, 100L, 100L), (3L, "c", 1L, 200L, 200L)))
+    // crash window: promote done, checkpoint not committed → the stream
+    // restarts and foreachBatch runs the SAME batch again
+    RealtimeStream.mergeBatch(batch, tgt, Seq("k"), Seq("v"), "seq",
+      createdCol = Some("created"))
+    assert(snapshot() === afterCommit,
+      "replaying an already-committed batch changed the snapshot")
+  }
+
   test("foreachBatch upsert maintains the keyed snapshot across batches") {
     val base = Paths.get("target", "test_stream")
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
