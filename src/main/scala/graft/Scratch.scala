@@ -10,12 +10,80 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args(0) == "skewbench") { skewBench(spark, args(1)); spark.stop(); return }
+    if (args(0) == "scaleprobe") { scaleProbe(spark, args(1)); spark.stop(); return }
+    if (args(0) == "multifile") {
+      multiFile(spark, args(1), args(2)); spark.stop(); return
+    }
     val df = SparkEntry.queries(args(0))(spark, args(1))
     df.explain("formatted")
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println(s"ELAPSED ${(System.nanoTime() - t0) / 1e9}")
     spark.stop()
+  }
+
+  /** sf1 scale probe (README's linearity table): build a ×10 replica of
+    * the sf0.1 documents/embeddings — each copy's tokens salted with the
+    * copy index so copies are internally identical corpora but share NO
+    * shingles across copies (the statistical shape of a 10× corpus: 10×
+    * the docs at the same internal dup rate, not 10 exact clones of
+    * every document, which would inflate every dup group ×10 and probe
+    * cluster blowup, not scale) — then time the top-5 bench queries at
+    * both scales, cache-cold each. */
+  private def scaleProbe(spark: SparkSession, sfDir: String): Unit = {
+    val big = "target/scale_x10"
+    val marker = new java.io.File(big + "/_done")
+    if (!marker.exists()) {
+      val docs = Tables.t(spark, sfDir, "documents")
+      val embs = Tables.t(spark, sfDir, "embeddings")
+      val docsN = (0 until 10).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
+      }.reduce(_ unionByName _)
+      val embsN = (0 until 10).map { i =>
+        embs.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L))
+          // deterministic per-copy perturbation keeps vectors distinct
+          .withColumn("embedding", expr(
+            s"transform(embedding, (x, j) -> x + CAST(($i * (j + 1)) AS FLOAT) * CAST(1e-4 AS FLOAT))"))
+      }.reduce(_ unionByName _)
+      docsN.write.mode("overwrite").parquet(s"$big/documents.parquet")
+      embsN.write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+      marker.createNewFile()
+    }
+    val probes = Seq("q51_dup_clusters", "q87_pq_ann", "q43_trigram_jaccard",
+      "q38_jaccard_maxdf", "q72_incremental_dedup")
+    for (q <- probes; (label, dir) <- Seq("x1" -> sfDir, "x10" -> big)) {
+      // min of 2 cache-cold runs: the first execution of a plan also
+      // pays one-time codegen/JIT, which would masquerade as data cost
+      val secs = (1 to 2).map { _ =>
+        SparkEntry.resetCaches()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"PROBE $q%-22s $label%-4s $secs%8.2f s")
+    }
+  }
+
+  /** Multi-file layout fixture: every bench table re-written as an
+    * 8-file parquet directory (the driver testdata is one file per
+    * table, which under-exercises scan parallelism and AQE coalescing).
+    * Run Bench with SPARK_GRAFT_SF_DIR pointing at the output. */
+  private def multiFile(spark: SparkSession, sfDir: String, out: String): Unit = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    for (tn <- tables;
+         if new java.io.File(s"$sfDir/$tn.parquet").exists()) {
+      // read RAW (no nanos rewrite): the copy must preserve the exact
+      // on-disk column types so Tables.t applies its own ts handling
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$tn.parquet")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/$tn.parquet")
+    }
+    println(s"MULTIFILE $out done")
   }
 
   /** Skew experiment backing the README's AQE-vs-salting numbers: a 90%-
