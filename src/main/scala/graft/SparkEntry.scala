@@ -4,7 +4,7 @@ import graft.analytics.Dashboard
 import graft.dedup.Dedup
 import graft.functions.{TimeOps, WeatherOps}
 import graft.multimodal.MultiModal
-import graft.operators.{AsOfJoin, RangeJoin, Salt, Sessionize, Upsert}
+import graft.operators.{AsOfJoin, RangeJoin, Rank, Salt, Sessionize, Upsert}
 import graft.pipelines.DiffTimes
 import graft.similarity.Similarity
 import graft.streaming.RealtimeStream
@@ -1014,25 +1014,33 @@ object SparkEntry {
       // Per-source pick ranks, scale-safely: a window partitioned by
       // `source` alone over the RAW corpus would put one source's entire
       // corpus slice in a single task. Since only ranks ≤ quota ≤ k
-      // matter, prune per (source, input-partition) first — any row with
-      // global per-source rank j ≤ k has at most j−1 same-source rows
-      // ahead of it in ITS OWN partition too (pigeonhole, valid for ANY
-      // partition assignment), so the local top-k is always a superset
-      // of the global top-k — then rank the ≤ k·P survivors exactly.
-      // Both windows have bounded partitions: task input, then k·P.
-      val ordKeys = Seq(TextAnalysis.charPolyHash(col("text")).asc,
-        col("doc_id").asc)
-      val wLocal = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"), col("__pid")).orderBy(ordKeys: _*)
-      val wPick = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(ordKeys: _*)
-      d.withColumn("__pid", spark_partition_id())
-        .withColumn("__lr", row_number().over(wLocal))
-        .where(col("__lr") <= k).drop("__pid", "__lr")
-        .withColumn("pick_rank", row_number().over(wPick).cast("long"))
+      // matter, Rank.groupTopK prunes per (source, input-partition)
+      // first and exact-ranks the k·P survivors — both windows bounded.
+      Rank.groupTopK(d,
+          Seq("source"),
+          Seq(TextAnalysis.charPolyHash(col("text")).asc, col("doc_id").asc),
+          k = k.toInt, rankCol = "pick_rank")
         .join(broadcast(quotas), "source")
         .where(col("pick_rank") <= col("quota"))
         .select(col("doc_id"), col("source"), col("pick_rank"))
+    }),
+
+    // Per-group top-k as a first-class operator (Rank.groupTopK): the
+    // 5 highest-quality documents per language by the q22 quality score
+    // — the curation shortlist shape ("best docs per slice"). The group
+    // column is bounded-cardinality, exactly the shape where the naive
+    // per-group window funnels a corpus slice through one task; the
+    // operator's local-prune + exact-rank keeps every window partition
+    // bounded while the oracle computes the naive window — the hash
+    // match proves the pruning loses nothing.
+    "q113_top_quality_per_lang" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityFeatures(col("text"), Seq("the", "a"))
+            .getField("quality_score").as("quality_score"))
+      Rank.groupTopK(d, Seq("lang"),
+        Seq(col("quality_score").desc, col("doc_id").asc),
+        k = 5, rankCol = "qrank")
     }),
 
     // Spatial proximity self-join via GRID BUCKETING — the spatial
@@ -3629,6 +3637,32 @@ object SparkEntry {
          |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
          |  END AS quality_score
          |FROM g""".stripMargin,
+
+    // The oracle is the NAIVE per-lang window — groupTopK's local-prune
+    // + exact-rank hashes equal only if the pruning loses nothing.
+    "q113_top_quality_per_lang" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, $TOKENS_SQL AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(tk, t -> t IN ('the','a'))) AS BIGINT) AS n_stop
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |      0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0)
+         |      + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |    END AS quality_score
+         |  FROM g),
+         |r AS (
+         |  SELECT doc_id, lang, quality_score,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS qrank
+         |  FROM q)
+         |SELECT doc_id, lang, quality_score, qrank FROM r WHERE qrank <= 5""".stripMargin,
 
     "q23_token_stats" ->
       s"""SELECT doc_id,

@@ -858,6 +858,13 @@ object Dedup {
         explode(sequence(lit(-maxDist), lit(maxDist))).as("shift"))
       .withColumn("start", col("p") + col("shift"))
       .where(col("start") >= 0 && col("start") + col("slen") <= col("len_a"))
+      // indel-budget window (the PassJoin tightening): the shift δ of a
+      // preserved segment is the net indel count BEFORE it and Δ−δ
+      // (Δ = len_a − l) is netted by indels AFTER it; each indel counts
+      // once and substitutions move nothing, so |δ| + |Δ−δ| ≤ d — this
+      // roughly halves the probe keys vs the naive |δ| ≤ d window
+      .where(abs(col("shift")) +
+        abs(col("len_a") - col("len") - col("shift")) <= maxDist)
       .select(col("name_a"), col("len"), col("seg_i"),
         col("name_a").substr(col("start") + 1, col("slen")).as("seg"))
     a.join(b, Seq("len", "seg_i", "seg"))

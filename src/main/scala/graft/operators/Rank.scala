@@ -81,4 +81,37 @@ object Rank {
       org.apache.spark.sql.graftbridge.Bridge.localCheckpointRdd(sorted)
         .foreach(_.unpersist(blocking = false))
   }
+
+  /** Per-group top-k with bounded window partitions — the scale-safe
+    * spelling of `row_number() OVER (PARTITION BY group ORDER BY …) <= k`
+    * when the group column is BOUNDED-cardinality (lang, source, day
+    * type): the naive window puts one group's entire corpus slice in a
+    * single task. Two bounded passes instead:
+    *
+    *  1. local prune: rank within (group, input-partition) and keep ≤ k
+    *     per cell — any row with global in-group rank j ≤ k has at most
+    *     j−1 better same-group rows in its OWN partition (pigeonhole,
+    *     valid for ANY partition assignment), so the local top-k is
+    *     always a superset of the global top-k; window partitions are
+    *     bounded by task input;
+    *  2. exact rank over the ≤ k × #partitions survivors — bounded.
+    *
+    * `sortCols` must induce a total order within each group (append a
+    * unique tiebreak) or equal-key ranks are placement-defined. Emits
+    * the input columns + `rankCol` (1-based BIGINT, ≤ k). */
+  def groupTopK(df: DataFrame, groupCols: Seq[String], sortCols: Seq[Column],
+                k: Int, rankCol: String = "rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(groupCols.nonEmpty, "groupTopK requires group columns; use " +
+      "globalRank + a limit for the ungrouped shape")
+    val wLocal = Window
+      .partitionBy((groupCols.map(col) :+ col("__pid")): _*)
+      .orderBy(sortCols: _*)
+    val wExact = Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
+    df.withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(wLocal))
+      .where(col("__lr") <= k).drop("__pid", "__lr")
+      .withColumn(rankCol, row_number().over(wExact).cast("long"))
+      .where(col(rankCol) <= k)
+  }
 }

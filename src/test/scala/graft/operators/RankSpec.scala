@@ -42,4 +42,22 @@ class RankSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("groupTopK equals the naive per-group window top-k on a " +
+    "multi-partition frame (local prune loses nothing), including " +
+    "groups smaller than k and ties broken by the explicit tiebreak") {
+    import spark.implicits._
+    val rows = (1L to 500L).map { i =>
+      (s"g${i % 7}", i, (i * 37L) % 19L) // 7 groups, many score ties
+    } ++ Seq(("tiny", 9001L, 5L)) // a 1-row group with k = 3
+    val df = rows.toDF("g", "id", "score").repartition(8)
+    val got = Rank.groupTopK(df, Seq("g"),
+        Seq(col("score").desc, col("id").asc), k = 3, rankCol = "r")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, members) =>
+      members.sortBy(m => (-m._3, m._2)).take(3)
+        .zipWithIndex.map { case (m, i) => (g, m._2, i + 1L) }
+    }.toSet
+    assert(got === want)
+  }
 }
