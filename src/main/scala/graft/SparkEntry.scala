@@ -1025,6 +1025,34 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("pick_rank"))
     }),
 
+    // Token-rarity signal — the corpus-frequency quality score used to
+    // weight sampling toward novel content: per document, the mean
+    // document-frequency ratio of its DISTINCT tokens (low = rare
+    // vocabulary). All integer until one mirrored double divide: df from
+    // the distinct (doc, token) posting (map-side combined), sum-of-df
+    // per doc via the token-keyed join, corpus size N as the 1-row
+    // scalar attach (the q60 shape, declared in PlanSpec). Zero-token
+    // documents surface with NULL ratio, never divide-by-zero.
+    "q114_token_rarity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val post = d.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      val dfreq = post.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val per = post.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
+      d.select(col("doc_id")).crossJoin(nDocs)
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tok"), lit(0L)).as("n_distinct_tokens"),
+          coalesce(col("sum_df"), lit(0L)).as("sum_df"),
+          when(col("n_tok").isNull, lit(null))
+            .otherwise(col("sum_df").cast("double") /
+              (col("n_tok") * col("n_docs")).cast("double"))
+            .as("mean_df_ratio"))
+    }),
+
     // Per-group top-k as a first-class operator (Rank.groupTopK): the
     // 5 highest-quality documents per language by the q22 quality score
     // — the curation shortlist shape ("best docs per slice"). The group
@@ -3637,6 +3665,25 @@ object SparkEntry {
          |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
          |  END AS quality_score
          |FROM g""".stripMargin,
+
+    "q114_token_rarity" ->
+      s"""WITH post AS (
+         |  SELECT doc_id, unnest(list_distinct($TOKENS_SQL)) AS tok
+         |  FROM documents),
+         |dfreq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |per AS (
+         |  SELECT p.doc_id, count(*) AS n_tok,
+         |    CAST(sum(df) AS BIGINT) AS sum_df
+         |  FROM post p JOIN dfreq USING (tok) GROUP BY p.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(per.n_tok, 0) AS n_distinct_tokens,
+         |  COALESCE(per.sum_df, 0) AS sum_df,
+         |  CASE WHEN per.n_tok IS NULL THEN NULL
+         |       ELSE CAST(per.sum_df AS DOUBLE)
+         |            / CAST(per.n_tok * n.n_docs AS DOUBLE) END AS mean_df_ratio
+         |FROM documents d CROSS JOIN n
+         |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
 
     // The oracle is the NAIVE per-lang window — groupTopK's local-prune
     // + exact-rank hashes equal only if the pruning loses nothing.

@@ -871,8 +871,12 @@ object Dedup {
       .where(col("name_a") < col("name_b"))
       .select("name_a", "name_b").distinct()
       .observe("fuzzy_block", count(lit(1)).as("candidates"))
+      // banded verification kernel: O(d·len) + early band exit, vs the
+      // built-in's full O(len²) table — exact for every distance the
+      // `<= maxDist` filter can keep (parity-pinned in TextKernelsSpec)
       .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        graft.expressions.TextKernels.boundedLevenshteinOf(
+          col("name_a"), col("name_b"), maxDist).as("dist"))
       .where(col("dist") <= maxDist)
   }
 }

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -143,6 +143,51 @@ object TextKernels {
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
   }
 
+  /** Threshold-banded Levenshtein row kernel (Ukkonen's band, public
+    * algorithm): exact edit distance when ≤ `maxDist`, else `maxDist+1`.
+    * The DP evaluates only the 2d+1-wide diagonal band — O(d·min(n,m))
+    * vs the built-in's full O(n·m) table — and exits as soon as an
+    * entire band row exceeds the threshold (for the dominant non-match
+    * case that is after ~d+1 rows, regardless of string length).
+    * Code-point semantics, matching the built-in `levenshtein` (and the
+    * DuckDB oracle) on every string whose distance is within the
+    * threshold — which is the only regime a `dist <= d` filter
+    * observes. */
+  def boundedLevenshtein(a: UTF8String, b: UTF8String, maxDist: Int): Long = {
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
+    val n = s.length
+    val m = t.length
+    val inf = maxDist + 1
+    if (math.abs(n - m) > maxDist) return inf.toLong
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= maxDist) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      cur(0) = if (i <= maxDist) i else inf
+      var rowMin = cur(0)
+      val from = math.max(1, i - maxDist)
+      val to = math.min(m, i + maxDist)
+      j = from
+      while (j <= to) {
+        val cost = if (s(i - 1) == t(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        cur(j) = if (v > inf) inf else v
+        if (cur(j) < rowMin) rowMin = cur(j)
+        j += 1
+      }
+      if (rowMin >= inf) return inf.toLong // whole band over threshold
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    math.min(prev(m), inf).toLong
+  }
+
   // ------------------------------------------------------- Column surface --
 
   def tokensOf(text: Column): Column =
@@ -159,6 +204,39 @@ object TextKernels {
 
   def bpeMergeOf(tk: Column, a: String, b: String): Column =
     Bridge.column(BpeMergeTokens(Bridge.expression(tk), a, b))
+
+  def boundedLevenshteinOf(a: Column, b: Column, maxDist: Int): Column =
+    Bridge.column(BoundedLevenshtein(
+      Bridge.expression(a), Bridge.expression(b), maxDist))
+}
+
+/** Threshold-banded Levenshtein distance of two string columns: exact
+  * when ≤ maxDist, saturates at maxDist+1 — see
+  * [[TextKernels.boundedLevenshtein]]. */
+case class BoundedLevenshtein(left: Expression, right: Expression,
+                              maxDist: Int) extends BinaryExpression {
+  require(maxDist >= 0, "maxDist must be >= 0")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string inputs, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bounded_levenshtein"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.boundedLevenshtein(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.TextKernels" +
+        s".boundedLevenshtein($a, $b, $maxDist);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedLevenshtein =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Whitespace tokens of a string column (empties dropped). */

@@ -127,7 +127,7 @@ class PlanSpec extends SparkSpec {
     * AND the q86 stats attach). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
-      "q88_heavy_hitters", "q89_hybrid_rrf")
+      "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

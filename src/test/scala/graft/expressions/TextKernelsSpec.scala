@@ -65,6 +65,42 @@ class TextKernelsSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("boundedLevenshtein == min(built-in levenshtein, d+1) on random " +
+    "pairs and edge cases, for d = 0..4, and participates in codegen") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val alphabet = "abcde 日本"
+    def randStr(): String =
+      Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    val pairs = Seq.fill(300)((randStr(), randStr())) ++ Seq(
+      ("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+      ("kitten", "sitting"), ("ab", "ba"), ("aaaa", "aa"),
+      ("日本語", "日木語"))
+    val df = pairs.toDF("a", "b")
+    for (d <- 0 to 4) {
+      val rows = df.select(
+        graft.expressions.TextKernels
+          .boundedLevenshteinOf(col("a"), col("b"), d).as("got"),
+        least(levenshtein(col("a"), col("b")).cast("long"),
+          lit(d + 1L)).as("want")).collect()
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1),
+        s"d=$d mismatch: got ${r.getLong(0)} want ${r.getLong(1)}"))
+    }
+    // codegen participation (range source — a local relation would be
+    // constant-folded away before any codegen happens)
+    val plan = spark.range(8)
+      .select(concat(lit("s"), col("id").cast("string")).as("a"),
+        concat(lit("s"), ((col("id") + 1L) % 8L).cast("string")).as("b"))
+      .select(graft.expressions.TextKernels
+        .boundedLevenshteinOf(col("a"), col("b"), 2).as("x"))
+    plan.collect()
+    val s = plan.queryExecution.executedPlan.toString
+    assert(s.linesIterator.exists(l =>
+      l.contains("graft_bounded_levenshtein") && l.trim.startsWith("*")),
+      s"kernel not codegen'd:\n$s")
+  }
+
   test("tokens/shingles/charPolyHash participate in whole-stage codegen") {
     val df = spark.range(8).select(
         concat(lit("w"), col("id").cast("string"), lit(" x y w"),

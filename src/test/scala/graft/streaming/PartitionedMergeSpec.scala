@@ -114,6 +114,38 @@ class PartitionedMergeSpec extends SparkSpec {
       "replaying an already-applied batch changed the snapshot")
   }
 
+  test("streaming end-to-end: start(partitionCol=Some) maintains the " +
+    "partitioned snapshot across micro-batch rounds with checkpoint " +
+    "restart-resume") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Paths.get("target", "ptm_stream")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val tgt = base.resolve("tgt").toString
+    val chk = base.resolve("chk").toString
+    def runRound(): Unit = {
+      val stream = spark.readStream
+        .schema("day STRING, k LONG, v STRING, seq LONG")
+        .csv(src.toString)
+      val q = RealtimeStream.start(stream, tgt, chk,
+        keys = Seq("day", "k"), compareCols = Seq("v"), orderCol = "seq",
+        trigger = Trigger.AvailableNow(), partitionCol = Some("day"))
+      q.awaitTermination()
+    }
+    Files.writeString(src.resolve("b1.csv"), "d1,1,a,1\nd2,1,b,1\n")
+    runRound()
+    assert(new java.io.File(s"$tgt/day=d1").isDirectory &&
+      new java.io.File(s"$tgt/day=d2").isDirectory,
+      "snapshot is not day-partitioned on disk")
+    Files.writeString(src.resolve("b2.csv"), "d1,1,A,2\nd3,5,c,1\n")
+    runRound() // restart from checkpoint; touches d1 and d3 only
+    val rows = spark.read.parquet(tgt)
+      .select("day", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows === Set(("d1", 1L, "A"), ("d2", 1L, "b"), ("d3", 5L, "c")))
+  }
+
   test("per-partition compaction rewrites only fragmented partitions and " +
     "preserves rows") {
     import spark.implicits._
