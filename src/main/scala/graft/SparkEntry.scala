@@ -348,6 +348,19 @@ object SparkEntry {
   private val EXACT_AVG = "CAST(sum(CAST(%s AS DECIMAL(20,6))) AS DOUBLE) / count(%s)"
   private def exactAvgSql(c: String) = EXACT_AVG.format(c, c)
 
+  /** Naive all-pairs fuzzy-match oracle, shared by q110 (segment-blocked
+    * + banded kernel) and q115 (length-banded + optimizer-rewritten
+    * built-in) — both must produce exactly these pairs. */
+  private val FUZZY_PAIRS_ORACLE =
+    """WITH names AS (
+      |  SELECT DISTINCT 'stop_' || CAST(user_id AS VARCHAR) AS name
+      |  FROM events),
+      |p AS (
+      |  SELECT a.name AS name_a, b.name AS name_b,
+      |    CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |  FROM names a JOIN names b ON a.name < b.name)
+      |SELECT name_a, name_b, dist FROM p WHERE dist <= 2""".stripMargin
+
   /** DuckDB mirror of the generalized codepoint polynomial hash
     * h = (h*mult + cp) mod `mod` over expression `e`. */
   private def charPolySqlM(e: String, mult: Long, mod: Long) =
@@ -1534,6 +1547,31 @@ object SparkEntry {
       Dedup.fuzzyNamePairs(names, "name", maxDist = 2)
     }),
 
+    // The RewriteBoundedLevenshtein rule driven end-to-end: the SAME
+    // fuzzy pairs as q110, but spelled the way a USER would write them —
+    // a length-band join verified by the BUILT-IN `levenshtein(...) <= 2`
+    // predicate — on a session with GraftOptimizations installed. The
+    // rule swaps the predicate's full-table levenshtein for the banded
+    // kernel (PlanSpec asserts the optimized plan); the projected dist
+    // value keeps the built-in (it is observable output, not a
+    // threshold decision). Hash-checks against q110's oracle verbatim.
+    "q115_fuzzy_rewrite" -> ((s, dir) => {
+      val iso = s.newSession()
+      graft.plans.GraftOptimizations.install(iso)
+      val names = t(iso, dir, "events")
+        .select(concat(lit("stop_"), col("user_id").cast("string"))
+          .as("name")).distinct()
+        .withColumn("len", length(col("name")))
+      val a = names.select(col("name").as("name_a"),
+        explode(expr("sequence(len - 2, len + 2)")).as("len"))
+      val b = names.select(col("name").as("name_b"), col("len"))
+      a.join(b, "len")
+        .where(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+    }),
+
     // Distribution-position window functions (percent_rank / cume_dist)
     // over each trip's stop delays. Partitioned by TRIP — high
     // cardinality, bounded partition size (≤ stops-per-trip) — never by
@@ -2625,15 +2663,11 @@ object SparkEntry {
         |    AS BIGINT) AS quartile
         |FROM mart WHERE average_diff_in_minutes IS NOT NULL""".stripMargin),
 
-    "q110_fuzzy_names" ->
-      """WITH names AS (
-        |  SELECT DISTINCT 'stop_' || CAST(user_id AS VARCHAR) AS name
-        |  FROM events),
-        |p AS (
-        |  SELECT a.name AS name_a, b.name AS name_b,
-        |    CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-        |  FROM names a JOIN names b ON a.name < b.name)
-        |SELECT name_a, name_b, dist FROM p WHERE dist <= 2""".stripMargin,
+    "q110_fuzzy_names" -> FUZZY_PAIRS_ORACLE,
+
+    // q115 computes the identical pairs through the built-in levenshtein
+    // spelling + the optimizer rewrite — same oracle, verbatim.
+    "q115_fuzzy_rewrite" -> FUZZY_PAIRS_ORACLE,
 
     "q99_delay_position" -> (MART_CTE +
       """SELECT trip_id, stop_sequence,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
 /** Catalyst optimizer rule applying the library's own escalation policy
   * (SURVEY.md §7.4) automatically: a user who writes the natural
@@ -106,9 +106,72 @@ object RewriteHofTokens extends Rule[LogicalPlan] {
     }
 }
 
+/** Rewrites a thresholded edit-distance predicate — the natural user
+  * spelling `levenshtein(a, b) <= d` (also `<`, and the operand-flipped
+  * forms) with a small integer literal threshold — to the banded
+  * [[graft.expressions.BoundedLevenshtein]] kernel: O(d·len) with an
+  * early whole-band exit, vs the built-in's full O(len²) table. The
+  * kernel is exact for every distance ≤ its threshold and saturates at
+  * threshold+1, so each rewritten comparison decides identically on
+  * every input (TextKernelsSpec pins value parity; q115 drives the rule
+  * end-to-end against q110's oracle). Only the COMPARISON is rewritten —
+  * a bare `levenshtein(a, b)` projected as a value keeps the built-in
+  * (the full distance is observable there). Spark's own 3-arg
+  * `levenshtein(a, b, threshold)` (returns −1 beyond the threshold) is
+  * the built-in alternative for new code; this rule exists for the
+  * predicate form users actually write. */
+object RewriteBoundedLevenshtein extends Rule[LogicalPlan] {
+  private val MaxThreshold = 64
+
+  /** A full (un-thresholded) levenshtein over deterministic string
+    * inputs, possibly under the analyzer's widening cast to long. */
+  private object Lev {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Levenshtein(a, b, None)
+        if a.deterministic && b.deterministic &&
+          a.dataType == StringType && b.dataType == StringType =>
+        Some((a, b))
+      case Cast(Levenshtein(a, b, None), LongType, _, _)
+        if a.deterministic && b.deterministic &&
+          a.dataType == StringType && b.dataType == StringType =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  private object IntLit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, LongType) if v.isValidInt => Some(v.toInt)
+      case _ => None
+    }
+  }
+
+  private def kernel(a: Expression, b: Expression, d: Int): Expression =
+    graft.expressions.BoundedLevenshtein(a, b, d)
+  private def litL(d: Int): Literal = Literal(d.toLong, LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // dist <= d: band d (saturation d+1 > d decides false, as it must)
+      case LessThanOrEqual(Lev(a, b), IntLit(d))
+          if d >= 0 && d <= MaxThreshold =>
+        LessThanOrEqual(kernel(a, b, d), litL(d))
+      case GreaterThanOrEqual(IntLit(d), Lev(a, b))
+          if d >= 0 && d <= MaxThreshold =>
+        GreaterThanOrEqual(litL(d), kernel(a, b, d))
+      // dist < d ⟺ dist <= d−1: band d−1 (saturation d is not < d)
+      case LessThan(Lev(a, b), IntLit(d)) if d >= 1 && d <= MaxThreshold =>
+        LessThan(kernel(a, b, d - 1), litL(d))
+      case GreaterThan(IntLit(d), Lev(a, b)) if d >= 1 && d <= MaxThreshold =>
+        GreaterThan(litL(d), kernel(a, b, d - 1))
+    }
+}
+
 object GraftOptimizations {
   /** The library's optimizer rules, in application order. */
-  val rules: Seq[Rule[LogicalPlan]] = Seq(RewriteHofIntDot, RewriteHofTokens)
+  val rules: Seq[Rule[LogicalPlan]] =
+    Seq(RewriteHofIntDot, RewriteHofTokens, RewriteBoundedLevenshtein)
 
   /** Idempotently install the graft optimizer rules on a session. */
   def install(spark: SparkSession): Unit = {

@@ -166,6 +166,17 @@ class PlanSpec extends SparkSpec {
       s"interpreted HOF survives in the optimized plan:\n$optimized")
   }
 
+  test("q115: the built-in thresholded levenshtein predicate is rewritten " +
+    "to the banded graft_bounded_levenshtein kernel, while the projected " +
+    "dist VALUE keeps the built-in (full distance is observable there)") {
+    val df = SparkEntry.queries("q115_fuzzy_rewrite")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_bounded_levenshtein"),
+      s"rewrite did not fire:\n$optimized")
+    assert(optimized.contains("levenshtein("),
+      s"the projected dist value should keep the built-in:\n$optimized")
+  }
+
   test("q55/q65 session hygiene: running the rewrite queries leaves the " +
     "shared session's optimizer untouched — other queries' plans are " +
     "identical with and without q55/q65 having run") {
