@@ -119,10 +119,22 @@ object RealtimeStream {
     * which would break [[Upsert.upsert]]'s schema-equality contract). */
   def readTouchedPartitions(spark: SparkSession, targetPath: String,
                             schema: StructType, partitionCol: String,
-                            values: Seq[Any]): DataFrame =
+                            values: Seq[Any]): DataFrame = {
+    // NULL partition values land in Hive's default partition; `isin`
+    // would silently never match them (SQL null semantics), losing every
+    // previously-stored NULL-keyed row when its partition is overwritten
+    // — prune with an explicit isNull disjunct instead
+    val nonNull = values.filter(_ != null)
+    val base = col(partitionCol).isInCollection(nonNull)
+    val pred =
+      if (values.exists(_ == null))
+        if (nonNull.isEmpty) col(partitionCol).isNull
+        else base || col(partitionCol).isNull
+      else base
     spark.read.schema(schema).parquet(targetPath)
-      .where(col(partitionCol).isInCollection(values))
+      .where(pred)
       .select(schema.fieldNames.map(col).toSeq: _*)
+  }
 
   /** Partition-scoped S9 merge — the 100 TB shape of [[mergeBatch]]. The
     * snapshot is stored partitioned by `partitionCol` (a KEY column, so a
@@ -152,15 +164,25 @@ object RealtimeStream {
   def mergeBatchPartitioned(batch: DataFrame, targetPath: String,
                             keys: Seq[String], compareCols: Seq[String],
                             orderCol: String, partitionCol: String,
-                            createdCol: Option[String] = None): Unit = {
+                            createdCol: Option[String] = None): Unit =
+    mergePartitioned(Upsert.latestPerKey(batch, keys, orderCol), targetPath,
+      keys, compareCols, partitionCol, createdCol)
+
+  /** The partition-scoped merge core over an ALREADY key-deduped updates
+    * frame (at most one row per key) — [[mergeBatchPartitioned]] minus
+    * the latest-per-key pass, for callers that dedup with their own
+    * ordering (the E1 feed path orders by within-feed entity position). */
+  def mergePartitioned(updates: DataFrame, targetPath: String,
+                       keys: Seq[String], compareCols: Seq[String],
+                       partitionCol: String,
+                       createdCol: Option[String] = None): Unit = {
     require(keys.contains(partitionCol),
       s"partitionCol $partitionCol must be a key column — a non-key " +
         "partition column could change under a key, stranding the old row " +
         "in a partition the merge never reads")
-    val spark = batch.sparkSession
+    val spark = updates.sparkSession
     val fs = new Path(targetPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val updates = Upsert.latestPerKey(batch, keys, orderCol)
     if (!fs.exists(new Path(targetPath))) {
       // bootstrap: first batch becomes the snapshot (idempotent on replay)
       updates.write.mode("overwrite").partitionBy(partitionCol)
@@ -248,15 +270,39 @@ object RealtimeStream {
     promote(fs, targetPath)
   }
 
+  /** E1 micro-batch against a `start_date`-PARTITIONED snapshot — the
+    * 100 TB shape of [[feedBatch]]: decode + flatten + enrich, dedup to
+    * the latest entity per key (feed order), then [[mergePartitioned]]
+    * reads and rewrites ONLY the service dates this batch touches (a
+    * 1-minute GTFS batch spans a handful). Entities whose start_date is
+    * absent land in the NULL partition, which the pruned read covers
+    * with an explicit isNull disjunct. */
+  def feedBatchPartitioned(payloads: Dataset[Array[Byte]], targetPath: String,
+                           weatherJson: Option[String]): Unit = {
+    implicit val spark: SparkSession = payloads.sparkSession
+    val keys = Seq("trip_id", "start_date", "stop_sequence", "stop_id")
+    val obs = graft.pipelines.Realtime.observations(payloads, weatherJson)
+      .withColumn("__seq", org.apache.spark.sql.functions
+        .monotonically_increasing_id())
+    val latest = Upsert.latestPerKey(obs, keys, "__seq").drop("__seq")
+    mergePartitioned(latest, targetPath, keys,
+      compareCols = Seq("arrival_time", "departure_time"),
+      partitionCol = "start_date", createdCol = Some("created_at"))
+  }
+
   /** The reference's cron loop as an actual stream: watch a directory of
     * fetched `.pb` feed files (the S1 fetcher's drop zone — or any
     * binary-file landing path) and run E1 per micro-batch. `weatherJson`
     * is re-read per batch via the supplied thunk, matching the reference's
-    * slowly-refreshed side input (SURVEY.md §2.9). */
+    * slowly-refreshed side input (SURVEY.md §2.9). `partitionSnapshot`
+    * selects the scale path: true stores the snapshot partitioned by
+    * start_date and merges via [[feedBatchPartitioned]] (O(touched
+    * dates) per batch); false keeps the whole-snapshot swap. */
   def startFeedStream(spark: SparkSession, feedDir: String,
                       targetPath: String, checkpointDir: String,
                       weatherJson: () => Option[String],
-                      trigger: Trigger = Trigger.ProcessingTime("1 minute"))
+                      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+                      partitionSnapshot: Boolean = false)
       : StreamingQuery = {
     import spark.implicits._
     // streaming sources need the schema up front; this is binaryFile's
@@ -268,8 +314,10 @@ object RealtimeStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        feedBatch(batch.select("content").as[Array[Byte]],
-          targetPath, weatherJson())
+        val contents = batch.select("content").as[Array[Byte]]
+        if (partitionSnapshot)
+          feedBatchPartitioned(contents, targetPath, weatherJson())
+        else feedBatch(contents, targetPath, weatherJson())
       }
       .start()
   }

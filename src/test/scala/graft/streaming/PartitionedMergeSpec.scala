@@ -146,6 +146,60 @@ class PartitionedMergeSpec extends SparkSpec {
     assert(rows === Set(("d1", 1L, "A"), ("d2", 1L, "b"), ("d3", 5L, "c")))
   }
 
+  test("E1 partitioned feed stream: start_date-partitioned snapshot, a " +
+    "NULL-date entity survives partition-scoped merges, untouched dates' " +
+    "files stay byte-identical across batches") {
+    import graft.gtfs._
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get("target", "ptm_feed")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val tgt = base.resolve("tgt").toString
+    val chk = base.resolve("chk").toString
+    def feed(name: String, date: Option[String], seq: Int, arr: Long): Unit =
+      Files.write(src.resolve(name), Rt.encode(FeedMessage(
+        FeedHeader("2.0", Some(arr)),
+        Seq(FeedEntity("e", None, Some(TripUpdate(
+          TripDescriptor(Some("T1"), None, date, None),
+          Seq(StopTimeUpdate(Some(seq),
+            Some(StopTimeEvent(None, Some(arr), None)), None, Some("10"))),
+          None, None)))))))
+    def round(): Unit = {
+      val q = RealtimeStream.startFeedStream(spark, src.toString, tgt, chk,
+        weatherJson = () => None,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        partitionSnapshot = true)
+      q.awaitTermination()
+    }
+    // batch 1: two dates + one entity with NO start_date (NULL partition)
+    feed("f1.pb", Some("20240601"), 1, 1000L)
+    feed("f2.pb", Some("20240602"), 1, 1500L)
+    feed("f3.pb", None, 1, 1700L)
+    round()
+    assert(new java.io.File(s"$tgt/start_date=2024-06-01").isDirectory,
+      "snapshot is not date-partitioned")
+    val nullDir = new java.io.File(s"$tgt/start_date=__HIVE_DEFAULT_PARTITION__")
+    assert(nullDir.isDirectory, "NULL start_date partition missing")
+    val d2Before = listFiles(new java.io.File(tgt))
+      .filter(_._1.contains("start_date=2024-06-02"))
+
+    // batch 2: update date 1 and the NULL-date key; date 2 untouched
+    feed("f4.pb", Some("20240601"), 1, 2000L)
+    feed("f5.pb", None, 1, 2500L)
+    round()
+    assert(listFiles(new java.io.File(tgt))
+      .filter(_._1.contains("start_date=2024-06-02")) === d2Before,
+      "untouched date partition was rewritten")
+    val snap = spark.read.parquet(tgt)
+      .selectExpr("start_date", "CAST(arrival_time AS LONG) AS arr")
+      .collect().map(r => (Option(r.get(0)).map(_.toString), r.getLong(1)))
+      .toSet
+    assert(snap === Set(
+      (Some("2024-06-01"), 2000L), // updated
+      (Some("2024-06-02"), 1500L), // untouched
+      (None, 2500L)))              // NULL-date key updated, not lost
+  }
+
   test("per-partition compaction rewrites only fragmented partitions and " +
     "preserves rows") {
     import spark.implicits._
