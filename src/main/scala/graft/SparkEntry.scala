@@ -348,6 +348,23 @@ object SparkEntry {
   private val EXACT_AVG = "CAST(sum(CAST(%s AS DECIMAL(20,6))) AS DOUBLE) / count(%s)"
   private def exactAvgSql(c: String) = EXACT_AVG.format(c, c)
 
+  /** q116/q117's deterministic 90/5/5 split assignment: permille
+    * threshold over the mirrorable id hash (charPolyHash is always
+    * non-negative, so plain % matches the oracle's). */
+  private def splitAssignment: Column = {
+    val h = TextAnalysis.charPolyHash(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 1000L
+    when(h < 900L, lit("train")).when(h < 950L, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** SQL mirror of [[splitAssignment]] over a relation exposing doc_id. */
+  private lazy val SPLIT_CASE_SQL: String =
+    s"""CASE WHEN ${charPolySql("('split:' || CAST(doc_id AS VARCHAR))")} % 1000 < 900
+       |     THEN 'train'
+       |     WHEN ${charPolySql("('split:' || CAST(doc_id AS VARCHAR))")} % 1000 < 950
+       |     THEN 'val' ELSE 'test' END""".stripMargin
+
   /** Naive all-pairs fuzzy-match oracle, shared by q110 (segment-blocked
     * + banded kernel) and q115 (length-banded + optimizer-rewritten
     * built-in) — both must produce exactly these pairs. */
@@ -1036,6 +1053,39 @@ object SparkEntry {
         .join(broadcast(quotas), "source")
         .where(col("pick_rank") <= col("quota"))
         .select(col("doc_id"), col("source"), col("pick_rank"))
+    }),
+
+    // Deterministic train/val/test split — the dataset-partitioning
+    // primitive every training pipeline runs last: membership from the
+    // mirrorable polynomial hash of the DOCUMENT ID (id-hash, not
+    // content-hash: a later text edit must not move a document between
+    // splits and silently contaminate eval), 90/5/5 by permille
+    // threshold. Pure per-row predicate — no shuffle, no RNG state;
+    // the same document lands in the same split on every engine, run,
+    // and partitioning.
+    "q116_dataset_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), splitAssignment.as("split"))
+    }),
+
+    // Near-dup SPLIT LEAKAGE audit — the eval-contamination check the
+    // split alone cannot give: an id-hash split scatters near-duplicate
+    // documents across splits, so a test document with a train near-dup
+    // inflates eval. Composes two existing artifacts — q51's connected-
+    // component cluster labels and q116's assignment — and reports every
+    // cluster with a train member AND a val/test member. At 100 TB both
+    // inputs are materialized tables; the audit is one bounded join +
+    // aggregate over cluster LABELS (multi-member clusters only), never
+    // the corpus texts.
+    "q117_split_leakage" -> ((s, dir) => {
+      val sp = t(s, dir, "documents")
+        .select(col("doc_id"), splitAssignment.as("split"))
+      docClusters(s, dir).join(sp, col("id") === col("doc_id"))
+        .groupBy("cluster_id")
+        .agg(count(when(col("split") === "train", lit(1))).as("n_train"),
+          count(when(col("split") === "val", lit(1))).as("n_val"),
+          count(when(col("split") === "test", lit(1))).as("n_test"))
+        .where(col("n_train") > 0L && (col("n_val") > 0L || col("n_test") > 0L))
     }),
 
     // Token-rarity signal — the corpus-frequency quality score used to
@@ -3167,6 +3217,27 @@ object SparkEntry {
         |FROM documents GROUP BY sha256(text)""".stripMargin,
 
     "q51_dup_clusters" -> DUP_CLUSTERS_SQL,
+
+    "q116_dataset_split" ->
+      s"""SELECT doc_id, lang, $SPLIT_CASE_SQL AS split FROM documents""",
+
+    // Leakage audit over the SAME recursive-CTE clusters as q51 — only
+    // clusters mixing train with val/test survive.
+    "q117_split_leakage" ->
+      s"""WITH clusters AS (
+         |$DUP_CLUSTERS_SQL
+         |),
+         |sp AS (
+         |  SELECT doc_id, $SPLIT_CASE_SQL AS split FROM documents),
+         |j AS (
+         |  SELECT c.cluster_id, s.split
+         |  FROM clusters c JOIN sp s ON c.id = s.doc_id)
+         |SELECT cluster_id,
+         |  count(CASE WHEN split = 'train' THEN 1 END) AS n_train,
+         |  count(CASE WHEN split = 'val' THEN 1 END) AS n_val,
+         |  count(CASE WHEN split = 'test' THEN 1 END) AS n_test
+         |FROM j GROUP BY cluster_id
+         |HAVING n_train > 0 AND (n_val > 0 OR n_test > 0)""".stripMargin,
 
     "q53_neardup_corpus" ->
       s"""WITH clusters AS (
