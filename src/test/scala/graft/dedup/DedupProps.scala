@@ -208,4 +208,34 @@ object DedupProps extends Properties("Dedup") {
       want.subsetOf(got) &&
         got.forall { case (a, b) => a < b } // and every returned pair is ordered
     }
+
+  private val genName: Gen[String] =
+    Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  private def naiveLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  property("fuzzyNamePairs == brute-force edit-distance pairs on random " +
+    "3-letter-alphabet vocabularies (maximal collision/overlap density), " +
+    "for maxDist in 1..3") =
+    forAll(Gen.chooseNum(2, 15).flatMap(n => Gen.listOfN(n, genName)),
+      Gen.chooseNum(1, 3)) { (names, d) =>
+      import spark.implicits._
+      val distinctNames = names.distinct
+      val want = (for {
+        x <- distinctNames; y <- distinctNames if x < y
+        dist = naiveLev(x, y) if dist <= d
+      } yield (x, y, dist.toLong)).toSet
+      val got = Dedup.fuzzyNamePairs(names.toDF("name"), "name", maxDist = d)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      got == want
+    }
 }
