@@ -348,6 +348,36 @@ object SparkEntry {
   private val EXACT_AVG = "CAST(sum(CAST(%s AS DECIMAL(20,6))) AS DOUBLE) / count(%s)"
   private def exactAvgSql(c: String) = EXACT_AVG.format(c, c)
 
+  /** q111/q118's NULL-safe full-row hash over events. EVERY column rides
+    * the row encoding (an anti-entropy checksum that skips columns
+    * declares diverged replicas in sync); NULLs take an explicit sentinel
+    * on BOTH sides (concat_ws would silently drop the field AND its
+    * separator — non-injective and diverging from the oracle's
+    * NULL-propagating ||); the double renders through the micro-unit
+    * integer channel (q105). The '|' delimiter must not occur in string
+    * fields — true of this schema; escape before generalizing. */
+  private def eventsRowHash: Column = {
+    def f(c: Column): Column = coalesce(c, lit("<null>"))
+    TextAnalysis.charPolyHash(concat_ws("|",
+      f(col("event_id").cast("string")),
+      f(col("user_id").cast("string")),
+      f(col("event_type")),
+      f(unix_timestamp(col("ts")).cast("string")),
+      f(floor(col("value") * lit(1000000.0) + lit(0.5))
+        .cast("long").cast("string")),
+      f(col("props"))))
+  }
+
+  /** SQL mirror of [[eventsRowHash]]'s row string (pre-hash). */
+  private lazy val EVENTS_ROW_SQL: String =
+    """COALESCE(CAST(event_id AS VARCHAR), '<null>') || '|' ||
+      |    COALESCE(CAST(user_id AS VARCHAR), '<null>') || '|' ||
+      |    COALESCE(event_type, '<null>') || '|' ||
+      |    COALESCE(CAST(FLOOR(epoch(ts))::BIGINT AS VARCHAR), '<null>') || '|' ||
+      |    COALESCE(CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+      |      AS VARCHAR), '<null>') || '|' ||
+      |    COALESCE(props, '<null>')""".stripMargin
+
   /** q116/q117's deterministic 90/5/5 split assignment: permille
     * threshold over the mirrorable id hash (charPolyHash is always
     * non-negative, so plain % matches the oracle's). */
@@ -1186,29 +1216,27 @@ object SparkEntry {
     // long sum would wrap silently around 1e12 rows). Emitted as a
     // string: both engines print a scale-0 decimal as a plain integer.
     "q111_table_checksum" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      // EVERY column rides the row encoding (an anti-entropy checksum
-      // that skips columns declares diverged replicas in sync); NULLs
-      // take an explicit sentinel on BOTH sides (concat_ws would
-      // silently drop the field AND its separator — non-injective and
-      // diverging from the oracle's NULL-propagating ||); the double
-      // renders through the micro-unit integer channel (q105). The '|'
-      // delimiter must not occur in string fields — true of this
-      // schema; escape before generalizing.
-      def f(c: Column): Column = coalesce(c, lit("<null>"))
-      val rowStr = concat_ws("|",
-        f(col("event_id").cast("string")),
-        f(col("user_id").cast("string")),
-        f(col("event_type")),
-        f(unix_timestamp(col("ts")).cast("string")),
-        f(floor(col("value") * lit(1000000.0) + lit(0.5))
-          .cast("long").cast("string")),
-        f(col("props")))
-      ev.select(TextAnalysis.charPolyHash(rowStr).as("h"))
+      t(s, dir, "events")
+        .select(eventsRowHash.as("h"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("h").cast("decimal(38,0)")).cast("string").as("checksum"))
         .select(lit("events").as("table_name"), col("n_rows"),
           col("checksum"))
+    }),
+
+    // Partition-scoped checksums — q111's anti-entropy primitive at the
+    // granularity repair actually needs: one commutative checksum per
+    // event_type partition, so two replicas that disagree localize the
+    // divergence to the partitions to re-sync instead of "somewhere in
+    // 100 TB". Same NULL-safe full-row hash, same order-independent
+    // decimal sum — the per-partition sums add up to q111's total by
+    // construction.
+    "q118_partition_checksums" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), eventsRowHash.as("h"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast("decimal(38,0)")).cast("string").as("checksum"))
     }),
 
     // Partition-scoped streaming merge — the 100 TB shape of the S9
@@ -2778,18 +2806,19 @@ object SparkEntry {
 
     "q111_table_checksum" ->
       s"""WITH rs AS (
-         |  SELECT COALESCE(CAST(event_id AS VARCHAR), '<null>') || '|' ||
-         |    COALESCE(CAST(user_id AS VARCHAR), '<null>') || '|' ||
-         |    COALESCE(event_type, '<null>') || '|' ||
-         |    COALESCE(CAST(FLOOR(epoch(ts))::BIGINT AS VARCHAR), '<null>') || '|' ||
-         |    COALESCE(CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
-         |      AS VARCHAR), '<null>') || '|' ||
-         |    COALESCE(props, '<null>') AS r
-         |  FROM events),
+         |  SELECT $EVENTS_ROW_SQL AS r FROM events),
          |h AS (SELECT ${charPolySql("r")} AS h FROM rs)
          |SELECT 'events' AS table_name, count(*) AS n_rows,
          |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
          |FROM h""".stripMargin,
+
+    "q118_partition_checksums" ->
+      s"""WITH rs AS (
+         |  SELECT event_type, $EVENTS_ROW_SQL AS r FROM events),
+         |h AS (SELECT event_type, ${charPolySql("r")} AS h FROM rs)
+         |SELECT event_type, count(*) AS n_rows,
+         |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+         |FROM h GROUP BY event_type""".stripMargin,
 
     // The oracle is the FULL logical merge over every day — the
     // partition-scoped physical path hashes equal only if pruning the
