@@ -1106,7 +1106,11 @@ object SparkEntry {
     // cluster with a train member AND a val/test member. At 100 TB both
     // inputs are materialized tables; the audit is one bounded join +
     // aggregate over cluster LABELS (multi-member clusters only), never
-    // the corpus texts.
+    // the corpus texts. (Bench note: per cache-cold pass, the FIRST
+    // consumer of the session's cluster artifact pays its build — q117
+    // sorts before q51, so the build cost shows up here and q51 reads
+    // the cached artifact, exactly the production sharing the artifact
+    // section of README documents.)
     "q117_split_leakage" -> ((s, dir) => {
       val sp = t(s, dir, "documents")
         .select(col("doc_id"), splitAssignment.as("split"))
@@ -1387,6 +1391,41 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           count(when(col("user_id") === 5L, lit(1))).as("n_user5"),
+          sum(col("event_id")).as("sum_ids"))
+    }),
+
+    // Corrupt-file-tolerant scans — the fault-isolation contract a
+    // 100 TB lake needs at the FILE granularity (q101 covers the ROW
+    // granularity): a landing directory holds two healthy parquet
+    // generations and one garbage file a crashed writer left behind;
+    // `ignoreCorruptFiles` skips exactly the unreadable file instead of
+    // failing the whole scan, and the aggregate over the survivors
+    // hash-matches the oracle reading only the healthy files. The
+    // option is set per-read, never session-wide — silently skipping
+    // corrupt data must be an explicit, local decision.
+    "q119_corrupt_tolerance" -> ((s, dir) => {
+      val out = s"target/corrupt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.where(col("event_id") % 2L === 0L)
+        .write.mode("overwrite").parquet(s"$out/g1")
+      ev.where(col("event_id") % 2L =!= 0L)
+        .write.mode("overwrite").parquet(s"$out/g2")
+      val bad = new java.io.File(s"$out/bad"); bad.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/bad/junk.parquet"),
+        "this is not a parquet file".getBytes)
+      s.read
+        // explicit schema: inference reads footers, and a garbage file
+        // can abort it before row-level tolerance even applies — a
+        // production tolerant read pins the expected schema anyway
+        .schema(ev.schema)
+        .option("recursiveFileLookup", "true")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Dashboard.exactAvg(col("value")).as("avg_value"),
           sum(col("event_id")).as("sum_ids"))
     }),
 
@@ -2906,6 +2945,15 @@ object SparkEntry {
         |  count(CASE WHEN user_id = 5 THEN 1 END) AS n_user5,
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM m GROUP BY event_type""".stripMargin,
+
+    // The oracle reads NO corrupt directory — only the healthy rows; the
+    // hash match proves the tolerant scan skipped exactly the garbage
+    // file (an over-eager skip of a healthy file would change counts).
+    "q119_corrupt_tolerance" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${exactAvgSql("value")} AS avg_value,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+         |FROM events GROUP BY event_type""".stripMargin,
 
     "q97_schema_evolution" ->
       s"""WITH m AS (
