@@ -368,6 +368,33 @@ object SparkEntry {
       f(col("props"))))
   }
 
+  /** Naive per-lang window top-k oracle, shared by q113 (bounded
+    * two-window groupTopK) and q120 (mergeable top-k aggregate) — both
+    * must produce exactly this shortlist. */
+  private lazy val TOP_QUALITY_ORACLE: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, $TOKENS_SQL AS tk FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(tk, t -> t IN ('the','a'))) AS BIGINT) AS n_stop
+       |  FROM f),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+       |      0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0)
+       |      + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |    END AS quality_score
+       |  FROM g),
+       |r AS (
+       |  SELECT doc_id, lang, quality_score,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS qrank
+       |  FROM q)
+       |SELECT doc_id, lang, quality_score, qrank FROM r WHERE qrank <= 5""".stripMargin
+
   /** SQL mirror of [[eventsRowHash]]'s row string (pre-hash). */
   private lazy val EVENTS_ROW_SQL: String =
     """COALESCE(CAST(event_id AS VARCHAR), '<null>') || '|' ||
@@ -1120,6 +1147,27 @@ object SparkEntry {
           count(when(col("split") === "val", lit(1))).as("n_val"),
           count(when(col("split") === "test", lit(1))).as("n_test"))
         .where(col("n_train") > 0L && (col("n_val") > 0L || col("n_test") > 0L))
+    }),
+
+    // The SAME shortlist as q113 through the third spelling of per-group
+    // top-k: a typed MERGEABLE AGGREGATE (operators/TopKAggregate). One
+    // hash-aggregate pass — the k-bounded buffers partial-combine
+    // MAP-SIDE, so only #groups × k rows cross the shuffle (the naive
+    // window moves every row; groupTopK moves k·P survivors). PlanSpec
+    // asserts the partial ObjectHashAggregate below the exchange; the
+    // q113 oracle proves value identity.
+    "q120_topk_aggregate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityFeatures(col("text"), Seq("the", "a"))
+            .getField("quality_score").as("quality_score"))
+      val top = graft.operators.TopKAggregate.topK(5)(
+        col("quality_score"), col("doc_id"))
+      d.groupBy("lang").agg(top.as("tops"))
+        .select(col("lang"), posexplode(col("tops")))
+        .select(col("col.id").as("doc_id"), col("lang"),
+          col("col.score").as("quality_score"),
+          (col("pos") + 1).cast("long").as("qrank"))
     }),
 
     // Token-rarity signal — the corpus-frequency quality score used to
@@ -3869,29 +3917,11 @@ object SparkEntry {
 
     // The oracle is the NAIVE per-lang window — groupTopK's local-prune
     // + exact-rank hashes equal only if the pruning loses nothing.
-    "q113_top_quality_per_lang" ->
-      s"""WITH f AS (
-         |  SELECT doc_id, lang, $TOKENS_SQL AS tk FROM documents),
-         |g AS (
-         |  SELECT doc_id, lang,
-         |    CAST(len(tk) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
-         |    CAST(len(list_filter(tk, t -> t IN ('the','a'))) AS BIGINT) AS n_stop
-         |  FROM f),
-         |q AS (
-         |  SELECT doc_id, lang,
-         |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE
-         |      0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0)
-         |      + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-         |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-         |    END AS quality_score
-         |  FROM g),
-         |r AS (
-         |  SELECT doc_id, lang, quality_score,
-         |    CAST(row_number() OVER (PARTITION BY lang
-         |      ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS qrank
-         |  FROM q)
-         |SELECT doc_id, lang, quality_score, qrank FROM r WHERE qrank <= 5""".stripMargin,
+    "q113_top_quality_per_lang" -> TOP_QUALITY_ORACLE,
+
+    // q120 computes the identical shortlist through the mergeable
+    // top-k AGGREGATE — same oracle, verbatim.
+    "q120_topk_aggregate" -> TOP_QUALITY_ORACLE,
 
     "q23_token_stats" ->
       s"""SELECT doc_id,

@@ -166,6 +166,16 @@ class PlanSpec extends SparkSpec {
       s"interpreted HOF survives in the optimized plan:\n$optimized")
   }
 
+  test("q120: the mergeable top-k aggregate partial-combines MAP-SIDE — " +
+    "an ObjectHashAggregate with partial_topkaggregate sits below the " +
+    "group exchange, so only #groups × k buffered rows cross the shuffle") {
+    val plan = finalPlan(SparkEntry.queries("q120_topk_aggregate")(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed aggregate did not plan ObjectHashAggregate:\n$plan")
+    assert("partial_?topkaggregate".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"no partial (map-side) top-k aggregation below the shuffle:\n$plan")
+  }
+
   test("q115: the built-in thresholded levenshtein predicate is rewritten " +
     "to the banded graft_bounded_levenshtein kernel, while the projected " +
     "dist VALUE keeps the built-in (full distance is observable there)") {
