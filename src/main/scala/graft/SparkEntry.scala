@@ -1442,6 +1442,28 @@ object SparkEntry {
           sum(col("event_id")).as("sum_ids"))
     }),
 
+    // CSV quoting/escaping round-trip under HOSTILE content — q31 proves
+    // the plain round-trip; this proves the quoting layer: every payload
+    // embeds the delimiter, the quote character, and a NEWLINE, the
+    // fields Spark must quote+escape on write and re-assemble on read
+    // (multiLine=true: embedded newlines make naive line-splitting
+    // corrupt records). The oracle never parses the CSV — it recomputes
+    // the expected payloads from the parquet source, so the hash match
+    // proves write→read is the identity on content the format exists to
+    // protect.
+    "q121_csv_quoting" -> ((s, dir) => {
+      val out = s"target/csvq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(",\"\n"), col("lang")).as("payload"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema("doc_id LONG, payload STRING").csv(out)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(TextAnalysis.charPolyHash(col("payload")).cast("decimal(38,0)"))
+            .cast("string").as("payload_checksum"))
+    }),
+
     // Corrupt-file-tolerant scans — the fault-isolation contract a
     // 100 TB lake needs at the FILE granularity (q101 covers the ROW
     // granularity): a landing directory holds two healthy parquet
@@ -2993,6 +3015,18 @@ object SparkEntry {
         |  count(CASE WHEN user_id = 5 THEN 1 END) AS n_user5,
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM m GROUP BY event_type""".stripMargin,
+
+    // The oracle recomputes payloads from parquet, never parsing CSV —
+    // the hash match proves Spark's quote/escape/multiline round-trip
+    // is the identity.
+    "q121_csv_quoting" ->
+      s"""WITH p AS (
+         |  SELECT text || ',"' || chr(10) || lang AS payload
+         |  FROM documents)
+         |SELECT count(*) AS n_rows,
+         |  CAST(sum(CAST(${charPolySql("payload")} AS DECIMAL(38,0)))
+         |    AS VARCHAR) AS payload_checksum
+         |FROM p""".stripMargin,
 
     // The oracle reads NO corrupt directory — only the healthy rows; the
     // hash match proves the tolerant scan skipped exactly the garbage
