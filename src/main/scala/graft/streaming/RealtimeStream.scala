@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Upsert
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -210,12 +210,16 @@ object RealtimeStream {
     * cost ceiling the partitioned merge exists to avoid. This one lists
     * partition directories (driver-side, bounded by the partition count),
     * selects only those fragmented past `targetFileBytes`-sized files, and
-    * rewrites JUST those through one shuffle job: rows re-hash to
-    * (partition, slice) so each rewritten partition lands in
-    * ceil(bytes / targetFileBytes) files, then dynamic-overwrite swaps the
-    * fragmented partitions. Untouched partitions' files are never opened.
-    * In steady state only recent partitions fragment (old service dates
-    * stop receiving merges), so each maintenance run is O(active dates). */
+    * rewrites JUST those in one job: rows co-locate per partition and the
+    * WRITER splits each partition's output at `maxRecordsPerFile` (sized
+    * from the observed bytes/row), so each rewritten partition lands in
+    * ~ceil(bytes / targetFileBytes) files. The split lives in the writer,
+    * not the shuffle — a hash-slice repartition would be silently merged
+    * by AQE's partition coalescing on small inputs (found by
+    * PartitionedMergeSpec) and can collide slices of one partition into
+    * oversized files. Untouched partitions' files are never opened. In
+    * steady state only recent partitions fragment (old service dates stop
+    * receiving merges), so each maintenance run is O(active dates). */
   def compactSnapshotPartitioned(spark: SparkSession, targetPath: String,
                                  partitionCol: String,
                                  targetFileBytes: Long = 128L * 1024 * 1024)
@@ -230,7 +234,7 @@ object RealtimeStream {
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
       val bytes = files.map(_.getLen).sum
       val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-      if (files.length > want) Some((p.getPath, want)) else None
+      if (files.length > want) Some((p.getPath, bytes)) else None
     }
     if (fragmented.isEmpty) return
     // basePath keeps the partition column while reading only the
@@ -240,16 +244,16 @@ object RealtimeStream {
     val stage = targetPath + ".compact-stage"
     df.write.mode("overwrite").parquet(stage) // break the read-write cycle
     val staged = spark.read.parquet(stage)
-    val maxWant = fragmented.map(_._2).max
-    // deterministic slice (task retries must re-produce the same rows):
-    // full-row hash spreads each partition over its target file count —
-    // the repartition sits on the FINAL write, so each (partition, slice)
-    // bucket becomes exactly one output file
-    val sliced = staged.withColumn("__slice",
-      pmod(xxhash64(staged.columns.map(col): _*), lit(maxWant)))
-    sliced.repartition(col(partitionCol), col("__slice")).drop("__slice")
+    // rows-per-file from the OBSERVED compressed bytes/row, so the writer
+    // cuts ~targetFileBytes files in on-disk terms
+    val totalBytes = math.max(1L, fragmented.map(_._2).sum)
+    val totalRows = staged.count()
+    val rowsPerFile = math.max(1L,
+      (targetFileBytes * totalRows + totalBytes - 1) / totalBytes)
+    staged.repartition(col(partitionCol))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", rowsPerFile)
       .partitionBy(partitionCol)
       .parquet(targetPath)
     fs.delete(new Path(stage), true)

@@ -230,4 +230,37 @@ class PartitionedMergeSpec extends SparkSpec {
     assert(rowsAfter === rowsBefore)
     assert(!new java.io.File(out.getPath + ".compact-stage").exists())
   }
+
+  test("compaction with a partition LARGER than the file target splits it " +
+    "at the writer's record-count cut instead of one giant file") {
+    import spark.implicits._
+    val out = new java.io.File("target/ptm_compact_slices")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+    // one partition fragmented into 8 small files, ~8x the file target
+    (1L to 800L).map(i => (i, s"payload_$i" * 4, "d1"))
+      .toDF("k", "v", "day").repartition(8)
+      .write.partitionBy("day").parquet(out.getPath)
+    def files(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(out).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(files().size === 8)
+    val bytes = files().map(_.length()).sum
+    val target = bytes / 3 + 1 // want ≈ 3 output files
+    val rowsBefore = spark.read.parquet(out.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    RealtimeStream.compactSnapshotPartitioned(spark, out.getPath, "day",
+      targetFileBytes = target)
+
+    val n = files().size
+    // the writer cuts by records at the observed bytes/row — ±1 file of
+    // the ceil(bytes/target)=3 ideal is the honest contract; what must
+    // NOT happen is one giant file (no split) or all 8 surviving
+    assert(n >= 2 && n <= 4, s"expected ~3 sliced files, got $n")
+    val rowsAfter = spark.read.parquet(out.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowsAfter === rowsBefore)
+  }
 }
