@@ -1464,6 +1464,21 @@ object SparkEntry {
             .cast("string").as("payload_checksum"))
     }),
 
+    // SCD2 history build (operators/Scd2) — the warehouse dual of the
+    // upsert family: the events log collapsed to validity intervals of
+    // each user's event_type, so any past dimension state is one
+    // point-in-time predicate away. Two stacked windows share a single
+    // hash shuffle of the slim projection (the change filter preserves
+    // partitioning — Scd2Spec pins one Exchange); at 100 TB the shuffle
+    // keys on high-cardinality user_id and per-key state is the key's
+    // own short change history.
+    "q122_scd2_history" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("ts_epoch"))
+      graft.operators.Scd2.buildHistory(ev, Seq("user_id"),
+        Seq("event_type"), "ts_epoch", "event_id")
+    }),
+
     // Corrupt-file-tolerant scans — the fault-isolation contract a
     // 100 TB lake needs at the FILE granularity (q101 covers the ROW
     // granularity): a landing directory holds two healthy parquet
@@ -3027,6 +3042,28 @@ object SparkEntry {
          |  CAST(sum(CAST(${charPolySql("payload")} AS DECIMAL(38,0)))
          |    AS VARCHAR) AS payload_checksum
          |FROM p""".stripMargin,
+
+    // Mirrors Scd2.buildHistory: lag-detected changes (rn=1 OR
+    // IS DISTINCT FROM ≡ Spark's first || !(lag <=> attr)), then
+    // lead-closed intervals + version over the surviving rows.
+    "q122_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type,
+        |    FLOOR(epoch(ts))::BIGINT AS ts_epoch, event_id,
+        |    lag(event_type) OVER w AS prev_attr,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY FLOOR(epoch(ts))::BIGINT ASC, event_id ASC)),
+        |changes AS (
+        |  SELECT * FROM ordered
+        |  WHERE rn = 1 OR prev_attr IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts_epoch AS valid_from,
+        |  lead(ts_epoch) OVER w2 AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        |FROM changes
+        |WINDOW w2 AS (PARTITION BY user_id
+        |              ORDER BY ts_epoch ASC, event_id ASC)""".stripMargin,
 
     // The oracle reads NO corrupt directory — only the healthy rows; the
     // hash match proves the tolerant scan skipped exactly the garbage
