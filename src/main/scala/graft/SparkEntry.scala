@@ -1479,6 +1479,26 @@ object SparkEntry {
         Seq("event_type"), "ts_epoch", "event_id")
     }),
 
+    // Snapshot diff / CDC extract (operators/Upsert.snapshotDiff) — the
+    // read-side inverse of q08's merge: two deterministic versions of
+    // orders (old drops keys ≡3 mod 10 and doubles price on keys ≡0
+    // mod 7; new drops keys ≡7 mod 10), diffed into added/removed/
+    // changed rows. One full-outer join on the key, both sides large
+    // (no broadcast), only the compared projection shuffles; unchanged
+    // keys die inside the join projection. ×2 on a double is exact, so
+    // the changed-price rows hash-match the oracle bit-for-bit.
+    "q123_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val oldV = orders.where(col("o_orderkey") % 10L =!= 3L)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 7L === 0L, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val newV = orders.where(col("o_orderkey") % 10L =!= 7L)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.operators.Upsert.snapshotDiff(oldV, newV, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+    }),
+
     // Corrupt-file-tolerant scans — the fault-isolation contract a
     // 100 TB lake needs at the FILE granularity (q101 covers the ROW
     // granularity): a landing directory holds two healthy parquet
@@ -3064,6 +3084,33 @@ object SparkEntry {
         |FROM changes
         |WINDOW w2 AS (PARTITION BY user_id
         |              ORDER BY ts_epoch ASC, event_id ASC)""".stripMargin,
+
+    // Mirrors snapshotDiff: FULL OUTER + IS DISTINCT FROM change
+    // predicate ≡ Spark's !(<=>); presence via key IS NULL (keys are
+    // non-null in both versions).
+    "q123_snapshot_diff" ->
+      """WITH old_v AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |new_v AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 7),
+        |d AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_orderstatus AS old_o_orderstatus,
+        |    n.o_orderstatus AS new_o_orderstatus,
+        |    o.o_totalprice AS old_o_totalprice,
+        |    n.o_totalprice AS new_o_totalprice,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |           THEN 'changed' END AS change_type
+        |  FROM old_v o FULL OUTER JOIN new_v n
+        |    ON o.o_orderkey = n.o_orderkey)
+        |SELECT * FROM d WHERE change_type IS NOT NULL""".stripMargin,
 
     // The oracle reads NO corrupt directory — only the healthy rows; the
     // hash match proves the tolerant scan skipped exactly the garbage

@@ -64,6 +64,39 @@ object Upsert {
     j.select(out: _*)
   }
 
+  /** Snapshot diff (CDC extract) — the read-side inverse of [[upsert]]:
+    * given two versions of a table, emit one row per key whose state
+    * differs, classified `added` (key only in `newDf`), `removed` (only
+    * in `oldDf`) or `changed` (present in both, any of `compareCols`
+    * differs null-safely). Unchanged keys — the overwhelming majority of
+    * a production snapshot pair — are dropped inside the join's
+    * projection, so nothing downstream ever sees them.
+    *
+    * Same scale shape as upsert: one full-outer sort-merge join
+    * hash-partitioned on the key, both sides large (no broadcast), and
+    * only `keys ++ compareCols` are shuffled — the diff of two 100 TB
+    * snapshots moves two slim projections once. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(
+      (keys.map(col) ++ compareCols.map(col) :+ lit(true).as("__o")): _*).as("o")
+    val n = newDf.select(
+      (keys.map(col) ++ compareCols.map(col) :+ lit(true).as("__n")): _*).as("n")
+    val cond: Column = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    val oPresent = col("o.__o").isNotNull
+    val nPresent = col("n.__n").isNotNull
+    val changed = compareCols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    o.join(n, cond, "full_outer")
+      .withColumn("change_type",
+        when(!oPresent, lit("added"))
+          .when(!nPresent, lit("removed"))
+          .when(changed, lit("changed")))
+      .where(col("change_type").isNotNull)
+      .select(keys.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) ++
+        compareCols.flatMap(c => Seq(col(s"o.$c").as(s"old_$c"),
+          col(s"n.$c").as(s"new_$c"))) :+ col("change_type"): _*)
+  }
+
   /** S10 — append only rows whose key is absent from the target. */
   def insertIfAbsent(target: DataFrame, updates: DataFrame,
                      keys: Seq[String]): DataFrame = {

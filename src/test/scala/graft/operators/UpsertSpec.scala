@@ -82,4 +82,36 @@ class UpsertSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out === Set((1L, "new"), (2L, "only")))
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val newV = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val out = Upsert.snapshotDiff(oldV, newV, Seq("k"), Seq("v")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
+        r.getString(3))).toSet
+    assert(out === Set(
+      (2L, Some("b"), Some("B"), "changed"),
+      (3L, Some("c"), None, "removed"),
+      (4L, None, Some("d"), "added")))
+    // key 1 (unchanged) never appears
+  }
+
+  test("snapshotDiff is null-safe: NULL→NULL is unchanged, NULL→value is " +
+    "a change") {
+    import spark.implicits._
+    val oldV = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "v")
+    val newV = Seq((1L, Option.empty[String]), (2L, Option("x")))
+      .toDF("k", "v")
+    val out = Upsert.snapshotDiff(oldV, newV, Seq("k"), Seq("v")).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(out === Set((2L, "changed")))
+  }
+
+  test("snapshotDiff of a snapshot against itself is empty") {
+    val out = Upsert.snapshotDiff(target, target, Seq("k"),
+      Seq("v", "created", "updated"))
+    assert(out.count() === 0L)
+  }
 }
