@@ -1479,6 +1479,21 @@ object SparkEntry {
         Seq("event_type"), "ts_epoch", "event_id")
     }),
 
+    // Weighted sampling WITHOUT replacement by priority sampling
+    // (operators/PrioritySample, Duffield–Lund–Thorup): k highest
+    // w/u priorities with u from the content hash and the priority in
+    // exact integer arithmetic — the fourth sampler spelling (threshold
+    // q45/q68, systematic q100, largest-remainder q108) and the only
+    // one with principled UNEQUAL per-row inclusion probabilities
+    // (∝ n_chars here). Top-k is TakeOrderedAndProject: bounded heaps
+    // per partition, k·P rows to the merge, no global sort.
+    "q124_priority_sample" -> ((s, dir) =>
+      graft.operators.PrioritySample.sample(
+        t(s, dir, "documents").select("doc_id", "n_chars", "text"),
+        100, col("n_chars"), TextAnalysis.charPolyHash(col("text")),
+        col("doc_id"))
+        .select("doc_id", "n_chars", "priority")),
+
     // Snapshot diff / CDC extract (operators/Upsert.snapshotDiff) — the
     // read-side inverse of q08's merge: two deterministic versions of
     // orders (old drops keys ≡3 mod 10 and doubles price on keys ≡0
@@ -3084,6 +3099,15 @@ object SparkEntry {
         |FROM changes
         |WINDOW w2 AS (PARTITION BY user_id
         |              ORDER BY ts_epoch ASC, event_id ASC)""".stripMargin,
+
+    // Mirrors PrioritySample: `//` ≡ Spark's `div` on positive BIGINTs
+    // (both truncate), so the priorities are integer-identical.
+    "q124_priority_sample" ->
+      s"""SELECT doc_id, n_chars,
+         |  (n_chars * 1000000000000) // (${charPolySql("text")} + 1)
+         |    AS priority
+         |FROM documents
+         |ORDER BY priority DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     // Mirrors snapshotDiff: FULL OUTER + IS DISTINCT FROM change
     // predicate ≡ Spark's !(<=>); presence via key IS NULL (keys are
