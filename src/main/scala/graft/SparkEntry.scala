@@ -1479,6 +1479,20 @@ object SparkEntry {
         Seq("event_type"), "ts_epoch", "event_id")
     }),
 
+    // Term co-occurrence with lift (CorpusOps.termCooccurrence) — the
+    // collocation/PMI-ranking signal (lift = n_ab·N/(n_a·n_b); PMI is
+    // its ln, monotone, so ranking is identical without the libm-
+    // divergent transcendental). Fanout discipline: df-cap kills the
+    // stopword quadratic, per-doc rarest-20 caps each document at
+    // C(20,2) pairs; exact DECIMAL products, ONE double divide. (790‰
+    // keeps the df-cap ACTIVE on the synthetic 31-term vocabulary —
+    // every term but one sits at 75-80% presence, so a conventional
+    // 300‰ cap leaves one eligible term and an empty, untested result.)
+    "q125_pmi_cooccur" -> ((s, dir) =>
+      graft.text.CorpusOps.termCooccurrence(t(s, dir, "documents"),
+        "doc_id", "text", minDf = 3L, maxDfPermille = 790L,
+        perDocTerms = 20, minSupport = 3L)),
+
     // Weighted sampling WITHOUT replacement by priority sampling
     // (operators/PrioritySample, Duffield–Lund–Thorup): k highest
     // w/u priorities with u from the content hash and the priority in
@@ -3099,6 +3113,36 @@ object SparkEntry {
         |FROM changes
         |WINDOW w2 AS (PARTITION BY user_id
         |              ORDER BY ts_epoch ASC, event_id ASC)""".stripMargin,
+
+    // Mirrors termCooccurrence op-for-op: same df gates, same per-doc
+    // rarity rank, DECIMAL(38,0) products, one double divide.
+    "q125_pmi_cooccur" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($TOKENS_SQL) AS term FROM documents),
+         |p AS (SELECT DISTINCT doc_id, term FROM tok),
+         |dfreq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |elig AS (
+         |  SELECT term, df FROM dfreq, nd
+         |  WHERE df >= 3 AND df * 1000 <= 790 * n_docs),
+         |ranked AS (
+         |  SELECT p.doc_id, p.term,
+         |    row_number() OVER (PARTITION BY p.doc_id
+         |                       ORDER BY e.df ASC, p.term ASC) AS rk
+         |  FROM p JOIN elig e USING (term)),
+         |kept AS (SELECT doc_id, term FROM ranked WHERE rk <= 20),
+         |pairs AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+         |  FROM kept a JOIN kept b
+         |    ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY a.term, b.term)
+         |SELECT term_a, term_b, n_ab, da.df AS n_a, db.df AS n_b,
+         |  CAST(CAST(n_ab AS DECIMAL(38,0)) * n_docs AS DOUBLE) /
+         |  CAST(CAST(da.df AS DECIMAL(38,0)) * db.df AS DOUBLE) AS lift
+         |FROM pairs
+         |JOIN elig da ON pairs.term_a = da.term
+         |JOIN elig db ON pairs.term_b = db.term, nd
+         |WHERE n_ab >= 3""".stripMargin,
 
     // Mirrors PrioritySample: `//` ≡ Spark's `div` on positive BIGINTs
     // (both truncate), so the priorities are integer-identical.

@@ -392,6 +392,59 @@ object CorpusOps {
           .as("gini"))
   }
 
+  /** Document-level term co-occurrence with LIFT scores — the collocation
+    * / phrase-mining signal (PMI ranking): for term pair (a,b),
+    * lift = P(a,b)/(P(a)·P(b)) = n_ab·N/(n_a·n_b) over document-presence
+    * counts. PMI is ln(lift) — a strictly monotone map — so ranking by
+    * lift IS ranking by PMI while keeping every arithmetic step an
+    * exactly-mirrored IEEE op (the [[tfidfTopTerms]] no-`ln` discipline):
+    * the products run in exact DECIMAL(38,0) (overflow-safe past
+    * N² > 2^63) and only ONE double divide follows.
+    *
+    * The pair fanout is tamed twice, both ways oracle-expressible:
+    * (1) a df-cap drops stopword-frequency terms (`df·1000 ≤
+    * maxDfPermille·N`, plus a `minDf` floor for hapax noise) — the
+    * dominant quadratic contributor at corpus scale; (2) each document
+    * contributes only its `perDocTerms` RAREST eligible terms
+    * (ascending df, term tiebreak — the q114 rarity signal), so per-doc
+    * fanout is ≤ C(perDocTerms, 2) regardless of document length and
+    * total pair volume is linear in the corpus. The per-doc rank window
+    * partitions by document id (high-cardinality, never skewed). */
+  def termCooccurrence(docs: DataFrame, idCol: String, textCol: String,
+                       minDf: Long, maxDfPermille: Long, perDocTerms: Int,
+                       minSupport: Long): DataFrame = {
+    val posting = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .distinct()
+    val dfreq = posting.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val elig = dfreq.crossJoin(broadcast(nDocs))
+      .where(col("df") >= minDf &&
+        col("df") * 1000L <= lit(maxDfPermille) * col("n_docs"))
+      .select("term", "df")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("term").asc)
+    val kept = posting.join(elig, "term")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perDocTerms)
+      .select("id", "term")
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.id") === col("b.id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    pairs
+      .join(elig.select(col("term").as("term_a"), col("df").as("n_a")), "term_a")
+      .join(elig.select(col("term").as("term_b"), col("df").as("n_b")), "term_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        ((col("n_ab").cast("decimal(38,0)") * col("n_docs")).cast("double") /
+          (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double"))
+          .as("lift"))
+  }
+
   /** Exact corpus heavy hitters — every token whose global count exceeds
     * total/`k` — with BOUNDED-MEMORY candidate pruning (Misra & Gries
     * 1982, "Finding repeated elements", Sci. Comput. Program. 2):

@@ -245,4 +245,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(5L) === ((5L, 0L, 0L)))
     assert(got(6L) === ((1L, 5L, 1L)))
   }
+
+  test("termCooccurrence counts document-level pair presence with exact " +
+    "lift = n_ab*N/(n_a*n_b)") {
+    import spark.implicits._
+    // 4 docs; (alpha,beta) co-occur in 2, alpha df=3, beta df=2, N=4
+    val docs = Seq(
+      (1L, "alpha beta noise"),
+      (2L, "alpha beta"),
+      (3L, "alpha gamma"),
+      (4L, "gamma delta")).toDF("doc_id", "text")
+    val out = CorpusOps.termCooccurrence(docs, "doc_id", "text",
+      minDf = 2L, maxDfPermille = 1000L, perDocTerms = 10, minSupport = 2L)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // only (alpha,beta) reaches support 2; gamma pairs have n_ab=1,
+    // noise/delta fail minDf
+    assert(out.keySet === Set(("alpha", "beta")))
+    assert(out(("alpha", "beta")) === ((2L, 3L, 2L, 2.0 * 4 / (3 * 2))))
+  }
+
+  test("termCooccurrence caps: df-cap drops stopwords, per-doc cap keeps " +
+    "the RAREST terms, duplicate tokens count presence once") {
+    import spark.implicits._
+    // "stop" is in every doc (df 3/3 > 600 permille); doc 1 repeats
+    // "rare1" — presence still 1; per-doc cap 2 keeps the two rarest of
+    // {rare1 df2, rare2 df2, mid df3→capped}
+    val docs = Seq(
+      (1L, "stop rare1 rare1 rare2 mid"),
+      (2L, "stop rare1 rare2 mid"),
+      (3L, "stop mid")).toDF("doc_id", "text")
+    val out = CorpusOps.termCooccurrence(docs, "doc_id", "text",
+      minDf = 2L, maxDfPermille = 700L, perDocTerms = 2, minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // eligible: rare1(2), rare2(2), mid(3·1000 ≤ 700·3? 3000>2100 → no)
+    // per-doc rarest-2 of docs 1,2 = {rare1, rare2} → one pair, n_ab=2
+    assert(out === Set(("rare1", "rare2", 2L)))
+  }
 }
