@@ -67,6 +67,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream state is BOUNDED by the watermark: a key re-arriving " +
+    "after the horizon is re-admitted, not suppressed forever") {
+    // the semantics that distinguish dropDuplicatesWithinWatermark from
+    // an unbounded dropDuplicates — and the reason per-key state can be
+    // evicted at all. A re-delivery guard only needs to remember a key
+    // for the source's redelivery horizon; remembering it forever is an
+    // unbounded-state leak at 100 TB/day rates.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingAnalytics.dedupStream(
+        in.toDF.toDF("k", "event_time"), Seq("k"), "event_time", "1 hour")
+      .writeStream.format("memory").queryName("dedup_evict")
+      .outputMode("append").start()
+    try {
+      in.addData("a" -> ts(10))
+      q.processAllAvailable()
+      // advance the watermark way past 10:00 + 1h via a fresh key
+      in.addData("z" -> ts(20))
+      q.processAllAvailable()
+      // "a" again, far beyond the horizon: its state was evicted, so the
+      // row is a NEW observation and must pass through
+      in.addData("a" -> ts(20, 5))
+      q.processAllAvailable()
+      val got = spark.table("dedup_evict").select("k")
+        .as[String].collect().sorted.toSeq
+      assert(got === Seq("a", "a", "z"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: within-window pairs emit across " +
     "micro-batches as both sides arrive; a right row behind the joint " +
     "watermark is dropped, not joined") {
