@@ -1479,6 +1479,20 @@ object SparkEntry {
         Seq("event_type"), "ts_epoch", "event_id")
     }),
 
+    // 2-D Pareto frontier (operators/Skyline): orders no other order
+    // both postdates AND out-prices — the non-dominated set when two
+    // desiderata don't collapse into one score. Per-x max aggregate →
+    // local-prune + exact cummax scan (the groupTopK pigeonhole with
+    // cummax) → broadcast frontier join-back; the corpus never sorts
+    // globally and never self-joins. Oracle is an independent NOT
+    // EXISTS dominance spelling over the per-date maxima.
+    "q126_pareto_frontier" -> ((s, dir) =>
+      graft.operators.Skyline.frontier2D(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("order_epoch"),
+          col("o_totalprice")),
+        "order_epoch", "o_totalprice")),
+
     // Term co-occurrence with lift (CorpusOps.termCooccurrence) — the
     // collocation/PMI-ranking signal (lift = n_ab·N/(n_a·n_b); PMI is
     // its ln, monotone, so ranking is identical without the libm-
@@ -3113,6 +3127,27 @@ object SparkEntry {
         |FROM changes
         |WINDOW w2 AS (PARTITION BY user_id
         |              ORDER BY ts_epoch ASC, event_id ASC)""".stripMargin,
+
+    // INDEPENDENT spelling (not an op-mirror): NOT EXISTS dominance over
+    // the per-date maxima — equivalent because a row below its date's
+    // max price is dominated at its own date, and frontier dates are
+    // exactly those no later date matches-or-beats.
+    "q126_pareto_frontier" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, FLOOR(epoch(o_orderdate))::BIGINT AS order_epoch,
+        |    o_totalprice
+        |  FROM orders),
+        |g AS (
+        |  SELECT order_epoch, max(o_totalprice) AS ymax
+        |  FROM o GROUP BY order_epoch),
+        |fx AS (
+        |  SELECT order_epoch, ymax FROM g a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM g b
+        |    WHERE b.order_epoch > a.order_epoch AND b.ymax >= a.ymax))
+        |SELECT o.o_orderkey, o.order_epoch, o.o_totalprice
+        |FROM o JOIN fx ON o.order_epoch = fx.order_epoch
+        |  AND o.o_totalprice = fx.ymax""".stripMargin,
 
     // Mirrors termCooccurrence op-for-op: same df gates, same per-doc
     // rarity rank, DECIMAL(38,0) products, one double divide.
