@@ -1479,6 +1479,31 @@ object SparkEntry {
         Seq("event_type"), "ts_epoch", "event_id")
     }),
 
+    // Token-distribution concentration — the Herfindahl index
+    // Σ(tf/n)² = Σtf²/n² per document: the unigram-DISTRIBUTION quality
+    // signal (high HHI = few tokens dominate = template/boilerplate
+    // text) complementing q61's bigram repetition and q114's corpus-df
+    // rarity. Entropy would need the libm-divergent ln; HHI carries the
+    // same concentration ordering with integer-exact Σtf² and ONE
+    // double divide. Zero-token docs report NULL, never divide-by-zero.
+    "q127_token_concentration" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val agg = tf.groupBy("doc_id").agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("tf")).as("sum_tf2"))
+      t(s, dir, "documents").select("doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          (col("sum_tf2").cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double")).as("hhi"))
+    }),
+
     // 2-D Pareto frontier (operators/Skyline): orders no other order
     // both postdates AND out-prices — the non-dominated set when two
     // desiderata don't collapse into one score. Per-x max aggregate →
@@ -3127,6 +3152,25 @@ object SparkEntry {
         |FROM changes
         |WINDOW w2 AS (PARTITION BY user_id
         |              ORDER BY ts_epoch ASC, event_id ASC)""".stripMargin,
+
+    // NULL hhi for zero-token docs falls out of the LEFT JOIN on both
+    // sides; sum_tf2/n² casts are exact below 2^53.
+    "q127_token_concentration" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($TOKENS_SQL) AS tok FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct,
+         |    CAST(sum(tf * tf) AS BIGINT) AS sum_tf2
+         |  FROM tf GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_tokens, 0) AS n_tokens,
+         |  COALESCE(n_distinct, 0) AS n_distinct,
+         |  CAST(sum_tf2 AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+         |    AS hhi
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // INDEPENDENT spelling (not an op-mirror): NOT EXISTS dominance over
     // the per-date maxima — equivalent because a row below its date's
