@@ -10,7 +10,9 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args(0) == "skewbench") { skewBench(spark, args(1)); spark.stop(); return }
-    if (args(0) == "scaleprobe") { scaleProbe(spark, args(1)); spark.stop(); return }
+    if (args(0) == "scaleprobe") {
+      scaleProbe(spark, args(1), args.drop(2).toSeq); spark.stop(); return
+    }
     if (args(0) == "multifile") {
       multiFile(spark, args(1), args(2)); spark.stop(); return
     }
@@ -30,7 +32,8 @@ object Scratch {
     * every document, which would inflate every dup group ×10 and probe
     * cluster blowup, not scale) — then time the top-5 bench queries at
     * both scales, cache-cold each. */
-  private def scaleProbe(spark: SparkSession, sfDir: String): Unit = {
+  private def scaleProbe(spark: SparkSession, sfDir: String,
+                         queries: Seq[String] = Nil): Unit = {
     val big = "target/scale_x10"
     val marker = new java.io.File(big + "/_done")
     if (!marker.exists()) {
@@ -51,8 +54,9 @@ object Scratch {
       embsN.write.mode("overwrite").parquet(s"$big/embeddings.parquet")
       marker.createNewFile()
     }
-    val probes = Seq("q51_dup_clusters", "q87_pq_ann", "q43_trigram_jaccard",
-      "q38_jaccard_maxdf", "q72_incremental_dedup")
+    val probes = if (queries.nonEmpty) queries
+      else Seq("q51_dup_clusters", "q87_pq_ann", "q43_trigram_jaccard",
+        "q38_jaccard_maxdf", "q72_incremental_dedup")
     for (q <- probes; (label, dir) <- Seq("x1" -> sfDir, "x10" -> big)) {
       // min of 2 cache-cold runs: the first execution of a plan also
       // pays one-time codegen/JIT, which would masquerade as data cost
