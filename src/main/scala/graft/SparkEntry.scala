@@ -1479,6 +1479,68 @@ object SparkEntry {
         Seq("event_type"), "ts_epoch", "event_id")
     }),
 
+    // Referential-integrity audit — the pre-publication gate of any
+    // warehouse load: per-relationship orphan counts with min/max
+    // offending key. Each check is a LEFT ANTI join against the
+    // parent's DISTINCT keys (slim build side, key-partitioned — the
+    // q09 shape as an audit), then a 1-row aggregate; 100 TB children
+    // stream through without materializing matches. Parents are
+    // deterministically THINNED (keys ≡0 mod 97 dropped — the q119
+    // injected-breakage discipline) because the synthetic data is
+    // referentially clean and an all-zero audit would leave the
+    // positive path untested; part/supplier stay intact to prove the
+    // zero path too.
+    "q128_fk_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def audit(rel: String, child: DataFrame, key: String,
+                parentKeys: DataFrame): DataFrame = {
+        val orphans = child.join(parentKeys, Seq(key), "left_anti")
+        orphans.agg(count(lit(1)).as("n_orphans"),
+            min(col(key)).as("min_orphan_key"),
+            max(col(key)).as("max_orphan_key"))
+          .crossJoin(child.agg(count(lit(1)).as("n_children")))
+          .select(lit(rel).as("relationship"), col("n_children"),
+            col("n_orphans"), col("min_orphan_key"), col("max_orphan_key"))
+      }
+      val thinnedOrders = t(s, dir, "orders")
+        .where(col("o_orderkey") % 97L =!= 0L)
+        .select(col("o_orderkey").as("l_orderkey")).distinct()
+      val thinnedCust = t(s, dir, "customer")
+        .where(col("c_custkey") % 97L =!= 0L)
+        .select(col("c_custkey").as("o_custkey")).distinct()
+      audit("lineitem->orders", li.select("l_orderkey"), "l_orderkey",
+          thinnedOrders)
+        .unionByName(audit("lineitem->part", li.select("l_partkey"),
+          "l_partkey",
+          t(s, dir, "part").select(col("p_partkey").as("l_partkey")).distinct()))
+        .unionByName(audit("lineitem->supplier", li.select("l_suppkey"),
+          "l_suppkey",
+          t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey")).distinct()))
+        .unionByName(audit("orders->customer",
+          t(s, dir, "orders").select("o_custkey"), "o_custkey", thinnedCust))
+    }),
+
+    // Event-type transition matrix — first-order sequence mining over
+    // the event log (the Markov-chain / user-path primitive): per-user
+    // (previous type → type) successor pairs with occurrence and
+    // distinct-user counts. One lag window partitioned by
+    // high-cardinality user_id (ordered by epoch + event_id tiebreak),
+    // then a map-side-combined pair aggregate — no self-join, one
+    // shuffle each.
+    "q129_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_epoch").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_epoch"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Token-distribution concentration — the Herfindahl index
     // Σ(tf/n)² = Σtf²/n² per document: the unigram-DISTRIBUTION quality
     // signal (high HHI = few tokens dominate = template/boilerplate
@@ -3152,6 +3214,53 @@ object SparkEntry {
         |FROM changes
         |WINDOW w2 AS (PARTITION BY user_id
         |              ORDER BY ts_epoch ASC, event_id ASC)""".stripMargin,
+
+    // Anti-join spelled as NOT IN over the thinned parent key set; the
+    // intact part/supplier relationships prove the audit's zero path.
+    "q128_fk_audit" ->
+      """WITH ok AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
+        |ck AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
+        |a1 AS (
+        |  SELECT 'lineitem->orders' AS relationship,
+        |    (SELECT count(*) FROM lineitem) AS n_children,
+        |    count(*) AS n_orphans, min(l_orderkey) AS min_orphan_key,
+        |    max(l_orderkey) AS max_orphan_key
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT * FROM ok)),
+        |a2 AS (
+        |  SELECT 'lineitem->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    count(*), min(l_partkey), max(l_partkey)
+        |  FROM lineitem
+        |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+        |a3 AS (
+        |  SELECT 'lineitem->supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    count(*), min(l_suppkey), max(l_suppkey)
+        |  FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+        |a4 AS (
+        |  SELECT 'orders->customer',
+        |    (SELECT count(*) FROM orders),
+        |    count(*), min(o_custkey), max(o_custkey)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT * FROM ck))
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4""".stripMargin,
+
+    "q129_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    FLOOR(epoch(ts))::BIGINT AS ts_epoch
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_epoch ASC, event_id ASC) AS prev_type
+        |  FROM e)
+        |SELECT prev_type, event_type AS next_type,
+        |  count(*) AS n_transitions,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM lagged WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type""".stripMargin,
 
     // NULL hhi for zero-token docs falls out of the LEFT JOIN on both
     // sides; sum_tf2/n² casts are exact below 2^53.
