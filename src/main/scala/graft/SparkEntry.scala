@@ -1541,6 +1541,28 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // PageRank centrality over the stop-transition graph (consecutive
+    // stops within a trip — the q129 edge discipline, here on stop
+    // nodes): which stops sit on the most-travelled-through paths. The
+    // operator (operators/PageRank) is the canonical iterative
+    // join+agg, made hash-checkable by FIXED-POINT integer arithmetic —
+    // double-sum PageRank is shuffle-order-dependent and could never be
+    // oracle-hashed; the 1e-12-unit BIGINT spelling is exact in both
+    // engines, so the oracle unrolls the identical 3 iterations.
+    "q134_stop_pagerank" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .selectExpr("event_id DIV 100 AS trip", "event_id % 100 AS seq",
+          "user_id")
+      val edges = ev.as("a").join(ev.as("b"),
+          col("a.trip") === col("b.trip") &&
+            col("a.seq") + 1 === col("b.seq"))
+        .groupBy(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+        .agg(count(lit(1)).as("weight"))
+      graft.operators.PageRank
+        .fixedPoint(edges, "src", "dst", "weight", iters = 3)
+        .withColumnRenamed("node", "stop_id")
+    }),
+
     // Token-distribution concentration — the Herfindahl index
     // Σ(tf/n)² = Σtf²/n² per document: the unigram-DISTRIBUTION quality
     // signal (high HHI = few tokens dominate = template/boilerplate
@@ -1564,6 +1586,68 @@ object SparkEntry {
           coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
           (col("sum_tf2").cast("double") /
             (col("n_tokens") * col("n_tokens")).cast("double")).as("hhi"))
+    }),
+
+    // Vocabulary coverage — the tokenizer-training readout: the top-V
+    // corpus tokens by frequency with each rank's CUMULATIVE share of
+    // all token occurrences ("how much of the corpus does a V-entry
+    // vocab cover?"). Top-V is TakeOrdered (no global sort); the rank /
+    // cumulative window runs over the ≤V surviving rows only (the q89
+    // bounded-window discipline); counts stay exact BIGINT until the one
+    // final share division.
+    "q131_vocab_coverage" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val total = tf.agg(sum(col("freq")).as("__total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("tok"))
+      tf.orderBy(col("freq").desc, col("tok")).limit(100)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_freq", sum(col("freq")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("tok"), col("freq"), col("cum_freq"),
+          (col("cum_freq").cast("double") /
+            col("__total").cast("double")).as("cum_share"))
+    }),
+
+    // Graded contamination: per-train-document fractional n-gram overlap
+    // with the eval corpus — the thresholdable score behind q48's boolean
+    // drop decision (one shared 3-gram ≠ a 40% leak).
+    "q132_contamination_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusOps.contaminationScore(
+        docs.where(col("doc_id") % 10L =!= 0L),
+        docs.where(col("doc_id") % 10L === 0L),
+        "doc_id", "text", n = 3)
+    }),
+
+    // Gini coefficient of per-trip delay burden — the inequality readout
+    // that pairs with q127's Herfindahl: 0 = delay is spread evenly over
+    // trips, →1 = a few trips absorb nearly all of it. Uses the sorted
+    // identity G = (2·Σi·x_i − (n+1)·Σx_i)/(n·Σx_i), with the global
+    // ascending rank i from Rank.globalRank (two-pass, NO single-task
+    // window) and every sum an exact decimal accumulator — the only
+    // double op is the final division (try_divide: an all-zero-delay
+    // corpus scores NULL, matching the oracle's NULL-on-zero).
+    "q133_delay_gini" -> ((s, dir) => {
+      val ta = diffMart(s, dir)
+        .where(col("average_diff_in_minutes").isNotNull)
+        .groupBy(col("start_date"), col("trip_id"))
+        .agg(sum(abs(col("average_diff_in_minutes")).cast("decimal(20,6)"))
+          .as("x"))
+      Rank.globalRank(ta,
+          Seq(col("x"), col("start_date"), col("trip_id")), "i")
+        .agg(count(lit(1)).as("n_trips"), sum(col("x")).as("__s0"),
+          sum(col("i") * col("x")).as("__s1"))
+        .select(col("n_trips"),
+          col("__s0").cast("double").as("total_abs_delay"),
+          try_divide(
+            (lit(2L) * col("__s1") -
+              (col("n_trips") + lit(1L)) * col("__s0")).cast("double"),
+            (col("n_trips") * col("__s0")).cast("double")).as("gini"))
     }),
 
     // 2-D Pareto frontier (operators/Skyline): orders no other order
@@ -2104,6 +2188,15 @@ object SparkEntry {
     "q38_jaccard_maxdf" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         Seq("lang", "source"), minJaccard = 0.1, maxDf = Some(10L))),
+
+    // Prefix-filtered exact Jaccard join (All-Pairs/PPJoin): NO blocking
+    // columns and NO df cap — rarity-ordered prefixes alone make the
+    // candidate join subquadratic while staying COMPLETE for J ≥ τ. The
+    // oracle is the unblocked all-pairs join, so the hash match IS the
+    // completeness proof of the prefix filter.
+    "q130_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        minJaccard = 0.4)),
 
     // SimHash banded near-dup pairs (rows-only check: xxhash64-derived
     // fingerprints are engine-defined).
@@ -3281,6 +3374,102 @@ object SparkEntry {
          |    AS hhi
          |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
+    "q131_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($TOKENS_SQL) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
+         |top AS (SELECT tok, freq FROM tf ORDER BY freq DESC, tok LIMIT 100),
+         |c AS (
+         |  SELECT row_number() OVER (ORDER BY freq DESC, tok) AS rank,
+         |    tok, freq,
+         |    CAST(sum(freq) OVER (ORDER BY freq DESC, tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_freq
+         |  FROM top)
+         |SELECT rank, tok, freq, cum_freq,
+         |  CAST(cum_freq AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+         |FROM c CROSS JOIN tot""".stripMargin,
+
+    "q132_contamination_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |sh AS (SELECT doc_id, $TRIGRAM_SQL AS sg FROM toks),
+         |ev AS (
+         |  SELECT DISTINCT unnest(sg) AS shingle FROM sh
+         |  WHERE doc_id % 10 = 0),
+         |p AS (
+         |  SELECT doc_id, unnest(sg) AS shingle FROM sh
+         |  WHERE doc_id % 10 <> 0),
+         |h AS (
+         |  SELECT p.doc_id, count(*) AS n_hits
+         |  FROM p JOIN ev ON p.shingle = ev.shingle GROUP BY p.doc_id)
+         |SELECT s.doc_id, CAST(len(s.sg) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) /
+         |    CAST(len(s.sg) AS DOUBLE) AS contamination
+         |FROM sh s LEFT JOIN h USING (doc_id)
+         |WHERE s.doc_id % 10 <> 0""".stripMargin,
+
+    // the oracle unrolls the SAME 3 fixed-point iterations — every
+    // operation is integer-exact, so the hash match pins the whole
+    // iterative computation, not just its shape
+    "q134_stop_pagerank" ->
+      """WITH ev AS (
+        |  SELECT event_id // 100 AS trip, event_id % 100 AS seq, user_id
+        |  FROM events),
+        |e AS (
+        |  SELECT a.user_id AS src, b.user_id AS dst, count(*) AS w
+        |  FROM ev a JOIN ev b ON a.trip = b.trip AND a.seq + 1 = b.seq
+        |  GROUP BY a.user_id, b.user_id),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |c0 AS (
+        |  SELECT 1000000000000 // count(*) AS r0,
+        |    (15 * (1000000000000 // count(*))) // 100 AS base
+        |  FROM n),
+        |ow AS (SELECT src, sum(w) AS wtot FROM e GROUP BY src),
+        |rt0 AS (SELECT node, r0 AS r FROM n CROSS JOIN c0),
+        |s1 AS (
+        |  SELECT e.dst, sum((r.r * e.w) // ow.wtot) AS s
+        |  FROM e JOIN rt0 r ON e.src = r.node JOIN ow ON e.src = ow.src
+        |  GROUP BY e.dst),
+        |rt1 AS (
+        |  SELECT n.node, base + (85 * COALESCE(s1.s, 0)) // 100 AS r
+        |  FROM n LEFT JOIN s1 ON n.node = s1.dst CROSS JOIN c0),
+        |s2 AS (
+        |  SELECT e.dst, sum((r.r * e.w) // ow.wtot) AS s
+        |  FROM e JOIN rt1 r ON e.src = r.node JOIN ow ON e.src = ow.src
+        |  GROUP BY e.dst),
+        |rt2 AS (
+        |  SELECT n.node, base + (85 * COALESCE(s2.s, 0)) // 100 AS r
+        |  FROM n LEFT JOIN s2 ON n.node = s2.dst CROSS JOIN c0),
+        |s3 AS (
+        |  SELECT e.dst, sum((r.r * e.w) // ow.wtot) AS s
+        |  FROM e JOIN rt2 r ON e.src = r.node JOIN ow ON e.src = ow.src
+        |  GROUP BY e.dst),
+        |rt3 AS (
+        |  SELECT n.node, base + (85 * COALESCE(s3.s, 0)) // 100 AS r
+        |  FROM n LEFT JOIN s3 ON n.node = s3.dst CROSS JOIN c0)
+        |SELECT node AS stop_id, CAST(r AS BIGINT) AS pr_fp,
+        |  CAST(r AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS pagerank
+        |FROM rt3""".stripMargin,
+
+    "q133_delay_gini" -> (MART_CTE +
+      """, ta AS (
+        |  SELECT start_date, trip_id,
+        |    sum(CAST(abs(average_diff_in_minutes) AS DECIMAL(20,6))) AS x
+        |  FROM mart WHERE average_diff_in_minutes IS NOT NULL
+        |  GROUP BY start_date, trip_id),
+        |r AS (
+        |  SELECT x,
+        |    row_number() OVER (ORDER BY x, start_date, trip_id) AS i
+        |  FROM ta)
+        |SELECT CAST(count(*) AS BIGINT) AS n_trips,
+        |  CAST(sum(x) AS DOUBLE) AS total_abs_delay,
+        |  CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE) /
+        |    CAST(count(*) * sum(x) AS DOUBLE) AS gini
+        |FROM r""".stripMargin),
+
     // INDEPENDENT spelling (not an op-mirror): NOT EXISTS dominance over
     // the per-date maxima — equivalent because a row below its date's
     // max price is dominated at its own date, and frontier dates are
@@ -4061,6 +4250,23 @@ object SparkEntry {
 
     "q38_jaccard_maxdf" ->
       dfCappedJaccardSql(BIGRAM_SQL, cap = 10L, minJ = 0.1),
+
+    // deliberately the NAIVE all-pairs spelling (no prefix filter, no
+    // blocking): equality with the operator's prefix-filtered plan is
+    // exactly the completeness claim under test.
+    "q130_prefix_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $BIGRAM_SQL AS sg FROM toks),
+         |s2 AS (SELECT doc_id, sg FROM sh WHERE len(sg) > 0),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+         |    CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))
+         |      AS DOUBLE) AS jaccard
+         |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.4""".stripMargin,
 
     "q19_cosine_topk" -> BRUTE_TOPK_SQL,
 

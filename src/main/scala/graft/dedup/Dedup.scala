@@ -749,6 +749,72 @@ object Dedup {
         col("contain_b") >= minContainment)
   }
 
+  /** Prefix-filtered EXACT Jaccard self-join — the All-Pairs/PPJoin
+    * discipline (Bayardo, Ma, Srikant, "Scaling Up All Pairs Similarity
+    * Search", WWW'07; reimplemented from the published prefix-filter
+    * principle): order every document's shingles by a global rarity
+    * order (document frequency ascending, shingle ascending as the
+    * deterministic tiebreak) and index only each document's first
+    * `n − ⌈τ·n⌉ + 1` shingles. Any pair with Jaccard ≥ τ MUST share at
+    * least one prefix shingle — if all common shingles sat in both
+    * suffixes, the intersection would be < τ·|A|, yet J ≥ τ forces
+    * |A∩B| ≥ τ·|A∪B| ≥ τ·|A| — so candidate generation over the prefix
+    * postings is COMPLETE, and the all-pairs oracle's hash match is the
+    * empirical proof (a dropped true pair would be a missing row).
+    *
+    * Why this beats the df-capped inverted index ([[jaccardPairs]]) as
+    * the corpus grows: the full posting join's Σ df² cost is dominated
+    * by common shingles, exactly the ones rarity-first prefixes exclude
+    * — the prefix keeps only the (1−τ) rarest fraction of each set, and
+    * rare shingles have small df by construction, so the quadratic term
+    * collapses without a semantic-changing cap. A length-ratio filter
+    * (τ·|A| ≤ |B| ≤ |A|/τ, necessary for J ≥ τ) prunes candidates
+    * before verification; survivors get ONE exact array-intersection
+    * pass. Candidate volume is emitted as observed metric
+    * "prefix_jaccard" (the q88 cap-metric discipline).
+    *
+    * Scale shape: df is a map-side-combined hash-agg over slim postings;
+    * the per-doc rarity rank is a window partitioned by doc id (bounded
+    * by document length, never by a low-cardinality key); the candidate
+    * join moves (shingle, id, n) only; verification re-attaches shingle
+    * arrays by two slim id-keyed joins, linear in candidates. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         minJaccard: Double, shingleN: Int = 2): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard < 1.0,
+      "prefix filtering needs 0 < minJaccard < 1: at 0 the prefix is the " +
+        "whole set, at 1 use exactDupGroups")
+    val (sh, posting) = blockedPostings(docs, idCol, textCol, Nil, shingleN)
+    val sizes = sh.select(col("id"), size(col("sg")).cast("long").as("n"))
+    // postings are distinct per document, so count(*) IS document frequency
+    val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val prefix = posting.join(dfreq, "shingle")
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("__df"), col("shingle"))))
+      .join(sizes, "id")
+      .where(col("__r") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .select(col("shingle"), col("id"), col("n"))
+    val cand = prefix.select(col("shingle"), col("id").as("id_a"),
+        col("n").as("n_a"))
+      .join(prefix.select(col("shingle"), col("id").as("id_b"),
+        col("n").as("n_b")), Seq("shingle"))
+      .where(col("id_a") < col("id_b") &&
+        col("n_b") >= ceil(lit(minJaccard) * col("n_a")) &&
+        col("n_a") >= ceil(lit(minJaccard) * col("n_b")))
+      .select("id_a", "id_b").distinct()
+      .observe("prefix_jaccard", count(lit(1)).as("candidate_pairs"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sg").as("sg_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sg").as("sg_b")), "id_b")
+      .withColumn("__inter",
+        size(array_intersect(col("sg_a"), col("sg_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        (col("__inter") /
+          ((size(col("sg_a")) + size(col("sg_b"))).cast("double") -
+            col("__inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** Mergeable GROUP-level MinHash signatures: the MinHash of a UNION of
     * shingle sets is the slot-wise MIN of the member signatures, so a
     * group's signature is one `min` hash aggregate over exploded

@@ -73,6 +73,40 @@ object CorpusOps {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** GRADED contamination — the overlap FRACTION [[decontaminate]]'s
+    * boolean verdict throws away: per train document, the share of its
+    * distinct n-gram shingles that appear anywhere in the eval corpus.
+    * Real decontamination policies threshold this score ("drop if >20%
+    * of 13-grams hit") rather than dropping on a single shared shingle,
+    * because one boilerplate n-gram in a long document is noise while a
+    * 40% overlap is a leak.
+    *
+    * Same scale shape as [[decontaminate]]: distinct eval shingles, slim
+    * (id, shingle) postings join, hit counts via map-side-combined
+    * hash-agg; the division is the only double op (exact BIGINT counts
+    * up to it). Zero-shingle documents score NULL (`try_divide`), which
+    * mirrors the oracle's NULL-on-zero division. */
+  def contaminationScore(train: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalShingles = eval
+      .select(explode(TextAnalysis.ngramShingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+    val sh = train.select(col(idCol), TextAnalysis.ngramShingles(
+      TextAnalysis.tokens(col(textCol)), n).as("sg"))
+    // shingles are distinct within a document, so the inner-join row
+    // count per id IS the intersection size
+    val hits = sh.select(col(idCol), explode(col("sg")).as("shingle"))
+      .join(evalShingles, "shingle")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    sh.select(col(idCol), size(col("sg")).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        try_divide(coalesce(col("n_hits"), lit(0L)).cast("double"),
+          col("n_shingles").cast("double")).as("contamination"))
+  }
+
   /** The most frequent adjacent token pair across the corpus — the
     * BPE/WordPiece training selector. Deterministic tie-break
     * (count desc, then pair asc); ONE bounded driver action returning

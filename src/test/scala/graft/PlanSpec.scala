@@ -124,10 +124,15 @@ class PlanSpec extends SparkSpec {
     * broadcast — the standard scalar-subquery shape, safe at any scale;
     * q86's (N, avgdl) stats attach and q88's total-count attach are the
     * same 1-row shape; q89 embeds both the brute-force cosine baseline
-    * AND the q86 stats attach). */
+    * AND the q86 stats attach; q125's corpus-total attach, q128's
+    * per-relationship child-count attach, q131's total-token-count
+    * attach, and q134's N-derived rank-constant attach are likewise
+    * 1-ROW aggregate broadcasts). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
-      "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity")
+      "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
+      "q125_pmi_cooccur", "q128_fk_audit", "q131_vocab_coverage",
+      "q134_stop_pagerank")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

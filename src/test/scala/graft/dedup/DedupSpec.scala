@@ -152,6 +152,49 @@ class DedupSpec extends SparkSpec {
     assert(got.size < uncapped)
   }
 
+  test("prefixJaccardPairs equals the naive all-pairs computation at " +
+    "several thresholds (prefix-filter completeness) and observes its " +
+    "candidate count") {
+    // Mixed corpus: exact dups, a near-dup pair, disjoint docs, a
+    // shared-boilerplate family (common shingles land OUTSIDE rarity
+    // prefixes — the case that would expose an unsound prefix), and
+    // short/empty docs.
+    val many = docs((1L to 10L).map { i =>
+      val t = i match {
+        case 1L => "the quick brown fox jumps over the lazy dog"
+        case 2L => "the quick brown fox jumps over the lazy cat"
+        case 3L => "the quick brown fox jumps over the lazy dog"
+        case 4L => "completely different content about spark engines"
+        case 5L => "solo"
+        case 6L => ""
+        case i  => s"terms of service apply to item$i and variant$i here"
+      }
+      i -> t
+    }: _*)
+    def shingles(s: String): Set[String] = {
+      val tk = s.split(" ").filter(_.nonEmpty)
+      tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }
+    val all = many.collect().map(r => r.getLong(0) -> r.getString(1))
+    for (tau <- Seq(0.2, 0.5, 0.8)) {
+      val result = Dedup.prefixJaccardPairs(many, "doc_id", "text", tau)
+      val got = result.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val want = (for {
+        (ia, ta) <- all; (ib, tb) <- all if ia < ib
+        sa = shingles(ta); sb = shingles(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+        if j >= tau
+      } yield (ia, ib) -> j).toMap
+      assert(got === want, s"tau=$tau")
+      // the candidate metric is observed and covers at least the output
+      val m = result.queryExecution.observedMetrics
+      assert(m.contains("prefix_jaccard"), m.keySet)
+      assert(m("prefix_jaccard").getAs[Long]("candidate_pairs") >= got.size)
+    }
+  }
+
   test("dupClusters: components get their min id, chains converge, " +
     "disjoint clusters stay apart") {
     import spark.implicits._
