@@ -1327,6 +1327,36 @@ object SparkEntry {
         "value", "created_id", "updated_id")
     }),
 
+    // Compaction (OPTIMIZE) planner — the small-file coalescing pass
+    // every streaming-ingested lake needs: per (event_type, day) "file"
+    // row counts packed SEQUENTIALLY in day order into ~target-size
+    // output bins (bin = pre-file cumulative DIV target). Sequential
+    // packing — not first-fit-decreasing — because it PRESERVES the
+    // clustering key: each output file covers a contiguous day range, so
+    // min/max pruning on day survives the rewrite. Scale shape: the
+    // window runs over FILE METADATA (one row per file, partitioned by
+    // the table's partition column) — metadata-sized like a real
+    // OPTIMIZE planner, never over data rows; the data movement it
+    // plans is the bin-grouped rewrite, one shuffle keyed by bin.
+    "q136_compaction_plan" -> ((s, dir) => {
+      val target = 500L // rows per output file (bytes in production)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day_epoch"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("__cum", sum(col("n_rows")).over(w))
+        .withColumn("bin", expr(s"(__cum - n_rows) DIV ${target}L"))
+        .withColumn("n_bin_rows",
+          sum(col("n_rows")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"), col("bin"))))
+        .select(col("event_type"), col("day_epoch"), col("n_rows"),
+          col("bin"), col("n_bin_rows"))
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -2262,6 +2292,22 @@ object SparkEntry {
         nCentroids = 16, nProbe = 4, kmeansIters = 2)
     }),
 
+    // Johnson-Lindenstrauss sketch-first ANN: the fixed Rademacher ±1
+    // matrix (Achlioptas 2001) projects 64 → 8 dims, then the whole
+    // cosine ranking runs in the projected space — the
+    // dimensionality-reduction member of the ANN family (IVF gates by
+    // partition, PQ compresses the codes, JL shrinks the vectors
+    // themselves, 8× fewer multiply-adds per scored pair at any corpus
+    // size). Every projected coordinate is an exact integer dot against
+    // a literal sign row, so the oracle replays the identical matrix and
+    // the result is fully hash-checked; recall vs q19's exact ranking is
+    // pinned by SimilaritySpec.
+    "q135_jl_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
+      Similarity.jlTopK(q, emb, "vec_id", "embedding", k = 5, projDim = 8)
+    }),
+
     // Product-quantization ANN (ADC): per-subspace codebooks trained by
     // one deterministic Lloyd iteration, corpus encoded to 4 code ids,
     // search = broadcast LUT join + integer partial-distance sum — the
@@ -2726,6 +2772,71 @@ object SparkEntry {
           (col("n_errors").cast("double") / col("n_events").cast("double"))
             .as("error_rate"))),
 
+    // Time-series densification (gap fill) — the regular-grid repair
+    // every downstream window/forecast op assumes: the per-(user, day)
+    // aggregate LEFT-JOINED onto the full user × calendar spine, absent
+    // days zero-filled. The calendar derives from the data's own min/max
+    // day (two-row aggregate → sequence → broadcast); the user dimension
+    // never collects to the driver — the spine is users crossJoin
+    // broadcast(days), so it stays partitioned by user while the join
+    // shuffles only the slim daily aggregate. Day sums keep the
+    // exact-decimal discipline before the one final double cast.
+    "q139_gap_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(col("user_id"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("day_value"))
+      val cal = daily.agg(min(col("day_epoch")).as("d0"),
+          max(col("day_epoch")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"), lit(86400L)))
+          .as("day_epoch"))
+      ev.select("user_id").distinct()
+        .crossJoin(broadcast(cal))
+        .join(daily, Seq("user_id", "day_epoch"), "left")
+        .select(col("user_id"), col("day_epoch"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("day_value"), lit(0.0d)).as("day_value"))
+    }),
+
+    // Linear interpolation of missing values — the gap-REPAIR
+    // counterpart to q139's gap fill: masked points (a deterministic
+    // mirrorable 1-in-5 poly-hash mask, since the testdata has no real
+    // NULLs) are reconstructed from the nearest observed neighbors on
+    // each side, boundary gaps clamp to the single available neighbor.
+    // Neighbor discovery is last/first IGNORE NULLS over per-user
+    // windows (bounded by one user's history — never a global sort or a
+    // self-join per gap); the interpolation arithmetic
+    // pv + (nv − pv)·(x − x0)/(x1 − x0) is left-associative in both
+    // engines, so the doubles match bit-for-bit.
+    "q140_interpolate" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+      val wNext = w.rowsBetween(1, org.apache.spark.sql.expressions.Window
+        .unboundedFollowing)
+      val obsX = when(col("v").isNotNull, col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          (TextAnalysis.charPolyHash(
+            concat(lit("gap:"), col("event_id").cast("string"))) % 5L === 0L)
+            .as("masked"))
+        .withColumn("v", when(!col("masked"), col("value")))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("px", last(obsX, ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nx", first(obsX, ignoreNulls = true).over(wNext))
+        .select(col("event_id"), col("user_id"), col("masked"),
+          when(!col("masked"), col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                (col("event_id") - col("px")) / (col("nx") - col("px")))
+            .otherwise(coalesce(col("pv"), col("nv")))
+            .as("value_filled"))
+    }),
+
     // Ordered conversion funnel over the event stream (Funnel.userStages
     // — shared with FunnelSpec so the staging rule cannot drift): one
     // hash aggregate with conditional mins, one tiny stage rollup; never
@@ -2798,6 +2909,34 @@ object SparkEntry {
     // sketch-independent — hash-checked against plain GROUP BY / HAVING.
     "q88_heavy_hitters" -> ((s, dir) =>
       CorpusOps.heavyHitters(t(s, dir, "documents"), "text", k = 30)),
+
+    // Count-Min sketch (operators/CountMin): the FIXED-SIZE mergeable
+    // frequency summary — 4×256 counters whatever the corpus size, the
+    // streaming/partition-mergeable complement to q88's exact heavy
+    // hitters and q40's HLL. Output: the top-20 true tokens with true
+    // freq, CMS estimate, and the one-sided error (estimate − true ≥ 0
+    // ALWAYS — CountMinSpec pins it corpus-wide; the hash check pins the
+    // exact counter arithmetic, affine depth hashes mirrored as oracle
+    // literals).
+    "q138_cms_sketch" -> ((s, dir) => {
+      val (depth, width) = (4, 256)
+      val tf = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val cms = graft.operators.CountMin.sketch(tf, "tok", "freq",
+        depth, width)
+      val top = tf.orderBy(col("freq").desc, col("tok")).limit(20)
+      graft.operators.CountMin.estimate(top, cms, "tok", depth, width)
+        .withColumn("overestimate", col("cms_estimate") - col("freq"))
+    }),
+
+    // Exact-substring duplication spans (CorpusOps.dupSpans — the Lee et
+    // al. suffix-array dedup signal re-expressed relationally): per-doc
+    // duplicated-position share and longest duplicated run; max_run+2
+    // lower-bounds the longest cross-doc duplicated substring at the
+    // 3-gram grain.
+    "q137_dup_spans" -> ((s, dir) =>
+      CorpusOps.dupSpans(t(s, dir, "documents"), "doc_id", "text", n = 3)),
 
     // BM25 top-k retrieval over the corpus for a literal query-term set —
     // log-free rational idf and fixed-order pivot summation keep every
@@ -2885,6 +3024,42 @@ object SparkEntry {
       |                       ORDER BY cosine DESC, vec_id ASC) AS rank
       |  FROM p)
       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** JL-projected cosine top-5 (q135): the ±1 Rademacher rows embedded as
+    * literals (the lshCtes discipline — the matrix is operator definition,
+    * not runtime randomness), projection/norm/cosine mirroring
+    * [[graft.similarity.Similarity.jlTopK]] op for op. */
+  private val JL_TOPK_SQL: String = {
+    val rows = Similarity.rademacherPlanes(projDim = 8, dim = 64)
+      .zipWithIndex.map { case (p, j) =>
+        s"($j, ${p.mkString("[", ",", "]")}::BIGINT[])"
+      }.mkString(", ")
+    EMB_CTE +
+      s"""jlp AS (SELECT * FROM (VALUES $rows) pl(j, pv)),
+         |y AS (
+         |  SELECT n.vec_id,
+         |    list(CAST(list_sum(list_transform(range(1, len(n.v)+1),
+         |      i -> n.v[i]*p.pv[i])) AS BIGINT) ORDER BY p.j) AS yv
+         |  FROM n CROSS JOIN jlp p GROUP BY n.vec_id),
+         |yn AS (
+         |  SELECT vec_id, yv,
+         |    CAST(list_sum(list_transform(range(1, len(yv)+1),
+         |      i -> yv[i]*yv[i])) AS BIGINT) AS nrm
+         |  FROM y),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    CAST(CAST(list_sum(list_transform(range(1, len(q.yv)+1),
+         |        i -> q.yv[i]*c.yv[i])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+         |      AS cosine
+         |  FROM yn q, yn c WHERE q.vec_id < 10),
+         |r AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+         |  FROM p)
+         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_diff_mart" -> (MART_CTE +
@@ -3219,6 +3394,24 @@ object SparkEntry {
         |FROM old t FULL OUTER JOIN new u
         |  ON t.day = u.day AND t.user_id = u.user_id
         |  AND t.event_type = u.event_type""".stripMargin,
+
+    "q136_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    FLOOR(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
+        |    count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, day_epoch, n_rows,
+        |    CAST((sum(n_rows) OVER (PARTITION BY event_type
+        |       ORDER BY day_epoch
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       - n_rows) // 500 AS BIGINT) AS bin
+        |  FROM f)
+        |SELECT event_type, day_epoch, n_rows, bin,
+        |  CAST(sum(n_rows) OVER (PARTITION BY event_type, bin) AS BIGINT)
+        |    AS n_bin_rows
+        |FROM b""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (
@@ -3742,6 +3935,55 @@ object SparkEntry {
         |  CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS error_rate
         |FROM agg""".stripMargin,
 
+    "q139_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    FLOOR(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day_epoch) AS d0, max(day_epoch) AS d1 FROM ev),
+        |cal AS (
+        |  SELECT unnest(range(d0, d1 + 86400, 86400)) AS day_epoch FROM b),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, c.day_epoch,
+        |  COALESCE(e.n_events, 0) AS n_events,
+        |  COALESCE(e.day_value, 0.0) AS day_value
+        |FROM u CROSS JOIN cal c
+        |LEFT JOIN ev e ON e.user_id = u.user_id
+        |  AND e.day_epoch = c.day_epoch""".stripMargin,
+
+    "q140_interpolate" ->
+      s"""WITH m AS (
+         |  SELECT event_id, user_id,
+         |    ${charPolySql("('gap:' || CAST(event_id AS VARCHAR))")} % 5 = 0
+         |      AS masked,
+         |    CASE WHEN NOT
+         |      ${charPolySql("('gap:' || CAST(event_id AS VARCHAR))")} % 5 = 0
+         |      THEN value END AS v
+         |  FROM events),
+         |w AS (
+         |  SELECT event_id, user_id, masked, v,
+         |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN event_id END
+         |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS px,
+         |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY event_id
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN event_id END
+         |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+         |  FROM m)
+         |SELECT event_id, user_id, masked,
+         |  CASE WHEN NOT masked THEN v
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |       THEN pv + (nv - pv) * (event_id - px) / (nx - px)
+         |       ELSE COALESCE(pv, nv) END AS value_filled
+         |FROM w""".stripMargin,
+
     "q93_funnel" ->
       """WITH pu AS (
         |  SELECT user_id,
@@ -3815,6 +4057,63 @@ object SparkEntry {
          |c AS (SELECT term, count(*) AS cnt FROM post GROUP BY term)
          |SELECT c.term, c.cnt, t.n_total FROM c CROSS JOIN tot t
          |WHERE c.cnt * 30 > t.n_total""".stripMargin,
+
+    // the affine depth coefficients are the polyCoeffs constants embedded
+    // verbatim (operator definition, not runtime state) — the same
+    // literal-embedding rule as the q57 MinHash seeds
+    "q138_cms_sketch" -> {
+      val (as, bs) = graft.expressions.SignatureKernels.polyCoeffs(4)
+      val seedRows = (0 until 4).map(d =>
+        s"($d, ${as(d)}::BIGINT, ${bs(d)}::BIGINT)").mkString(", ")
+      s"""WITH tok AS (SELECT unnest($TOKENS_SQL) AS tok FROM documents),
+         |tf AS (
+         |  SELECT tok, count(*) AS freq, ${charPolySql("tok")} AS ph
+         |  FROM tok GROUP BY tok),
+         |sd AS (SELECT * FROM (VALUES $seedRows) s(d, a, b)),
+         |bk AS (
+         |  SELECT s.d, ((s.a * f.ph + s.b) % 1000000007) % 256 AS w,
+         |    sum(f.freq) AS counter
+         |  FROM tf f CROSS JOIN sd s GROUP BY 1, 2),
+         |top AS (SELECT tok, freq, ph FROM tf
+         |        ORDER BY freq DESC, tok LIMIT 20)
+         |SELECT t.tok, t.freq,
+         |  CAST(min(b.counter) AS BIGINT) AS cms_estimate,
+         |  CAST(min(b.counter) - t.freq AS BIGINT) AS overestimate
+         |FROM top t CROSS JOIN sd s
+         |JOIN bk b ON b.d = s.d
+         |  AND b.w = ((s.a * t.ph + s.b) % 1000000007) % 256
+         |GROUP BY t.tok, t.freq""".stripMargin
+    },
+
+    "q137_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |ps AS (
+         |  SELECT doc_id, unnest(range(1, len(tk) - 1)) - 1 AS pos,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+         |  FROM toks),
+         |d AS (
+         |  SELECT shingle FROM ps GROUP BY shingle
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |fl AS (
+         |  SELECT ps.doc_id, ps.pos, d.shingle IS NOT NULL AS dup
+         |  FROM ps LEFT JOIN d USING (shingle)),
+         |runs AS (
+         |  SELECT doc_id,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM fl WHERE dup),
+         |rl AS (
+         |  SELECT doc_id, max(cnt) AS max_run FROM (
+         |    SELECT doc_id, grp, count(*) AS cnt FROM runs
+         |    GROUP BY doc_id, grp) GROUP BY doc_id),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_shingles,
+         |    count(*) FILTER (dup) AS n_dup
+         |  FROM fl GROUP BY doc_id)
+         |SELECT a.doc_id, a.n_shingles, a.n_dup,
+         |  CAST(a.n_dup AS DOUBLE) / CAST(a.n_shingles AS DOUBLE) AS dup_share,
+         |  CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run
+         |FROM agg a LEFT JOIN rl r USING (doc_id)""".stripMargin,
 
     "q84_bpe_merge" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
@@ -4269,6 +4568,8 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.4""".stripMargin,
 
     "q19_cosine_topk" -> BRUTE_TOPK_SQL,
+
+    "q135_jl_topk" -> JL_TOPK_SQL,
 
     // q55 computes the identical result through the HOF spelling + the
     // optimizer rewrite — same oracle, verbatim.

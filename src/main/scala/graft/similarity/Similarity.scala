@@ -135,6 +135,55 @@ object Similarity {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** Deterministic Rademacher (±1) projection matrix for
+    * Johnson-Lindenstrauss dimensionality reduction: entry (j, i) is the
+    * parity of one SplitMix64-style mix of the flat index — fixed
+    * arithmetic, so the matrix is part of the OPERATOR DEFINITION (the
+    * oracle embeds the rows as literals, like the sign-LSH planes) and
+    * never a runtime random draw. Achlioptas 2001 shows ±1 entries carry
+    * the full JL distance-preservation guarantee of Gaussian matrices;
+    * unlike Gaussians they keep every projected coordinate an EXACT
+    * integer dot product of the quantized vector. */
+  def rademacherPlanes(projDim: Int, dim: Int, seed: Long = 42L): Seq[Seq[Long]] =
+    Seq.tabulate(projDim)(j => Seq.tabulate(dim) { i =>
+      var x = seed + (j.toLong * dim + i + 1L) * 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      if (((x ^ (x >>> 31)) & 1L) == 0L) 1L else -1L
+    })
+
+  /** JL-projected brute-force cosine top-k — the dimensionality-reduction
+    * scale path for similarity search: every vector is projected
+    * dim → projDim through the fixed ±1 [[rademacherPlanes]] matrix (each
+    * projected coordinate one codegen'd [[intDot]] against a literal sign
+    * row — exact integers), then cosine ranking runs ENTIRELY in the
+    * projected space with the same bounded partition-local top-k as
+    * [[bruteForceTopK]]. At 100 TB the projection is a map-only 8×
+    * shrink of the vectors that every downstream scoring pass then pays
+    * instead of the full dimension — the classic sketch-first ANN layout;
+    * recall vs the exact ranking is pinned by SimilaritySpec. Fully
+    * hash-checkable: projection, norms, and cosine are the oracle's
+    * arithmetic verbatim. */
+  def jlTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             embCol: String, k: Int, projDim: Int): DataFrame = {
+    // one bounded driver read fixes dim; queries and corpus then share the
+    // identical literal sign matrix (a per-frame derivation could diverge)
+    val dim = corpus.select(size(col(embCol))).first().getInt(0)
+    val planes = rademacherPlanes(projDim, dim)
+    def projected(df: DataFrame, vCol: String, nCol: String): DataFrame = {
+      val qv = quantize(col(embCol))
+      df.select(col(idCol),
+          array(planes.map(p => intDot(qv, lit(p.toArray))): _*).as(vCol))
+        .withColumn(nCol, intDot(col(vCol), col(vCol)))
+    }
+    val q = projected(queries, "qv", "qn").withColumnRenamed(idCol, "query_id")
+    val c = projected(corpus, "cv", "cn")
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        cosineQ(intDot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (fixed seed — planes are
     * part of the operator definition, not runtime randomness). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -296,4 +296,22 @@ object StreamingAnalytics {
             counters.keysIterator.toSeq.sorted))
       }
   }
+
+  /** Streaming Count-Min sketch: because a CMS is nothing but sums over
+    * a FIXED key space of depth×width cells, the streaming form is a
+    * plain update-mode streaming aggregation on the cell id — Spark's
+    * own state store holds exactly the depth·width counters, no custom
+    * state, no watermark (the state is size-bounded by construction,
+    * like the Misra-Gries pass above). Cell derivation is shared with
+    * the batch operator ([[graft.operators.CountMin.cellArray]]), so
+    * after any prefix of the stream the latest per-cell snapshot equals
+    * the batch sketch of that prefix EXACTLY — parity pinned by
+    * StreamingAnalyticsSpec. */
+  def cmsStream(keys: Dataset[String], depth: Int,
+                width: Int): DataFrame =
+    keys.toDF("key")
+      .select(explode(graft.operators.CountMin
+        .cellArray(col("key"), depth, width)).as("__cell"))
+      .groupBy(col("__cell.d").as("d"), col("__cell.w").as("w"))
+      .agg(count(lit(1)).as("counter"))
 }

@@ -582,4 +582,50 @@ object CorpusOps {
         array_join(slice(col("__tk"), col("__start") + 1, lit(chunkSize)), " ")
           .as("chunk_text"))
   }
+
+  /** Exact-substring duplication spans (the signal behind suffix-array
+    * dedup — Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): per document, the share of its POSITIONAL
+    * `n`-gram shingles that also occur in at least one OTHER document,
+    * and the longest consecutive run of such positions. A duplicated
+    * span of L tokens (L ≥ n) shows up as a run of L−n+1 duplicated
+    * shingle positions, so `max_run + n − 1` lower-bounds the longest
+    * cross-document duplicated substring — the thresholdable span-level
+    * readout (q61's repetition covers WITHIN-doc repeats; q48/q132 cover
+    * eval contamination; this is train-train span duplication).
+    *
+    * Scale: one slim (id, pos, shingle) posting explode; the duplicated-
+    * shingle set is a hash aggregate on shingle (map-side combined) and
+    * the flagging join shuffles key-only postings, never document text.
+    * The run analysis is the islands trick — `pos − row_number()` is
+    * constant exactly on consecutive duplicated positions — under
+    * windows PARTITIONED BY DOCUMENT, each bounded by one document's
+    * token count. Documents shorter than `n` tokens have no shingles and
+    * are absent from the output, mirroring the oracle. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col(idCol),
+      posexplode(TextAnalysis.posNgrams(TextAnalysis.tokens(col(textCol)), n))
+        .as(Seq("pos", "shingle")))
+    val dup = pos.groupBy("shingle")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= 2L).select(col("shingle"), lit(true).as("__dup"))
+    val flagged = pos.join(dup, Seq("shingle"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("__dup"), lit(false)).as("dup"))
+    val runs = flagged.where(col("dup"))
+      .withColumn("__grp", col("pos") -
+        row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .groupBy(col(idCol), col("__grp")).agg(count(lit(1)).as("__len"))
+      .groupBy(idCol).agg(max(col("__len")).as("max_run"))
+    flagged.groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("dup"), lit(1))).as("n_dup"))
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_shingles").cast("double"))
+          .as("dup_share"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
 }

@@ -47,13 +47,22 @@ object TextAnalysis {
     * row per plan occurrence. Here `tk` is evaluated a constant (n) number
     * of times per row. zip_with pads the shorter side with NULL, `concat`
     * propagates it, and the filter drops the incomplete tail shingles. */
-  private[graft] def ngramShinglesHof(tk: Column, n: Int): Column = {
+  private[graft] def ngramShinglesHof(tk: Column, n: Int): Column =
+    array_distinct(posNgrams(tk, n))
+
+  /** POSITIONAL word n-grams: element i (0-based) is the n-gram starting
+    * at token i, duplicates KEPT — the span grain for exact-substring
+    * duplication (q137), where [[ngramShingles]]' set semantics would
+    * erase the run structure. Same fold-of-zip_with shape as
+    * [[ngramShinglesHof]] (its distinct reduction): `tk` is evaluated a
+    * constant n times per row, never once per element. */
+  def posNgrams(tk: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")
     val joined = (1 until n).foldLeft(tk) { (acc, j) =>
       zip_with(acc, slice(tk, lit(j + 1), greatest(size(tk) - j, lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
-    array_distinct(filter(joined, x => x.isNotNull))
+    filter(joined, x => x.isNotNull)
   }
 
   /** Distinct word-bigram shingles — the n=2 instance of

@@ -127,12 +127,17 @@ class PlanSpec extends SparkSpec {
     * AND the q86 stats attach; q125's corpus-total attach, q128's
     * per-relationship child-count attach, q131's total-token-count
     * attach, and q134's N-derived rank-constant attach are likewise
-    * 1-ROW aggregate broadcasts). */
+    * 1-ROW aggregate broadcasts; q135 is the JL-projected member of the
+    * brute-force cosine family — same every-corpus-vector × broadcast-
+    * queries product, scored in the reduced dimension; q139's spine is
+    * users × the broadcast CALENDAR — the days side is a bounded
+    * min/max-derived sequence, and the product IS the densified output
+    * grid, not an intermediate that later collapses). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
       "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
       "q125_pmi_cooccur", "q128_fk_audit", "q131_vocab_coverage",
-      "q134_stop_pagerank")
+      "q134_stop_pagerank", "q135_jl_topk", "q139_gap_fill")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

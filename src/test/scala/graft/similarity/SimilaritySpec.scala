@@ -231,4 +231,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got((1L, 0L))._2.isEmpty && got((1L, 1L))._2.isEmpty)
     assert(got((2L, 0L)) === ((-50000L, Some(-1.0 / math.sqrt(2.0)))))
   }
+
+  test("jlTopK: self-match rank 1, full per-query result sets, and " +
+    "recall@5 vs the exact ranking above the random-baseline floor") {
+    val corpus = vecs(80, seed = 7L)
+    val queries = corpus.take(6)
+    val exact = naiveTopK(queries, corpus, 5)
+    val jl = Similarity.jlTopK(toDF(queries), toDF(corpus),
+      "vec_id", "embedding", k = 5, projDim = 4).collect()
+    assert(jl.length === 30)
+    // a query's own corpus copy projects to the identical vector → cosine
+    // 1 in the projected space too → rank 1 survives the projection
+    jl.filter(_.getLong(3) == 1L)
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val got = jl.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    // random 5-of-80 would overlap ~6%; JL at dim 8→4 must do far better
+    assert(recall >= 0.4, s"JL recall@5 = $recall")
+  }
+
+  test("jlTopK matches the naive projected-space computation exactly") {
+    val corpus = vecs(50, seed = 8L)
+    val queries = corpus.take(3)
+    val planes = Similarity.rademacherPlanes(projDim = 4, dim = dim)
+    def proj(v: Seq[Float]): Seq[Long] = {
+      val q = v.map(x => math.round(x.toDouble * Similarity.Scale))
+      planes.map(p => p.zip(q).map { case (s, x) => s * x }.sum)
+    }
+    val projected = corpus.map { case (id, v) => (id, proj(v)) }
+    val naive = (for ((qid, qy) <- projected.take(3)) yield {
+      val qn = math.sqrt(qy.map(x => x.toDouble * x).sum)
+      projected.map { case (cid, cy) =>
+        val dot = qy.zip(cy).map { case (a, b) => a * b }.sum
+        (cid, dot / (qn * math.sqrt(cy.map(x => x.toDouble * x).sum)))
+      }.sortBy { case (cid, cos) => (-cos, cid) }
+        .take(5).map(c => qid -> c._1)
+    }).flatten.toSet
+    val got = Similarity.jlTopK(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 5, projDim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+  }
 }

@@ -526,4 +526,44 @@ class StreamingAnalyticsSpec extends SparkSpec {
       feedAndCheck((26 to 60).map(i => s"r$i"))
     } finally q.stop()
   }
+
+  test("cmsStream: after every micro-batch the latest per-cell snapshot " +
+    "EQUALS the batch CountMin sketch of the stream-so-far") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val ctx = spark.sqlContext
+    val (depth, width) = (4, 64)
+    val in = MemoryStream[String]
+    val q = StreamingAnalytics.cmsStream(in.toDS(), depth, width)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update").start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def feedAndCheck(batch: Seq[String]): Unit = {
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      fed ++= batch
+      // update mode re-emits a cell each time it changes; the LATEST
+      // emission per cell is its current counter = the max (counters
+      // only grow)
+      val streamed = spark.table("cms_stream")
+        .groupBy("d", "w")
+        .agg(org.apache.spark.sql.functions.max("counter").as("counter"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val batchSketch = graft.operators.CountMin.sketch(
+          fed.toSeq.toDF("key").withColumn("one", lit(1L)),
+          "key", "one", depth, width)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed === batchSketch,
+        s"stream/batch sketch divergence after ${fed.size} rows")
+    }
+
+    try {
+      feedAndCheck(Seq.fill(10)("alpha") ++ Seq("beta", "gamma"))
+      feedAndCheck(Seq.fill(5)("beta") ++ (1 to 8).map(i => s"tail_$i"))
+      feedAndCheck(Seq("alpha", "delta"))
+    } finally q.stop()
+  }
 }

@@ -285,4 +285,49 @@ class CorpusOpsSpec extends SparkSpec {
     // per-doc rarest-2 of docs 1,2 = {rare1, rare2} → one pair, n_ab=2
     assert(out === Set(("rare1", "rare2", 2L)))
   }
+
+  test("dupSpans: duplicated-position share and longest run on a " +
+    "hand-built corpus; short docs absent; within-doc repeats don't count") {
+    import spark.implicits._
+    // doc 1 and doc 2 share the 5-token span "a b c d e" → trigram
+    // positions 0..2 duplicated in both (run of 3); doc 1's tail "x y z"
+    // is unique. doc 3 repeats its own trigram twice but no other doc
+    // has it → NOT duplicated (cross-doc only). doc 4 is too short for
+    // any trigram → absent from the output.
+    val docs = Seq(
+      (1L, "a b c d e x y z"),
+      (2L, "p q a b c d e"),
+      (3L, "m n o m n o"),
+      (4L, "t u"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.dupSpans(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // doc 1: 6 trigram positions, 3 duplicated (a b c, b c d, c d e)
+    assert(got(1L) === ((6L, 3L, 0.5d, 3L)))
+    // doc 2: 5 positions, duplicated at 2..4 → run 3
+    assert(got(2L) === ((5L, 3L, 0.6d, 3L)))
+    // doc 3: 4 positions, zero duplicated, max_run 0
+    assert(got(3L) === ((4L, 0L, 0.0d, 0L)))
+  }
+
+  test("dupSpans: a non-contiguous duplicated set yields max_run = " +
+    "longest island, not the total") {
+    import spark.implicits._
+    // doc 1 shares "a b c" (pos 0) and "x y z" (pos 4) with others,
+    // positions 1..3 unique → two islands of 1, max_run 1, n_dup 2
+    val docs = Seq(
+      (1L, "a b c k1 x y z"),
+      (2L, "a b c k2"),
+      (3L, "k3 x y z"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.dupSpans(docs, "doc_id", "text", n = 3)
+      .where($"doc_id" === 1L).collect().head
+    assert(got.getLong(1) === 5L)   // positions
+    assert(got.getLong(2) === 2L)   // duplicated
+    assert(got.getLong(4) === 1L)   // max island
+  }
 }
