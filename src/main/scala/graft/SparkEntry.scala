@@ -2308,6 +2308,21 @@ object SparkEntry {
       Similarity.jlTopK(q, emb, "vec_id", "embedding", k = 5, projDim = 8)
     }),
 
+    // SQ8 scalar-quantization ANN (faiss SQ8, asymmetric): corpus
+    // vectors live as int8 codes + one per-vector scale (8× smaller),
+    // queries stay full-precision, and dot(q, sv·code) = sv·dot(q, code)
+    // keeps the reconstruction virtual — the memory-bandwidth member of
+    // the ANN family (IVF gates, PQ quantizes subspaces, JL shrinks
+    // dims, SQ8 shrinks bytes-per-dim). Codes use only non-negative
+    // truncating division, so Spark's `div` and the oracle's `//` agree
+    // sign-safely and codes, scales, and scores all hash-check; recall
+    // vs q19's exact ranking is pinned by SimilaritySpec.
+    "q141_sq8_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
+      Similarity.sq8TopK(q, emb, "vec_id", "embedding", k = 5)
+    }),
+
     // Product-quantization ANN (ADC): per-subspace codebooks trained by
     // one deterministic Lloyd iteration, corpus encoded to 4 code ids,
     // search = broadcast LUT join + integer partial-distance sum — the
@@ -3060,6 +3075,40 @@ object SparkEntry {
          |  FROM p)
          |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
   }
+
+  // Mirrors Similarity.sq8TopK: per-vector sv = max(1, ceil(maxabs/127))
+  // (integer `//` ≡ Spark's `div` — operands non-negative), codes truncate
+  // |x| toward zero, reconstruction stays virtual via sv·dot(q, code).
+  private val SQ8_ANN_SQL: String =
+    EMB_CTE +
+      """sq AS (
+        |  SELECT vec_id, v,
+        |    GREATEST(1, (list_max(list_transform(v, x -> abs(x))) + 126) // 127)
+        |      AS sv
+        |  FROM e),
+        |cd AS (
+        |  SELECT vec_id, sv,
+        |    list_transform(v, x -> CASE WHEN x < 0 THEN -((-x) // sv)
+        |                                ELSE x // sv END) AS cc
+        |  FROM sq),
+        |cn AS (
+        |  SELECT vec_id, sv, cc,
+        |    sv * sv * CAST(list_sum(list_transform(range(1, len(cc)+1),
+        |      i -> cc[i]*cc[i])) AS BIGINT) AS cn
+        |  FROM cd),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    CAST(c.sv * CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*c.cc[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE)))
+        |      AS cosine
+        |  FROM n q, cn c WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM p)
+        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_diff_mart" -> (MART_CTE +
@@ -4570,6 +4619,8 @@ object SparkEntry {
     "q19_cosine_topk" -> BRUTE_TOPK_SQL,
 
     "q135_jl_topk" -> JL_TOPK_SQL,
+
+    "q141_sq8_ann" -> SQ8_ANN_SQL,
 
     // q55 computes the identical result through the HOF spelling + the
     // optimizer rewrite — same oracle, verbatim.

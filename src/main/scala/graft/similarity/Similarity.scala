@@ -184,6 +184,52 @@ object Similarity {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** Per-vector int8 scalar-quantization (SQ8) codes over an
+    * ALREADY-QUANTIZED `array<long>` column: scale
+    * `sv = max(1, ceil(maxabs / 127))` (exact ceiling division in
+    * integers), code_i = sign(x_i) * (|x_i| div sv) ∈ [-127, 127].
+    * Truncating |x| keeps Spark's `div` (toward zero) and DuckDB's `//`
+    * (floor) in agreement — both see only non-negative operands — so the
+    * codes, not just the scores, hash-check. Returns (codes, sv). */
+  def sq8Encode(qv: Column): (Column, Column) = {
+    val maxabs = array_max(transform(qv, x => abs(x)))
+    val sv = greatest(lit(1L), (maxabs + lit(126L)) .divide(lit(127L)).cast("long"))
+    val codes = transform(qv, x =>
+      when(x < 0L, -(abs(x) / sv).cast("long")).otherwise((x / sv).cast("long")))
+    (codes, sv)
+  }
+
+  /** SQ8 asymmetric cosine top-k — the 8×-compression scale path for
+    * similarity search (faiss's SQ8 re-expressed relationally): corpus
+    * vectors are stored as int8 codes plus ONE per-vector scale
+    * ([[sq8Encode]] — 1 byte/dim instead of 8), and scoring reconstructs
+    * each corpus vector as `code_i * sv` (an exact integer) against the
+    * FULL-precision query — the standard asymmetric-distance trick that
+    * keeps query precision free. The reconstruction never materializes:
+    * dot(q, code*sv) = sv * dot(q, code), one codegen'd [[intDot]] on the
+    * slim code array and one multiply, so the O(Q×N) loop touches 8×
+    * fewer bytes than [[bruteForceTopK]]. At 100 TB the corpus-side
+    * memory/scan win is the whole point; recall vs exact ranking is
+    * pinned by SimilaritySpec. Fully hash-checkable: codes, scales,
+    * norms, and cosine are integer-exact and mirrored verbatim. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              embCol: String, k: Int): DataFrame = {
+    val qv = quantize(col(embCol))
+    val (codes, sv) = sq8Encode(qv)
+    val c = corpus.select(col(idCol), codes.as("cc"), sv.as("sv"))
+      // reconstructed squared norm = sv² * dot(cc, cc), exact in longs:
+      // |code| ≤ 127 ⇒ dot ≤ 127²·dim; sv² ≤ (1e5·Scale/127)² stays far
+      // under 2^63 for the e5-scaled unit-norm embeddings this targets
+      .withColumn("cn", col("sv") * col("sv") * intDot(col("cc"), col("cc")))
+    val q = queries.select(col(idCol).as("query_id"), qv.as("qv"))
+      .withColumn("qn", intDot(col("qv"), col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        cosineQ(col("sv") * intDot(col("qv"), col("cc")),
+          col("qn"), col("cn")).as("cosine"))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (fixed seed — planes are
     * part of the operator definition, not runtime randomness). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

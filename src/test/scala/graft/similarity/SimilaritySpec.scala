@@ -250,6 +250,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"JL recall@5 = $recall")
   }
 
+  test("sq8TopK: self-match rank 1, full per-query result sets, and " +
+    "recall@5 vs the exact ranking near-perfect") {
+    val corpus = vecs(80, seed = 9L)
+    val queries = corpus.take(6)
+    val exact = naiveTopK(queries, corpus, 5)
+    val sq = Similarity.sq8TopK(toDF(queries), toDF(corpus),
+      "vec_id", "embedding", k = 5).collect()
+    assert(sq.length === 30)
+    // a query's own corpus copy reconstructs to a positively-scaled copy
+    // of itself up to ~1/127 relative rounding — still cosine ≈ 1, and no
+    // other vector beats it → rank 1 survives the quantization
+    sq.filter(_.getLong(3) == 1L)
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val got = sq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    // int8 keeps ~7 bits of per-component precision — recall should be
+    // near-exact, far above the LSH/JL sketch floors
+    assert(recall >= 0.8, s"SQ8 recall@5 = $recall")
+  }
+
+  test("sq8TopK matches the naive asymmetric reconstruction exactly, " +
+    "sign-safe for negative components") {
+    val corpus = vecs(50, seed = 10L)
+    val queries = corpus.take(3)
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    def encode(q: Seq[Long]): (Seq[Long], Long) = {
+      val maxabs = q.map(math.abs).max
+      val sv = math.max(1L, (maxabs + 126L) / 127L)
+      (q.map(x => if (x < 0) -((-x) / sv) else x / sv), sv)
+    }
+    val naive = (for ((qid, qv) <- queries) yield {
+      val q = quant(qv)
+      val qn = math.sqrt(q.map(x => x * x).sum.toDouble)
+      corpus.map { case (cid, cv) =>
+        val (cc, sv) = encode(quant(cv))
+        val dot = sv * q.zip(cc).map { case (a, b) => a * b }.sum
+        val cn = math.sqrt((sv * sv * cc.map(x => x * x).sum).toDouble)
+        (cid, dot / (qn * cn))
+      }.sortBy { case (cid, cos) => (-cos, cid) }
+        .take(5).map(c => qid -> c._1)
+    }).flatten.toSet
+    val got = Similarity.sq8TopK(toDF(queries), toDF(corpus),
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+  }
+
   test("jlTopK matches the naive projected-space computation exactly") {
     val corpus = vecs(50, seed = 8L)
     val queries = corpus.take(3)
