@@ -1550,6 +1550,43 @@ object SparkEntry {
           t(s, dir, "orders").select("o_custkey"), "o_custkey", thinnedCust))
     }),
 
+    // Equal-width histogram (operators/Histogram) — the distribution
+    // readout between q105's min/max profile and q50's exact
+    // percentiles. Two 1-row-bounded passes: a broadcast min/max
+    // aggregate, then arithmetic bin assignment whose shuffle carries at
+    // most nBins rows per partition. Bin ids are exact BIGINT floors
+    // both sides; edges render in q105's micro-unit integers, so the
+    // whole histogram hash-checks.
+    "q142_histogram" -> ((s, dir) =>
+      graft.operators.Histogram.equalWidth(
+        t(s, dir, "lineitem"), "l_extendedprice", nBins = 16)),
+
+    // Functional-dependency audit — the intra-table sibling of q128's
+    // cross-table FK audit (column-level data profiling: "is A → B a
+    // key-like dependency?"). For each candidate pair, ONE aggregate
+    // computes |distinct(det)| and |distinct(det, dep)|; the dependency
+    // holds iff they're equal, and the difference counts determinant
+    // values with conflicting dependents. Map-side-combined distinct
+    // aggregates, no joins, no windows — 100 TB children stream
+    // through; the audited columns are non-null here so Spark's and the
+    // oracle's multi-column DISTINCT NULL rules never diverge.
+    "q143_fd_audit" -> ((s, dir) => {
+      def audit(df: DataFrame, table: String, det: String,
+                dep: String): DataFrame =
+        df.agg(count_distinct(col(det)).as("n_det"),
+            count_distinct(col(det), col(dep)).as("n_pairs"))
+          .select(lit(s"$table: $det -> $dep").as("dependency"),
+            col("n_det"), col("n_pairs"),
+            (col("n_pairs") - col("n_det")).as("n_violating"),
+            (col("n_pairs") === col("n_det")).cast("long").as("fd_holds"))
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      audit(orders, "orders", "o_orderkey", "o_orderstatus")
+        .unionByName(audit(orders, "orders", "o_custkey", "o_orderpriority"))
+        .unionByName(audit(li, "lineitem", "l_orderkey", "l_returnflag"))
+        .unionByName(audit(li, "lineitem", "l_partkey", "l_linestatus"))
+    }),
+
     // Event-type transition matrix — first-order sequence mining over
     // the event log (the Markov-chain / user-path primitive): per-user
     // (previous type → type) successor pairs with occurrence and
@@ -3580,6 +3617,60 @@ object SparkEntry {
         |  FROM orders WHERE o_custkey NOT IN (SELECT * FROM ck))
         |SELECT * FROM a1 UNION ALL SELECT * FROM a2
         |UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4""".stripMargin,
+
+    // Mirrors Histogram.equalWidth: BIGINT floors for bin ids, micro-unit
+    // integer rendering for the edges, CASE instead of dividing by a
+    // zero-width range.
+    "q142_histogram" ->
+      """WITH xs AS (
+        |  SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |mm AS (SELECT min(x) AS lo, max(x) AS hi FROM xs),
+        |b AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |              ELSE LEAST(15, CAST(floor((x - lo) * 16.0 / (hi - lo))
+        |                                  AS BIGINT)) END AS bin,
+        |    lo, hi
+        |  FROM xs, mm),
+        |g AS (SELECT bin, lo, hi, count(*) AS n FROM b GROUP BY bin, lo, hi)
+        |SELECT bin,
+        |  CAST(floor((lo + CAST(bin AS DOUBLE) * (hi - lo) / 16.0)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS bin_lo_micro,
+        |  CAST(floor((lo + CAST(bin + 1 AS DOUBLE) * (hi - lo) / 16.0)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS bin_hi_micro,
+        |  n
+        |FROM g""".stripMargin,
+
+    // Mirrors the q143 one-pass distinct-pair audit; the audited columns
+    // are non-null, so multi-column DISTINCT NULL rules never engage.
+    "q143_fd_audit" ->
+      """WITH a1 AS (
+        |  SELECT 'orders: o_orderkey -> o_orderstatus' AS dependency,
+        |    count(DISTINCT o_orderkey) AS n_det,
+        |    count(DISTINCT (o_orderkey, o_orderstatus)) AS n_pairs
+        |  FROM orders),
+        |a2 AS (
+        |  SELECT 'orders: o_custkey -> o_orderpriority',
+        |    count(DISTINCT o_custkey),
+        |    count(DISTINCT (o_custkey, o_orderpriority))
+        |  FROM orders),
+        |a3 AS (
+        |  SELECT 'lineitem: l_orderkey -> l_returnflag',
+        |    count(DISTINCT l_orderkey),
+        |    count(DISTINCT (l_orderkey, l_returnflag))
+        |  FROM lineitem),
+        |a4 AS (
+        |  SELECT 'lineitem: l_partkey -> l_linestatus',
+        |    count(DISTINCT l_partkey),
+        |    count(DISTINCT (l_partkey, l_linestatus))
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |  UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
+        |SELECT dependency, n_det, n_pairs,
+        |  n_pairs - n_det AS n_violating,
+        |  CAST(n_pairs = n_det AS BIGINT) AS fd_holds
+        |FROM u""".stripMargin,
 
     "q129_transitions" ->
       """WITH e AS (
