@@ -1587,6 +1587,94 @@ object SparkEntry {
         .unionByName(audit(li, "lineitem", "l_partkey", "l_linestatus"))
     }),
 
+    // χ²-distinctive terms per language (text/CorpusOps.chi2Terms) —
+    // the supervised keyword extractor: which terms over-index in each
+    // class. 2×2 document-presence contingency in exact decimals, two
+    // mirrored double divides, no logs; the top-k window runs over the
+    // vocabulary-bounded aggregate, never the corpus.
+    "q144_chi2_terms" -> ((s, dir) =>
+      CorpusOps.chi2Terms(t(s, dir, "documents"), "doc_id", "lang",
+        "text", topK = 5)),
+
+    // Robust outlier counts via median/MAD — the q91 z-score family
+    // member that a heavy-tailed delay distribution needs (mean and
+    // stddev are themselves dragged by the outliers they're meant to
+    // flag; the median/MAD pair is breakdown-point-0.5 robust). Delays
+    // are integer seconds, so both medians interpolate on dyadic
+    // fractions — exact in ANY interpolation spelling, the q50
+    // precedent. Three map-side-combined aggregates over the bounded
+    // day_type key, two broadcast joins back; no windows.
+    "q145_mad_outliers" -> ((s, dir) => {
+      val d = diffMart(s, dir)
+        .withColumn("delay",
+          unix_timestamp(col("actual_arrival_time")) -
+            unix_timestamp(col("scheduled_arrival_time")))
+        .where(col("delay").isNotNull)
+      val med = d.groupBy("day_type")
+        .agg(expr("percentile(delay, 0.5D)").as("med"))
+      val withDev = d.join(broadcast(med), "day_type")
+        .withColumn("absdev", abs(col("delay").cast("double") - col("med")))
+      val mad = withDev.groupBy("day_type")
+        .agg(expr("percentile(absdev, 0.5D)").as("mad"))
+      withDev.join(broadcast(mad), "day_type")
+        .groupBy("day_type", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+          sum((col("absdev") > lit(3.0) * col("mad")).cast("long"))
+            .as("n_outliers"))
+        .select("day_type", "med", "mad", "n", "n_outliers")
+    }),
+
+    // Debounce / consecutive-duplicate suppression — the event-stream
+    // cleaning primitive (a retrying client fires the same event a few
+    // seconds apart; training pipelines keep one): q44's gap
+    // sessionization keyed by (user, event_type) with a 60 s gap, each
+    // burst collapsed to its span and a suppressed count. The window
+    // partitions by the high-cardinality user key; the collapse is one
+    // partitioning-aligned aggregate.
+    "q146_debounce" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("event_id"), unix_timestamp(col("ts")).as("ts_epoch"))
+      Sessionize.assignSessions(ev, Seq("user_id", "event_type"),
+          "ts_epoch", "event_id", gapSeconds = 60L)
+        .groupBy("user_id", "event_type", "session_seq")
+        .agg(min(col("ts_epoch")).as("first_ts"),
+          max(col("ts_epoch")).as("last_ts"),
+          count(lit(1)).as("n_events"),
+          (count(lit(1)) - lit(1L)).as("n_suppressed"))
+    }),
+
+    // Winsorization at the Tukey fences — the feature-pipeline value
+    // capper: per day type, delays clipped to [p25 − 1.5·IQR,
+    // p75 + 1.5·IQR] with below/above counts and the clipped sum.
+    // Quartiles of integer seconds are exact dyadics (q50), the fences
+    // spend one mirrored multiply each, and the clipped sum accumulates
+    // in DECIMAL(18,2) (quarters are exact at scale 2) before one cast
+    // to double — order-independent, so partitioning can't shift it.
+    "q147_winsorize" -> ((s, dir) => {
+      val d = diffMart(s, dir)
+        .withColumn("delay",
+          unix_timestamp(col("actual_arrival_time")) -
+            unix_timestamp(col("scheduled_arrival_time")))
+        .where(col("delay").isNotNull)
+      val fences = d.groupBy("day_type")
+        .agg(expr("percentile(delay, array(0.25D, 0.75D))").as("p"))
+        .select(col("day_type"), col("p").getItem(0).as("p25"),
+          col("p").getItem(1).as("p75"))
+        .withColumn("lo", col("p25") - lit(1.5) * (col("p75") - col("p25")))
+        .withColumn("hi", col("p75") + lit(1.5) * (col("p75") - col("p25")))
+      d.join(broadcast(fences), "day_type")
+        .groupBy("day_type", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          sum((col("delay").cast("double") < col("lo")).cast("long"))
+            .as("n_below"),
+          sum((col("delay").cast("double") > col("hi")).cast("long"))
+            .as("n_above"),
+          sum(greatest(col("lo"), least(col("hi"), col("delay").cast("double")))
+            .cast("decimal(18,2)")).cast("double").as("sum_winsorized"))
+        .select("day_type", "lo", "hi", "n", "n_below", "n_above",
+          "sum_winsorized")
+    }),
+
     // Event-type transition matrix — first-order sequence mining over
     // the event log (the Markov-chain / user-path primitive): per-user
     // (previous type → type) successor pairs with occurrence and
@@ -3640,6 +3728,111 @@ object SparkEntry {
         |    * 1000000.0 + 0.5) AS BIGINT) AS bin_hi_micro,
         |  n
         |FROM g""".stripMargin,
+
+    // Mirrors chi2Terms: exact integer contingency cells, two mirrored
+    // double divides; the `diff > 0` keyword filter also proves no
+    // denominator is zero (c+d = 0 or b+d = 0 forces diff = 0).
+    "q144_chi2_terms" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $TOKENS_SQL AS tk FROM documents),
+         |pres AS (
+         |  SELECT DISTINCT lang AS class, doc_id AS id, unnest(tk) AS term
+         |  FROM toks),
+         |aa AS (SELECT class, term, count(*) AS a FROM pres
+         |       GROUP BY class, term),
+         |nt AS (SELECT term, CAST(sum(a) AS BIGINT) AS n_t FROM aa
+         |       GROUP BY term),
+         |nc AS (SELECT lang AS class, count(*) AS n_c FROM documents
+         |       GROUP BY lang),
+         |nn AS (SELECT count(*) AS n_docs FROM documents),
+         |cells AS (
+         |  SELECT class, term, a, n_t - a AS b, n_c - a AS c,
+         |    n_docs - n_t - n_c + a AS d, n_docs
+         |  FROM aa JOIN nt USING (term) JOIN nc USING (class) CROSS JOIN nn),
+         |sc AS (
+         |  SELECT class, term, a AS n_class_term,
+         |    CAST(n_docs AS DOUBLE)
+         |      * (CAST(a*d - b*c AS DOUBLE) / CAST((a+b)*(c+d) AS DOUBLE))
+         |      * (CAST(a*d - b*c AS DOUBLE) / CAST((a+c)*(b+d) AS DOUBLE))
+         |      AS chi2
+         |  FROM cells WHERE a*d - b*c > 0),
+         |r AS (
+         |  SELECT class, term, n_class_term, chi2,
+         |    row_number() OVER (PARTITION BY class
+         |                       ORDER BY chi2 DESC, term ASC) AS rank
+         |  FROM sc)
+         |SELECT class, term, n_class_term, chi2, rank FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    // Mirrors q145: stacked exact medians (integer seconds → dyadic
+    // interpolation, exact in any spelling — the q50 precedent).
+    "q145_mad_outliers" -> (MART_CTE +
+      """, d AS (
+        |  SELECT day_type,
+        |    actual_arrival_epoch - scheduled_arrival_epoch AS delay
+        |  FROM mart
+        |  WHERE actual_arrival_epoch - scheduled_arrival_epoch IS NOT NULL),
+        |md AS (SELECT day_type, quantile_cont(delay, 0.5) AS med FROM d
+        |       GROUP BY day_type),
+        |dev AS (
+        |  SELECT d.day_type, med, abs(d.delay::DOUBLE - med) AS absdev
+        |  FROM d JOIN md USING (day_type)),
+        |mq AS (SELECT day_type, quantile_cont(absdev, 0.5) AS mad FROM dev
+        |       GROUP BY day_type)
+        |SELECT dev.day_type, med, mad, count(*) AS n,
+        |  CAST(sum(CASE WHEN absdev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN mq USING (day_type)
+        |GROUP BY dev.day_type, med, mad""".stripMargin),
+
+    // Mirrors q146: q44's session SQL keyed by (user_id, event_type)
+    // with a 60 s gap, collapsed per session.
+    "q146_debounce" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    FLOOR(epoch(ts))::BIGINT AS ts_epoch
+        |  FROM events),
+        |lg AS (
+        |  SELECT user_id, event_type, event_id, ts_epoch,
+        |    lag(ts_epoch) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_epoch ASC, event_id ASC) AS prev_ts
+        |  FROM e),
+        |ss AS (
+        |  SELECT user_id, event_type, ts_epoch,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL OR ts_epoch - prev_ts > 60
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id, event_type
+        |            ORDER BY ts_epoch ASC, event_id ASC
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM lg)
+        |SELECT user_id, event_type, session_seq,
+        |  min(ts_epoch) AS first_ts, max(ts_epoch) AS last_ts,
+        |  count(*) AS n_events, count(*) - 1 AS n_suppressed
+        |FROM ss GROUP BY user_id, event_type, session_seq""".stripMargin,
+
+    // Mirrors q147: quartile fences and a DECIMAL(18,2)-exact clipped sum.
+    "q147_winsorize" -> (MART_CTE +
+      """, d AS (
+        |  SELECT day_type,
+        |    actual_arrival_epoch - scheduled_arrival_epoch AS delay
+        |  FROM mart
+        |  WHERE actual_arrival_epoch - scheduled_arrival_epoch IS NOT NULL),
+        |qq AS (
+        |  SELECT day_type, quantile_cont(delay, 0.25) AS p25,
+        |    quantile_cont(delay, 0.75) AS p75
+        |  FROM d GROUP BY day_type),
+        |f AS (
+        |  SELECT day_type, p25 - 1.5 * (p75 - p25) AS lo,
+        |    p75 + 1.5 * (p75 - p25) AS hi
+        |  FROM qq)
+        |SELECT d.day_type, lo, hi, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.delay::DOUBLE < lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN d.delay::DOUBLE > hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_above,
+        |  CAST(sum(CAST(GREATEST(lo, LEAST(hi, d.delay::DOUBLE))
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
+        |FROM d JOIN f USING (day_type)
+        |GROUP BY d.day_type, lo, hi""".stripMargin),
 
     // Mirrors the q143 one-pass distinct-pair audit; the audited columns
     // are non-null, so multi-column DISTINCT NULL rules never engage.

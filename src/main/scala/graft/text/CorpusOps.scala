@@ -628,4 +628,62 @@ object CorpusOps {
           .as("dup_share"),
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
+
+  /** χ²-distinctive terms per class — the supervised keyword-extraction
+    * dual of [[tfidfTopTerms]] (which has no class signal): for each
+    * (class, term), the 2×2 document-presence contingency
+    * a = docs-in-class-with-term, b = n_t − a, c = n_c − a,
+    * d = N − n_t − n_c + a, scored
+    * χ² = N · (ad−bc)/((a+b)(c+d)) · (ad−bc)/((a+c)(b+d)) and kept only
+    * when positively associated (ad > bc — over-represented in the
+    * class, the keyword direction).
+    *
+    * Determinism: a/b/c/d and all four marginal products are EXACT —
+    * counts ride in DECIMAL(19,0)/(38,0) so no product overflows long —
+    * and χ² spends exactly two mirrored double divides and two double
+    * multiplies, identical op-for-op in the oracle; no logs (the
+    * log-likelihood-ratio G² spelling would drag in libm divergence —
+    * χ² ranks the same direction without it). Shape at 100 TB: one slim
+    * distinct (class, id, term) projection, three map-side-combined
+    * aggregates, broadcast joins of the vocab/class tables, and the
+    * final top-k window runs over the AGGREGATED (class, term) matrix —
+    * vocabulary-bounded, never corpus-sized. */
+  def chi2Terms(docs: DataFrame, idCol: String, classCol: String,
+                textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val pres = docs.select(col(classCol).as("class"), col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .distinct()
+    val a = pres.groupBy("class", "term").agg(count(lit(1)).as("a"))
+    // n_t = docs containing the term: every doc has exactly one class, so
+    // summing a over classes is the document frequency. n_c is counted
+    // from the docs table directly (summing a over terms would count each
+    // doc once PER DISTINCT TERM and break the contingency).
+    val nT = a.groupBy("term").agg(sum(col("a")).as("n_t"))
+    val nC = docs.groupBy(col(classCol).as("class"))
+      .agg(count(lit(1)).as("n_c"))
+    val nn = docs.agg(count(lit(1)).as("n_docs"))
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val joined = a.join(nT, "term").join(broadcast(nC), "class")
+      .crossJoin(broadcast(nn))
+      .withColumn("b", col("n_t") - col("a"))
+      .withColumn("c", col("n_c") - col("a"))
+      .withColumn("d",
+        col("n_docs") - col("n_t") - col("n_c") + col("a"))
+    val diff = d19(col("a")) * d19(col("d")) - d19(col("b")) * d19(col("c"))
+    val chi2 = col("n_docs").cast("double") *
+      try_divide(diff.cast("double"),
+        (d19(col("a") + col("b")) * d19(col("c") + col("d"))).cast("double")) *
+      try_divide(diff.cast("double"),
+        (d19(col("a") + col("c")) * d19(col("b") + col("d"))).cast("double"))
+    val scored = joined.where(diff > lit(0L).cast("decimal(19,0)"))
+      .select(col("class"), col("term"), col("a").as("n_class_term"),
+        chi2.as("chi2"))
+    // window input is the aggregated (class, term) matrix — vocabulary-
+    // bounded, the PlanSpec hygiene exception for aggregate-fed windows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("class").orderBy(col("chi2").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+  }
 }

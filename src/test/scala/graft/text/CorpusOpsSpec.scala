@@ -330,4 +330,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.getLong(2) === 2L)   // duplicated
     assert(got.getLong(4) === 1L)   // max island
   }
+
+  test("chi2Terms: matches the naive 2x2 contingency computation and " +
+    "keeps only positively-associated terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "cat cat dog"),   // presence: cat, dog
+      (2L, "en", "cat bird"),
+      (3L, "en", "dog"),
+      (4L, "fr", "chien chat"),
+      (5L, "fr", "chat dog"),
+      (6L, "fr", "bird chat"))
+      .toDF("doc_id", "lang", "text")
+    val rows = Seq(
+      (1L, Set("cat", "dog")), (2L, Set("cat", "bird")), (3L, Set("dog")),
+      (4L, Set("chien", "chat")), (5L, Set("chat", "dog")),
+      (6L, Set("bird", "chat")))
+    val classes = Map(1L -> "en", 2L -> "en", 3L -> "en",
+      4L -> "fr", 5L -> "fr", 6L -> "fr")
+    val nDocs = rows.size
+    val terms = rows.flatMap(_._2).distinct
+    val naive = (for (cl <- Seq("en", "fr"); tm <- terms) yield {
+      val a = rows.count { case (id, ts) => classes(id) == cl && ts(tm) }
+      val nT = rows.count { case (_, ts) => ts(tm) }
+      val nC = rows.count { case (id, _) => classes(id) == cl }
+      val (b, c, d) = (nT - a, nC - a, nDocs - nT - nC + a)
+      val diff = (a.toLong * d - b.toLong * c).toDouble
+      val chi2 = nDocs.toDouble * (diff / ((a + b).toLong * (c + d))) *
+        (diff / ((a + c).toLong * (b + d)))
+      (cl, tm, a, diff, chi2)
+    }).filter(_._4 > 0)
+      .groupBy(_._1)
+      .flatMap { case (_, g) =>
+        g.sortBy(x => (-x._5, x._2)).take(2)
+          .map(x => (x._1, x._2, x._3.toLong, x._5))
+      }.toSet
+    val got = CorpusOps.chi2Terms(docs, "doc_id", "lang", "text", topK = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === naive)
+    // "cat" appears only in en docs, "chat" only in fr — each must top
+    // its class
+    assert(got.exists(x => x._1 == "en" && x._2 == "cat"))
+    assert(got.exists(x => x._1 == "fr" && x._2 == "chat"))
+  }
 }
