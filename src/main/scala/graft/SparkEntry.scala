@@ -1675,6 +1675,61 @@ object SparkEntry {
           "sum_winsorized")
     }),
 
+    // k-anonymity audit — the privacy gate before a dataset ships: how
+    // many quasi-identifier cells (event_type × hour × value decade)
+    // have fewer than k members, and how many rows sit in those
+    // re-identifiable cells, at k ∈ {2, 5, 10}. One slim-key
+    // map-side-combined groupBy builds the cell histogram; the audit
+    // itself is a 1-row aggregate over cells — no joins, no windows,
+    // and the row count crossing the shuffle is the CELL count.
+    "q148_k_anonymity" -> ((s, dir) => {
+      val cells = t(s, dir, "events")
+        .select(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / lit(3600.0)) % lit(24L))
+            .as("hr"),
+          floor(col("value") / lit(10.0)).as("vband"))
+        .groupBy("event_type", "hr", "vband")
+        .agg(count(lit(1)).as("n"))
+      def below(k: Int) = Seq(
+        sum((col("n") < k.toLong).cast("long")).as(s"n_cells_lt$k"),
+        sum(when(col("n") < k.toLong, col("n")).otherwise(lit(0L)))
+          .as(s"n_rows_lt$k"))
+      cells.agg(count(lit(1)).as("n_cells"), (Seq(min(col("n")).as("min_cell"))
+        ++ below(2) ++ below(5) ++ below(10)): _*)
+    }),
+
+    // Per-cluster k-means inertia (similarity/Similarity.ivfClusterStats)
+    // — the cluster-quality readout over q32's coarse quantizer: exact
+    // integer dist² = |x|²+|c|²−2⟨x,c⟩ per assigned vector, summed in
+    // DECIMAL(38,0). The training loop is q32's (shared CTEs in the
+    // oracle); the readout adds one O(dim) codegen dot per row and a
+    // 16-key aggregate.
+    "q149_kmeans_inertia" -> ((s, dir) =>
+      Similarity.ivfClusterStats(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nCentroids = 16, kmeansIters = 2)),
+
+    // GROUPING SETS — the last member of the multi-granularity family
+    // (q07 rollup, q79 cube): an EXPLICIT set list {(type, hr), (type),
+    // (hr)} that neither rollup nor cube can spell (cube would add the
+    // grand total). One pass, grouping-id disambiguates the NULL-keyed
+    // rows; sums ride q105's micro-unit integers so double formatting
+    // and decimal-tie rounding never enter the hash.
+    "q150_grouping_sets" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / lit(3600.0)) % lit(24L))
+          .as("hr"),
+        col("value"))
+      ev.groupingSets(
+          Seq(Seq(col("event_type"), col("hr")), Seq(col("event_type")),
+            Seq(col("hr"))),
+          col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .as("sum_value_micro"),
+          (grouping(col("event_type")) * 2 + grouping(col("hr")))
+            .cast("long").as("gid"))
+    }),
+
     // Event-type transition matrix — first-order sequence mining over
     // the event log (the Markov-chain / user-path primitive): per-user
     // (previous type → type) successor pairs with occurrence and
@@ -3235,6 +3290,77 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
+  // q32's mirrored IVF training pipeline — seed centroids (first 16
+  // corpus vectors), two Lloyd iterations with floor-mean integer
+  // centroids and (cos desc, cid asc) assignment, then the final
+  // per-vector assignment. Shared VERBATIM by the IVF search (q32) and
+  // the inertia readout (q149), so the two oracles can never train apart.
+  // Consumes EMB_CTE's `n`; produces `cent` (cid, cv, cnrm), `sc`
+  // (all cosines), and `assign` (vec_id → cid).
+  private val IVF_TRAIN_CTES: String =
+    """dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM n) + 1)) AS i),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+      |  FROM n ORDER BY vec_id LIMIT 16),
+      |c0n AS (
+      |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
+      |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c0),
+      |s0 AS (
+      |  SELECT n.vec_id, c.cid,
+      |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
+      |        i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS cos
+      |  FROM n, c0n c),
+      |a0 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid ASC) AS rn FROM s0) WHERE rn = 1),
+      |m0 AS (
+      |  SELECT a.cid, d.i,
+      |    CAST(floor(CAST(sum(n.v[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+      |  FROM a0 a JOIN n USING (vec_id) CROSS JOIN dims d
+      |  GROUP BY a.cid, d.i),
+      |c1 AS (
+      |  SELECT c.cid, COALESCE(l.cv, c.cv) AS cv FROM c0 c
+      |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m0 GROUP BY cid) l
+      |    USING (cid)),
+      |c1n AS (
+      |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
+      |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c1),
+      |s1 AS (
+      |  SELECT n.vec_id, c.cid,
+      |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
+      |        i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS cos
+      |  FROM n, c1n c),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid ASC) AS rn FROM s1) WHERE rn = 1),
+      |m1 AS (
+      |  SELECT a.cid, d.i,
+      |    CAST(floor(CAST(sum(n.v[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+      |  FROM a1 a JOIN n USING (vec_id) CROSS JOIN dims d
+      |  GROUP BY a.cid, d.i),
+      |c2 AS (
+      |  SELECT c.cid, COALESCE(l.cv, c.cv) AS cv FROM c1 c
+      |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m1 GROUP BY cid) l
+      |    USING (cid)),
+      |cent AS (
+      |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
+      |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c2),
+      |sc AS (
+      |  SELECT n.vec_id, cent.cid,
+      |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
+      |        i -> n.v[i]*cent.cv[i])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(cent.cnrm AS DOUBLE))) AS cos
+      |  FROM n, cent),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid ASC) AS rn FROM sc) WHERE rn = 1),
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_diff_mart" -> (MART_CTE +
       "SELECT * FROM mart ORDER BY trip_id ASC, stop_sequence ASC, start_date ASC"),
@@ -3833,6 +3959,47 @@ object SparkEntry {
         |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
         |FROM d JOIN f USING (day_type)
         |GROUP BY d.day_type, lo, hi""".stripMargin),
+
+    // Mirrors q150: explicit GROUPING SETS with the grouping-id
+    // disambiguator; micro-unit integer sums (q105 discipline).
+    "q150_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(FLOOR(epoch(ts))::BIGINT / 3600.0) AS BIGINT) % 24
+        |      AS hr,
+        |    value
+        |  FROM events)
+        |SELECT event_type, hr, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_value_micro,
+        |  CAST(GROUPING(event_type)*2 + GROUPING(hr) AS BIGINT) AS gid
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type, hr), (event_type), (hr))""".stripMargin,
+
+    // Mirrors q148: identical quasi-identifier cell derivation (BIGINT
+    // floors), then the 1-row audit over the cell histogram.
+    "q148_k_anonymity" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CAST(floor(FLOOR(epoch(ts))::BIGINT / 3600.0) AS BIGINT) % 24
+        |      AS hr,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS vband,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_cells, min(n) AS min_cell,
+        |  CAST(sum(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cells_lt2,
+        |  CAST(sum(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_lt2,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cells_lt5,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_lt5,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cells_lt10,
+        |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_lt10
+        |FROM cells""".stripMargin,
 
     // Mirrors the q143 one-pass distinct-pair audit; the audited columns
     // are non-null, so multi-column DISTINCT NULL rules never engage.
@@ -4920,69 +5087,8 @@ object SparkEntry {
          |    AS chars_per_token
          |FROM documents""".stripMargin,
 
-    "q32_ivf_topk" -> (EMB_CTE +
-      """dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM n) + 1)) AS i),
-        |c0 AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
-        |  FROM n ORDER BY vec_id LIMIT 16),
-        |c0n AS (
-        |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
-        |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c0),
-        |s0 AS (
-        |  SELECT n.vec_id, c.cid,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
-        |        i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS cos
-        |  FROM n, c0n c),
-        |a0 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, cid ASC) AS rn FROM s0) WHERE rn = 1),
-        |m0 AS (
-        |  SELECT a.cid, d.i,
-        |    CAST(floor(CAST(sum(n.v[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
-        |  FROM a0 a JOIN n USING (vec_id) CROSS JOIN dims d
-        |  GROUP BY a.cid, d.i),
-        |c1 AS (
-        |  SELECT c.cid, COALESCE(l.cv, c.cv) AS cv FROM c0 c
-        |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m0 GROUP BY cid) l
-        |    USING (cid)),
-        |c1n AS (
-        |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
-        |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c1),
-        |s1 AS (
-        |  SELECT n.vec_id, c.cid,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
-        |        i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS cos
-        |  FROM n, c1n c),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, cid ASC) AS rn FROM s1) WHERE rn = 1),
-        |m1 AS (
-        |  SELECT a.cid, d.i,
-        |    CAST(floor(CAST(sum(n.v[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
-        |  FROM a1 a JOIN n USING (vec_id) CROSS JOIN dims d
-        |  GROUP BY a.cid, d.i),
-        |c2 AS (
-        |  SELECT c.cid, COALESCE(l.cv, c.cv) AS cv FROM c1 c
-        |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m1 GROUP BY cid) l
-        |    USING (cid)),
-        |cent AS (
-        |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
-        |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c2),
-        |sc AS (
-        |  SELECT n.vec_id, cent.cid,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
-        |        i -> n.v[i]*cent.cv[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(cent.cnrm AS DOUBLE))) AS cos
-        |  FROM n, cent),
-        |assign AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, cid ASC) AS rn FROM sc) WHERE rn = 1),
-        |probe AS (
+    "q32_ivf_topk" -> (EMB_CTE + IVF_TRAIN_CTES +
+      """probe AS (
         |  SELECT vec_id AS query_id, cid FROM (
         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
         |      ORDER BY cos DESC, cid ASC) AS rn FROM sc WHERE vec_id < 10)
@@ -5001,6 +5107,20 @@ object SparkEntry {
         |      ORDER BY cosine DESC, vec_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin),
+
+    // Mirrors ivfClusterStats: q32's training CTEs verbatim, then the
+    // exact integer |x|²+|c|²−2⟨x,c⟩ readout summed per cluster in
+    // DECIMAL(38,0).
+    "q149_kmeans_inertia" -> (EMB_CTE + IVF_TRAIN_CTES +
+      """inr AS (
+        |  SELECT a.cid, n.nrm, cent.cnrm,
+        |    CAST(list_sum(list_transform(range(1, len(n.v)+1),
+        |      i -> n.v[i]*cent.cv[i])) AS BIGINT) AS dot
+        |  FROM assign a JOIN n USING (vec_id) JOIN cent ON a.cid = cent.cid)
+        |SELECT cid, count(*) AS n_assigned,
+        |  CAST(sum(nrm + cnrm - 2 * dot) AS DECIMAL(38,0)) AS inertia
+        |FROM inr GROUP BY cid""".stripMargin),
+
 
     // PQ-ADC mirrored end-to-end: subvector split, seed codebooks (first 16
     // corpus vectors), one Lloyd iteration with floor means, argmin encode

@@ -309,6 +309,38 @@ object Similarity {
       .select(quantize(col(embCol)).as("cv")).collect()
       .map(_.getSeq[Long](0).toSeq).toSeq
 
+  /** Per-cluster population and EXACT inertia (Σ squared L2 distance in
+    * the quantized integer space) of the corpus under the q32-trained
+    * coarse quantizer — the cluster-quality readout (elbow curves, drift
+    * monitoring, rebalancing decisions) every embedding pipeline needs
+    * next to the ANN search itself. dist²(x,c) = |x|² + |c|² − 2⟨x,c⟩:
+    * every term is an exact integer (one codegen [[intDot]] against the
+    * assigned centroid literal — element_at on the broadcast-literal
+    * centroid array, O(dim) per row, no join), the aggregate is
+    * map-side combined on ≤ nCentroids keys, and the sum rides in
+    * DECIMAL(38,0) so corpus-scale inertia cannot overflow long. Same
+    * seeding / Lloyd refinement / assignment as [[ivfTopK]], so the
+    * oracle shares the training CTEs verbatim. Empty clusters are
+    * absent (no vectors, no row), like the SQL GROUP BY. */
+  def ivfClusterStats(corpus: DataFrame, idCol: String, embCol: String,
+                      nCentroids: Int = 16, kmeansIters: Int = 0): DataFrame = {
+    val init = seedVectors(corpus, idCol, embCol, nCentroids)
+    val cq = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
+    val cents = refineCentroids(cq, init, kmeansIters)
+    val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
+    val centArr = array(cents.map(v => typedLit(v)): _*)
+    val normArr = array(cNorms.map(lit): _*)
+    cq.withColumn("__cos", centCos(cents, cNorms, col("cv"), col("cn")))
+      .withColumn("cid", nearestCid)
+      .withColumn("__dist2",
+        col("cn") + element_at(normArr, col("cid").cast("int")) -
+          lit(2L) * intDot(col("cv"),
+            element_at(centArr, col("cid").cast("int"))))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("__dist2").cast("decimal(38,0)")).as("inertia"))
+  }
+
   /** The `nProbe` nearest centroid ids (1-based) from a bound `__cos`
     * array: sort (−cos, cid) structs — cos desc, cid asc — then slice.
     * Shared by [[ivfTopK]] and [[ivfPqTopK]] so the probe tie-break can

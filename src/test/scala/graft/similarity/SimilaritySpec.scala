@@ -298,6 +298,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("ivfClusterStats: matches the naive integer inertia at iters = 0 " +
+    "(seed centroids are the first n corpus vectors) and conserves the " +
+    "corpus count") {
+    val corpus = vecs(60, seed = 11L)
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    val cents = corpus.sortBy(_._1).take(4).map(c => quant(c._2))
+    val naive = corpus
+      .map { case (_, v) =>
+        val q = quant(v)
+        val qn = math.sqrt(q.map(x => x * x).sum.toDouble)
+        // assignment = cosine desc, cid asc — mirror nearestCid
+        val cid = cents.zipWithIndex.map { case (c, j) =>
+          val dot = q.zip(c).map { case (a, b) => a * b }.sum
+          val cn = math.sqrt(c.map(x => x * x).sum.toDouble)
+          (-(dot / (qn * cn)), j + 1L)
+        }.min._2
+        val c = cents((cid - 1).toInt)
+        val dist2 = q.map(x => x * x).sum + c.map(x => x * x).sum -
+          2L * q.zip(c).map { case (a, b) => a * b }.sum
+        cid -> dist2
+      }
+      .groupBy(_._1)
+      .map { case (cid, g) =>
+        cid -> ((g.size.toLong, BigDecimal(g.map(_._2).sum))) }
+    val got = Similarity.ivfClusterStats(toDF(corpus), "vec_id", "embedding",
+        nCentroids = 4, kmeansIters = 0)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+      .toMap
+    assert(got === naive)
+    assert(got.values.map(_._1).sum === 60L)
+  }
+
   test("jlTopK matches the naive projected-space computation exactly") {
     val corpus = vecs(50, seed = 8L)
     val queries = corpus.take(3)
