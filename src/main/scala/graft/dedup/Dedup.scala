@@ -793,14 +793,30 @@ object Dedup {
           .orderBy(col("__df"), col("shingle"))))
       .join(sizes, "id")
       .where(col("__r") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select(col("shingle"), col("id"), col("n"))
+      .select(col("shingle"), col("id"), col("n"), col("__r"))
+    // PPJoin's POSITIONAL filter on top of the prefix filter: a shared
+    // prefix shingle at rarity rank r_a in A and r_b in B bounds the
+    // whole intersection by 1 + min(n_a − r_a, n_b − r_b) (every other
+    // common shingle sorts after it in BOTH docs), while J ≥ τ forces
+    // |A∩B| ≥ τ/(1+τ)·(n_a+n_b). Pairs whose bound can't reach that
+    // floor die here instead of in verification. Complete because a
+    // real pair's FIRST common prefix shingle always satisfies the
+    // bound (all common shingles sit at-or-after it), and the pair
+    // survives if ANY shared occurrence does; the 1e-9 slack keeps the
+    // double-arithmetic floor from ever rounding above the exact one.
+    // Matters most at LOW τ, where the prefix alone keeps (1−τ) of
+    // every doc and is a weak gate.
     val cand = prefix.select(col("shingle"), col("id").as("id_a"),
-        col("n").as("n_a"))
+        col("n").as("n_a"), col("__r").as("r_a"))
       .join(prefix.select(col("shingle"), col("id").as("id_b"),
-        col("n").as("n_b")), Seq("shingle"))
+        col("n").as("n_b"), col("__r").as("r_b")), Seq("shingle"))
       .where(col("id_a") < col("id_b") &&
         col("n_b") >= ceil(lit(minJaccard) * col("n_a")) &&
-        col("n_a") >= ceil(lit(minJaccard) * col("n_b")))
+        col("n_a") >= ceil(lit(minJaccard) * col("n_b")) &&
+        (lit(1L) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")))
+          .cast("double") >=
+          lit(minJaccard / (1.0 + minJaccard)) *
+            (col("n_a") + col("n_b")).cast("double") - lit(1e-9))
       .select("id_a", "id_b").distinct()
       .observe("prefix_jaccard", count(lit(1)).as("candidate_pairs"))
     cand
