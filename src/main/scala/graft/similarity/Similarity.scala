@@ -199,6 +199,28 @@ object Similarity {
     (codes, sv)
   }
 
+  /** [[sq8Encode]] staged as three stacked projections so `qv` and `sv`
+    * are MATERIALIZED attributes by the time the codes lambda runs. The
+    * single-Column spelling embeds sv's whole array_max derivation
+    * inside the per-element lambda — interpreted HOF evaluation then
+    * recomputes an O(dim) reduction for EVERY element (O(dim²) per row,
+    * 6× the whole brute-force scorer at sf0.1); as attributes each is
+    * computed once per row, and CollapseProject leaves multi-use
+    * attributes alone so the staging survives optimization. Value-
+    * identical to [[sq8Encode]] (same arithmetic, SimilaritySpec's
+    * naive-parity pin covers both paths through sq8TopK). */
+  private def sq8EncodeStaged(df: DataFrame, idCol: String,
+                              embCol: String): DataFrame =
+    df.select(col(idCol), quantize(col(embCol)).as("__qv"))
+      .withColumn("sv", greatest(lit(1L),
+        (array_max(transform(col("__qv"), x => abs(x))) + lit(126L))
+          .divide(lit(127L)).cast("long")))
+      .select(col(idCol),
+        transform(col("__qv"), x =>
+          when(x < 0L, -(abs(x) / col("sv")).cast("long"))
+            .otherwise((x / col("sv")).cast("long"))).as("cc"),
+        col("sv"))
+
   /** SQ8 asymmetric cosine top-k — the 8×-compression scale path for
     * similarity search (faiss's SQ8 re-expressed relationally): corpus
     * vectors are stored as int8 codes plus ONE per-vector scale
@@ -214,14 +236,13 @@ object Similarity {
     * norms, and cosine are integer-exact and mirrored verbatim. */
   def sq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               embCol: String, k: Int): DataFrame = {
-    val qv = quantize(col(embCol))
-    val (codes, sv) = sq8Encode(qv)
-    val c = corpus.select(col(idCol), codes.as("cc"), sv.as("sv"))
+    val c = sq8EncodeStaged(corpus, idCol, embCol)
       // reconstructed squared norm = sv² * dot(cc, cc), exact in longs:
       // |code| ≤ 127 ⇒ dot ≤ 127²·dim; sv² ≤ (1e5·Scale/127)² stays far
       // under 2^63 for the e5-scaled unit-norm embeddings this targets
       .withColumn("cn", col("sv") * col("sv") * intDot(col("cc"), col("cc")))
-    val q = queries.select(col(idCol).as("query_id"), qv.as("qv"))
+    val q = queries.select(col(idCol).as("query_id"),
+        quantize(col(embCol)).as("qv"))
       .withColumn("qn", intDot(col("qv"), col("qv")))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col(idCol),
