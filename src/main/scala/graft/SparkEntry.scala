@@ -1708,6 +1708,58 @@ object SparkEntry {
       Similarity.ivfClusterStats(t(s, dir, "embeddings"), "vec_id",
         "embedding", nCentroids = 16, kmeansIters = 2)),
 
+    // Mergeable quantile sketch (Greenwald–Khanna via built-in
+    // percentile_approx, accuracy 1/ε = 100) — the sketch family's
+    // quantile member (HLL q40 distincts, CMS q138 frequencies, MG q88
+    // heavy hitters, GK here): per-partition sketches partial-combine
+    // map-side, so quantiles of a 100 TB column cost one slim-sketch
+    // shuffle instead of q50's exact-percentile sort. Rows-only check
+    // (no DuckDB twin); the GK rank guarantee |rank(est) − φN| ≤ εN is
+    // spec-pinned against the exact distribution in SketchSpec.
+    "q151_approx_percentiles" -> ((s, dir) =>
+      diffMart(s, dir)
+        .withColumn("delay",
+          unix_timestamp(col("actual_arrival_time")) -
+            unix_timestamp(col("scheduled_arrival_time")))
+        .where(col("delay").isNotNull)
+        .groupBy("day_type")
+        .agg(expr("percentile_approx(delay, array(0.5D, 0.9D, 0.99D), 100)")
+          .as("p"), count(lit(1)).as("n_obs"))
+        .select(col("day_type"), col("p").getItem(0).as("p50_approx"),
+          col("p").getItem(1).as("p90_approx"),
+          col("p").getItem(2).as("p99_approx"), col("n_obs"))),
+
+    // Two-sample χ² distribution-drift audit — "do clicks and views
+    // draw from the same value distribution?", the monitoring gate
+    // between data generations (PSI's ln-free sibling, the q144
+    // discipline applied to numeric histograms): fixed-width value
+    // bands, observed-vs-expected per band under the pooled marginals,
+    // per-band χ² contributions. One conditional aggregate builds the
+    // band table; the totals attach is a 1-row broadcast (q60 shape);
+    // integer counts exact, the e/χ² divides mirrored op-for-op.
+    "q152_chi2_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isin("view", "click") &&
+          col("value").isNotNull)
+        .select(col("event_type"), floor(col("value") / lit(5.0)).as("vband"))
+      val cells = ev.groupBy("vband").agg(
+        sum((col("event_type") === "view").cast("long")).as("o_a"),
+        sum((col("event_type") === "click").cast("long")).as("o_b"))
+      val totals = cells.agg(sum(col("o_a")).as("n_a"),
+        sum(col("o_b")).as("n_b"))
+      val d = (c: Column) => c.cast("double")
+      cells.crossJoin(broadcast(totals))
+        .withColumn("e_a", d(col("o_a") + col("o_b")) *
+          (d(col("n_a")) / d(col("n_a") + col("n_b"))))
+        .withColumn("e_b", d(col("o_a") + col("o_b")) *
+          (d(col("n_b")) / d(col("n_a") + col("n_b"))))
+        .select(col("vband"), col("o_a"), col("o_b"), col("e_a"), col("e_b"),
+          ((d(col("o_a")) - col("e_a")) * (d(col("o_a")) - col("e_a")) /
+            col("e_a") +
+            (d(col("o_b")) - col("e_b")) * (d(col("o_b")) - col("e_b")) /
+              col("e_b")).as("chi2"))
+    }),
+
     // GROUPING SETS — the last member of the multi-granularity family
     // (q07 rollup, q79 cube): an EXPLICIT set list {(type, hr), (type),
     // (hr)} that neither rollup nor cube can spell (cube would add the
@@ -3959,6 +4011,34 @@ object SparkEntry {
         |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
         |FROM d JOIN f USING (day_type)
         |GROUP BY d.day_type, lo, hi""".stripMargin),
+
+    // Mirrors q152: integer band counts, pooled-marginal expectations
+    // and χ² contributions with op-for-op mirrored divides.
+    "q152_chi2_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS vband
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
+        |cells AS (
+        |  SELECT vband,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS o_a,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS o_b
+        |  FROM e GROUP BY vband),
+        |t AS (
+        |  SELECT CAST(sum(o_a) AS BIGINT) AS n_a,
+        |    CAST(sum(o_b) AS BIGINT) AS n_b
+        |  FROM cells),
+        |sel AS (
+        |  SELECT vband, o_a, o_b,
+        |    (o_a + o_b)::DOUBLE * (n_a::DOUBLE / (n_a + n_b)::DOUBLE) AS e_a,
+        |    (o_a + o_b)::DOUBLE * (n_b::DOUBLE / (n_a + n_b)::DOUBLE) AS e_b
+        |  FROM cells, t)
+        |SELECT vband, o_a, o_b, e_a, e_b,
+        |  (o_a::DOUBLE - e_a) * (o_a::DOUBLE - e_a) / e_a
+        |    + (o_b::DOUBLE - e_b) * (o_b::DOUBLE - e_b) / e_b AS chi2
+        |FROM sel""".stripMargin,
 
     // Mirrors q150: explicit GROUPING SETS with the grouping-id
     // disambiguator; micro-unit integer sums (q105 discipline).

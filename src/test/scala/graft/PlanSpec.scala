@@ -141,7 +141,8 @@ class PlanSpec extends SparkSpec {
       "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
       "q125_pmi_cooccur", "q128_fk_audit", "q131_vocab_coverage",
       "q134_stop_pagerank", "q135_jl_topk", "q139_gap_fill",
-      "q141_sq8_ann", "q142_histogram", "q144_chi2_terms")
+      "q141_sq8_ann", "q142_histogram", "q144_chi2_terms",
+      "q152_chi2_drift")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

