@@ -1760,6 +1760,30 @@ object SparkEntry {
               col("e_b")).as("chi2"))
     }),
 
+    // Trailing moving average over a bounded ROWS frame — the
+    // fixed-width window-frame member (q95 buckets time, q99 positions,
+    // q139/q140 densify; this is the classic last-3-observations
+    // smoother). Per-user frames partition by the high-cardinality key;
+    // values ride micro-unit integers inside the frame sum so the
+    // average is one mirrored divide of exact integers — no
+    // order-dependent float accumulation inside the window.
+    "q153_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("ts_epoch").asc, col("event_id").asc)
+        .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("value"))
+        .withColumn("sum3_micro",
+          sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .over(w))
+        .withColumn("n3", count(col("value")).over(w))
+        .withColumn("ma",
+          try_divide(col("sum3_micro").cast("double"),
+            col("n3").cast("double")) / lit(1000000.0))
+        .select("user_id", "event_id", "ts_epoch", "sum3_micro", "n3", "ma")
+    }),
+
     // GROUPING SETS — the last member of the multi-granularity family
     // (q07 rollup, q79 cube): an EXPLICIT set list {(type, hr), (type),
     // (hr)} that neither rollup nor cube can spell (cube would add the
@@ -4011,6 +4035,25 @@ object SparkEntry {
         |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
         |FROM d JOIN f USING (day_type)
         |GROUP BY d.day_type, lo, hi""".stripMargin),
+
+    // Mirrors q153: micro-unit frame sums, one mirrored divide
+    // (NULLIF ≡ try_divide on the all-NULL frame edge).
+    "q153_moving_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS ts_epoch,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+        |    value
+        |  FROM events)
+        |SELECT user_id, event_id, ts_epoch,
+        |  CAST(sum(v_micro) OVER w AS BIGINT) AS sum3_micro,
+        |  CAST(count(value) OVER w AS BIGINT) AS n3,
+        |  (CAST(sum(v_micro) OVER w AS BIGINT)::DOUBLE
+        |    / NULLIF(CAST(count(value) OVER w AS BIGINT), 0))
+        |    / 1000000.0 AS ma
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY ts_epoch ASC, event_id ASC
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // Mirrors q152: integer band counts, pooled-marginal expectations
     // and χ² contributions with op-for-op mirrored divides.
