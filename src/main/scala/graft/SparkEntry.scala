@@ -1784,6 +1784,24 @@ object SparkEntry {
         .select("user_id", "event_id", "ts_epoch", "sum3_micro", "n3", "ma")
     }),
 
+    // Set-operator family — INTERSECT / EXCEPT in both SQL-standard
+    // DISTINCT and bag (ALL) semantics over two deterministic event
+    // slices. Spark's intersect/except desugar to aggregates and
+    // left-anti/left-semi joins; the four cardinalities in one output
+    // pin the distinct-vs-multiplicity contract (bag counts exceed set
+    // counts exactly by the duplicate mass).
+    "q154_set_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.where(col("user_id") % 3L === 0L).select("user_id")
+      val b = ev.where(col("user_id") % 2L === 0L).select("user_id")
+      def n(label: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(label).as("op"), col("n"))
+      n("intersect", a.intersect(b))
+        .unionByName(n("intersect_all", a.intersectAll(b)))
+        .unionByName(n("except", a.except(b)))
+        .unionByName(n("except_all", a.exceptAll(b)))
+    }),
+
     // GROUPING SETS — the last member of the multi-granularity family
     // (q07 rollup, q79 cube): an EXPLICIT set list {(type, hr), (type),
     // (hr)} that neither rollup nor cube can spell (cube would add the
@@ -4035,6 +4053,24 @@ object SparkEntry {
         |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
         |FROM d JOIN f USING (day_type)
         |GROUP BY d.day_type, lo, hi""".stripMargin),
+
+    // Mirrors q154: SQL-standard set-op semantics are the shared
+    // contract — Spark's intersect/except(All) vs the operators
+    // themselves.
+    "q154_set_ops" ->
+      """WITH a AS (SELECT user_id FROM events WHERE user_id % 3 = 0),
+        |b AS (SELECT user_id FROM events WHERE user_id % 2 = 0)
+        |SELECT 'intersect' AS op, count(*) AS n
+        |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all', count(*)
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'except', count(*)
+        |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'except_all', count(*)
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)""".stripMargin,
 
     // Mirrors q153: micro-unit frame sums, one mirrored divide
     // (NULLIF ≡ try_divide on the all-NULL frame edge).
