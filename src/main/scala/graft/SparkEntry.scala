@@ -1784,6 +1784,25 @@ object SparkEntry {
         .select("user_id", "event_id", "ts_epoch", "sum3_micro", "n3", "ma")
     }),
 
+    // The whole-operator custom plan driven end-to-end: per-group
+    // top-k as a FIRST-CLASS physical operator (plans/GroupTopKPlan —
+    // logical node + planner Strategy + UnaryExecNode, injected via
+    // GraftOptimizations.install, the §7.4(c) escalation layer).
+    // GroupTopKExec declares ClusteredDistribution(group) + in-
+    // partition (group, order) sort, so EnsureRequirements plans one
+    // exchange + one sort and the exec is a streaming O(1)-state run
+    // counter — no window, no per-group heap, nothing buffered.
+    // Hash-checks against the row_number oracle; physical-plan shape
+    // and groupTopK parity pinned in GroupTopKPhysicalSpec.
+    "q155_group_topk_exec" -> ((s, dir) => {
+      val iso = s.newSession()
+      graft.plans.GraftOptimizations.install(iso)
+      val docs = t(iso, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.plans.GroupTopKPlan.topK(docs, Seq("lang", "source"),
+        Seq("n_chars" -> false, "doc_id" -> true), k = 3)
+    }),
+
     // Set-operator family — INTERSECT / EXCEPT in both SQL-standard
     // DISTINCT and bag (ALL) semantics over two deterministic event
     // slices. Spark's intersect/except desugar to aggregates and
@@ -4053,6 +4072,16 @@ object SparkEntry {
         |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
         |FROM d JOIN f USING (day_type)
         |GROUP BY d.day_type, lo, hi""".stripMargin),
+
+    // Mirrors q155: the independent row_number spelling of the custom
+    // exec's top-k contract.
+    "q155_group_topk_exec" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 3""".stripMargin,
 
     // Mirrors q154: SQL-standard set-op semantics are the shared
     // contract — Spark's intersect/except(All) vs the operators

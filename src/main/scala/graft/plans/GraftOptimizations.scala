@@ -173,17 +173,24 @@ object GraftOptimizations {
   val rules: Seq[Rule[LogicalPlan]] =
     Seq(RewriteHofIntDot, RewriteHofTokens, RewriteBoundedLevenshtein)
 
-  /** Idempotently install the graft optimizer rules on a session. */
+  /** Idempotently install the graft optimizer rules AND planner
+    * strategies (GroupTopKPlan's whole-operator path) on a session. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     val missing = rules.filterNot(cur.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations = cur ++ missing
+    val curS = spark.experimental.extraStrategies
+    if (!curS.contains(GroupTopKPlan.GroupTopKStrategy))
+      spark.experimental.extraStrategies =
+        curS :+ GroupTopKPlan.GroupTopKStrategy
   }
 }
 
 /** `spark.sql.extensions` entry point for config-based deployment. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftOptimizations.rules.foreach(r => ext.injectOptimizerRule(_ => r))
+    ext.injectPlannerStrategy(_ => GroupTopKPlan.GroupTopKStrategy)
+  }
 }

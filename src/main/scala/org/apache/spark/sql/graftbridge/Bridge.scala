@@ -13,6 +13,20 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Dataset from a raw LogicalPlan (`Dataset.ofRows` is private[sql]) —
+    * needed by custom whole-operator plans (GroupTopKPlan) to hand a
+    * user-built logical node back to the session for analysis. */
+  def dataset(spark: org.apache.spark.sql.SparkSession,
+              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed LogicalPlan behind a DataFrame (classic API accessor). */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** The checkpointed RDD behind a `localCheckpoint`'d Dataset, if any.
     * `Dataset.unpersist` only clears CacheManager entries; a local
     * checkpoint's blocks are an RDD-LEVEL persist on the `LogicalRDD`
