@@ -54,6 +54,26 @@ object Scratch {
       embsN.write.mode("overwrite").parquet(s"$big/embeddings.parquet")
       marker.createNewFile()
     }
+    // events replica (separate marker: older replica dirs predate it):
+    // copies shift event ids AND user ids — 10× the events as 10× the
+    // USERS over the same time range (the realistic growth axis for the
+    // per-user window family), not 10× events per user, which would
+    // deepen every per-user partition instead of scaling their number.
+    // Read RAW (no nanos rewrite) so the copy keeps ts as int64 nanos
+    // and Tables.t applies its own truncation on read-back.
+    val evMarker = new java.io.File(big + "/_done_events")
+    if (!evMarker.exists()) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+      val evN = (0 until 10).map { i =>
+        evRaw.withColumn("event_id",
+            col("event_id") + lit(i.toLong * 1000000000L))
+          .withColumn("user_id",
+            col("user_id") + lit(i.toLong * 100000000L))
+      }.reduce(_ unionByName _)
+      evN.write.mode("overwrite").parquet(s"$big/events.parquet")
+      evMarker.createNewFile()
+    }
     val probes = if (queries.nonEmpty) queries
       else Seq("q51_dup_clusters", "q87_pq_ann", "q43_trigram_jaccard",
         "q38_jaccard_maxdf", "q72_incremental_dedup")

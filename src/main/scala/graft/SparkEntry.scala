@@ -2803,7 +2803,11 @@ object SparkEntry {
     // view. Quantiles restricted to dyadic fractions (.25/.5/.75) over
     // INTEGER delay seconds: interpolation then stays exact in IEEE
     // arithmetic, so Spark's percentile and DuckDB's quantile_cont agree
-    // bit-for-bit (a non-dyadic p like 0.9 would not).
+    // bit-for-bit (a non-dyadic p like 0.9 would not). Scale note for
+    // the whole exact-percentile family (q50/q145/q147): `percentile`
+    // buffers each group's values in its aggregation state — right for
+    // a mart-sized input, wrong for a raw 100 TB column, where q151's
+    // mergeable GK sketch (bounded state, εN rank error) is the path.
     "q50_delay_percentiles" -> ((s, dir) =>
       diffMart(s, dir)
         .withColumn("arr_delay_secs",
