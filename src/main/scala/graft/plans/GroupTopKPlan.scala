@@ -40,6 +40,16 @@ object GroupTopKPlan {
   case class GroupTopK(groupExprs: Seq[Expression], order: Seq[SortOrder],
                        k: Int, child: LogicalPlan) extends UnaryNode {
     require(k > 0, "GroupTopK: k must be positive")
+    // the exec compares group keys BYTE-WISE (UnsafeRow equality);
+    // float/double keys would split -0.0 from 0.0 and every NaN from
+    // every other — Spark's own aggregates get NormalizeFloatingNumbers
+    // from the optimizer, but a custom node does not, so reject the
+    // shape instead of silently diverging (group by a rounded/cast key)
+    require(!groupExprs.exists(e =>
+      e.dataType == org.apache.spark.sql.types.DoubleType ||
+        e.dataType == org.apache.spark.sql.types.FloatType),
+      "GroupTopK: floating-point group keys are not supported " +
+        "(byte-wise key equality; group by a cast or rounded key instead)")
     override def output: Seq[Attribute] = child.output
     override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopK =
       copy(child = newChild)

@@ -68,4 +68,13 @@ class GroupTopKPhysicalSpec extends SparkSpec {
         df.queryExecution.analyzed)
     }
   }
+
+  test("floating-point group keys are rejected (byte-wise key equality " +
+    "would split -0.0 from 0.0)") {
+    import session.implicits._
+    val d = Seq((1.0d, 1L), (-0.0d, 2L)).toDF("g", "id")
+    intercept[IllegalArgumentException] {
+      GroupTopKPlan.topK(d, Seq("g"), Seq("id" -> true), k = 1)
+    }
+  }
 }
