@@ -5,13 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata tables.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark's
-  * vectorized reader rejects outright; we read it as raw long nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-  * the exact same truncation DuckDB applies when it reads the file, so the
-  * two engines see identical timestamp values. The division must be done
-  * in integer space (`DIV`): epoch-nanos ≈ 1.7e18 does not fit a double's
-  * 53-bit mantissa.
+  * `events.ts` has shipped in two physical spellings across testdata
+  * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+  * reader rejects outright, so we read it as raw long nanos
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds,
+  * the exact same truncation DuckDB applies — and plain TIMESTAMP(MICROS)
+  * with isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. Both
+  * normalize to session-zoned TIMESTAMP here (session tz is pinned UTC,
+  * so the wall-clock values are identical either way and downstream
+  * hour/date/window derivations agree with DuckDB's naive read). The
+  * nanos division must be done in integer space (`DIV`): epoch-nanos
+  * ≈ 1.7e18 does not fit a double's 53-bit mantissa.
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -21,9 +25,15 @@ object Tables {
     // otherwise silently derive day_type/hour/date in machine-local time.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   /** S6 — JDBC table scan (the reference exports `trip_updates` over a
