@@ -90,7 +90,13 @@ object Pb {
     }
     private def lenPrefixed(): Int = {
       val len = varint()
-      if (len < 0 || pos + len > end) fail(s"declared length $len overruns field")
+      // compare against the REMAINING span, not `pos + len > end`: a
+      // hostile length varint near Long.MaxValue would overflow that sum
+      // to a negative, slip past the check, and surface as a raw
+      // StringIndexOutOfBounds from len.toInt truncation instead of a
+      // parse error
+      if (len < 0 || len > (end - pos).toLong)
+        fail(s"declared length $len overruns field")
       len.toInt
     }
     /** Returns (fieldNumber, wireType). */

@@ -93,7 +93,13 @@ final class GtfsRtScanBuilder(path: String, options: CaseInsensitiveStringMap)
     // option overrides session conf — a caller reading a cold archive can
     // pack more aggressively than the session's parquet-tuned default
     val maxBytes = Option(options.get("maxPartitionBytes")).map(_.toLong)
-    new GtfsRtScan(path, required, maxBytes)
+    val recursive = options.getBoolean("recursiveFileLookup", false)
+    val allowEmpty = options.getBoolean("allowEmpty", false)
+    // freeze the full option map HERE (the one read the user configured):
+    // createReaderFactory runs later, on whatever session is then active
+    import scala.jdk.CollectionConverters._
+    new GtfsRtScan(path, required, maxBytes, recursive, allowEmpty,
+      options.asCaseSensitiveMap().asScala.toMap)
   }
 }
 
@@ -102,24 +108,52 @@ final class GtfsRtScanBuilder(path: String, options: CaseInsensitiveStringMap)
 final case class GtfsRtInputPartition(files: Seq[String]) extends InputPartition
 
 final class GtfsRtScan(path: String, required: StructType,
-                       maxBytesOpt: Option[Long]) extends Scan with Batch {
+                       maxBytesOpt: Option[Long], recursive: Boolean,
+                       allowEmpty: Boolean,
+                       options: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GtfsRtScan path=$path cols=${required.fieldNames.mkString(",")}"
 
+  /** The Hadoop conf for BOTH listing and executor-side reads: built-in
+    * file sources fold datasource options into the per-read configuration
+    * (`newHadoopConfWithOptions`), so per-read filesystem settings and
+    * credentials passed as `.option(...)` take effect; building from the
+    * bare session conf would silently ignore them. */
+  private def hadoopConf() =
+    SparkSession.active.sessionState.newHadoopConfWithOptions(options)
+
   /** Driver-side split planning: list once, sort for determinism, greedy
     * size-packed bins capped at maxPartitionBytes. Listing is a single
-    * namenode/liststatus round per directory — metadata-only, never file
-    * content. */
+    * namenode/liststatus round per directory (one recursive listFiles walk
+    * with `recursiveFileLookup=true` — a date-partitioned archive keeps
+    * its feeds in subdirectories) — metadata-only, never file content.
+    *
+    * Zero matching `.pb` files FAILS rather than planning an empty scan:
+    * a typo'd archive path is indistinguishable from an empty one at this
+    * layer, and a silent zero-row DataFrame over 100 TB of misaddressed
+    * feeds is the expensive kind of wrong. `allowEmpty=true` opts a
+    * legitimately-empty archive back into the zero-row read. */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val hconf = spark.sessionState.newHadoopConf()
+    val hconf = hadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
-    val files: Array[FileStatus] = fs.listStatus(root)
+    val listed = ArrayBuffer.empty[FileStatus]
+    if (recursive) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) listed += it.next()
+    } else listed ++= fs.listStatus(root)
+    val files: Seq[FileStatus] = listed.toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".pb"))
       .sortBy(_.getPath.toString)
+    if (files.isEmpty && !allowEmpty)
+      throw new java.io.FileNotFoundException(
+        s"graft.sources.GtfsRtSource: no .pb files under $path" +
+          (if (recursive) " (recursive)"
+           else " (set recursiveFileLookup=true for partitioned archives)") +
+          "; set allowEmpty=true to read an empty archive as zero rows")
     val maxBytes = maxBytesOpt.getOrElse(
       spark.sessionState.conf.filesMaxPartitionBytes).max(1L)
     val parts = ArrayBuffer.empty[GtfsRtInputPartition]
@@ -136,8 +170,7 @@ final class GtfsRtScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = new SerializableConfiguration(
-      SparkSession.active.sessionState.newHadoopConf())
+    val conf = new SerializableConfiguration(hadoopConf())
     GtfsRtReaderFactory(required, conf)
   }
 }
@@ -191,7 +224,11 @@ final class GtfsRtPartitionReader(files: Seq[String], required: StructType,
     feed =
       try Rt.decode(bytes)
       catch {
-        case e: IllegalArgumentException =>
+        // NonFatal, not just IllegalArgumentException: the class doc
+        // promises every corrupt snapshot fails with its path attached,
+        // and pathological inputs can escape Pb.Reader with other
+        // exception types than the codec's own parse error
+        case scala.util.control.NonFatal(e) =>
           throw new java.io.IOException(s"corrupt GTFS-RT feed $file", e)
       }
     rowIter = Rt.flatten(feed).iterator

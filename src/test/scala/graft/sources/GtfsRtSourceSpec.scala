@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.SparkSpec
+import graft.gtfs._
+
+/** End-to-end coverage of the DataSourceV2 connector itself — RtSpec pins
+  * the wire codec; this spec pins what the connector layers on top: split
+  * planning vs maxPartitionBytes, column pruning through the Catalyst
+  * read path, feed_epoch propagation, recursive listing, the corrupt-file
+  * and empty-directory error paths, and option→Hadoop-conf propagation. */
+class GtfsRtSourceSpec extends SparkSpec {
+
+  private val Fmt = "graft.sources.GtfsRtSource"
+
+  private def feed(tripId: String, epoch: Long, nStus: Int): Array[Byte] =
+    Rt.encode(FeedMessage(
+      header = FeedHeader("2.0", Some(epoch)),
+      entity = Seq(FeedEntity("e1", None, Some(TripUpdate(
+        trip = TripDescriptor(Some(tripId), Some("08:00:00"),
+          Some("20240601"), Some("R1")),
+        stopTimeUpdate = (1 to nStus).map(i =>
+          StopTimeUpdate(Some(i), Some(StopTimeEvent(None,
+            Some(epoch + 60L * i), None)), None, Some(i.toString))),
+        timestamp = Some(epoch), delay = None))))))
+
+  private def withDir(f: Path => Unit): Unit = {
+    val dir = Files.createTempDirectory("gtfs-rt-src")
+    try f(dir)
+    finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  private def writeFeeds(dir: Path, n: Int): Unit =
+    (1 to n).foreach { i =>
+      Files.write(dir.resolve(f"snap_$i%03d.pb"), feed(s"T$i", 1717200000L + i, 3))
+    }
+
+  test("reads one row per stop_time_update with feed_epoch attached") {
+    withDir { dir =>
+      writeFeeds(dir, 4)
+      val df = spark.read.format(Fmt).load(dir.toString)
+      assert(df.count() === 12L) // 4 feeds x 3 STUs
+      val epochs = df.select("feed_epoch").distinct().collect().map(_.getLong(0))
+      assert(epochs.toSet === (1 to 4).map(1717200000L + _).toSet)
+      // non-.pb clutter (checksums, manifests) is ignored, not decoded
+      Files.write(dir.resolve("manifest.json"), "not a feed".getBytes)
+      assert(spark.read.format(Fmt).load(dir.toString).count() === 12L)
+    }
+  }
+
+  test("column pruning reaches the reader: a pruned scan reports only the " +
+    "requested columns and still answers correctly") {
+    withDir { dir =>
+      writeFeeds(dir, 2)
+      val pruned = spark.read.format(Fmt).load(dir.toString).select("trip_id")
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan.asInstanceOf[GtfsRtScan]
+      }
+      assert(scans.map(_.readSchema().fieldNames.toSeq) === Seq(Seq("trip_id")))
+      assert(pruned.distinct().collect().map(_.getString(0)).sorted
+        === Array("T1", "T2"))
+    }
+  }
+
+  test("split planning bin-packs whole files under maxPartitionBytes") {
+    withDir { dir =>
+      writeFeeds(dir, 8)
+      val oneBytes = feed("T1", 1717200001L, 3).length.toLong
+      def nParts(opts: Map[String, String]): Int =
+        opts.foldLeft(spark.read.format(Fmt)) { case (r, (k, v)) =>
+          r.option(k, v)
+        }.load(dir.toString).rdd.getNumPartitions
+      // cap below one file: every file is its own partition (a file never
+      // splits); cap at three files: ceil(8/3) = 3 bins; huge cap: 1 bin
+      assert(nParts(Map("maxPartitionBytes" -> "1")) === 8)
+      assert(nParts(Map("maxPartitionBytes" -> (3 * oneBytes).toString)) === 3)
+      assert(nParts(Map("maxPartitionBytes" -> "1000000000")) === 1)
+    }
+  }
+
+  test("recursiveFileLookup=true walks a date-partitioned archive; the " +
+    "default flat listing fails loudly on one") {
+    withDir { dir =>
+      val d1 = Files.createDirectories(dir.resolve("date=2024-06-01"))
+      val d2 = Files.createDirectories(dir.resolve("date=2024-06-02"))
+      Files.write(d1.resolve("a.pb"), feed("T1", 1717200001L, 2))
+      Files.write(d2.resolve("b.pb"), feed("T2", 1717200002L, 2))
+      val rec = spark.read.format(Fmt)
+        .option("recursiveFileLookup", "true").load(dir.toString)
+      assert(rec.count() === 4L)
+      // flat listing sees zero .pb files -> clear failure naming the path,
+      // not a silent empty DataFrame over a misaddressed archive
+      val e = intercept[Exception] {
+        spark.read.format(Fmt).load(dir.toString).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(e).exists(m => m != null &&
+        m.contains("no .pb files") && m.contains(dir.toString)))
+      // ...unless the caller opts into reading an empty archive
+      assert(spark.read.format(Fmt).option("allowEmpty", "true")
+        .load(dir.toString).count() === 0L)
+    }
+  }
+
+  test("a corrupt snapshot fails with its file path attached, whatever " +
+    "exception type escapes the decoder") {
+    withDir { dir =>
+      writeFeeds(dir, 2)
+      // a length varint near Long.MaxValue: pre-hardening this escaped as
+      // an index error rather than the codec's own parse failure
+      val w = new Pb.Writer
+      w.varint((2L << 3) | 2); w.varint(Long.MaxValue - 3)
+      Files.write(dir.resolve("zz_corrupt.pb"), w.bytes ++ Array.fill(4)(1.toByte))
+      val e = intercept[Exception] {
+        spark.read.format(Fmt).load(dir.toString).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(e).exists(m => m != null &&
+        m.contains("corrupt GTFS-RT feed") && m.contains("zz_corrupt.pb")))
+    }
+  }
+
+  test("reader options are folded into the Hadoop conf shipped to executors") {
+    withDir { dir =>
+      writeFeeds(dir, 1)
+      val df = spark.read.format(Fmt)
+        .option("graft.test.fs.key", "propagated").load(dir.toString)
+      val factories = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec =>
+          b.scan.toBatch.createReaderFactory().asInstanceOf[GtfsRtReaderFactory]
+      }
+      assert(factories.map(_.conf.value.get("graft.test.fs.key")) ===
+        Seq("propagated"))
+    }
+  }
+}
