@@ -3316,6 +3316,82 @@ object SparkEntry {
         .select(col("doc_id"), col("redacted"),
           (col("redacted") =!= enriched).as("was_redacted"))
     }),
+
+    // Equi-depth (quantile) bins of the price column
+    // (operators/Histogram.equalDepth) — the feature-binning sibling of
+    // q142's equal-width histogram: equal ROW mass per bin, which is
+    // what a heavy-tailed column needs before bucketized training.
+    // Interpolated percentile boundaries would ulp-drift between
+    // engines; the bin is instead pure integer arithmetic on the exact
+    // global rank ((rk−1)·8 DIV n, Rank.globalRank's two-pass spelling —
+    // no single-task window), so the whole result hash-checks.
+    "q156_equidepth_bins" -> ((s, dir) =>
+      graft.operators.Histogram.equalDepth(
+        t(s, dir, "lineitem")
+          .select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"), nBins = 8)),
+
+    // Leave-one-out target encoding — the categorical-feature encoder
+    // that per-category plain means would leak (a row's own target
+    // inside its encoding): enc(row) = (Σ_group target − target_row) /
+    // (n_group − 1). One map-side-combined aggregate over the bounded
+    // category domain, broadcast back, pure arithmetic per row — no
+    // window, no self-join; the group sum rides exact BIGINT (n_chars
+    // is integral) so the one double divide is the only float. A
+    // singleton category encodes NULL (try_divide), never a 0/0.
+    "q157_target_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val g = d.groupBy("lang").agg(sum(col("n_chars")).as("__sum"),
+        count(lit(1)).as("__n"))
+      d.join(broadcast(g), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          try_divide((col("__sum") - col("n_chars")).cast("double"),
+            (col("__n") - lit(1L)).cast("double")).as("loo_mean_chars"))
+    }),
+
+    // Sparse TF-IDF cosine pairs (CorpusOps.tfidfCosinePairs) — the
+    // weighted-vector pairwise-similarity member: integer-quantized
+    // idf (N·10⁶ DIV df), DECIMAL(38,0) dots and norms, df-capped
+    // 3-gram-shingle postings (the unigram space on this corpus is 31
+    // dense terms — Σdf² quadratic; 3-grams are the sparse vocabulary
+    // where the cap actually bites: measured 2.8M join rows at sf0.1
+    // vs 480M for unigrams). minShared=3 prunes the pair aggregate
+    // before the norm joins; the cos≥0.5 display filter re-spells the
+    // same double both engines computed.
+    "q158_tfidf_cosine_pairs" -> ((s, dir) =>
+      CorpusOps.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
+        .where(col("cos") >= 0.5)),
+
+    // Join-key skew audit — the pre-flight report that decides q39's
+    // salting question ("is this key safe to shuffle on?") as data, not
+    // folklore: rows/keys/max-per-key, the heaviest key's share, and
+    // skew factor = max·n_keys/n_rows (1.0 = perfectly uniform). Two
+    // map-side-combined aggregates per audited key (per-key counts →
+    // moments-of-counts); integer until the three labeled divides.
+    // Median-of-counts interpolates on integers — exact in any
+    // interpolation spelling (the q145 precedent); p99 is deliberately
+    // absent (0.99·(n−1) is not dyadic; its interpolation term is
+    // engine-order-dependent).
+    "q159_key_skew" -> ((s, dir) => {
+      def audit(df: DataFrame, keyCol: String, label: String): DataFrame =
+        df.where(col(keyCol).isNotNull)
+          .groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("__c")).as("n_rows"),
+            max(col("__c")).as("max_per_key"),
+            expr("percentile(__c, 0.5D)").as("med_per_key"))
+          .select(lit(label).as("audited_key"), col("n_rows"),
+            col("n_keys"), col("max_per_key"), col("med_per_key"),
+            (col("max_per_key").cast("double") /
+              col("n_rows").cast("double")).as("max_share"),
+            (col("max_per_key") * col("n_keys")).cast("double")
+              ./(col("n_rows").cast("double")).as("skew_factor"))
+      audit(t(s, dir, "events"), "user_id", "events.user_id")
+        .unionByName(audit(t(s, dir, "lineitem"), "l_partkey",
+          "lineitem.l_partkey"))
+        .unionByName(audit(t(s, dir, "lineitem"), "l_returnflag",
+          "lineitem.l_returnflag"))
+    }),
   )
 
   // -------------------------------------------------------------- oracle --
@@ -5644,6 +5720,107 @@ object SparkEntry {
     // q56 extracts the identical features through Arrow batches — same
     // oracle, verbatim.
     "q56_multimodal_arrow" -> MM_FEATURES_SQL,
+
+    // Mirrors Histogram.equalDepth: the bin is integer arithmetic on the
+    // exact global rank (ROW_NUMBER over the same total order globalRank
+    // range-sorts by), micro-unit integer bounds — no interpolated
+    // percentile boundary ever exists in either engine.
+    "q156_equidepth_bins" ->
+      """WITH xs AS (
+        |  SELECT l_extendedprice::DOUBLE AS x, l_orderkey, l_linenumber
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |nn AS (SELECT count(*) AS total FROM xs),
+        |r AS (
+        |  SELECT x, ROW_NUMBER() OVER
+        |    (ORDER BY x, l_orderkey, l_linenumber) AS rk
+        |  FROM xs)
+        |SELECT ((rk - 1) * 8) // total AS bin, count(*) AS n,
+        |  CAST(floor(min(x) * 1000000.0 + 0.5) AS BIGINT) AS lo_micro,
+        |  CAST(floor(max(x) * 1000000.0 + 0.5) AS BIGINT) AS hi_micro
+        |FROM r, nn GROUP BY 1""".stripMargin,
+
+    // Mirrors q157: exact integral group sums (DuckDB's HUGEINT sum ≡
+    // Spark's long sum at these magnitudes), the CASE NULL is
+    // try_divide's singleton-category contract.
+    "q157_target_encode" ->
+      """WITH g AS (
+        |  SELECT lang, sum(n_chars) AS s, count(*) AS n
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars,
+        |  CASE WHEN n = 1 THEN NULL
+        |       ELSE CAST(s - n_chars AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |  END AS loo_mean_chars
+        |FROM documents d JOIN g USING (lang)""".stripMargin,
+
+    // Mirrors tfidfCosinePairs: BIGINT-floor q_idf, HUGEINT dots/norms
+    // (arrow-exports as DECIMAL(38,0), the q63 precedent), one double
+    // divide + sqrt at the end, identical op order.
+    "q158_tfidf_cosine_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |tf AS (
+         |  SELECT doc_id AS id, term, count(*) AS tf
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len(tk) - 1),
+         |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         |            AS term
+         |        FROM toks)
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nn AS (SELECT count(*) AS n_docs FROM documents),
+         |elig AS (
+         |  SELECT term, (n_docs * 1000000) // df AS q_idf
+         |  FROM dfq, nn
+         |  WHERE df >= 2 AND df * 1000 <= 200 * n_docs),
+         |w AS (
+         |  SELECT id, term, CAST(tf AS HUGEINT) * q_idf AS w
+         |  FROM tf JOIN elig USING (term)),
+         |nrm AS (SELECT id, sum(w * w) AS nrm FROM w GROUP BY id),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared,
+         |    sum(a.w * b.w) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 3)
+         |SELECT id_a, id_b, n_shared, CAST(dot AS DECIMAL(38,0)) AS dot,
+         |  CAST(dot AS DOUBLE) /
+         |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cos
+         |FROM p
+         |JOIN nrm na ON p.id_a = na.id
+         |JOIN nrm nb ON p.id_b = nb.id
+         |WHERE CAST(dot AS DOUBLE) /
+         |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.5
+         |""".stripMargin,
+
+    // Mirrors q159: per-key counts, then moments of the counts; the
+    // median interpolates on integers (exact in any spelling, the q145
+    // precedent), the three divides are the only doubles.
+    "q159_key_skew" ->
+      """WITH a1 AS (
+        |  SELECT count(*) AS c FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY user_id),
+        |a2 AS (
+        |  SELECT count(*) AS c FROM lineitem
+        |  WHERE l_partkey IS NOT NULL GROUP BY l_partkey),
+        |a3 AS (
+        |  SELECT count(*) AS c FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag),
+        |s AS (
+        |  SELECT 'events.user_id' AS audited_key, sum(c) AS n_rows,
+        |    count(*) AS n_keys, max(c) AS max_per_key,
+        |    quantile_cont(c, 0.5) AS med_per_key
+        |  FROM a1
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', sum(c), count(*), max(c),
+        |    quantile_cont(c, 0.5) FROM a2
+        |  UNION ALL
+        |  SELECT 'lineitem.l_returnflag', sum(c), count(*), max(c),
+        |    quantile_cont(c, 0.5) FROM a3)
+        |SELECT audited_key, CAST(n_rows AS BIGINT) AS n_rows, n_keys,
+        |  max_per_key, med_per_key,
+        |  CAST(max_per_key AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+        |  CAST(max_per_key * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |    AS skew_factor
+        |FROM s""".stripMargin,
   )
 
   private lazy val MM_FEATURES_SQL: String =

@@ -27,6 +27,44 @@ object Histogram {
   private def micro(c: Column): Column =
     floor(c * lit(1000000.0) + lit(0.5)).cast("long")
 
+  /** Equal-DEPTH (quantile) binning — the feature-engineering sibling of
+    * [[equalWidth]]: bins hold (near-)equal ROW counts instead of equal
+    * value spans, which is what a skewed price/delay/length column needs
+    * before bucketized training or stratified reporting (an equal-width
+    * histogram of a heavy-tailed column puts 99% of rows in bin 0).
+    *
+    * Interpolated-percentile boundaries are deliberately avoided: Spark
+    * and DuckDB spell quantile interpolation with different operation
+    * orders, so boundary doubles drift by ulps and the bin of a row AT a
+    * boundary flips. Instead the bin is pure INTEGER arithmetic on the
+    * exact global rank: `bin = (rank-1)·nBins DIV n`. Rank comes from
+    * [[Rank.globalRank]] — two passes, range-partitioned, NO single-task
+    * window — so the operator keeps the 100 TB shape: sort-shuffle +
+    * #partition-bounded offset join + one nBins-bounded aggregate.
+    * `tieCols` must make the sort total (a unique key): equal values are
+    * then assigned to bins deterministically, identically in both
+    * engines.
+    *
+    * Returns (bin, n, lo_micro, hi_micro) — observed per-bin bounds in
+    * the micro-unit integer rendering, one row per non-empty bin (bins
+    * can only be empty when n < nBins). */
+  def equalDepth(df: DataFrame, valueCol: String, tieCols: Seq[String],
+                 nBins: Int): DataFrame = {
+    require(nBins > 0, s"equalDepth: nBins must be positive, got $nBins")
+    val xs = df.select((col(valueCol).cast("double").as("__x") +:
+        tieCols.map(col)): _*)
+      .where(col("__x").isNotNull)
+    val n = xs.agg(count(lit(1)).as("__n"))
+    val ranked = Rank.globalRank(xs,
+      col("__x") +: tieCols.map(col), "__rk")
+    ranked.crossJoin(broadcast(n))
+      .select(expr(s"(__rk - 1L) * ${nBins}L DIV __n").as("bin"),
+        col("__x"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), micro(min(col("__x"))).as("lo_micro"),
+        micro(max(col("__x"))).as("hi_micro"))
+  }
+
   /** (bin, bin_lo_micro, bin_hi_micro, n) — one row per NON-EMPTY bin
     * (empty bins are absent, like the SQL GROUP BY; densify with q139's
     * spine join if a chart needs zeros). NULL values are excluded before

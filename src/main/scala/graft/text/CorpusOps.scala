@@ -648,6 +648,74 @@ object CorpusOps {
     * aggregates, broadcast joins of the vocab/class tables, and the
     * final top-k window runs over the AGGREGATED (class, term) matrix —
     * vocabulary-bounded, never corpus-sized. */
+  /** Sparse TF-IDF cosine similarity pairs over an inverted index — the
+    * weighted-vector member of the pairwise-similarity family (set
+    * Jaccard q18/q38/q43, containment q102, dense-embedding cosine q41):
+    * two documents can share every rare term and still be invisible to
+    * set Jaccard if their lengths differ; tf-idf weighting is what
+    * retrieval-grade near-dup detection actually ranks by.
+    *
+    * Determinism is the whole design: floating tf-idf (`tf·ln(N/df)`)
+    * summed over a shuffle is order-dependent and libm-divergent, so
+    * weights are QUANTIZED to integers up front — `q_idf = N·10⁶ DIV df`
+    * once per term (BIGINT-exact for corpora to ~9×10¹² docs), `w = tf ·
+    * q_idf` and every dot/norm product in DECIMAL(38,0). Identical
+    * integers fall out of both engines; the ONLY doubles are the final
+    * rendered cosine's one divide + sqrt, mirrored op-for-op. The idf is
+    * ln-free (N/df raw): monotone in the same direction, so ranking and
+    * thresholding behave; the absolute scale is the quantization unit's
+    * business, not the caller's.
+    *
+    * Scale shape: the quadratic is controlled where it is born — the
+    * vector space is word `ngram`-SHINGLES, not unigrams (a unigram
+    * vocabulary is small and dense, so Σdf² explodes; shingles are the
+    * sparse high-cardinality space retrieval actually indexes), the
+    * df-cap drops boilerplate postings BEFORE the term self-join (a term
+    * at df=D fans out D² pairs; capped at maxDf permille the worst term
+    * is bounded), norms aggregate per document over the SAME
+    * eligible-term postings (one slim shuffle), and `minShared` prunes
+    * the pair aggregate before the norm joins. Full documents never move
+    * — only (id, term, w) postings. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       ngram: Int, minDf: Long, maxDfPermille: Long,
+                       minShared: Long): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val terms =
+      if (ngram == 1) toks else TextAnalysis.posNgrams(toks, ngram)
+    val tf = docs.select(col(idCol).as("id"),
+        explode(terms).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val elig = dfreq.crossJoin(broadcast(nDocs))
+      .where(col("df") >= minDf &&
+        col("df") * 1000L <= lit(maxDfPermille) * col("n_docs"))
+      .select(col("term"),
+        expr("n_docs * 1000000L DIV df").as("q_idf"))
+    // the weight multiply happens IN decimal space (never a transient
+    // long product): tf·q_idf at corpus scale exceeds 2⁶³ long before
+    // the dot products do
+    val weighted = tf.join(elig, "term")
+      .select(col("id"), col("term"),
+        (d38(col("tf")) * col("q_idf")).as("w"))
+    val norms = weighted.groupBy("id")
+      .agg(sum(col("w") * col("w")).as("nrm"))
+    weighted.as("a")
+      .join(weighted.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("a.w") * col("b.w")).as("dot"))
+      .where(col("n_shared") >= minShared)
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("dot"),
+        (col("dot").cast("double") /
+          sqrt(col("nrm_a").cast("double") * col("nrm_b").cast("double")))
+          .as("cos"))
+  }
+
   def chi2Terms(docs: DataFrame, idCol: String, classCol: String,
                 textCol: String, topK: Int): DataFrame = {
     require(topK > 0, "topK must be positive")

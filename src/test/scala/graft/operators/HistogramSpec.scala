@@ -27,6 +27,37 @@ class HistogramSpec extends SparkSpec {
     assert(got.values.sum === 500L)
   }
 
+  test("equalDepth: bin populations are balanced to within one row and " +
+    "ordered — every bin-b value sits below every bin-(b+1) value") {
+    val rnd = new scala.util.Random(7L)
+    // heavy-tailed on purpose: the equal-WIDTH histogram of this data
+    // puts almost everything in bin 0; equal depth must still balance
+    val xs = (1 to 503).map(i => i.toLong -> math.exp(rnd.nextDouble() * 10))
+    val rows = Histogram.equalDepth(xs.toDF("id", "v"), "v", Seq("id"), 8)
+      .orderBy("bin").collect()
+    val counts = rows.map(r => r.getLong(0) -> r.getLong(1))
+    assert(counts.map(_._2).sum === 503L)
+    assert(counts.map(_._2).max - counts.map(_._2).min <= 1L)
+    // floor((rk-1)*8/n) assigns the SMALLER bins first when n % nBins != 0
+    val his = rows.map(r => r.getLong(3))
+    val los = rows.map(r => r.getLong(2))
+    his.zip(los.drop(1)).foreach { case (hi, nextLo) => assert(hi <= nextLo) }
+  }
+
+  test("equalDepth: ties split deterministically by the tie columns and " +
+    "fewer rows than bins yields one singleton bin per row") {
+    val dup = Seq(1L -> 5.0, 2L -> 5.0, 3L -> 5.0, 4L -> 5.0)
+    val rows = Histogram.equalDepth(dup.toDF("id", "v"), "v", Seq("id"), 2)
+      .orderBy("bin").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((0L, 2L), (1L, 2L)))
+    val tiny = Histogram.equalDepth(
+      Seq(1L -> 1.0, 2L -> 9.0).toDF("id", "v"), "v", Seq("id"), 4)
+      .orderBy("bin").collect()
+    assert(tiny.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((0L, 1L), (2L, 1L)))
+  }
+
   test("bin edges tile [lo, hi] contiguously in micro-units") {
     val xs = Seq(0.0, 1.0, 2.5, 7.75, 10.0)
     val rows = Histogram.equalWidth(xs.toDF("v"), "v", nBins = 4)

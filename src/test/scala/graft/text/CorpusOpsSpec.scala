@@ -375,4 +375,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.exists(x => x._1 == "en" && x._2 == "cat"))
     assert(got.exists(x => x._1 == "fr" && x._2 == "chat"))
   }
+
+  test("tfidfCosinePairs: verbatim duplicates score cosine 1.0, " +
+    "term-disjoint docs never pair, and the df-cap silences boilerplate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      1L -> a, 2L -> a, // exact duplicates
+      3L -> "eta theta iota kappa lambda mu", // term-disjoint from 1/2
+      4L -> "alpha beta gamma nu xi omicron") // shares a prefix with 1/2
+      .toDF("doc_id", "text")
+    val out = CorpusOps.tfidfCosinePairs(docs, "doc_id", "text",
+      ngram = 2, minDf = 1L, maxDfPermille = 1000L, minShared = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    // identical weight vectors: dot = |a||b| exactly, cos renders 1.0
+    assert(out((1L, 2L))._2 === 1.0)
+    assert(out((1L, 2L))._1 === 5L) // 5 bigrams shared
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+    // 1-4 share exactly the bigrams "alpha beta" and "beta gamma"
+    assert(out((1L, 4L))._1 === 2L)
+    assert(out((1L, 4L))._2 > 0.0 && out((1L, 4L))._2 < 1.0)
+    // a df-cap at 500 permille kills terms present in >2 of 4 docs: the
+    // shared-prefix bigrams (df=3) vanish, so pair (1,4) disappears but
+    // the duplicate pair (terms at df=2) survives
+    val capped = CorpusOps.tfidfCosinePairs(docs, "doc_id", "text",
+      ngram = 2, minDf = 1L, maxDfPermille = 500L, minShared = 1L)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
+  }
 }
