@@ -16,6 +16,7 @@ object Scratch {
     if (args(0) == "multifile") {
       multiFile(spark, args(1), args(2)); spark.stop(); return
     }
+    if (args(0) == "q130phases") { q130Phases(spark, args(1)); spark.stop(); return }
     val df = SparkEntry.queries(args(0))(spark, args(1))
     df.explain("formatted")
     val t0 = System.nanoTime()
@@ -95,6 +96,67 @@ object Scratch {
     * 8-file parquet directory (the driver testdata is one file per
     * table, which under-exercises scan parallelism and AQE coalescing).
     * Run Bench with SPARK_GRAFT_SF_DIR pointing at the output. */
+  /** Phase timing for q130's PPJoin: candidate generation vs exact
+    * verification (replicates Dedup.prefixJaccardPairs inline so each
+    * phase can be forced separately). */
+  private def q130Phases(spark: SparkSession, sfDir: String): Unit = {
+    import graft.text.TextAnalysis
+    val minJaccard = 0.4
+    val docs = Tables.t(spark, sfDir, "documents")
+    val sh = docs.select(col("doc_id").as("id"),
+        TextAnalysis.ngramShingles(TextAnalysis.tokens(col("text")), 2).as("sg"))
+      .where(size(col("sg")) > 0)
+    val posting = sh.select(col("id"), explode(col("sg")).as("shingle"))
+    val sizes = sh.select(col("id"), size(col("sg")).cast("long").as("n"))
+    val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val idxFrac = 2.0 * minJaccard / (1.0 + minJaccard)
+    val prefix = posting.join(dfreq, "shingle")
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("__df"), col("shingle"))))
+      .join(sizes, "id")
+      .where(col("__r") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .select(xxhash64(col("shingle")).as("__sk"), col("id"), col("n"),
+        col("__r"),
+        (col("__r") <=
+          col("n") - ceil(lit(idxFrac) * col("n")) + 1).as("__is_idx"))
+    val joined = prefix.where(col("__is_idx"))
+      .select(col("__sk"), col("id").as("id_i"), col("n").as("n_i"),
+        col("__r").as("r_i"))
+      .join(prefix.select(col("__sk"), col("id").as("id_p"),
+        col("n").as("n_p"), col("__r").as("r_p")), Seq("__sk"))
+      .where((col("n_i") < col("n_p") ||
+          (col("n_i") === col("n_p") && col("id_i") < col("id_p"))) &&
+        col("n_i") >= ceil(lit(minJaccard) * col("n_p")) &&
+        (lit(1L) + least(col("n_i") - col("r_i"), col("n_p") - col("r_p")))
+          .cast("double") >=
+          lit(minJaccard / (1.0 + minJaccard)) *
+            (col("n_i") + col("n_p")).cast("double") - lit(1e-9))
+    val cand = joined
+      .select(least(col("id_i"), col("id_p")).as("id_a"),
+        greatest(col("id_i"), col("id_p")).as("id_b"))
+      .distinct()
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(s"PHASE $label ${(System.nanoTime() - t0) / 1e9}")
+    }
+    time("prefix_only")(println("prefix=" + prefix.count()))
+    time("join_prefilter")(println("joined=" + joined.count()))
+    time("candidates")(println("cand=" + cand.count()))
+    val full = cand
+      .join(sh.select(col("id").as("id_a"), col("sg").as("sg_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sg").as("sg_b")), "id_b")
+      .withColumn("__inter",
+        size(array_intersect(col("sg_a"), col("sg_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        (col("__inter") /
+          ((size(col("sg_a")) + size(col("sg_b"))).cast("double") -
+            col("__inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+    time("full_including_candidates")(
+      full.write.format("noop").mode("overwrite").save())
+  }
+
   private def multiFile(spark: SparkSession, sfDir: String, out: String): Unit = {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
