@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -79,7 +80,8 @@ final class GtfsRtTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"gtfs_rt(`$path`)"
   override def schema(): StructType = GtfsRtTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GtfsRtScanBuilder(path, options)
 }
@@ -124,38 +126,26 @@ final class GtfsRtScan(path: String, required: StructType,
   private def hadoopConf() =
     SparkSession.active.sessionState.newHadoopConfWithOptions(options)
 
-  /** Driver-side split planning: list once, sort for determinism, greedy
-    * size-packed bins capped at maxPartitionBytes. Listing is a single
-    * namenode/liststatus round per directory (one recursive listFiles walk
-    * with `recursiveFileLookup=true` — a date-partitioned archive keeps
-    * its feeds in subdirectories) — metadata-only, never file content.
-    *
-    * Zero matching `.pb` files FAILS rather than planning an empty scan:
-    * a typo'd archive path is indistinguishable from an empty one at this
-    * layer, and a silent zero-row DataFrame over 100 TB of misaddressed
-    * feeds is the expensive kind of wrong. `allowEmpty=true` opts a
-    * legitimately-empty archive back into the zero-row read. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val hconf = hadoopConf()
+  /** One metadata-only listing pass: every `.pb` file under the root
+    * (recursive when configured), sorted by full path for determinism. */
+  private[sources] def listFeedFiles(): Seq[FileStatus] = {
     val root = new Path(path)
-    val fs = root.getFileSystem(hconf)
+    val fs = root.getFileSystem(hadoopConf())
     val listed = ArrayBuffer.empty[FileStatus]
     if (recursive) {
       val it = fs.listFiles(root, true)
       while (it.hasNext) listed += it.next()
     } else listed ++= fs.listStatus(root)
-    val files: Seq[FileStatus] = listed.toSeq
+    listed.toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".pb"))
       .sortBy(_.getPath.toString)
-    if (files.isEmpty && !allowEmpty)
-      throw new java.io.FileNotFoundException(
-        s"graft.sources.GtfsRtSource: no .pb files under $path" +
-          (if (recursive) " (recursive)"
-           else " (set recursiveFileLookup=true for partitioned archives)") +
-          "; set allowEmpty=true to read an empty archive as zero rows")
-    val maxBytes = maxBytesOpt.getOrElse(
-      spark.sessionState.conf.filesMaxPartitionBytes).max(1L)
+  }
+
+  /** Greedy size-packed bins capped at maxPartitionBytes — task count
+    * tracks data volume, not file count. */
+  private[sources] def packFiles(files: Seq[FileStatus]): Array[InputPartition] = {
+    val maxBytes = maxBytesOpt.getOrElse(SparkSession.active.sessionState
+      .conf.filesMaxPartitionBytes).max(1L)
     val parts = ArrayBuffer.empty[GtfsRtInputPartition]
     val cur = ArrayBuffer.empty[String]
     var curBytes = 0L
@@ -169,10 +159,87 @@ final class GtfsRtScan(path: String, required: StructType,
     parts.toArray[InputPartition]
   }
 
+  /** Driver-side split planning: list once, sort for determinism, greedy
+    * size-packed bins capped at maxPartitionBytes. Listing is a single
+    * namenode/liststatus round per directory (one recursive listFiles walk
+    * with `recursiveFileLookup=true` — a date-partitioned archive keeps
+    * its feeds in subdirectories) — metadata-only, never file content.
+    *
+    * Zero matching `.pb` files FAILS rather than planning an empty scan:
+    * a typo'd archive path is indistinguishable from an empty one at this
+    * layer, and a silent zero-row DataFrame over 100 TB of misaddressed
+    * feeds is the expensive kind of wrong. `allowEmpty=true` opts a
+    * legitimately-empty archive back into the zero-row read. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = listFeedFiles()
+    if (files.isEmpty && !allowEmpty)
+      throw new java.io.FileNotFoundException(
+        s"graft.sources.GtfsRtSource: no .pb files under $path" +
+          (if (recursive) " (recursive)"
+           else " (set recursiveFileLookup=true for partitioned archives)") +
+          "; set allowEmpty=true to read an empty archive as zero rows")
+    packFiles(files)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(hadoopConf())
     GtfsRtReaderFactory(required, conf)
   }
+
+  /** Streaming read of the SAME archive — `spark.readStream.format(...)`
+    * tails the feed directory: each micro-batch reads exactly the files
+    * that arrived since the last committed offset (the reference's cron
+    * fetch loop drops one timestamp-named snapshot per tick,
+    * reference/scripts/realtime_extractor.py:97-118, so lexicographic
+    * path order IS arrival order — the offset is simply the largest
+    * path processed, one short string per batch in the offset log,
+    * never a seen-files set that grows with archive age). Late files
+    * sorting BELOW the watermark are ignored by construction —
+    * acceptable for monotonic snapshot names, and the documented
+    * contract here. Column pruning and bin-packing are the batch
+    * path's, reused verbatim. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GtfsRtMicroBatchStream(this)
+}
+
+/** Watermark offset: the largest feed-file path read so far ("" = start
+  * of the archive). */
+final case class GtfsRtOffset(maxPath: String) extends Offset {
+  override def json(): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JObject("maxPath" -> org.json4s.JString(maxPath)))
+}
+
+final class GtfsRtMicroBatchStream(scan: GtfsRtScan) extends MicroBatchStream {
+  override def initialOffset(): Offset = GtfsRtOffset("")
+
+  override def latestOffset(): Offset = {
+    val files = scan.listFeedFiles()
+    GtfsRtOffset(
+      if (files.isEmpty) "" else files.last.getPath.toString)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GtfsRtOffset].maxPath
+    val hi = end.asInstanceOf[GtfsRtOffset].maxPath
+    scan.packFiles(scan.listFeedFiles().filter { st =>
+      val p = st.getPath.toString
+      p > lo && p <= hi
+    })
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def deserializeOffset(json: String): Offset = {
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    val org.json4s.JString(p) = parsed \ "maxPath": @unchecked
+    GtfsRtOffset(p)
+  }
+
+  // nothing to clean up: the committed watermark fully describes progress
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class GtfsRtReaderFactory(required: StructType,

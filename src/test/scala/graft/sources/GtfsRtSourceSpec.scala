@@ -130,6 +130,46 @@ class GtfsRtSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming read tails the archive: each micro-batch carries exactly " +
+    "the newly-arrived files, and a checkpoint restart resumes past them") {
+    withDir { dir =>
+      val ckpt = Files.createTempDirectory("gtfs-rt-ckpt").toString
+      val out = Files.createTempDirectory("gtfs-rt-out").toString
+      writeFeeds(dir, 2) // snap_001, snap_002 exist before the stream starts
+      // a parquet sink, not memory: the memory sink refuses checkpoint
+      // RECOVERY, and the restart leg is the point of this test
+      def start() = spark.readStream.format(Fmt)
+        .load(dir.toString)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      def sunkTrips(): Map[String, Int] =
+        spark.read.schema(GtfsRtTable.Schema).parquet(out)
+          .select("trip_id").collect().map(_.getString(0))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      val q1 = start()
+      try {
+        q1.processAllAvailable()
+        assert(sunkTrips() === Map("T1" -> 3, "T2" -> 3))
+        // a new snapshot lands mid-stream -> the next batch picks up ONLY it
+        Files.write(dir.resolve("snap_003.pb"), feed("T3", 1717200003L, 3))
+        q1.processAllAvailable()
+        assert(sunkTrips() === Map("T1" -> 3, "T2" -> 3, "T3" -> 3))
+      } finally q1.stop()
+      // restart from the checkpoint: the committed watermark skips all
+      // three processed snapshots; only the post-restart arrival flows —
+      // no re-read, no duplicates in the sink
+      Files.write(dir.resolve("snap_004.pb"), feed("T4", 1717200004L, 2))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(sunkTrips()
+          === Map("T1" -> 3, "T2" -> 3, "T3" -> 3, "T4" -> 2))
+      } finally q2.stop()
+    }
+  }
+
   test("reader options are folded into the Hadoop conf shipped to executors") {
     withDir { dir =>
       writeFeeds(dir, 1)
