@@ -75,6 +75,23 @@ object Scratch {
       evN.write.mode("overwrite").parquet(s"$big/events.parquet")
       evMarker.createNewFile()
     }
+    // lineitem replica (for the binning/skew-audit family): 10× the
+    // orders and 10× the part/supplier key domains at the same per-key
+    // depth — the growth axis a fact table actually has
+    val liMarker = new java.io.File(big + "/_done_lineitem")
+    if (!liMarker.exists()) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val liN = (0 until 10).map { i =>
+        li.withColumn("l_orderkey",
+            col("l_orderkey") + lit(i.toLong * 1000000000L))
+          .withColumn("l_partkey",
+            col("l_partkey") + lit(i.toLong * 100000000L))
+          .withColumn("l_suppkey",
+            col("l_suppkey") + lit(i.toLong * 100000000L))
+      }.reduce(_ unionByName _)
+      liN.write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+      liMarker.createNewFile()
+    }
     val probes = if (queries.nonEmpty) queries
       else Seq("q51_dup_clusters", "q87_pq_ann", "q43_trigram_jaccard",
         "q38_jaccard_maxdf", "q72_incremental_dedup")
