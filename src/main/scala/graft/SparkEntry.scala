@@ -3363,6 +3363,54 @@ object SparkEntry {
         ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
         .where(col("cos") >= 0.5)),
 
+    // One-pass Pearson correlation MATRIX over the fact table's numeric
+    // columns — the multi-column completion of q77's single pair and
+    // q105's univariate profile (feature-selection / collinearity
+    // screening). ALL C(4,2) pairs ride ONE aggregate: Catalyst dedupes
+    // the repeated per-column moment buffers (sum, sum-of-squares appear
+    // in 3 pairs each), so the table is scanned once and the shuffle
+    // carries one moments row; stack() unpivots that row — no per-pair
+    // re-scan, no union of 6 aggregate branches.
+    //
+    // Moments ride micro-unit INTEGERS in DECIMAL(38,0) (≡ the oracle's
+    // HUGEINT), not q77's DECIMAL(15,6): DuckDB sizes a decimal product
+    // at p1+p2 and cross-products of any width wide enough for price²
+    // bind-error past the 38 cap, while Pearson is invariant under the
+    // positive scaling, so both engines run the identical exact-integer
+    // pipeline and spend doubles only on the final cast/sqrt/divide.
+    // DECIMAL(38,0) headroom: |q| ≤ 7·10¹⁰ here → n·Σqq ≈ 10³²; at
+    // 10¹² rows drop the quantization unit accordingly.
+    "q160_corr_matrix" -> ((s, dir) => {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cs.indices; j <- (i + 1) until cs.size
+      } yield (cs(i), cs(j))
+      def q(c: String) =
+        floor(col(c) * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)")
+      val n = count(lit(1)).cast("decimal(38,0)")
+      val moments =
+        cs.flatMap(c => Seq(sum(q(c)).as(s"s_$c"),
+          sum(q(c) * q(c)).as(s"ss_$c"))) ++
+        pairs.map { case (a, b) => sum(q(a) * q(b)).as(s"sx_${a}__$b") }
+      val aggd = t(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"), n.as("__n") +: moments: _*)
+      def corr(a: String, b: String) = try_divide(
+        (col("__n") * col(s"sx_${a}__$b") - col(s"s_$a") * col(s"s_$b"))
+          .cast("double"),
+        sqrt((col("__n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+          .cast("double")) *
+          sqrt((col("__n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+            .cast("double")))
+      val withCorrs = aggd.select(col("n_rows") +:
+        pairs.map { case (a, b) => corr(a, b).as(s"c_${a}__$b") }: _*)
+      val stackArgs = pairs
+        .map { case (a, b) => s"'$a', '$b', c_${a}__$b" }.mkString(", ")
+      withCorrs
+        .select(col("n_rows"), expr(
+          s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)"))
+        .select("col_a", "col_b", "n_rows", "corr")
+    }),
+
     // Join-key skew audit — the pre-flight report that decides q39's
     // salting question ("is this key safe to shuffle on?") as data, not
     // folklore: rows/keys/max-per-key, the heaviest key's share, and
@@ -5790,6 +5838,36 @@ object SparkEntry {
          |WHERE CAST(dot AS DOUBLE) /
          |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.5
          |""".stripMargin,
+
+    // Mirrors q160: HUGEINT micro-unit moments (≡ Spark's DECIMAL(38,0)
+    // integer pipeline), one moments CTE, six UNION ALL readout rows —
+    // the unpivot of Spark's stack() over the same single-aggregate
+    // moments row; doubles enter only at the final cast/sqrt/divide.
+    "q160_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cs.indices; j <- (i + 1) until cs.size
+      } yield (cs(i), cs(j))
+      def q(c: String) = s"CAST(floor($c * 1000000.0 + 0.5) AS HUGEINT)"
+      val moments = cs.map(c =>
+        s"sum(${q(c)}) AS s_$c, sum(${q(c)} * ${q(c)}) AS ss_$c")
+        .mkString(", ")
+      val cross = pairs.map { case (a, b) =>
+        s"sum(${q(a)} * ${q(b)}) AS sx_${a}__$b"
+      }.mkString(", ")
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n_rows,
+           |  CAST(n*sx_${a}__$b - s_$a*s_$b AS DOUBLE) /
+           |    (sqrt(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE)) *
+           |     sqrt(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE)))
+           |    AS corr FROM m""".stripMargin
+      }.mkString("\n|UNION ALL\n|".stripMargin)
+      s"""WITH m AS (
+         |  SELECT count(*) AS n_rows, CAST(count(*) AS HUGEINT) AS n,
+         |    $moments, $cross
+         |  FROM lineitem)
+         |$rows""".stripMargin
+    },
 
     // Mirrors q159: per-key counts, then moments of the counts; the
     // median interpolates on integers (exact in any spelling, the q145

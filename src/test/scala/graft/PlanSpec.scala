@@ -135,14 +135,16 @@ class PlanSpec extends SparkSpec {
     * grid, not an intermediate that later collapses; q141 is the
     * SQ8-compressed member of the brute-force cosine family; q142's
     * range attach and q144's corpus-count attach are 1-ROW aggregate
-    * broadcasts, the q60 scalar shape). */
+    * broadcasts, the q60 scalar shape; q156's total-count attach to the
+    * ranked rows and q158's n_docs attach to the df table are the same
+    * 1-row scalar shape). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
       "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
       "q125_pmi_cooccur", "q128_fk_audit", "q131_vocab_coverage",
       "q134_stop_pagerank", "q135_jl_topk", "q139_gap_fill",
       "q141_sq8_ann", "q142_histogram", "q144_chi2_terms",
-      "q152_chi2_drift")
+      "q152_chi2_drift", "q156_equidepth_bins", "q158_tfidf_cosine_pairs")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +
