@@ -3363,6 +3363,34 @@ object SparkEntry {
         ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
         .where(col("cos") >= 0.5)),
 
+    // Trailing exponentially-weighted moving average per user — the
+    // recency-weighted member of the smoothing family (q153 is the
+    // uniform ROWS-frame mean). α = 1/2 over the last 8 observations,
+    // spelled as an EXPLICIT dyadic-weight lag chain (weights 2⁻¹…2⁻⁷
+    // with the recursion's initialization mass 2⁻⁷ on the oldest term —
+    // exactly y₇=x₇; yₖ=(xₖ+yₖ₊₁)/2, so Σw = 1): every weight and every
+    // x·2⁻ᵏ product is EXACT in binary floating point, and the one
+    // rounding per addition happens in the same left-associative order
+    // in both engines — a pow()/EWM-library spelling would be
+    // libm-divergent. Rows without full 8-history emit NULL (no
+    // renormalization divide). One window, partitioned by
+    // high-cardinality user_id.
+    "q161_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_epoch").asc, col("event_id").asc)
+      val weights = Seq(0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625,
+        0.0078125, 0.0078125)
+      val terms = weights.zipWithIndex.map { case (wt, k) =>
+        (if (k == 0) col("value") else lag(col("value"), k).over(w)) * lit(wt)
+      }
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("value"))
+        .withColumn("ewma", terms.reduceLeft(_ + _))
+        .select("event_id", "user_id", "ts_epoch", "ewma")
+    }),
+
     // One-pass Pearson correlation MATRIX over the fact table's numeric
     // columns — the multi-column completion of q77's single pair and
     // q105's univariate profile (feature-selection / collinearity
@@ -5838,6 +5866,28 @@ object SparkEntry {
          |WHERE CAST(dot AS DOUBLE) /
          |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.5
          |""".stripMargin,
+
+    // Mirrors q161: the identical dyadic-weight lag chain, summed in the
+    // identical left-associative order; a NULL lag (short history)
+    // NULL-propagates in both engines.
+    "q161_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, FLOOR(epoch(ts))::BIGINT AS ts_epoch,
+        |    value
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (
+        |  SELECT event_id, user_id, ts_epoch,
+        |    value AS x0, lag(value, 1) OVER w AS x1,
+        |    lag(value, 2) OVER w AS x2, lag(value, 3) OVER w AS x3,
+        |    lag(value, 4) OVER w AS x4, lag(value, 5) OVER w AS x5,
+        |    lag(value, 6) OVER w AS x6, lag(value, 7) OVER w AS x7
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts_epoch ASC, event_id ASC))
+        |SELECT event_id, user_id, ts_epoch,
+        |  x0*0.5 + x1*0.25 + x2*0.125 + x3*0.0625 + x4*0.03125 +
+        |    x5*0.015625 + x6*0.0078125 + x7*0.0078125 AS ewma
+        |FROM l""".stripMargin,
 
     // Mirrors q160: HUGEINT micro-unit moments (≡ Spark's DECIMAL(38,0)
     // integer pipeline), one moments CTE, six UNION ALL readout rows —
