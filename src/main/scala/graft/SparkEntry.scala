@@ -3363,6 +3363,44 @@ object SparkEntry {
         ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
         .where(col("cos") >= 0.5)),
 
+    // N-gram language-model fluency score — the LM-scoring member of
+    // the text-quality family (q21 langid, q22 heuristics, q114 rarity,
+    // q127 concentration): each document's mean corpus-bigram
+    // conditional probability P(b|a) = n_ab / n_a("a" as bigram
+    // prefix), the ln-free monotone stand-in for per-token perplexity
+    // (mean log-prob would drag in libm). The exactness pattern is NEW
+    // here: the per-doc mean sums FLOATING ratios, which a shuffle
+    // reduces in nondeterministic order — so the ratios are collected,
+    // sorted by token POSITION, and folded left-associatively from 0.0
+    // (aggregate() over sort_array ≡ the oracle's list(… ORDER BY pos)
+    // + list_reduce), making every intermediate rounding identical in
+    // both engines. Stats are two map-side-combined aggregates; the
+    // per-doc list is document-length-bounded (the q49 chunking bound
+    // at corpus scale).
+    "q162_lm_fluency" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(col("doc_id"), posexplode(
+          TextAnalysis.posNgrams(TextAnalysis.tokens(col("text")), 2)))
+        .select(col("doc_id"), col("pos"), col("col").as("bigram"),
+          substring_index(col("col"), " ", 1).as("prefix"))
+      val bs = grams.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      val ps = grams.groupBy("prefix").agg(count(lit(1)).as("n_a"))
+      val scored = grams.join(bs, "bigram").join(ps, "prefix")
+        .select(col("doc_id"), col("pos"),
+          (col("n_ab").cast("double") / col("n_a").cast("double")).as("r"))
+      val perDoc = scored.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("r"))))
+          .as("rs"))
+        .select(col("doc_id"), size(col("rs")).cast("long").as("n_bigrams"),
+          (aggregate(col("rs"), lit(0.0),
+            (acc, x) => acc + x.getField("r")) /
+            size(col("rs")).cast("double")).as("fluency"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("fluency"))
+    }),
+
     // Trailing exponentially-weighted moving average per user — the
     // recency-weighted member of the smoothing family (q153 is the
     // uniform ROWS-frame mean). α = 1/2 over the last 8 observations,
@@ -5866,6 +5904,34 @@ object SparkEntry {
          |WHERE CAST(dot AS DOUBLE) /
          |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.5
          |""".stripMargin,
+
+    // Mirrors q162: positional bigrams (1-based tk[i] ‖ tk[i+1], pos =
+    // i−1 to match posexplode), the same two count tables, and the
+    // SAME left-associative fold over the position-ordered ratio list —
+    // list(r ORDER BY pos) + list_reduce from 0.0 ≡ Spark's
+    // sort_array + aggregate, so every intermediate double rounds
+    // identically.
+    "q162_lm_fluency" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    tk[i] || ' ' || tk[i+1] AS bigram, tk[i] AS prefix
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+         |        FROM toks)),
+         |bs AS (SELECT bigram, count(*) AS n_ab FROM g GROUP BY bigram),
+         |ps AS (SELECT prefix, count(*) AS n_a FROM g GROUP BY prefix),
+         |scored AS (
+         |  SELECT doc_id, pos,
+         |    CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS r
+         |  FROM g JOIN bs USING (bigram) JOIN ps USING (prefix)),
+         |per_doc AS (
+         |  SELECT doc_id, list(r ORDER BY pos) AS l
+         |  FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(CAST(len(l) AS BIGINT), 0) AS n_bigrams,
+         |  list_reduce(list_prepend(0.0, l), (a, b) -> a + b)
+         |    / CAST(len(l) AS DOUBLE) AS fluency
+         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
 
     // Mirrors q161: the identical dyadic-weight lag chain, summed in the
     // identical left-associative order; a NULL lag (short history)
