@@ -700,15 +700,19 @@ object Dedup {
     * linear in the candidate count. */
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame,
                      idCol: String, textCol: String): DataFrame = {
+    // sorted ONCE per document so the per-PAIR intersection below is the
+    // allocation-free merge-walk kernel, not a per-row hash set
     val sh = docs.select(col(idCol).as("id"),
-      TextAnalysis.bigramShingles(TextAnalysis.tokens(col(textCol))).as("sg"))
+      array_sort(TextAnalysis.bigramShingles(
+        TextAnalysis.tokens(col(textCol)))).as("sg"))
     pairs.select(col("id_a"), col("id_b"))
       .join(sh.select(col("id").as("id_a"), col("sg").as("sg_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sg").as("sg_b")), "id_b")
       // bind the intersection size ONCE — the array intersection is the
       // dominant per-pair cost and appears in numerator and denominator
       .withColumn("__inter",
-        size(array_intersect(col("sg_a"), col("sg_b"))).cast("double"))
+        graft.expressions.SortedIntersectCount
+          .sortedIntersect(col("sg_a"), col("sg_b")).cast("double"))
       // try_divide: external pairs (unlike the inverted index's) can name
       // two zero-shingle docs — 0/0 must be a NULL score, not an ANSI error
       .select(col("id_a"), col("id_b"),
@@ -786,8 +790,13 @@ object Dedup {
     val (sh0, _) = blockedPostings(docs, idCol, textCol, Nil, shingleN)
     // the shingle arrays feed BOTH the prefix pipeline and the final
     // verification join — materialize them once (slim: one array per
-    // doc) instead of re-tokenizing the corpus per consumer
-    val sh = sh0.localCheckpoint(eager = false)
+    // doc) instead of re-tokenizing the corpus per consumer. Sorted
+    // ONCE per document here so verification's per-PAIR intersection is
+    // the merge-walk kernel (sorting is |doc|·log cost paid |corpus|
+    // times; hashing inside array_intersect would be paid |candidates|
+    // times).
+    val sh = sh0.select(col("id"), array_sort(col("sg")).as("sg"))
+      .localCheckpoint(eager = false)
     // postings carry the doc's set size inline: deriving n from the
     // array at explode time deletes the whole sizes join
     val posting = sh.select(col("id"),
@@ -867,7 +876,8 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sg").as("sg_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sg").as("sg_b")), "id_b")
       .withColumn("__inter",
-        size(array_intersect(col("sg_a"), col("sg_b"))).cast("double"))
+        graft.expressions.SortedIntersectCount
+          .sortedIntersect(col("sg_a"), col("sg_b")).cast("double"))
       .select(col("id_a"), col("id_b"),
         (col("__inter") /
           ((size(col("sg_a")) + size(col("sg_b"))).cast("double") -
