@@ -3363,6 +3363,34 @@ object SparkEntry {
         ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
         .where(col("cos") >= 0.5)),
 
+    // Weighted median — the quantile family's WEIGHTED member (q50
+    // exact, q151 sketched, q156 equi-depth are all unit-weight): the
+    // price level at which half the shipped QUANTITY sits, per return
+    // flag. Entirely integer-exact: weights aggregate to the (flag,
+    // price) value domain first (map-side combined — the shuffle
+    // carries the price grid, not rows), the cumulative sum windows
+    // over that AGGREGATED frame (the PlanSpec hygiene exception: an
+    // unbounded value domain would first quantize to a grid, q160's
+    // discipline), and the median is the min price with 2·cum ≥ total
+    // — no halving, no interpolation, no doubles anywhere but the
+    // passthrough price itself.
+    "q163_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("price"),
+          floor(col("l_quantity")).cast("long").as("qty"))
+      val agg = li.groupBy("flag", "price").agg(sum(col("qty")).as("w"))
+      val tot = agg.groupBy("flag").agg(sum(col("w")).as("tot"))
+      val cw = Window.partitionBy("flag").orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      agg.withColumn("cum", sum(col("w")).over(cw))
+        .join(broadcast(tot), "flag")
+        .where(col("cum") * 2L >= col("tot"))
+        .groupBy("flag", "tot")
+        .agg(min(col("price")).as("weighted_median_price"))
+    }),
+
     // N-gram language-model fluency score — the LM-scoring member of
     // the text-quality family (q21 langid, q22 heuristics, q114 rarity,
     // q127 concentration): each document's mean corpus-bigram
@@ -5904,6 +5932,27 @@ object SparkEntry {
          |WHERE CAST(dot AS DOUBLE) /
          |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.5
          |""".stripMargin,
+
+    // Mirrors q163: the same (flag, price)-grid weight aggregate,
+    // cumulative window, and 2·cum ≥ tot pick — BIGINT casts pin
+    // DuckDB's HUGEINT sums back to Spark's long.
+    "q163_weighted_median" ->
+      """WITH a AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, price, w,
+        |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM a),
+        |t AS (SELECT flag, CAST(sum(w) AS BIGINT) AS tot FROM a
+        |      GROUP BY flag)
+        |SELECT c.flag, tot, min(price) AS weighted_median_price
+        |FROM c JOIN t USING (flag)
+        |WHERE cum * 2 >= tot
+        |GROUP BY c.flag, tot""".stripMargin,
 
     // Mirrors q162: positional bigrams (1-based tk[i] ‖ tk[i+1], pos =
     // i−1 to match posexplode), the same two count tables, and the
