@@ -182,6 +182,37 @@ object StreamingAnalytics {
       }
   }
 
+  /** Emitted per absorbed observation by [[ewmaStream]]. */
+  final case class EwmaUpdate(trip_id: String, ts: Long, ewma: Double)
+
+  /** Streaming exponentially-weighted moving average per key — the
+    * unbounded-recursion sibling of the batch q161 lag chain: state is
+    * ONE double per key (y ← (x + y)/2, α = 1/2 — the same dyadic
+    * arithmetic, so every step is one exact halving plus one rounding,
+    * reproducible across restarts from the checkpointed state). Within
+    * a micro-batch, rows are folded in (ts) order with a deterministic
+    * tiebreak impossible by contract (callers feed one observation per
+    * (key, ts)); across batches the recursion continues from state —
+    * streaming-final ≡ batch recursion over the full ordered history,
+    * which the parity spec pins. State: one double per key, bounded. */
+  def ewmaStream(stream: Dataset[Obs]): Dataset[EwmaUpdate] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.trip_id)
+      .flatMapGroupsWithState[Double, EwmaUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (trip: String, rows: Iterator[Obs], state: GroupState[Double]) =>
+          val out = rows.toSeq.sortBy(_.ts).map { o =>
+            val next = state.getOption match {
+              case Some(prev) => (o.delay_min + prev) / 2.0
+              case None => o.delay_min // y₀ = x₀, the q161 initialization
+            }
+            state.update(next)
+            EwmaUpdate(trip, o.ts, next)
+          }
+          out.iterator
+      }
+  }
+
   /** One funnel event for [[funnelStagesStream]]: epoch seconds. */
   final case class FEvent(user_id: Long, event_type: String, ts: Long)
 

@@ -431,6 +431,41 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream: streaming-final EWMA equals the batch recursion over " +
+    "the full ordered history — the one-double-per-key state carries the " +
+    "recursion across micro-batches bit-exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamingAnalytics.Obs]
+    val q = StreamingAnalytics.ewmaStream(in.toDS)
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    // arbitrary (NON-dyadic) delays: the parity below must hold through
+    // real double rounding, not only on exactly-representable inputs
+    val history = Seq(
+      ("T1", 100L, 3.7), ("T1", 200L, 11.1), ("T2", 100L, 0.3),
+      ("T1", 300L, 5.9), ("T2", 250L, 8.8), ("T1", 400L, 2.2))
+    try {
+      // split mid-key so T1's recursion must cross the batch boundary
+      in.addData(history.take(3).map(h =>
+        StreamingAnalytics.Obs(h._1, h._2, h._3)): _*)
+      q.processAllAvailable()
+      in.addData(history.drop(3).map(h =>
+        StreamingAnalytics.Obs(h._1, h._2, h._3)): _*)
+      q.processAllAvailable()
+      val got = spark.table("ewma_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // in-memory batch reference: y0 = x0; y = (x + y)/2, per key in ts order
+      val ref = history.groupBy(_._1).flatMap { case (k, h) =>
+        h.sortBy(_._2).scanLeft(Option.empty[(Long, Double)]) {
+          case (acc, (_, ts, x)) =>
+            Some(ts -> acc.fold(x) { case (_, prev) => (x + prev) / 2.0 })
+        }.flatten.map { case (ts, y) => (k, ts) -> y }
+      }
+      assert(got === ref)
+    } finally q.stop()
+  }
+
   test("funnelStagesStream: final stage per user equals batch staging on " +
     "the identical event set, including an out-of-order late view that " +
     "DEMOTES a converted user") {
