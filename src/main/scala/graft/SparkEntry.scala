@@ -3381,11 +3381,16 @@ object SparkEntry {
           col("l_extendedprice").as("price"),
           floor(col("l_quantity")).cast("long").as("qty"))
       val agg = li.groupBy("flag", "price").agg(sum(col("qty")).as("w"))
-      val tot = agg.groupBy("flag").agg(sum(col("w")).as("tot"))
+      // tot as a whole-partition window over the SAME aggregated frame —
+      // not a separate aggregate branch, which would rescan the fact
+      // table (.explain showed two ReadSchema scans for the join
+      // spelling); both windows share one partitioning, so the plan is
+      // one scan + one exchange
       val cw = Window.partitionBy("flag").orderBy(col("price"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy("flag")
       agg.withColumn("cum", sum(col("w")).over(cw))
-        .join(broadcast(tot), "flag")
+        .withColumn("tot", sum(col("w")).over(tw))
         .where(col("cum") * 2L >= col("tot"))
         .groupBy("flag", "tot")
         .agg(min(col("price")).as("weighted_median_price"))
@@ -5945,14 +5950,13 @@ object SparkEntry {
         |  SELECT flag, price, w,
         |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY price
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS cum
-        |  FROM a),
-        |t AS (SELECT flag, CAST(sum(w) AS BIGINT) AS tot FROM a
-        |      GROUP BY flag)
-        |SELECT c.flag, tot, min(price) AS weighted_median_price
-        |FROM c JOIN t USING (flag)
+        |      AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+        |  FROM a)
+        |SELECT flag, tot, min(price) AS weighted_median_price
+        |FROM c
         |WHERE cum * 2 >= tot
-        |GROUP BY c.flag, tot""".stripMargin,
+        |GROUP BY flag, tot""".stripMargin,
 
     // Mirrors q162: positional bigrams (1-based tk[i] ‖ tk[i+1], pos =
     // i−1 to match posexplode), the same two count tables, and the

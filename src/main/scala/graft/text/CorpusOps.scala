@@ -695,10 +695,14 @@ object CorpusOps {
         expr("n_docs * 1000000L DIV df").as("q_idf"))
     // the weight multiply happens IN decimal space (never a transient
     // long product): tf·q_idf at corpus scale exceeds 2⁶³ long before
-    // the dot products do
+    // the dot products do. The weighted postings feed THREE consumers
+    // (norms + both self-join sides) — materialized once
+    // (localCheckpoint) instead of re-running tokenize→tf→join per
+    // branch, the q130 prefix discipline.
     val weighted = tf.join(elig, "term")
       .select(col("id"), col("term"),
         (d38(col("tf")) * col("q_idf")).as("w"))
+      .localCheckpoint(eager = false)
     val norms = weighted.groupBy("id")
       .agg(sum(col("w") * col("w")).as("nrm"))
     weighted.as("a")
