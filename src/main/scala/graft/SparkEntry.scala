@@ -3363,6 +3363,49 @@ object SparkEntry {
         ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
         .where(col("cos") >= 0.5)),
 
+    // Vocabulary APPLY — the tokenize-to-ids step a pretraining
+    // pipeline runs after q131 builds the vocab and q84 trains merges:
+    // every token maps to its vocab id (frequency rank; OOV → 0 = unk)
+    // and each document re-assembles its ORDERED id sequence. The
+    // reassembly is the q162 determinism pattern (sort collected
+    // (pos, id) structs, then fold), rendered hash-checkable as scalars
+    // by the q24 rolling fingerprint ((a·31 + id) mod 1e9+7 over the
+    // sequence) — no array column ever reaches the output. The vocab is
+    // a bounded broadcast join (100 rows); unknown-token counts ride
+    // the same pass.
+    "q164_vocab_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val vw = Window.orderBy(col("freq").desc, col("tok"))
+      val vocab = tf.orderBy(col("freq").desc, col("tok")).limit(100)
+        .withColumn("id", row_number().over(vw).cast("long"))
+        .select(col("tok"), col("id"))
+      val g = docs.select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      val perDoc = g.join(broadcast(vocab), Seq("tok"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("id"), lit(0L)).as("id"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("id"))))
+          .as("ps"))
+        .select(col("doc_id"),
+          size(col("ps")).cast("long").as("n_tokens"),
+          aggregate(col("ps"), lit(0L),
+            (a, x) => (a * 31L + x.getField("id")) % 1000000007L)
+            .as("ids_fp"),
+          aggregate(col("ps"), lit(0L),
+            (a, x) => a + when(x.getField("id") === 0L, 1L).otherwise(0L))
+            .as("n_unk"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_unk"), lit(0L)).as("n_unk"), col("ids_fp"))
+    }),
+
     // Weighted median — the quantile family's WEIGHTED member (q50
     // exact, q151 sketched, q156 equi-depth are all unit-weight): the
     // price level at which half the shipped QUANTITY sits, per return
@@ -5937,6 +5980,37 @@ object SparkEntry {
          |WHERE CAST(dot AS DOUBLE) /
          |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.5
          |""".stripMargin,
+
+    // Mirrors q164: the same frequency-ranked 100-term vocab, 1-based
+    // positions (pos i−1 unneeded — only ORDER matters to the fold),
+    // OOV→0, and the identical (a·31 + id) mod 1e9+7 fold over the
+    // position-ordered id list. Empty docs: zero counts, NULL fp.
+    "q164_vocab_apply" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |tf AS (
+         |  SELECT tok, count(*) AS freq
+         |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok),
+         |vocab AS (
+         |  SELECT tok, CAST(ROW_NUMBER() OVER
+         |    (ORDER BY freq DESC, tok) AS BIGINT) AS id
+         |  FROM tf ORDER BY freq DESC, tok LIMIT 100),
+         |g AS (
+         |  SELECT doc_id, i AS pos, tk[i] AS tok
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+         |        FROM toks)),
+         |j AS (
+         |  SELECT doc_id, pos, COALESCE(v.id, 0) AS id
+         |  FROM g LEFT JOIN vocab v USING (tok)),
+         |per AS (
+         |  SELECT doc_id, list(id ORDER BY pos) AS ids FROM j
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(CAST(len(ids) AS BIGINT), 0) AS n_tokens,
+         |  COALESCE(CAST(len(list_filter(ids, x -> x = 0)) AS BIGINT), 0)
+         |    AS n_unk,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+         |    (a, x) -> (a * 31 + x) % 1000000007) AS ids_fp
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
     // Mirrors q163: the same (flag, price)-grid weight aggregate,
     // cumulative window, and 2·cum ≥ tot pick — BIGINT casts pin
