@@ -3363,6 +3363,34 @@ object SparkEntry {
         ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
         .where(col("cos") >= 0.5)),
 
+    // Unicode NFC normalization (expressions/NfcNormalize) — the
+    // canonical-form cleaning step ahead of every byte-keyed operator
+    // (content-hash dedup, shingles, fingerprints): composed é and
+    // decomposed e+U+0301 are the SAME text to a reader and DIFFERENT
+    // bytes to q15/q24/q42. The raw corpus is ASCII (trivially NFC), so
+    // the q64 discipline applies: enrich deterministically with
+    // decomposed combining sequences, mirrored verbatim in the oracle —
+    // the doc_id%3 rows then genuinely compose, pinned by codepoint
+    // counts and a post-normalization codepoint fingerprint. Canonical
+    // composition is Unicode-standard-defined, which is why the JDK
+    // normalizer and DuckDB's utf8proc nfc_normalize hash-match.
+    "q165_nfc_normalize" -> ((s, dir) => {
+      // the suffix is DECOMPOSED in the source bytes: 'e' followed by
+      // combining acute U+0301, 'a' followed by combining grave U+0300
+      // (it renders composed in most editors) — NFC composes both
+      val enriched = concat(col("text"),
+        when(col("doc_id") % 3L === 0L,
+          lit(" café voilà")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), enriched.as("raw"),
+          graft.expressions.NfcNormalize.nfc(enriched).as("norm"))
+        .select(col("doc_id"),
+          (col("norm") =!= col("raw")).as("was_denormalized"),
+          length(col("raw")).cast("long").as("n_chars_raw"),
+          length(col("norm")).cast("long").as("n_chars_nfc"),
+          TextAnalysis.charPolyHash(col("norm")).as("nfc_fp"))
+    }),
+
     // Vocabulary APPLY — the tokenize-to-ids step a pretraining
     // pipeline runs after q131 builds the vocab and q84 trains merges:
     // every token maps to its vocab id (frequency rank; OOV → 0 = unk)
@@ -5980,6 +6008,24 @@ object SparkEntry {
          |WHERE CAST(dot AS DOUBLE) /
          |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.5
          |""".stripMargin,
+
+    // Mirrors q165: the identical decomposed enrichment built from
+    // chr() codepoints (769 = U+0301 combining acute, 768 = U+0300
+    // combining grave), utf8proc's nfc_normalize against the JDK
+    // normalizer, codepoint counts and the shared charPoly fingerprint.
+    "q165_nfc_normalize" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' cafe' || chr(769) || ' voila' || chr(768)
+         |         ELSE '' END AS raw
+         |  FROM documents),
+         |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM enr)
+         |SELECT doc_id, norm <> raw AS was_denormalized,
+         |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+         |  CAST(length(norm) AS BIGINT) AS n_chars_nfc,
+         |  ${charPolySql("norm")} AS nfc_fp
+         |FROM n""".stripMargin,
 
     // Mirrors q164: the same frequency-ranked 100-term vocab, 1-based
     // positions (pos i−1 unneeded — only ORDER matters to the fold),
