@@ -3363,6 +3363,45 @@ object SparkEntry {
         ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
         .where(col("cos") >= 0.5)),
 
+    // Cohen's kappa between two categorical columns — chance-corrected
+    // agreement, the label-quality audit (annotator consistency, rule
+    // vs model agreement) that raw accuracy overstates when the
+    // marginals are skewed. Entirely integer-exact: the algebraic form
+    // κ = (n·Σdiag − Σ_k ra_k·rb_k) / (n² − Σ_k ra_k·rb_k) clears both
+    // probability denominators, so the ONLY double is the final
+    // mirrored divide. One contingency aggregate (bounded label
+    // domain), marginals re-aggregated from it — the fact table scans
+    // once.
+    "q166_cohens_kappa" -> ((s, dir) => {
+      // rater A is the event label; rater B is a deterministic noisy
+      // second annotator (every 7th event relabeled 'view') — the q64
+      // enrichment discipline: the raw schema has no second rater, the
+      // mirrored perturbation gives the audit real disagreement
+      val ct = t(s, dir, "events")
+        .select(col("event_type").as("a"),
+          when(col("event_id") % 7L === 0L, lit("view"))
+            .otherwise(col("event_type")).as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("c"))
+      val n = ct.agg(sum(col("c")).as("n"), sum(when(col("a") === col("b"),
+        col("c")).otherwise(lit(0L))).as("n_agree"))
+      // products in DECIMAL(38,0) ≡ the oracle's HUGEINT — n² and the
+      // marginal products exceed 2⁶³ long before a 100 TB event log does
+      val d38 = (x: Column) => x.cast("decimal(38,0)")
+      val ra = ct.groupBy("a").agg(sum(col("c")).as("ra"))
+      val rb = ct.groupBy("b").agg(sum(col("c")).as("rb"))
+      val cross = ra.join(rb, col("a") === col("b"))
+        .agg(sum(d38(col("ra")) * col("rb")).as("sum_marg"))
+      n.crossJoin(broadcast(cross))
+        .select(col("n").as("n_rows"), col("n_agree"),
+          col("sum_marg").cast("long").as("sum_marg"),
+          try_divide(
+            (d38(col("n")) * col("n_agree") - col("sum_marg"))
+              .cast("double"),
+            (d38(col("n")) * col("n") - col("sum_marg")).cast("double"))
+            .as("kappa"))
+    }),
+
     // Unicode NFC normalization (expressions/NfcNormalize) — the
     // canonical-form cleaning step ahead of every byte-keyed operator
     // (content-hash dedup, shingles, fingerprints): composed é and
@@ -6008,6 +6047,29 @@ object SparkEntry {
          |WHERE CAST(dot AS DOUBLE) /
          |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.5
          |""".stripMargin,
+
+    // Mirrors q166: identical perturbed second rater, the same
+    // denominator-cleared integer form, HUGEINT products, one divide.
+    "q166_cohens_kappa" ->
+      """WITH r AS (
+        |  SELECT event_type AS a,
+        |    CASE WHEN event_id % 7 = 0 THEN 'view' ELSE event_type END AS b
+        |  FROM events),
+        |ct AS (SELECT a, b, count(*) AS c FROM r GROUP BY a, b),
+        |nn AS (
+        |  SELECT CAST(sum(c) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM ct),
+        |ra AS (SELECT a, CAST(sum(c) AS HUGEINT) AS ra FROM ct GROUP BY a),
+        |rb AS (SELECT b, CAST(sum(c) AS HUGEINT) AS rb FROM ct GROUP BY b),
+        |cr AS (
+        |  SELECT CAST(sum(ra * rb) AS BIGINT) AS sum_marg
+        |  FROM ra JOIN rb ON ra.a = rb.b)
+        |SELECT CAST(n AS BIGINT) AS n_rows, n_agree, sum_marg,
+        |  CAST(n * n_agree - sum_marg AS DOUBLE) /
+        |    CAST(n * n - sum_marg AS DOUBLE) AS kappa
+        |FROM nn, cr""".stripMargin,
 
     // Mirrors q165: the identical decomposed enrichment built from
     // chr() codepoints (769 = U+0301 combining acute, 768 = U+0300

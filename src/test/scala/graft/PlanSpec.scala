@@ -137,14 +137,16 @@ class PlanSpec extends SparkSpec {
     * range attach and q144's corpus-count attach are 1-ROW aggregate
     * broadcasts, the q60 scalar shape; q156's total-count attach to the
     * ranked rows and q158's n_docs attach to the df table are the same
-    * 1-row scalar shape). */
+    * 1-row scalar shape; q166's kappa readout joins two 1-ROW aggregate
+    * frames — both sides constant). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
       "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
       "q125_pmi_cooccur", "q128_fk_audit", "q131_vocab_coverage",
       "q134_stop_pagerank", "q135_jl_topk", "q139_gap_fill",
       "q141_sq8_ann", "q142_histogram", "q144_chi2_terms",
-      "q152_chi2_drift", "q156_equidepth_bins", "q158_tfidf_cosine_pairs")
+      "q152_chi2_drift", "q156_equidepth_bins", "q158_tfidf_cosine_pairs",
+      "q166_cohens_kappa")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +
