@@ -3363,6 +3363,27 @@ object SparkEntry {
         ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
         .where(col("cos") >= 0.5)),
 
+    // Duplicate-cluster SIZE DISTRIBUTION — the dedup ladder's summary
+    // report ("how much duplication, in what shape?"): a histogram of
+    // q51's near-dup cluster sizes, with the un-clustered complement
+    // reported as the size-1 row (edge-derived clusters are always ≥2;
+    // singletons exist only as documents with no near-dup edge). Rides
+    // the SHARED cluster artifact (one build per session feeds
+    // q51/q53/q73/q117 and this) and the shared recursive-CTE oracle —
+    // the aggregate itself is cluster-count-bounded.
+    "q167_cluster_sizes" -> ((s, dir) => {
+      val cl = docClusters(s, dir).groupBy("cluster_id")
+        .agg(count(lit(1)).as("sz"))
+      val hist = cl.groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      val totals = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val clustered = cl.agg(coalesce(sum(col("sz")), lit(0L)).as("n_in"))
+      hist.unionByName(
+          totals.crossJoin(broadcast(clustered))
+            .select(lit(1L).as("sz"),
+              (col("n_docs") - col("n_in")).as("n_clusters")))
+        .select(col("sz").as("cluster_size"), col("n_clusters"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6047,6 +6068,26 @@ object SparkEntry {
          |WHERE CAST(dot AS DOUBLE) /
          |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.5
          |""".stripMargin,
+
+    // Mirrors q167: the shared recursive-CTE clusters, the same
+    // size histogram + complement singleton row.
+    "q167_cluster_sizes" ->
+      s"""WITH clusters AS (
+         |$DUP_CLUSTERS_SQL
+         |),
+         |cs AS (
+         |  SELECT cluster_id, count(*) AS sz FROM clusters
+         |  GROUP BY cluster_id),
+         |hist AS (
+         |  SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |    count(*) AS n_clusters
+         |  FROM cs GROUP BY sz),
+         |compl AS (
+         |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |    (SELECT count(*) FROM documents) -
+         |      COALESCE((SELECT CAST(sum(sz) AS BIGINT) FROM cs), 0)
+         |      AS n_clusters)
+         |SELECT * FROM hist UNION ALL SELECT * FROM compl""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
