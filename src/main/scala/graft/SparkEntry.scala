@@ -3384,6 +3384,49 @@ object SparkEntry {
         .select(col("sz").as("cluster_size"), col("n_clusters"))
     }),
 
+    // Exact triangle counting (operators/Graph.triangleCounts) — the
+    // clustering-structure census over the trip-sequence co-travel
+    // graph (same synthetic edge derivation as q134's PageRank). The
+    // degree-ordered wedge algorithm: orient each undirected edge from
+    // its lower-(degree,id) endpoint, self-join oriented edges on the
+    // shared low vertex, close each wedge against the edge set — each
+    // triangle found exactly once, wedge fanout bounded by oriented
+    // out-degree (≤ O(√m)) instead of raw degree, which is what keeps
+    // the star-node hub from exploding the join at 100 TB. All-integer:
+    // ids, degrees, counts — nothing to drift.
+    "q168_triangles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .selectExpr("event_id DIV 100 AS trip", "event_id % 100 AS seq",
+          "user_id")
+      val edges = ev.as("a").join(ev.as("b"),
+          col("a.trip") === col("b.trip") &&
+            col("a.seq") + 1 === col("b.seq"))
+        .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+    }),
+
+    // Bounded-depth BFS levels (operators/Graph.bfsLevels) — hop
+    // distance from a fixed hub over the same co-travel graph: the
+    // reachability / blast-radius primitive (how far does an incident
+    // at this stop propagate?). Fixed depth bound = fixed join count =
+    // shallow unrolled lineage (the q134 fixed-iteration discipline);
+    // each round joins only the NEW frontier against the adjacency
+    // list and anti-joins the visited set — the slim-frontier shape
+    // that scales as ordinary shuffles. The oracle spells the same
+    // traversal as a recursive CTE; min(level) per node is the
+    // engine-independent contract.
+    "q169_bfs_levels" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .selectExpr("event_id DIV 100 AS trip", "event_id % 100 AS seq",
+          "user_id")
+      val edges = ev.as("a").join(ev.as("b"),
+          col("a.trip") === col("b.trip") &&
+            col("a.seq") + 1 === col("b.seq"))
+        .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+      graft.operators.Graph.bfsLevels(edges, "src", "dst",
+        source = 1L, maxDepth = 4)
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6088,6 +6131,65 @@ object SparkEntry {
          |      COALESCE((SELECT CAST(sum(sz) AS BIGINT) FROM cs), 0)
          |      AS n_clusters)
          |SELECT * FROM hist UNION ALL SELECT * FROM compl""".stripMargin,
+
+    // Mirrors q168: identical edge derivation (the q134 CTE), identical
+    // degree orientation, wedge join and closure — integer-only.
+    "q168_triangles" ->
+      """WITH ev AS (
+        |  SELECT event_id // 100 AS trip, event_id % 100 AS seq, user_id
+        |  FROM events),
+        |e0 AS (
+        |  SELECT a.user_id AS s, b.user_id AS d
+        |  FROM ev a JOIN ev b ON a.trip = b.trip AND a.seq + 1 = b.seq),
+        |und AS (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM e0 WHERE s <> d),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY node),
+        |ori AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+        |         THEN und.a ELSE und.b END AS lo,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+        |         THEN und.b ELSE und.a END AS hi
+        |  FROM und
+        |  JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b),
+        |w AS (
+        |  SELECT e1.lo AS x, e1.hi AS u, e2.hi AS v
+        |  FROM ori e1 JOIN ori e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |tri AS (
+        |  SELECT x, u, v FROM w JOIN und ON w.u = und.a AND w.v = und.b)
+        |SELECT node, count(*) AS n_triangles
+        |FROM (SELECT unnest([x, u, v]) AS node FROM tri)
+        |GROUP BY node""".stripMargin,
+
+    // Mirrors q169: the same graph symmetrized, a recursive CTE whose
+    // UNION-dedup on (node, lvl) terminates at the lvl < 4 bound, then
+    // min(lvl) per node — levels are small integers, exact everywhere.
+    "q169_bfs_levels" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_id // 100 AS trip, event_id % 100 AS seq, user_id
+        |  FROM events),
+        |e0 AS (
+        |  SELECT a.user_id AS s, b.user_id AS d
+        |  FROM ev a JOIN ev b ON a.trip = b.trip AND a.seq + 1 = b.seq),
+        |und AS (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM e0 WHERE s <> d),
+        |adj AS (
+        |  SELECT a AS s, b AS d FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |bfs(node, lvl) AS (
+        |  SELECT CAST(1 AS BIGINT), 0
+        |  UNION
+        |  SELECT adj.d, bfs.lvl + 1
+        |  FROM bfs JOIN adj ON adj.s = bfs.node
+        |  WHERE bfs.lvl < 4)
+        |SELECT node, CAST(min(lvl) AS INT) AS level
+        |FROM bfs GROUP BY node""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
