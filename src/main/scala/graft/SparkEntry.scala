@@ -3427,6 +3427,106 @@ object SparkEntry {
         source = 1L, maxDepth = 4)
     }),
 
+    // Rolling MEDIAN over a bounded ROWS frame — q153's robust sibling
+    // (median shrugs off the spike that drags a mean). Exact, not
+    // approximate: values ride micro-unit integers, the ≤5-element
+    // frame is collected, sorted, and indexed at the LOWER median
+    // (k = ⌈n/2⌉) — integer all the way, no interpolation to spell
+    // differently across engines. The collected frame is bounded by the
+    // frame width (5), not the partition, so per-row state is O(1);
+    // the window partitions by the high-cardinality user key.
+    "q170_rolling_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("ts_epoch").asc, col("event_id").asc)
+        .rowsBetween(-4, org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("v_micro"))
+        .withColumn("frame", sort_array(collect_list(col("v_micro")).over(w)))
+        .select(col("user_id"), col("event_id"), col("ts_epoch"),
+          size(col("frame")).cast("long").as("n5"),
+          element_at(col("frame"),
+            ((size(col("frame")) + 1) / 2).cast("int")).as("med_micro"))
+        .withColumn("med", col("med_micro").cast("double") / lit(1000000.0))
+    }),
+
+    // Exact ROC AUC (Mann-Whitney U) — the label-vs-score audit a
+    // training pipeline runs on every heuristic quality signal ("does
+    // the score actually rank positives above negatives?"). The
+    // rank-sum spelling is all-integer: scores quantize to micro-units
+    // (exact, mirrored), aggregate to the distinct-score grid with
+    // per-score positive/negative counts (map-side combined — the fact
+    // table never sorts), then one cumulative window over the GRID
+    // (bounded by distinct-score cardinality, not rows) accumulates
+    // 2·num = Σ_v np_v·(2·cum_neg_below(v) + nn_v) — concordant pairs
+    // doubled plus ties once. AUC = num2 / (2·P·N) is the single
+    // mirrored divide. An unbounded score domain would call for the
+    // q76 two-pass rank instead of the one-partition grid window.
+    "q171_auc" -> ((s, dir) => {
+      val grid = t(s, dir, "events")
+        .select(
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("v_micro"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+            .as("pos"))
+        .groupBy("v_micro")
+        .agg(sum(col("pos")).as("np"),
+          sum(lit(1L) - col("pos")).as("nn"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v_micro")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      grid
+        .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          sum(col("np") * (lit(2L) * col("cum_nn") + col("nn")))
+            .as("num2"))
+        .select(col("n_pos"), col("n_neg"), col("num2"),
+          try_divide(col("num2").cast("double"),
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+            .as("auc"))
+    }),
+
+    // Benford first-digit audit — the fabricated-data / instrumentation-
+    // bug detector over a magnitude-spanning measure: natural positive
+    // measurements lead with 1 ~30% of the time; uniform leading digits
+    // flag synthetic or truncated feeds. Digit extraction is INTEGER
+    // (first char of the micro-unit BIGINT's decimal rendering — never
+    // log10, whose boundary rounding is engine-dependent); the nine
+    // Benford shares are hardcoded 17-digit literals identical in both
+    // engines, so expected counts and χ² contributions are mirrored
+    // double arithmetic over exact integer counts.
+    "q172_benford" -> ((s, dir) => {
+      import s.implicits._
+      // the nine shares as JVM double literals; the oracle spells the
+      // same digits in exponent form, which both parsers round-to-
+      // nearest identically (DuckDB's BARE decimal literal would parse
+      // as DECIMAL and cast — off by 1 ulp)
+      val benford = Seq(
+        1 -> 0.30102999566398120, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514)
+      val exp = benford.toDF("digit", "share")
+      val obs = t(s, dir, "events")
+        .where(col("value") > 0)
+        .select(substring(
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+              .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("observed"))
+      val n = obs.agg(sum(col("observed")).as("n_total"))
+      exp.join(obs, Seq("digit"), "left")
+        .na.fill(0L, Seq("observed"))
+        .crossJoin(broadcast(n))
+        .select(col("digit"), col("observed"), col("share"),
+          (col("n_total").cast("double") * col("share")).as("expected"))
+        .withColumn("chi2_term",
+          (col("observed").cast("double") - col("expected")) *
+            (col("observed").cast("double") - col("expected")) /
+            col("expected"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6190,6 +6290,77 @@ object SparkEntry {
         |  WHERE bfs.lvl < 4)
         |SELECT node, CAST(min(lvl) AS INT) AS level
         |FROM bfs GROUP BY node""".stripMargin,
+
+    // Mirrors q170: identical micro-unit quantization, identical frame,
+    // list-collect + sort + 1-based lower-median index — all integer.
+    "q170_rolling_median" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS ts_epoch,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_epoch,
+        |    list_sort(list(v_micro) OVER w) AS frame
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts_epoch ASC, event_id ASC
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_epoch,
+        |  CAST(len(frame) AS BIGINT) AS n5,
+        |  frame[CAST((len(frame) + 1) // 2 AS INT)] AS med_micro,
+        |  CAST(frame[CAST((len(frame) + 1) // 2 AS INT)] AS DOUBLE)
+        |    / 1000000.0 AS med
+        |FROM f""".stripMargin,
+
+    // Mirrors q171: identical quantized score grid, per-score
+    // positive/negative counts, the same strictly-below cumulative
+    // window and the doubled concordant+ties numerator; one divide.
+    "q171_auc" ->
+      """WITH g AS (
+        |  SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nn
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT np, nn,
+        |    COALESCE(sum(nn) OVER (ORDER BY v_micro ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_nn
+        |  FROM g)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS num2,
+        |  CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE) /
+        |    CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS auc
+        |FROM c""".stripMargin,
+
+    // Mirrors q172: the same integer first-digit extraction (decimal
+    // rendering of the micro-unit BIGINT, never log10), the same nine
+    // hardcoded Benford literals, op-for-op χ² terms.
+    "q172_benford" ->
+      """WITH obs AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(value * 1000000.0 + 0.5)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS observed
+        |  FROM events WHERE value > 0 GROUP BY 1),
+        |ex AS (SELECT * FROM (VALUES
+        |  (1, 0.3010299956639812e0), (2, 0.17609125905568124e0),
+        |  (3, 0.12493873660829993e0), (4, 0.09691001300805642e0),
+        |  (5, 0.07918124604762482e0), (6, 0.06694678963061322e0),
+        |  (7, 0.05799194697768673e0), (8, 0.05115252244738129e0),
+        |  (9, 0.04575749056067514e0)) t(digit, share)),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM obs),
+        |j AS (
+        |  SELECT ex.digit, CAST(COALESCE(obs.observed, 0) AS BIGINT)
+        |      AS observed, ex.share,
+        |    CAST(n.n_total AS DOUBLE) * ex.share AS expected
+        |  FROM ex LEFT JOIN obs ON ex.digit = obs.digit CROSS JOIN n)
+        |SELECT digit, observed, share, expected,
+        |  (CAST(observed AS DOUBLE) - expected) *
+        |    (CAST(observed AS DOUBLE) - expected) / expected AS chi2_term
+        |FROM j""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
