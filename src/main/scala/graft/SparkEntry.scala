@@ -3527,6 +3527,32 @@ object SparkEntry {
             col("expected"))
     }),
 
+    // Jaro-Winkler similar-token pairs (expressions/JaroWinkler — a
+    // native codegen kernel; Spark has no built-in) — the record-
+    // linkage scorer that complements the edit-distance family: q110
+    // counts operations, this rewards shared prefixes and forgives
+    // transpositions, the classic name/title matcher. Candidate space
+    // is the bounded top-200 vocabulary blocked on the initial byte
+    // (the Winkler boost's own structure: high-JW pairs share a
+    // prefix), so the self-join broadcasts and the kernel runs on a
+    // few thousand pairs, not the corpus square. The double is
+    // BIT-EXACT vs DuckDB's jaro_winkler_similarity (both byte-level,
+    // same operation order — JaroWinklerSpec pins the classic Winkler
+    // examples and non-ASCII byte semantics).
+    "q173_jaro_winkler" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val top = tf.orderBy(col("freq").desc, col("tok")).limit(200)
+        .select(col("tok"), substring(col("tok"), 1, 1).as("init"))
+      top.as("a").join(broadcast(top.as("b")),
+          col("a.init") === col("b.init") && col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+        .withColumn("jw", graft.expressions.JaroWinkler
+          .jaroWinklerOf(col("tok_a"), col("tok_b")))
+        .where(col("jw") >= 0.6)
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6361,6 +6387,20 @@ object SparkEntry {
         |  (CAST(observed AS DOUBLE) - expected) *
         |    (CAST(observed AS DOUBLE) - expected) / expected AS chi2_term
         |FROM j""".stripMargin,
+
+    // Mirrors q173: same top-200 vocabulary (freq desc, token asc),
+    // same initial-byte blocking, DuckDB's byte-level
+    // jaro_winkler_similarity against the byte-level kernel.
+    "q173_jaro_winkler" ->
+      s"""WITH toks AS (
+         |  SELECT unnest($TOKENS_SQL) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+         |top AS (SELECT tok FROM tf ORDER BY freq DESC, tok LIMIT 200),
+         |w AS (SELECT tok, substr(tok, 1, 1) AS init FROM top)
+         |SELECT a.tok AS tok_a, b.tok AS tok_b,
+         |  jaro_winkler_similarity(a.tok, b.tok) AS jw
+         |FROM w a JOIN w b ON a.init = b.init AND a.tok < b.tok
+         |WHERE jaro_winkler_similarity(a.tok, b.tok) >= 0.6""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
