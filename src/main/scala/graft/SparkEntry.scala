@@ -3553,6 +3553,99 @@ object SparkEntry {
         .where(col("jw") >= 0.6)
     }),
 
+    // Per-group simple linear regression (OLS) — the drift/trend fit a
+    // feature-store job runs per segment (price-per-unit slope by
+    // return flag). Five integer moments (n, Σx, Σy, Σxy, Σx²) ride
+    // one map-side-combined aggregate in DECIMAL(38,0) ≡ HUGEINT —
+    // quantity is a whole-number double (exact BIGINT cast) and price
+    // quantizes to cents — and BOTH closed forms keep integer
+    // numerators/denominators until their single mirrored divide:
+    // slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept =
+    // (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²) — no slope-feeds-intercept float
+    // chaining. Degenerate groups (constant x) yield NULL via
+    // try_divide, never a 0/0.
+    "q174_ols_group" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("y"))
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+          sum(d38(col("x")) * col("y")).as("sxy"),
+          sum(d38(col("x")) * col("x")).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          try_divide(
+            (d38(col("n")) * col("sxy") - col("sx") * col("sy"))
+              .cast("double"),
+            (d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("slope_cents_per_unit"),
+          try_divide(
+            (col("sy") * col("sxx") - col("sx") * col("sxy"))
+              .cast("double"),
+            (d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("intercept_cents"))
+    }),
+
+    // Cumulative DISTINCT count over an ordered stream — "how many
+    // distinct event types has this user touched so far?", the
+    // engagement-breadth curve. COUNT(DISTINCT) is not a window
+    // function in either engine; the scale-safe spelling is the
+    // first-occurrence flag (row_number over (user, type) = 1) summed
+    // cumulatively — two windows over the SAME (user, time) partition
+    // order, so one sort serves both; all integers.
+    "q175_cumulative_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_epoch"))
+      val firstW = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_epoch").asc, col("event_id").asc)
+      val cumW = Window.partitionBy("user_id")
+        .orderBy(col("ts_epoch").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("first_seen",
+          when(row_number().over(firstW) === 1, lit(1L)).otherwise(lit(0L)))
+        .withColumn("cum_distinct_types", sum(col("first_seen")).over(cumW))
+        .select("user_id", "event_id", "ts_epoch", "cum_distinct_types")
+    }),
+
+    // Interval islands (gaps-and-islands) — merge each user's
+    // overlapping activity intervals [ts, ts+300s) into maximal
+    // "islands" and report the count and covered seconds: the
+    // session-coverage audit that q44's gap-based sessionizer doesn't
+    // answer (coverage dedups overlap; a session SUM would double-count
+    // bursts). The running-max-of-interval-end window detects island
+    // starts, the cumulative flag sum numbers islands, and min/max per
+    // island yield exact integer coverage — the whole operator is two
+    // windows on one (user, time) sort plus a bounded aggregate.
+    "q176_interval_islands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val span = 300L
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("s"))
+        .withColumn("e", col("s") + lit(span))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("s").asc, col("event_id").asc)
+      val prevMax = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val runW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("prev_end", max(col("e")).over(prevMax))
+        .withColumn("new_island",
+          when(col("prev_end").isNull || col("s") > col("prev_end"), lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("island", sum(col("new_island")).over(runW))
+        .groupBy("user_id", "island")
+        .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("i_end") - col("i_start")).as("covered_sec"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6401,6 +6494,82 @@ object SparkEntry {
          |  jaro_winkler_similarity(a.tok, b.tok) AS jw
          |FROM w a JOIN w b ON a.init = b.init AND a.tok < b.tok
          |WHERE jaro_winkler_similarity(a.tok, b.tok) >= 0.6""".stripMargin,
+
+    // Mirrors q174: cents quantization, HUGEINT moments, the same two
+    // integer-numerator closed forms, one divide each.
+    "q174_ols_group" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM li GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)
+        |    AS slope_cents_per_unit,
+        |  CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        |    NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)
+        |    AS intercept_cents
+        |FROM m""".stripMargin,
+
+    // Mirrors q175: the same first-occurrence flag and cumulative sum
+    // over the identical (user, time, id) order.
+    "q175_cumulative_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    FLOOR(epoch(ts))::BIGINT AS ts_epoch
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_epoch,
+        |    CASE WHEN row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts_epoch ASC, event_id ASC) = 1
+        |      THEN 1 ELSE 0 END AS first_seen
+        |  FROM e)
+        |SELECT user_id, event_id, ts_epoch,
+        |  CAST(sum(first_seen) OVER (PARTITION BY user_id
+        |    ORDER BY ts_epoch ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_distinct_types
+        |FROM f""".stripMargin,
+
+    // Mirrors q176: identical 300 s intervals, running-max island
+    // detection, island numbering, exact integer coverage.
+    "q176_interval_islands" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS s,
+        |    FLOOR(epoch(ts))::BIGINT + 300 AS e
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY user_id
+        |        ORDER BY s ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(e) OVER (PARTITION BY user_id
+        |        ORDER BY s ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_island,
+        |    event_id
+        |  FROM e),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |    sum(new_island) OVER (PARTITION BY user_id
+        |      ORDER BY s ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flags),
+        |agg AS (
+        |  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_sec
+        |FROM agg GROUP BY user_id""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
