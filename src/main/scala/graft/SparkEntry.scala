@@ -3646,6 +3646,30 @@ object SparkEntry {
           sum(col("i_end") - col("i_start")).as("covered_sec"))
     }),
 
+    // Entity resolution end-to-end — block → score → cluster →
+    // canonicalize, the full record-linkage pipeline over one query:
+    // q173's initial-byte blocking and bit-exact Jaro-Winkler scoring
+    // produce the match edges, the q51 iterative-CC operator (two-star
+    // alternation, checkpointed rounds) merges transitive matches, and
+    // the min-string label is the canonical entity key. String ids ride
+    // the whole ladder (the CC fingerprint hashes them; min is
+    // lexicographic in both engines). The oracle replays blocking +
+    // scoring and resolves transitivity with the q51 recursive CTE.
+    "q177_jw_entities" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val top = tf.orderBy(col("freq").desc, col("tok")).limit(200)
+        .select(col("tok"), substring(col("tok"), 1, 1).as("init"))
+      val pairs = top.as("a").join(broadcast(top.as("b")),
+          col("a.init") === col("b.init") && col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+        .where(graft.expressions.JaroWinkler
+          .jaroWinklerOf(col("tok_a"), col("tok_b")) >= 0.6)
+      Dedup.dupClusters(pairs, "tok_a", "tok_b")
+        .select(col("id").as("tok"), col("cluster_id").as("entity_id"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6570,6 +6594,30 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_islands,
         |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_sec
         |FROM agg GROUP BY user_id""".stripMargin,
+
+    // Mirrors q177: q173's blocking + scoring as the edge set, the q51
+    // recursive-CTE transitive closure, min-string canonical labels.
+    "q177_jw_entities" ->
+      s"""WITH toks AS (
+         |  SELECT unnest($TOKENS_SQL) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+         |top AS (SELECT tok FROM tf ORDER BY freq DESC, tok LIMIT 200),
+         |w AS (SELECT tok, substr(tok, 1, 1) AS init FROM top),
+         |e0 AS (
+         |  SELECT a.tok AS ta, b.tok AS tb
+         |  FROM w a JOIN w b ON a.init = b.init AND a.tok < b.tok
+         |  WHERE jaro_winkler_similarity(a.tok, b.tok) >= 0.6),
+         |sym AS (
+         |  SELECT ta AS a, tb AS b FROM e0
+         |  UNION SELECT tb, ta FROM e0),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT a, a FROM sym
+         |    UNION
+         |    SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a)
+         |  SELECT * FROM r)
+         |SELECT src AS tok, min(dst) AS entity_id
+         |FROM reach GROUP BY src""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
