@@ -3670,6 +3670,58 @@ object SparkEntry {
         .select(col("id").as("tok"), col("cluster_id").as("entity_id"))
     }),
 
+    // Deterministic negative sampling — the contrastive-pair generator
+    // (each observed (order, part) positive gets k pseudo-random
+    // negatives from the catalog). RNG would be run-dependent; the draw
+    // here is a seeded integer LCG on the example's own key
+    // ((x·1103515245 + 12345) mod 2³¹−1, x pre-reduced so the product
+    // never overflows BIGINT at any SF), mapped into the catalog by
+    // modulo and bumped one slot on collision with the positive —
+    // reproducible from the data alone, trivially mirrored, and embarr-
+    // assingly parallel (no shuffle at all until the optional dim join;
+    // the catalog size is a one-row broadcast scalar).
+    "q178_negative_sample" -> ((s, dir) => {
+      val np = t(s, dir, "part")
+        .agg(max(col("p_partkey")).as("np"))
+      val pos = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("l_partkey"))
+        .withColumn("j", explode(array(lit(0L), lit(1L))))
+      pos.crossJoin(broadcast(np))
+        .withColumn("x",
+          (col("l_orderkey") * lit(8L) + col("l_linenumber") * lit(2L) +
+            col("j")) % lit(1000000007L))
+        .withColumn("cand",
+          (col("x") * lit(1103515245L) + lit(12345L)) % lit(2147483647L)
+            % col("np") + lit(1L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("j"),
+          when(col("cand") === col("l_partkey"),
+            col("cand") % col("np") + lit(1L))
+            .otherwise(col("cand")).as("neg_partkey"))
+    }),
+
+    // ANN recall audit — the eval harness for the approximate family:
+    // recall@3 of the banded sign-LSH path (q54's operator) against the
+    // exact brute-force ranking (q19's), per query. BOTH sides are
+    // deterministic (fixed-seed quantized planes, integer cosines), so
+    // the recall itself is hash-checkable — the approximate index's
+    // quality becomes a regression-testable number instead of a hope.
+    // hits ride a left join + integer sum; the one divide is /k.
+    "q179_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        k = 3).select("query_id", "vec_id")
+      val approx = Similarity.annTopKBanded(q, emb, "vec_id", "embedding",
+        k = 3, bands = 4, planesPerBand = 4)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("query_id"), lit(3L).as("k"), col("hits"),
+          (col("hits").cast("double") / lit(3.0)).as("recall"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6618,6 +6670,77 @@ object SparkEntry {
          |  SELECT * FROM r)
          |SELECT src AS tok, min(dst) AS entity_id
          |FROM reach GROUP BY src""".stripMargin,
+
+    // Mirrors q178: identical LCG, modular catalog map, collision bump.
+    "q178_negative_sample" ->
+      """WITH np AS (SELECT max(p_partkey) AS np FROM part),
+        |pos AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_partkey, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS j
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, j, np,
+        |    (l_orderkey * 8 + l_linenumber * 2 + j) % 1000000007 AS x
+        |  FROM pos CROSS JOIN np),
+        |c AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, j, np,
+        |    (x * 1103515245 + 12345) % 2147483647 % np + 1 AS cand
+        |  FROM d)
+        |SELECT l_orderkey, l_linenumber, j,
+        |  CASE WHEN cand = l_partkey THEN cand % np + 1 ELSE cand END
+        |    AS neg_partkey
+        |FROM c""".stripMargin,
+
+    // Mirrors q179: the q19 brute-force ranking and the q54 banded-LSH
+    // ranking (plane literals), joined per query — integer hits, /3.
+    "q179_ann_recall" -> (EMB_CTE +
+      s"""bp AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+         |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+         |      AS cosine
+         |  FROM n q, n c WHERE q.vec_id < 10),
+         |br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id ASC) AS rank
+         |  FROM bp),
+         |bt AS (SELECT query_id, vec_id FROM br WHERE rank <= 3),
+         |planes AS (SELECT * FROM (VALUES ${bandedPlanesSql(4, 4)})
+         |  pl(band, w, pv)),
+         |bk AS (
+         |  SELECT n.vec_id, p.band,
+         |    CAST(sum(CASE WHEN CAST(list_sum(list_transform(
+         |      range(1, len(n.v)+1), i -> n.v[i]*p.pv[i])) AS BIGINT) > 0
+         |      THEN p.w ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM n CROSS JOIN planes p GROUP BY n.vec_id, p.band),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10),
+         |scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+         |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE)))
+         |      AS cosine
+         |  FROM cand JOIN n q ON cand.query_id = q.vec_id
+         |  JOIN n t ON cand.vec_id = t.vec_id),
+         |ar AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id ASC) AS rank
+         |  FROM scored),
+         |at AS (SELECT query_id, vec_id FROM ar WHERE rank <= 3),
+         |h AS (
+         |  SELECT bt.query_id, CAST(count(at.vec_id) AS BIGINT) AS hits
+         |  FROM bt LEFT JOIN at
+         |    ON bt.query_id = at.query_id AND bt.vec_id = at.vec_id
+         |  GROUP BY bt.query_id)
+         |SELECT query_id, CAST(3 AS BIGINT) AS k, hits,
+         |  CAST(hits AS DOUBLE) / 3.0 AS recall
+         |FROM h""".stripMargin),
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
