@@ -3722,6 +3722,48 @@ object SparkEntry {
           (col("hits").cast("double") / lit(3.0)).as("recall"))
     }),
 
+    // Two-sample Kolmogorov-Smirnov statistic — the strongest of the
+    // drift screens (q144/q152 band counts, q159 skew, this compares
+    // WHOLE distributions): D = max |F₁(v) − F₂(v)| between the view
+    // and click value distributions. Exactly computable with NO floats
+    // until the last divide: cross-multiply the ECDFs —
+    // |C₁(v)·N₂ − C₂(v)·N₁| — so the max runs over integers (cents
+    // cross-products in DECIMAL(38,0) ≡ HUGEINT headroom). The
+    // cumulative window runs over the DISTINCT-value grid (the q171
+    // discipline: grid-bounded, not row-bounded), fed by one
+    // map-side-combined aggregate of the fact scan.
+    "q180_ks_test" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val grid = t(s, dir, "events")
+        .where(col("event_type").isin("view", "click"))
+        .select(
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("v_micro"),
+          when(col("event_type") === "view", lit(1L)).otherwise(lit(0L))
+            .as("is1"))
+        .groupBy("v_micro")
+        .agg(sum(col("is1")).as("n1_v"),
+          sum(lit(1L) - col("is1")).as("n2_v"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v_micro")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val totals = grid.agg(sum(col("n1_v")).as("n1"),
+        sum(col("n2_v")).as("n2"))
+      grid
+        .withColumn("c1", sum(col("n1_v")).over(w))
+        .withColumn("c2", sum(col("n2_v")).over(w))
+        .crossJoin(broadcast(totals))
+        .select(col("n1"), col("n2"),
+          abs(d38(col("c1")) * col("n2") - d38(col("c2")) * col("n1"))
+            .as("diff"))
+        .groupBy("n1", "n2")
+        .agg(max(col("diff")).as("d_num"))
+        .select(col("n1"), col("n2"),
+          col("d_num").cast("long").as("d_num"),
+          try_divide(col("d_num").cast("double"),
+            (d38(col("n1")) * col("n2")).cast("double")).as("ks"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6741,6 +6783,38 @@ object SparkEntry {
          |SELECT query_id, CAST(3 AS BIGINT) AS k, hits,
          |  CAST(hits AS DOUBLE) / 3.0 AS recall
          |FROM h""".stripMargin),
+
+    // Mirrors q180: identical micro-unit grid, cumulative ECDF counts,
+    // cross-multiplied integer deviations (HUGEINT), one divide.
+    "q180_ks_test" ->
+      """WITH g AS (
+        |  SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1_v,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n2_v
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT v_micro, n1_v, n2_v,
+        |    sum(n1_v) OVER (ORDER BY v_micro ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+        |    sum(n2_v) OVER (ORDER BY v_micro ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+        |  FROM g),
+        |tot AS (
+        |  SELECT CAST(sum(n1_v) AS BIGINT) AS n1,
+        |    CAST(sum(n2_v) AS BIGINT) AS n2
+        |  FROM g),
+        |d AS (
+        |  SELECT n1, n2,
+        |    abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+        |      AS diff
+        |  FROM c CROSS JOIN tot)
+        |SELECT n1, n2, CAST(max(diff) AS BIGINT) AS d_num,
+        |  CAST(max(diff) AS DOUBLE) /
+        |    CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS ks
+        |FROM d GROUP BY n1, n2""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
