@@ -3764,6 +3764,86 @@ object SparkEntry {
             (d38(col("n1")) * col("n2")).cast("double")).as("ks"))
     }),
 
+    // Changepoint detection (largest level shift) — per user, the
+    // position where the 3-observation trailing window and the
+    // 3-observation leading window differ most: the shift locator that
+    // follows q180's "did the distribution move?" with "WHERE did it
+    // move?". Both frames are bounded ROWS windows on one (user, time)
+    // sort; the jump is an exact integer difference of micro-unit frame
+    // sums scaled by the opposite frame's count (cross-multiplied —
+    // |s_lead·n_trail − s_trail·n_lead| — so no division enters the
+    // ranking), and the per-user argmax is a bounded row_number pick
+    // with a deterministic (jump desc, time asc) tiebreak.
+    "q181_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts_epoch").asc, col("event_id").asc)
+      val trail = ord.rowsBetween(-3, -1)
+      val lead = ord.rowsBetween(0, 2)
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("v_micro"))
+      val scored = base
+        .withColumn("s_trail", sum(col("v_micro")).over(trail))
+        .withColumn("n_trail", count(col("v_micro")).over(trail))
+        .withColumn("s_lead", sum(col("v_micro")).over(lead))
+        .withColumn("n_lead", count(col("v_micro")).over(lead))
+        .where(col("n_trail") === 3 && col("n_lead") === 3)
+        .withColumn("jump",
+          abs(col("s_lead") * col("n_trail") -
+            col("s_trail") * col("n_lead")))
+      val pick = Window.partitionBy("user_id")
+        .orderBy(col("jump").desc, col("ts_epoch").asc, col("event_id").asc)
+      scored.withColumn("rn", row_number().over(pick))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts_epoch"),
+          col("jump").as("jump_x3_micro"))
+    }),
+
+    // Cramér's V — the contingency-strength companion to q166's kappa
+    // (kappa asks "do two labelings agree?"; V asks "are two
+    // categoricals associated at all?", normalized to [0,1] so it is
+    // comparable across tables). Rides the identical bounded
+    // contingency aggregate; χ² terms are the q152 mirrored-divide
+    // spelling over integer counts, and V = sqrt(χ²/(n·min(r−1,c−1)))
+    // adds one mirrored sqrt. The second rater is the q166 perturbation
+    // so the association is real but imperfect.
+    "q182_cramers_v" -> ((s, dir) => {
+      val d = (x: Column) => x.cast("double")
+      val ct = t(s, dir, "events")
+        .select(col("event_type").as("a"),
+          when(col("event_id") % 7L === 0L, lit("view"))
+            .otherwise(col("event_type")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val ra = ct.groupBy("a").agg(sum(col("c")).as("ra"))
+      val rb = ct.groupBy("b").agg(sum(col("c")).as("rb"))
+      val n = ct.agg(sum(col("c")).as("n"),
+        countDistinct(col("a")).as("nr"), countDistinct(col("b")).as("nc"))
+      // full r×c grid (zero cells contribute their expected mass)
+      val grid = ra.crossJoin(rb)
+        .join(ct, Seq("a", "b"), "left")
+        .na.fill(0L, Seq("c"))
+      // χ² is a SUM OF DOUBLES — engine-order-dependent unless folded
+      // deterministically: the q162 pattern (sort the bounded grid by
+      // cell key, fold left-associatively — identical roundings both
+      // sides; 0.0+t ≡ t makes the inits equivalent)
+      val chi2 = grid.crossJoin(broadcast(n))
+        .select(col("a"), col("b"),
+          ((d(col("c")) - d(col("ra")) * col("rb") / col("n")) *
+            (d(col("c")) - d(col("ra")) * col("rb") / col("n")) /
+            (d(col("ra")) * col("rb") / col("n"))).as("term"))
+        .agg(sort_array(collect_list(struct(col("a"), col("b"),
+          col("term")))).as("ts"))
+        .select(aggregate(col("ts"), lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("chi2"))
+      n.crossJoin(broadcast(chi2))
+        .select(col("n"), col("chi2"),
+          sqrt(col("chi2") / (d(col("n")) *
+            d(least(col("nr"), col("nc")) - lit(1L)))).as("cramers_v"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6815,6 +6895,74 @@ object SparkEntry {
         |  CAST(max(diff) AS DOUBLE) /
         |    CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS ks
         |FROM d GROUP BY n1, n2""".stripMargin,
+
+    // Mirrors q181: identical bounded frames, cross-multiplied integer
+    // jump, per-user argmax with the same deterministic tiebreak.
+    "q181_changepoint" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS ts_epoch,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts_epoch,
+        |    sum(v_micro) OVER wt AS s_trail,
+        |    count(v_micro) OVER wt AS n_trail,
+        |    sum(v_micro) OVER wl AS s_lead,
+        |    count(v_micro) OVER wl AS n_lead
+        |  FROM e
+        |  WINDOW wt AS (PARTITION BY user_id
+        |      ORDER BY ts_epoch ASC, event_id ASC
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+        |    wl AS (PARTITION BY user_id
+        |      ORDER BY ts_epoch ASC, event_id ASC
+        |      ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)),
+        |j AS (
+        |  SELECT user_id, event_id, ts_epoch,
+        |    abs(s_lead * n_trail - s_trail * n_lead) AS jump
+        |  FROM s WHERE n_trail = 3 AND n_lead = 3),
+        |r AS (
+        |  SELECT user_id, event_id, ts_epoch, jump,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY jump DESC, ts_epoch ASC, event_id ASC) AS rn
+        |  FROM j)
+        |SELECT user_id, event_id, ts_epoch,
+        |  CAST(jump AS BIGINT) AS jump_x3_micro
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // Mirrors q182: q166's contingency + perturbed rater, the full r×c
+    // grid, op-for-op χ² terms folded with the q162 sorted
+    // left-associative reduce, one mirrored sqrt.
+    "q182_cramers_v" ->
+      """WITH r0 AS (
+        |  SELECT event_type AS a,
+        |    CASE WHEN event_id % 7 = 0 THEN 'view' ELSE event_type END AS b
+        |  FROM events),
+        |ct AS (SELECT a, b, count(*) AS c FROM r0 GROUP BY a, b),
+        |ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM ct GROUP BY a),
+        |rb AS (SELECT b, CAST(sum(c) AS BIGINT) AS rb FROM ct GROUP BY b),
+        |nn AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS nc
+        |  FROM ct),
+        |grid AS (
+        |  SELECT ra.a, rb.b, ra.ra, rb.rb, COALESCE(ct.c, 0) AS c
+        |  FROM ra CROSS JOIN rb
+        |  LEFT JOIN ct ON ct.a = ra.a AND ct.b = rb.b),
+        |terms AS (
+        |  SELECT a, b,
+        |    (CAST(c AS DOUBLE) - CAST(ra AS DOUBLE) * rb / n) *
+        |    (CAST(c AS DOUBLE) - CAST(ra AS DOUBLE) * rb / n) /
+        |    (CAST(ra AS DOUBLE) * rb / n) AS term
+        |  FROM grid CROSS JOIN nn),
+        |chi AS (
+        |  SELECT list_reduce(list_prepend(0.0, list(term ORDER BY a, b)),
+        |    (x, y) -> x + y) AS chi2
+        |  FROM terms)
+        |SELECT n, chi2,
+        |  sqrt(chi2 / (CAST(n AS DOUBLE) *
+        |    CAST(least(nr, nc) - 1 AS DOUBLE))) AS cramers_v
+        |FROM chi CROSS JOIN nn""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
