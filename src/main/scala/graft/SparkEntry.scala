@@ -3844,6 +3844,147 @@ object SparkEntry {
             d(least(col("nr"), col("nc")) - lit(1L)))).as("cramers_v"))
     }),
 
+    // Quantile mapping (rank-based quantile normalization) — map every
+    // click value onto the view distribution's value at the same
+    // quantile: the distribution-matching transform (batch-effect
+    // correction, score calibration across cohorts). Ranks come from
+    // the q76 two-pass distributed Rank (range-partition + offset
+    // broadcast — NO single-reducer global window over raw rows, the
+    // PlanSpec hygiene rule), the index map ⌊(r−1)·N₁/N₂⌋+1 is integer
+    // division, and the lookup is an equi-join on the mapped rank —
+    // values stay micro-unit integers end to end.
+    "q183_quantile_map" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .where(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("v_micro"))
+      val view = base.where(col("event_type") === "view")
+      val click = base.where(col("event_type") === "click")
+      val vr = graft.operators.Rank.globalRank(view,
+          Seq(col("v_micro"), col("event_id")), "r")
+        .select(col("v_micro").as("mapped_micro"), col("r").as("ref_r"))
+      val cr = graft.operators.Rank.globalRank(click,
+        Seq(col("v_micro"), col("event_id")), "r")
+      val totals = base.agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
+      cr.crossJoin(broadcast(totals))
+        .withColumn("target_r", expr("((r - 1) * n1) DIV n2 + 1"))
+        .join(vr, col("target_r") === col("ref_r"))
+        .select(col("event_id"), col("v_micro"), col("target_r"),
+          col("mapped_micro"))
+    }),
+
+    // Per-group mode (most frequent value, deterministic tiebreak) —
+    // the categorical imputer / dominant-label readout: count per
+    // (group, value), then one bounded argmax window over the COUNTS
+    // (value-domain-bounded, the q171 grid discipline), ties broken by
+    // value order so both engines pick the same winner.
+    "q184_mode_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val pick = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type").asc)
+      counts.withColumn("rn", row_number().over(pick))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+    }),
+
+    // Decision-stump split finder — weighted Gini impurity of every
+    // candidate threshold over a banded feature: THE classic
+    // feature-quality primitive (tree splits, feature selection,
+    // univariate drift localization). Cumulative class counts over the
+    // band grid give every split's left/right tallies in one window
+    // pass; impurity for a split is the fully INTEGER rational
+    // [(t_l²−p_l²−n_l²)·t_r + (t_r²−p_r²−n_r²)·t_l] / (t_l·t_r·T) —
+    // products in DECIMAL(38,0) ≡ HUGEINT, one mirrored divide per
+    // split row. Minimize downstream at will; the full curve is the
+    // richer artifact.
+    "q185_split_gini" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val grid = t(s, dir, "events")
+        .select(floor(col("value") / lit(50.0)).cast("long").as("band"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+            .as("pos"))
+        .groupBy("band")
+        .agg(sum(col("pos")).as("p_v"), sum(lit(1L) - col("pos")).as("n_v"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("band")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val totals = grid.agg(sum(col("p_v")).as("pt"), sum(col("n_v")).as("nt"))
+      grid
+        .withColumn("p_l", sum(col("p_v")).over(w))
+        .withColumn("n_l", sum(col("n_v")).over(w))
+        .crossJoin(broadcast(totals))
+        .select(col("band"),
+          (col("p_l") + col("n_l")).as("t_l"),
+          (col("pt") - col("p_l") + col("nt") - col("n_l")).as("t_r"),
+          col("p_l"), col("n_l"),
+          (col("pt") - col("p_l")).as("p_r"),
+          (col("nt") - col("n_l")).as("n_r"))
+        .where(col("t_r") > 0)
+        .select(col("band"), col("t_l"), col("t_r"),
+          try_divide(
+            ((d38(col("t_l")) * col("t_l") - d38(col("p_l")) * col("p_l") -
+              d38(col("n_l")) * col("n_l")) * col("t_r") +
+              (d38(col("t_r")) * col("t_r") - d38(col("p_r")) * col("p_r") -
+                d38(col("n_r")) * col("n_r")) * col("t_l")).cast("double"),
+            (d38(col("t_l")) * col("t_r") * (col("t_l") + col("t_r")))
+              .cast("double")).as("weighted_gini"))
+    }),
+
+    // Calibration bins (reliability diagram) — "when the score says
+    // 0.7, does the label happen 70% of the time?": per score band,
+    // the observed positive rate vs the mean score. Counts and
+    // micro-unit score sums are exact integers; the two rates are one
+    // mirrored divide each — the eval readout that complements q171's
+    // ranking-quality AUC with probability-quality.
+    "q186_calibration_bins" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(floor(col("value") / lit(50.0)).cast("long").as("bin"),
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("v_micro"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+            .as("pos"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("v_micro")).as("sum_micro"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          try_divide(col("n_pos").cast("double"), col("n").cast("double"))
+            .as("pos_rate"),
+          try_divide(col("sum_micro").cast("double"),
+            col("n").cast("double")).as("mean_score_micro"))
+    }),
+
+    // Confusion matrix + precision/recall/F1 — the classifier eval
+    // triple over the q166 perturbed second labeling (prediction =
+    // perturbed, truth = actual, positive class 'view'): four integer
+    // cells from ONE contingency pass, and each metric keeps an
+    // integer numerator and denominator until its single divide — F1
+    // spelled 2TP/(2TP+FP+FN), never the p·r/(p+r) float chain.
+    "q187_confusion_f1" -> ((s, dir) => {
+      val cells = t(s, dir, "events")
+        .select((col("event_type") === "view").as("act"),
+          (when(col("event_id") % 7L === 0L, lit("view"))
+            .otherwise(col("event_type")) === "view").as("pred"))
+        .agg(
+          sum(when(col("act") && col("pred"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("act") && col("pred"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("act") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("act") && !col("pred"), 1L).otherwise(0L)).as("tn"))
+      cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        try_divide(col("tp").cast("double"),
+          (col("tp") + col("fp")).cast("double")).as("precision"),
+        try_divide(col("tp").cast("double"),
+          (col("tp") + col("fn")).cast("double")).as("recall"),
+        try_divide((lit(2L) * col("tp")).cast("double"),
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .as("f1"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6963,6 +7104,118 @@ object SparkEntry {
         |  sqrt(chi2 / (CAST(n AS DOUBLE) *
         |    CAST(least(nr, nc) - 1 AS DOUBLE))) AS cramers_v
         |FROM chi CROSS JOIN nn""".stripMargin,
+
+    // Mirrors q183: row_number over the identical total order stands in
+    // for the two-pass rank (same contract), integer index map, lookup.
+    "q183_quantile_map" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |v AS (
+        |  SELECT v_micro AS mapped_micro,
+        |    row_number() OVER (ORDER BY v_micro ASC, event_id ASC) AS ref_r
+        |  FROM e WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id, v_micro,
+        |    row_number() OVER (ORDER BY v_micro ASC, event_id ASC) AS r
+        |  FROM e WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2
+        |  FROM e)
+        |SELECT c.event_id, c.v_micro,
+        |  ((c.r - 1) * t.n1) // t.n2 + 1 AS target_r,
+        |  v.mapped_micro
+        |FROM c CROSS JOIN t
+        |JOIN v ON ((c.r - 1) * t.n1) // t.n2 + 1 = v.ref_r""".stripMargin,
+
+    // Mirrors q184: identical counts and (count desc, value asc) pick.
+    "q184_mode_per_group" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |r AS (
+        |  SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type ASC) AS rn
+        |  FROM counts)
+        |SELECT user_id, event_type AS mode_type, n FROM r
+        |WHERE rn = 1""".stripMargin,
+
+    // Mirrors q185: identical bands, cumulative class counts, the
+    // integer rational with HUGEINT products, one divide per split.
+    "q185_split_gini" ->
+      """WITH g AS (
+        |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS band,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p_v,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_v
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT band, p_v, n_v,
+        |    sum(p_v) OVER (ORDER BY band ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_l,
+        |    sum(n_v) OVER (ORDER BY band ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_l
+        |  FROM g),
+        |tot AS (
+        |  SELECT CAST(sum(p_v) AS BIGINT) AS pt,
+        |    CAST(sum(n_v) AS BIGINT) AS nt
+        |  FROM g),
+        |sp AS (
+        |  SELECT band, p_l, n_l, p_l + n_l AS t_l,
+        |    pt - p_l AS p_r, nt - n_l AS n_r,
+        |    (pt - p_l) + (nt - n_l) AS t_r
+        |  FROM cum CROSS JOIN tot)
+        |SELECT band, CAST(t_l AS BIGINT) AS t_l, CAST(t_r AS BIGINT) AS t_r,
+        |  CAST((CAST(t_l AS HUGEINT) * t_l - CAST(p_l AS HUGEINT) * p_l -
+        |      CAST(n_l AS HUGEINT) * n_l) * t_r +
+        |    (CAST(t_r AS HUGEINT) * t_r - CAST(p_r AS HUGEINT) * p_r -
+        |      CAST(n_r AS HUGEINT) * n_r) * t_l AS DOUBLE) /
+        |  CAST(CAST(t_l AS HUGEINT) * t_r * (t_l + t_r) AS DOUBLE)
+        |    AS weighted_gini
+        |FROM sp WHERE t_r > 0""".stripMargin,
+
+    // Mirrors q186: identical bands, integer tallies, two divides.
+    "q186_calibration_bins" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events)
+        |SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+        |  CAST(sum(v_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_score_micro
+        |FROM b GROUP BY bin""".stripMargin,
+
+    // Mirrors q187: one contingency pass, integer-numerator metrics,
+    // F1 as 2TP/(2TP+FP+FN).
+    "q187_confusion_f1" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'view' AND
+        |      (CASE WHEN event_id % 7 = 0 THEN 'view' ELSE event_type END)
+        |        = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN event_type <> 'view' AND
+        |      (CASE WHEN event_id % 7 = 0 THEN 'view' ELSE event_type END)
+        |        = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN event_type = 'view' AND
+        |      (CASE WHEN event_id % 7 = 0 THEN 'view' ELSE event_type END)
+        |        <> 'view' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN event_type <> 'view' AND
+        |      (CASE WHEN event_id % 7 = 0 THEN 'view' ELSE event_type END)
+        |        <> 'view' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM events)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+        |  CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+        |FROM c""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.

@@ -138,7 +138,11 @@ class PlanSpec extends SparkSpec {
     * broadcasts, the q60 scalar shape; q156's total-count attach to the
     * ranked rows and q158's n_docs attach to the df table are the same
     * 1-row scalar shape; q166's kappa readout joins two 1-ROW aggregate
-    * frames — both sides constant). */
+    * frames — both sides constant; q172's total-count attach to the
+    * 9-digit grid, q178's catalog-size attach, q180's/q183's
+    * sample-totals attaches, q182's n/chi2 scalar chain, and q185's
+    * class-totals attach are all the same 1-ROW aggregate broadcast;
+    * q179 embeds the q19 brute-force cosine baseline it audits). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
       "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
@@ -146,7 +150,9 @@ class PlanSpec extends SparkSpec {
       "q134_stop_pagerank", "q135_jl_topk", "q139_gap_fill",
       "q141_sq8_ann", "q142_histogram", "q144_chi2_terms",
       "q152_chi2_drift", "q156_equidepth_bins", "q158_tfidf_cosine_pairs",
-      "q166_cohens_kappa")
+      "q166_cohens_kappa", "q172_benford", "q178_negative_sample",
+      "q179_ann_recall", "q180_ks_test", "q182_cramers_v",
+      "q183_quantile_map", "q185_split_gini")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +
