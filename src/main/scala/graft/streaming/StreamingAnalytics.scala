@@ -213,6 +213,47 @@ object StreamingAnalytics {
       }
   }
 
+  /** [[ewmaStream]] re-expressed on Spark 4's arbitrary-state API
+    * (`transformWithState` + [[EwmaProcessor]]): the same one-double
+    * state and the same dyadic recursion, so the two spellings and the
+    * batch q161 lag chain are all bit-identical (TwsParity in
+    * StreamingAnalyticsSpec pins both equalities). The new API is the
+    * forward path — explicit typed state handles (`ValueState`,
+    * `ListState`, `MapState`), per-state TTL, and timers — and runs
+    * only on the RocksDB state-store provider, which is also the
+    * production backend for 100 TB/day state (changelog checkpointing,
+    * memory-bounded native store, no JVM-heap state). */
+  def ewmaStreamTws(stream: Dataset[Obs]): Dataset[EwmaUpdate] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.trip_id)
+      .transformWithState(new EwmaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The [[ewmaStreamTws]] state machine: y ← (x + y)/2 per key, rows
+    * folded in (ts) order within a batch — verbatim [[ewmaStream]]
+    * semantics on the StatefulProcessor surface. */
+  final class EwmaProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[String, Obs, EwmaUpdate] {
+    @transient private var ewma:
+      org.apache.spark.sql.streaming.ValueState[Double] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      ewma = getHandle.getValueState[Double]("ewma",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Obs],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[EwmaUpdate] =
+      rows.toSeq.sortBy(_.ts).map { o =>
+        val next =
+          if (ewma.exists()) (o.delay_min + ewma.get()) / 2.0
+          else o.delay_min // y₀ = x₀, the q161 initialization
+        ewma.update(next)
+        EwmaUpdate(key, o.ts, next)
+      }.iterator
+  }
+
   /** One funnel event for [[funnelStagesStream]]: epoch seconds. */
   final case class FEvent(user_id: Long, event_type: String, ts: Long)
 

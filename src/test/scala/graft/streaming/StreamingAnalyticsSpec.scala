@@ -466,6 +466,46 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStreamTws (transformWithState / StatefulProcessor): emissions " +
+    "equal the flatMapGroupsWithState spelling and the batch recursion " +
+    "bit-exactly across a mid-key batch boundary — the Spark 4 " +
+    "arbitrary-state API carries the identical one-double state on the " +
+    "RocksDB provider") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StreamingAnalytics.Obs]
+    val q = StreamingAnalytics.ewmaStreamTws(in.toDS)
+      .writeStream.format("memory").queryName("ewma_tws")
+      .outputMode("append").start()
+    val history = Seq(
+      ("T1", 100L, 3.7), ("T1", 200L, 11.1), ("T2", 100L, 0.3),
+      ("T1", 300L, 5.9), ("T2", 250L, 8.8), ("T1", 400L, 2.2))
+    try {
+      in.addData(history.take(3).map(h =>
+        StreamingAnalytics.Obs(h._1, h._2, h._3)): _*)
+      q.processAllAvailable()
+      in.addData(history.drop(3).map(h =>
+        StreamingAnalytics.Obs(h._1, h._2, h._3)): _*)
+      q.processAllAvailable()
+      val got = spark.table("ewma_tws").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val ref = history.groupBy(_._1).flatMap { case (k, h) =>
+        h.sortBy(_._2).scanLeft(Option.empty[(Long, Double)]) {
+          case (acc, (_, ts, x)) =>
+            Some(ts -> acc.fold(x) { case (_, prev) => (x + prev) / 2.0 })
+        }.flatten.map { case (ts, y) => (k, ts) -> y }
+      }
+      assert(got === ref)
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+  }
+
   test("funnelStagesStream: final stage per user equals batch staging on " +
     "the identical event set, including an out-of-order late view that " +
     "DEMOTES a converted user") {
