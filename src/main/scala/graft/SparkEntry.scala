@@ -3985,6 +3985,39 @@ object SparkEntry {
           .as("f1"))
     }),
 
+    // XML extraction (Spark 4 built-in from_xml) — the remaining
+    // semi-structured SOURCE surface next to JSON q13/q101/q83 and CSV
+    // q31/q121: events render to a deterministic XML envelope
+    // (mirrored verbatim — the q64 enrichment discipline, here
+    // exercising the PARSER, not a corpus property) and from_xml
+    // schema-parses it back; nulls where the document is broken (every
+    // 11th row drops a closing tag) — degrade, not abort, the q101
+    // malformed-ingestion contract. The oracle extracts the same
+    // fields with anchored regexes — equal values, engine-independent.
+    "q188_xml_extract" -> ((s, dir) => {
+      val xml = when(col("event_id") % 11L === 0L,
+        concat(lit("<e><t>"), col("event_type"), lit("</t><v>"),
+          col("v_micro").cast("string"), lit("</v>")))
+        .otherwise(concat(lit("<e><t>"), col("event_type"),
+          lit("</t><v>"), col("v_micro").cast("string"), lit("</v></e>")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("v_micro"))
+        .withColumn("doc", xml)
+        .withColumn("p", from_xml(col("doc"), schema,
+          java.util.Collections.singletonMap("mode", "PERMISSIVE")))
+        .select(col("event_id"),
+          col("p.t").as("xml_type"), col("p.v").as("xml_micro"),
+          (col("p.t") <=> col("event_type") &&
+            col("p.v") <=> col("v_micro")).as("roundtrip_ok"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -7216,6 +7249,34 @@ object SparkEntry {
         |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
         |  CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
         |FROM c""".stripMargin,
+
+    // Mirrors q188: the identical envelope (broken rows verbatim), a
+    // well-formedness gate + regex field extraction standing in for the
+    // XML parser, null-safe round-trip equality.
+    "q188_xml_extract" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+        |  FROM events),
+        |d AS (
+        |  SELECT event_id, event_type, v_micro,
+        |    CASE WHEN event_id % 11 = 0
+        |      THEN '<e><t>' || event_type || '</t><v>' || v_micro || '</v>'
+        |      ELSE '<e><t>' || event_type || '</t><v>' || v_micro ||
+        |        '</v></e>' END AS doc
+        |  FROM e),
+        |p AS (
+        |  SELECT event_id, event_type, v_micro,
+        |    CASE WHEN regexp_matches(doc, '^<e><t>.*</t><v>.*</v></e>$')
+        |      THEN regexp_extract(doc, '<t>(.*)</t>', 1) END AS xml_type,
+        |    CASE WHEN regexp_matches(doc, '^<e><t>.*</t><v>.*</v></e>$')
+        |      THEN CAST(regexp_extract(doc, '<v>(.*)</v>', 1) AS BIGINT)
+        |      END AS xml_micro
+        |  FROM d)
+        |SELECT event_id, xml_type, xml_micro,
+        |  (xml_type IS NOT DISTINCT FROM event_type) AND
+        |    (xml_micro IS NOT DISTINCT FROM v_micro) AS roundtrip_ok
+        |FROM p""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
