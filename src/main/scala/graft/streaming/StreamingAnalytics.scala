@@ -72,6 +72,29 @@ object StreamingAnalytics {
     left.join(right, cond)
   }
 
+  /** LEFT OUTER [[intervalJoinStream]]: every left event emits, matched
+    * or not — the "did anything correlate?" formulation (errors with NO
+    * click nearby are exactly the interesting ones). The outer semantics
+    * change WHEN rows emit, not just what: an unmatched left row cannot
+    * be declared unmatched until the WATERMARK passes its interval's
+    * right edge (any earlier, a matching right event could still
+    * arrive), so null-extended results trail the watermark — and the
+    * same watermark bound is what lets Spark EVICT the row from join
+    * state instead of holding it forever. Matched rows still emit
+    * eagerly, like the inner join. Both sides must carry watermarks. */
+  def intervalJoinStreamOuter(left: DataFrame, right: DataFrame,
+                              keys: Seq[String], leftTime: String,
+                              rightTime: String, beforeSec: Long,
+                              afterSec: Long): DataFrame = {
+    require(keys.nonEmpty, "intervalJoinStreamOuter requires join keys")
+    val cond = keys.map(k => left(k) === right(k)).reduce(_ && _) &&
+      right(rightTime) >= left(leftTime) -
+        expr(s"INTERVAL $beforeSec seconds") &&
+      right(rightTime) <= left(leftTime) +
+        expr(s"INTERVAL $afterSec seconds")
+    left.join(right, cond, "leftOuter")
+  }
+
   /** One event for [[sessionizeStream]] — needs a real timestamp column
     * so the watermark (and event-time timeouts) can track it. */
   final case class SEvent(key: String, event_time: java.sql.Timestamp)

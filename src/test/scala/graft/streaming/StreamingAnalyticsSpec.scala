@@ -133,6 +133,39 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: matched pairs emit " +
+    "eagerly; an unmatched left row emits null-extended only after the " +
+    "watermark passes its interval (and its state is evicted)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(epoch: Long) = new java.sql.Timestamp(epoch * 1000L)
+    val lin = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rin = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val joined = StreamingAnalytics.intervalJoinStreamOuter(
+      lin.toDF.toDF("k", "lt", "lid").withWatermark("lt", "0 seconds"),
+      rin.toDF.toDF("k", "rt", "rid").withWatermark("rt", "0 seconds"),
+      Seq("k"), "lt", "rt", beforeSec = 100L, afterSec = 100L)
+      .select(col("lid"), col("rid"))
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    def rows = spark.table("ssj_outer").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    try {
+      // left 1 matches; left 2 never will
+      lin.addData(("a", t(1000L), 1L), ("b", t(1000L), 2L))
+      rin.addData(("a", t(1050L), 10L))
+      q.processAllAvailable()
+      assert(rows === Set((1L, Some(10L))),
+        s"unmatched left must NOT emit before the watermark: $rows")
+      // advance both watermarks far past left 2's interval edge
+      lin.addData(("z", t(10000L), 3L)); rin.addData(("z", t(10000L), 30L))
+      q.processAllAvailable()
+      assert(rows.contains((2L, None)),
+        s"watermark passed, unmatched left must null-extend: $rows")
+    } finally q.stop()
+  }
+
   test("sessionizeStream: a sub-second watermark position does not split " +
     "a mergeable session — event times floor to seconds, so the seal " +
     "waits for the watermark to clear the WHOLE last mergeable second") {
