@@ -4018,6 +4018,69 @@ object SparkEntry {
             col("p.v") <=> col("v_micro")).as("roundtrip_ok"))
     }),
 
+    // Theil-Sen robust slope per user — the outlier-immune trend
+    // estimator (median of all pairwise slopes; breakdown point 29%)
+    // that q174's OLS is not: one wild spike moves OLS arbitrarily,
+    // moves Theil-Sen not at all. The pair join is PER-USER (bounded
+    // fanout: per-key depth, not corpus² — the growth axis is users,
+    // and the probe replica's ×10 users keeps per-user pair counts
+    // constant); each slope is ONE mirrored divide of integer deltas,
+    // and the median is the lower-median row_number pick under a
+    // deterministic (slope, id, id) total order. Same-timestamp pairs
+    // are excluded (undefined slope), ties in slope break by ids.
+    "q189_theil_sen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("v_micro"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.ts_epoch") > col("a.ts_epoch"))
+        .select(col("a.user_id").as("user_id"),
+          col("a.event_id").as("ida"), col("b.event_id").as("idb"),
+          ((col("b.v_micro") - col("a.v_micro")).cast("double") /
+            (col("b.ts_epoch") - col("a.ts_epoch")).cast("double"))
+            .as("slope"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("slope").asc, col("ida").asc, col("idb").asc)
+      val cnt = Window.partitionBy("user_id")
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_pairs", count(lit(1)).over(cnt))
+        .where(col("rn").cast("long") === expr("(n_pairs + 1) DIV 2"))
+        .select(col("user_id"), col("n_pairs"),
+          col("slope").as("theil_sen_slope"))
+    }),
+
+    // Seasonal baseline residuals — deviation of every observation from
+    // its (day-of-week, hour) seasonal mean: the "is this value odd FOR
+    // A TUESDAY 9AM?" normalization behind rush-hour-aware anomaly
+    // flags. The calendar keys derive from epoch INTEGER arithmetic
+    // ((d+4) mod 7, engine-independent — never the engines' dayofweek,
+    // whose week origin differs), the baseline is one bounded
+    // (168-bucket) aggregate broadcast back, and the residual keeps an
+    // integer numerator (x·n − Σ) until the final mirrored divides.
+    "q190_seasonal_residual" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"),
+          unix_timestamp(col("ts")).as("ep"),
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("v_micro"))
+        .withColumn("dow", expr("(ep DIV 86400 + 4) % 7"))
+        .withColumn("hod", expr("(ep % 86400) DIV 3600"))
+      val base = e.groupBy("dow", "hod")
+        .agg(count(lit(1)).as("n_b"), sum(col("v_micro")).as("sum_b"))
+      e.join(broadcast(base), Seq("dow", "hod"))
+        .select(col("event_id"), col("dow"), col("hod"), col("n_b"),
+          (col("v_micro") * col("n_b") - col("sum_b"))
+            .as("residual_num_micro"))
+        .withColumn("residual",
+          col("residual_num_micro").cast("double") /
+            col("n_b").cast("double") / lit(1000000.0))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -7277,6 +7340,50 @@ object SparkEntry {
         |  (xml_type IS NOT DISTINCT FROM event_type) AND
         |    (xml_micro IS NOT DISTINCT FROM v_micro) AS roundtrip_ok
         |FROM p""".stripMargin,
+
+    // Mirrors q189: identical pair condition, one mirrored divide per
+    // slope, the same deterministic lower-median pick.
+    "q189_theil_sen" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS ts_epoch,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+        |  FROM events),
+        |p AS (
+        |  SELECT a.user_id, a.event_id AS ida, b.event_id AS idb,
+        |    CAST(b.v_micro - a.v_micro AS DOUBLE) /
+        |      CAST(b.ts_epoch - a.ts_epoch AS DOUBLE) AS slope
+        |  FROM e a JOIN e b
+        |    ON a.user_id = b.user_id AND b.ts_epoch > a.ts_epoch),
+        |r AS (
+        |  SELECT user_id, slope,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY slope ASC, ida ASC, idb ASC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_pairs
+        |  FROM p)
+        |SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  slope AS theil_sen_slope
+        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
+    // Mirrors q190: identical integer calendar keys, bounded baseline,
+    // integer residual numerator, the same two divides.
+    "q190_seasonal_residual" ->
+      """WITH e AS (
+        |  SELECT event_id, FLOOR(epoch(ts))::BIGINT AS ep,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+        |  FROM events),
+        |k AS (
+        |  SELECT event_id, v_micro,
+        |    (ep // 86400 + 4) % 7 AS dow, (ep % 86400) // 3600 AS hod
+        |  FROM e),
+        |b AS (
+        |  SELECT dow, hod, count(*) AS n_b,
+        |    CAST(sum(v_micro) AS BIGINT) AS sum_b
+        |  FROM k GROUP BY dow, hod)
+        |SELECT k.event_id, k.dow, k.hod, b.n_b,
+        |  k.v_micro * b.n_b - b.sum_b AS residual_num_micro,
+        |  CAST(k.v_micro * b.n_b - b.sum_b AS DOUBLE) /
+        |    CAST(b.n_b AS DOUBLE) / 1000000.0 AS residual
+        |FROM k JOIN b ON k.dow = b.dow AND k.hod = b.hod""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
