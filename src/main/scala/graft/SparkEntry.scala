@@ -4081,6 +4081,83 @@ object SparkEntry {
             col("n_b").cast("double") / lit(1000000.0))
     }),
 
+    // l-diversity audit — k-anonymity's (q148) necessary complement:
+    // a quasi-identifier cell can be large (k-safe) yet carry ONE
+    // sensitive value, which still discloses it. Per QI cell (hour ×
+    // value band), the count of DISTINCT sensitive values
+    // (event_type) and the dominant value's share — integer counts
+    // from a two-level aggregate (bounded cell domain), one divide for
+    // the share; the summary rolls up how many cells violate l ∈
+    // {2, 3} and how many rows sit in them.
+    "q191_l_diversity" -> ((s, dir) => {
+      val byVal = t(s, dir, "events")
+        .select(
+          (floor(unix_timestamp(col("ts")) / lit(3600.0)) % lit(24L))
+            .as("hr"),
+          floor(col("value") / lit(10.0)).as("vband"), col("event_type"))
+        .groupBy("hr", "vband", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val cells = byVal.groupBy("hr", "vband")
+        .agg(sum(col("n")).as("n_rows"),
+          count(lit(1)).as("l_distinct"), max(col("n")).as("n_top"))
+      cells.agg(count(lit(1)).as("n_cells"),
+        sum((col("l_distinct") < 2L).cast("long")).as("n_cells_l_lt2"),
+        sum(when(col("l_distinct") < 2L, col("n_rows")).otherwise(lit(0L)))
+          .as("n_rows_l_lt2"),
+        sum((col("l_distinct") < 3L).cast("long")).as("n_cells_l_lt3"),
+        sum(when(col("l_distinct") < 3L, col("n_rows")).otherwise(lit(0L)))
+          .as("n_rows_l_lt3"),
+        max(try_divide(col("n_top").cast("double"),
+          col("n_rows").cast("double"))).as("max_dominance"))
+    }),
+
+    // Automated Readability Index — the text-quality family's
+    // READABILITY member (q22 scores surface quality, q162 fluency;
+    // this is the classic grade-level formula): ARI = 4.71·(chars/
+    // words) + 0.5·(words/sentences) − 21.43. Letters/words/sentences
+    // are integer counts off the token kernel (sentence = '.' '!' '?'
+    // token-final punctuation, a deterministic proxy both engines
+    // spell identically); the formula's constants are literals and the
+    // two ratios are mirrored divides. Zero-word/zero-sentence docs
+    // yield NULL, never a crash.
+    "q192_readability" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_words"),
+          aggregate(col("tk"), lit(0L),
+            (a, x) => a + length(x).cast("long")).as("n_chars"),
+          aggregate(col("tk"), lit(0L), (a, x) =>
+            a + when(x.endsWith(".") || x.endsWith("!") || x.endsWith("?"),
+              1L).otherwise(0L)).as("n_sents"))
+      toks.select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_sents"),
+        (lit(4.71) * try_divide(col("n_chars").cast("double"),
+          col("n_words").cast("double")) +
+          lit(0.5) * try_divide(col("n_words").cast("double"),
+            col("n_sents").cast("double")) - lit(21.43)).as("ari"))
+    }),
+
+    // Rolling DISTINCT count over a bounded ROWS frame — q170's
+    // distinct sibling ("how many different event types in the last 5
+    // observations?"): the frame is collected (O(frame) state, bounded
+    // by width not partition), de-duplicated, and counted — integers
+    // only; the mirrored spelling is list → distinct → length in both
+    // engines.
+    "q193_rolling_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_epoch").asc, col("event_id").asc)
+        .rowsBetween(-4, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_epoch"))
+        .withColumn("k5",
+          size(array_distinct(collect_list(col("event_type")).over(w)))
+            .cast("long"))
+        .select("user_id", "event_id", "ts_epoch", "k5")
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -7384,6 +7461,64 @@ object SparkEntry {
         |  CAST(k.v_micro * b.n_b - b.sum_b AS DOUBLE) /
         |    CAST(b.n_b AS DOUBLE) / 1000000.0 AS residual
         |FROM k JOIN b ON k.dow = b.dow AND k.hod = b.hod""".stripMargin,
+
+    // Mirrors q191: identical QI cells, two-level aggregate, rollup.
+    "q191_l_diversity" ->
+      """WITH bv AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) % 24 AS hr,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS vband, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |cells AS (
+        |  SELECT hr, vband, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    count(*) AS l_distinct, CAST(max(n) AS BIGINT) AS n_top
+        |  FROM bv GROUP BY hr, vband)
+        |SELECT count(*) AS n_cells,
+        |  CAST(sum(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cells_l_lt2,
+        |  CAST(sum(CASE WHEN l_distinct < 2 THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS n_rows_l_lt2,
+        |  CAST(sum(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cells_l_lt3,
+        |  CAST(sum(CASE WHEN l_distinct < 3 THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS n_rows_l_lt3,
+        |  max(CAST(n_top AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |    AS max_dominance
+        |FROM cells""".stripMargin,
+
+    // Mirrors q192: the same token-derived counts and the ARI formula
+    // with exponent-form literals (a bare 4.71 would parse DECIMAL).
+    "q192_readability" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |c AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(tk, x -> length(x)))
+         |      AS BIGINT) AS n_chars,
+         |    CAST(list_sum(list_transform(tk, x ->
+         |      CASE WHEN suffix(x, '.') OR suffix(x, '!') OR
+         |        suffix(x, '?') THEN 1 ELSE 0 END)) AS BIGINT) AS n_sents
+         |  FROM toks)
+         |SELECT doc_id, n_words,
+         |  COALESCE(n_chars, 0) AS n_chars, COALESCE(n_sents, 0) AS n_sents,
+         |  4.71e0 * (CAST(COALESCE(n_chars, 0) AS DOUBLE) /
+         |    NULLIF(CAST(n_words AS DOUBLE), 0)) +
+         |  0.5e0 * (CAST(n_words AS DOUBLE) /
+         |    NULLIF(CAST(COALESCE(n_sents, 0) AS DOUBLE), 0)) - 21.43e0
+         |    AS ari
+         |FROM c""".stripMargin,
+
+    // Mirrors q193: identical frame, list → distinct → length.
+    "q193_rolling_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    FLOOR(epoch(ts))::BIGINT AS ts_epoch
+        |  FROM events)
+        |SELECT user_id, event_id, ts_epoch,
+        |  CAST(len(list_distinct(list(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_epoch ASC, event_id ASC
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))) AS BIGINT) AS k5
+        |FROM e""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
