@@ -76,14 +76,19 @@ object GtfsRtTable {
     StructField("feed_epoch", LongType, nullable = true)))
 }
 
-final class GtfsRtTable(path: String) extends Table with SupportsRead {
+final class GtfsRtTable(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"gtfs_rt(`$path`)"
   override def schema(): StructType = GtfsRtTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GtfsRtScanBuilder(path, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GtfsRtWriteBuilder(path, info)
 }
 
 final class GtfsRtScanBuilder(path: String, options: CaseInsensitiveStringMap)
