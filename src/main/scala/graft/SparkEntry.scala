@@ -4158,6 +4158,29 @@ object SparkEntry {
         .select("user_id", "event_id", "ts_epoch", "k5")
     }),
 
+    // Bitset-encoded distinct over a bounded domain — the roaring-
+    // bitmap idea at its smallest: map the (bounded, enumerable) value
+    // domain to bit positions via a broadcast dictionary, OR the masks
+    // per key, popcount = distinct count. bit_or is commutative/
+    // associative (map-side combinable, shuffle-order-proof — the
+    // integer sibling of the HLL merge, but EXACT), the mask itself is
+    // a carryable set representation later stages can intersect/union
+    // without re-touching rows, and countDistinct rides along as the
+    // in-query parity audit.
+    "q194_bitset_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dict = t(s, dir, "events").select("event_type").distinct()
+        .withColumn("idx",
+          (row_number().over(Window.orderBy("event_type")) - 1)
+            .cast("long"))
+      t(s, dir, "events").join(broadcast(dict), "event_type")
+        .groupBy("user_id")
+        .agg(bit_or(expr("CAST(1 AS BIGINT) << idx")).as("type_mask"),
+          countDistinct(col("event_type")).as("k"))
+        .select(col("user_id"), col("type_mask"),
+          bit_count(col("type_mask")).cast("long").as("k_bits"), col("k"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -7519,6 +7542,24 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts_epoch ASC, event_id ASC
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))) AS BIGINT) AS k5
         |FROM e""".stripMargin,
+
+    // Mirrors q194: same alphabetic bit dictionary, bit_or masks,
+    // popcount, and the countDistinct parity column.
+    "q194_bitset_distinct" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+        |      AS idx
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |j AS (
+        |  SELECT e.user_id, e.event_type, d.idx
+        |  FROM events e JOIN d USING (event_type))
+        |SELECT user_id,
+        |  CAST(bit_or(CAST(1 AS BIGINT) << idx) AS BIGINT) AS type_mask,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << idx)) AS BIGINT)
+        |    AS k_bits,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        |FROM j GROUP BY user_id""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
