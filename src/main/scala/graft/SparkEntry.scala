@@ -4181,6 +4181,36 @@ object SparkEntry {
           bit_count(col("type_mask")).cast("long").as("k_bits"), col("k"))
     }),
 
+    // First-touch attribution — the session-level conversion readout
+    // COMPOSED from the q44 sessionizer: per (user, session), the
+    // entry event type (first by time, deterministic tiebreak) and
+    // whether the session converted; rolled up per entry channel into
+    // sessions / conversions / one-divide conversion rate. Everything
+    // after the sessionizer is a bounded two-level aggregate — the
+    // analytics query marketing teams actually run on the operator the
+    // engine already proves.
+    "q195_first_touch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("ts_epoch"))
+      val sess = Sessionize.assignSessions(ev, Seq("user_id"), "ts_epoch",
+        "event_id", gapSeconds = 1800L)
+      val first = Window.partitionBy("user_id", "session_seq")
+        .orderBy(col("ts_epoch").asc, col("event_id").asc)
+      val perSession = sess
+        .withColumn("rn", row_number().over(first))
+        .groupBy("user_id", "session_seq")
+        .agg(max(when(col("rn") === 1, col("event_type"))).as("first_type"),
+          max((col("event_type") === "purchase").cast("long"))
+            .as("converted"))
+      perSession.groupBy("first_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).as("n_converted"))
+        .select(col("first_type"), col("n_sessions"), col("n_converted"),
+          try_divide(col("n_converted").cast("double"),
+            col("n_sessions").cast("double")).as("conversion_rate"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -7560,6 +7590,40 @@ object SparkEntry {
         |    AS k_bits,
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS k
         |FROM j GROUP BY user_id""".stripMargin,
+
+    // Mirrors q195: the q44 session CTE, first-event pick, two-level
+    // rollup, one divide.
+    "q195_first_touch" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, ts_epoch,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL OR ts_epoch - prev_ts > 1800
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts_epoch ASC, event_id ASC
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM (
+        |    SELECT user_id, event_id, event_type,
+        |      FLOOR(epoch(ts))::BIGINT AS ts_epoch,
+        |      lag(FLOOR(epoch(ts))::BIGINT) OVER (PARTITION BY user_id
+        |        ORDER BY FLOOR(epoch(ts))::BIGINT ASC, event_id ASC)
+        |        AS prev_ts
+        |    FROM events)),
+        |r AS (
+        |  SELECT user_id, session_seq, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY ts_epoch ASC, event_id ASC) AS rn
+        |  FROM s),
+        |ps AS (
+        |  SELECT r.user_id, r.session_seq,
+        |    max(CASE WHEN r.rn = 1 THEN r.event_type END) AS first_type,
+        |    max(CASE WHEN r.event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM r GROUP BY r.user_id, r.session_seq)
+        |SELECT first_type, count(*) AS n_sessions,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS conversion_rate
+        |FROM ps GROUP BY first_type""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
