@@ -4211,6 +4211,103 @@ object SparkEntry {
             col("n_sessions").cast("double")).as("conversion_rate"))
     }),
 
+    // Linear multi-touch attribution — q195's fairness-corrected
+    // sibling: every event in a CONVERTING session shares the credit
+    // equally (1/n per event) instead of the first touch taking all of
+    // it. Fractional credits are the float-sum trap; the mirrored
+    // spelling quantizes each session's per-event credit to micro-units
+    // ONCE (1e6 DIV n — integer division, identical everywhere) and
+    // sums exact integers per channel; the displayed credit is one
+    // divide at the end.
+    "q196_linear_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("ts_epoch"))
+      val sess = Sessionize.assignSessions(ev, Seq("user_id"), "ts_epoch",
+        "event_id", gapSeconds = 1800L)
+      val stats = sess.groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_ev"),
+          max((col("event_type") === "purchase").cast("long"))
+            .as("converted"))
+      sess.join(stats, Seq("user_id", "session_seq"))
+        .where(col("converted") === 1L)
+        .withColumn("credit_micro", expr("1000000 DIV n_ev"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_micro")).as("credit_micro_total"))
+        .withColumn("credit",
+          col("credit_micro_total").cast("double") / lit(1000000.0))
+    }),
+
+    // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    // "Winnowing: Local Algorithms for Document Fingerprinting",
+    // SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a
+    // w-window over the hash sequence, keep each window's MINIMUM
+    // (rightmost on ties = the min over (hash, -pos) — this spelling
+    // uses leftmost-min, deterministic either way when mirrored), and
+    // the distinct selected hashes are the document's fingerprint set —
+    // guaranteed to share a fingerprint with any document overlapping
+    // by ≥ w+k-1 characters, which plain q24-style whole-doc hashing
+    // cannot promise. All integer polynomial hashes; the set renders
+    // hash-checkable as (count, XOR-fold) scalars.
+    "q197_winnowing" -> ((s, dir) => {
+      val k = 8
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-3, org.apache.spark.sql.expressions.Window.currentRow)
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          // guard: Spark's sequence(1, 0) counts DOWN — short docs must
+          // yield an empty gram array, not [1, 0]
+          posexplode(expr(
+            s"CASE WHEN length(text) >= $k THEN " +
+              s"transform(sequence(1, length(text) - ${k - 1}), " +
+              s"i -> substring(text, i, $k)) " +
+              s"ELSE array() END")))
+        .select(col("doc_id"), col("pos"),
+          TextAnalysis.charPolyHash(col("col")).as("h"))
+      val mins = grams
+        .withColumn("nwin", count(lit(1)).over(w))
+        .withColumn("wmin", min(col("h")).over(w))
+        .where(col("nwin") === 4)
+        .select(col("doc_id"), col("wmin")).distinct()
+      t(s, dir, "documents").select("doc_id")
+        .join(mins, Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("wmin")).as("n_fingerprints"),
+          coalesce(expr("bit_xor(wmin)"), lit(0L)).as("fp_xor"))
+    }),
+
+    // Time-to-convert — per converting user, the seconds from their
+    // FIRST 'view' to their first subsequent 'purchase' (the funnel
+    // family's latency readout next to q93's stage counts): two
+    // min-aggregates per user (commutative — shuffle-proof), an
+    // integer difference, and the population's lower-median picked on
+    // the bounded converters frame with the q163 discipline.
+    "q198_time_to_convert" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("ep"))
+      val per = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ep")))
+          .as("first_view"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .join(per, "user_id")
+        .where(col("first_view").isNotNull && col("ep") >= col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(min(col("ep")).as("first_purchase"))
+        .select(col("user_id"),
+          (col("first_purchase") - col("first_view")).as("ttc_sec"))
+      val rank = Window.orderBy(col("ttc_sec").asc, col("user_id").asc)
+      purch
+        .withColumn("rn", row_number().over(rank))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .where(col("rn").cast("long") === expr("(n + 1) DIV 2"))
+        .select(col("n").cast("long").as("n_converters"),
+          col("ttc_sec").as("median_ttc_sec"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -7624,6 +7721,92 @@ object SparkEntry {
         |  CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS conversion_rate
         |FROM ps GROUP BY first_type""".stripMargin,
+
+    // Mirrors q196: the q44 session CTE, integer micro-credits
+    // (1e6 DIV n), exact sums, one displayed divide.
+    "q196_linear_attribution" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, ts_epoch,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL OR ts_epoch - prev_ts > 1800
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts_epoch ASC, event_id ASC
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM (
+        |    SELECT user_id, event_id, event_type,
+        |      FLOOR(epoch(ts))::BIGINT AS ts_epoch,
+        |      lag(FLOOR(epoch(ts))::BIGINT) OVER (PARTITION BY user_id
+        |        ORDER BY FLOOR(epoch(ts))::BIGINT ASC, event_id ASC)
+        |        AS prev_ts
+        |    FROM events)),
+        |st AS (
+        |  SELECT user_id, session_seq, count(*) AS n_ev,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM s GROUP BY user_id, session_seq)
+        |SELECT s.event_type, count(*) AS n_touches,
+        |  CAST(sum(1000000 // st.n_ev) AS BIGINT) AS credit_micro_total,
+        |  CAST(sum(1000000 // st.n_ev) AS DOUBLE) / 1000000.0 AS credit
+        |FROM s JOIN st
+        |  ON s.user_id = st.user_id AND s.session_seq = st.session_seq
+        |WHERE st.converted = 1
+        |GROUP BY s.event_type""".stripMargin,
+
+    // Mirrors q197: identical k-grams (1-based substr), poly hashes,
+    // 4-hash window minima, distinct + XOR fold.
+    "q197_winnowing" ->
+      s"""WITH g0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) >= 8
+         |      THEN list_transform(range(1, length(text) - 6),
+         |        i -> substr(text, i, 8))
+         |      ELSE [] END AS grams
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(grams) AS gram,
+         |    generate_subscripts(grams, 1) - 1 AS pos
+         |  FROM g0),
+         |h AS (
+         |  SELECT doc_id, pos, ${charPolySql("gram")} AS hh FROM g),
+         |m AS (
+         |  SELECT doc_id,
+         |    count(*) OVER wi AS nwin, min(hh) OVER wi AS wmin
+         |  FROM h
+         |  WINDOW wi AS (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, wmin FROM m WHERE nwin = 4)
+         |SELECT d.doc_id,
+         |  CAST(count(sel.wmin) AS BIGINT) AS n_fingerprints,
+         |  COALESCE(bit_xor(sel.wmin), 0) AS fp_xor
+         |FROM documents d LEFT JOIN sel ON d.doc_id = sel.doc_id
+         |GROUP BY d.doc_id""".stripMargin,
+
+    // Mirrors q198: commutative min-aggregates, integer latency, the
+    // deterministic lower-median pick over the converters frame.
+    "q198_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS ep
+        |  FROM events),
+        |fv AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ep END) AS first_view
+        |  FROM e GROUP BY user_id),
+        |tc AS (
+        |  SELECT e.user_id,
+        |    min(e.ep) - fv.first_view AS ttc_sec
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND fv.first_view IS NOT NULL
+        |    AND e.ep >= fv.first_view
+        |  GROUP BY e.user_id, fv.first_view),
+        |r AS (
+        |  SELECT ttc_sec,
+        |    row_number() OVER (ORDER BY ttc_sec ASC, user_id ASC) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM tc)
+        |SELECT CAST(n AS BIGINT) AS n_converters,
+        |  ttc_sec AS median_ttc_sec
+        |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
 
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
