@@ -617,6 +617,34 @@ object SparkEntry {
 
   /** Exact trigram decontamination — shared by q48 (exact shuffle path)
     * and q71 (Bloom-gated path): the gate changes the plan, not the rows. */
+  /** Shared q138/q199 CMS oracle: both builds (relational explode-agg
+    * and the native TypedImperativeAggregate) answer the same
+    * estimates because they share the hash derivation — one oracle
+    * pins the equivalence. */
+  private lazy val CMS_ORACLE: String = {
+    val (as, bs) = graft.expressions.SignatureKernels.polyCoeffs(4)
+    val seedRows = (0 until 4).map(d =>
+      s"($d, ${as(d)}::BIGINT, ${bs(d)}::BIGINT)").mkString(", ")
+    s"""WITH tok AS (SELECT unnest($TOKENS_SQL) AS tok FROM documents),
+       |tf AS (
+       |  SELECT tok, count(*) AS freq, ${charPolySql("tok")} AS ph
+       |  FROM tok GROUP BY tok),
+       |sd AS (SELECT * FROM (VALUES $seedRows) s(d, a, b)),
+       |bk AS (
+       |  SELECT s.d, ((s.a * f.ph + s.b) % 1000000007) % 256 AS w,
+       |    sum(f.freq) AS counter
+       |  FROM tf f CROSS JOIN sd s GROUP BY 1, 2),
+       |top AS (SELECT tok, freq, ph FROM tf
+       |        ORDER BY freq DESC, tok LIMIT 20)
+       |SELECT t.tok, t.freq,
+       |  CAST(min(b.counter) AS BIGINT) AS cms_estimate,
+       |  CAST(min(b.counter) - t.freq AS BIGINT) AS overestimate
+       |FROM top t CROSS JOIN sd s
+       |JOIN bk b ON b.d = s.d
+       |  AND b.w = ((s.a * t.ph + s.b) % 1000000007) % 256
+       |GROUP BY t.tok, t.freq""".stripMargin
+  }
+
   private lazy val DECON_SQL: String =
     s"""WITH toks AS (
        |  SELECT doc_id, text, lang, source, n_chars, $TOKENS_SQL AS tk
@@ -4308,6 +4336,37 @@ object SparkEntry {
           col("ttc_sec").as("median_ttc_sec"))
     }),
 
+    // Count-Min sketch via the NATIVE Catalyst imperative aggregate
+    // (expressions/CmsSketchAgg — TypedImperativeAggregate: the whole
+    // depth×width counter matrix is ONE aggregation buffer, merged
+    // element-wise by ObjectHashAggregate's real partial aggregation).
+    // q138 builds the same sketch relationally (explode depth cells →
+    // hash-agg); this build moves ONE fixed-size buffer per partition
+    // instead of depth× exploded rows — the smallest shuffle a keyed
+    // 100 TB stream can pay. Same hash derivation by construction, so
+    // the estimates hash-check against the SAME oracle as q138.
+    "q199_cms_native_agg" -> ((s, dir) => {
+      val (depth, width) = (4, 256)
+      val (as, bs) = graft.expressions.SignatureKernels.polyCoeffs(depth)
+      val tf = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val sketch = tf.agg(graft.expressions.CmsSketchAgg
+        .cmsOf(col("tok"), col("freq"), depth, width).as("sk"))
+      val top = tf.orderBy(col("freq").desc, col("tok")).limit(20)
+      val est = top.crossJoin(broadcast(sketch))
+        .withColumn("ph", TextAnalysis.charPolyHash(col("tok")))
+        .withColumn("cms_estimate",
+          (0 until depth).map { d =>
+            element_at(col("sk"),
+              (((lit(as(d)) * col("ph") + lit(bs(d))) %
+                lit(graft.expressions.SignatureKernels.PolyMod)) %
+                lit(width.toLong)).cast("int") + lit(d * width + 1))
+          }.reduce(least(_, _)))
+      est.select(col("tok"), col("freq"), col("cms_estimate"),
+        (col("cms_estimate") - col("freq")).as("overestimate"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6031,29 +6090,13 @@ object SparkEntry {
     // the affine depth coefficients are the polyCoeffs constants embedded
     // verbatim (operator definition, not runtime state) — the same
     // literal-embedding rule as the q57 MinHash seeds
-    "q138_cms_sketch" -> {
-      val (as, bs) = graft.expressions.SignatureKernels.polyCoeffs(4)
-      val seedRows = (0 until 4).map(d =>
-        s"($d, ${as(d)}::BIGINT, ${bs(d)}::BIGINT)").mkString(", ")
-      s"""WITH tok AS (SELECT unnest($TOKENS_SQL) AS tok FROM documents),
-         |tf AS (
-         |  SELECT tok, count(*) AS freq, ${charPolySql("tok")} AS ph
-         |  FROM tok GROUP BY tok),
-         |sd AS (SELECT * FROM (VALUES $seedRows) s(d, a, b)),
-         |bk AS (
-         |  SELECT s.d, ((s.a * f.ph + s.b) % 1000000007) % 256 AS w,
-         |    sum(f.freq) AS counter
-         |  FROM tf f CROSS JOIN sd s GROUP BY 1, 2),
-         |top AS (SELECT tok, freq, ph FROM tf
-         |        ORDER BY freq DESC, tok LIMIT 20)
-         |SELECT t.tok, t.freq,
-         |  CAST(min(b.counter) AS BIGINT) AS cms_estimate,
-         |  CAST(min(b.counter) - t.freq AS BIGINT) AS overestimate
-         |FROM top t CROSS JOIN sd s
-         |JOIN bk b ON b.d = s.d
-         |  AND b.w = ((s.a * t.ph + s.b) % 1000000007) % 256
-         |GROUP BY t.tok, t.freq""".stripMargin
-    },
+    "q138_cms_sketch" -> CMS_ORACLE,
+
+    // The native TypedImperativeAggregate build (q199) answers the SAME
+    // estimates — the hash derivation is shared by construction, so the
+    // oracle is shared verbatim: passing both is exactly the
+    // relational ≡ imperative equivalence claim.
+    "q199_cms_native_agg" -> CMS_ORACLE,
 
     "q137_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
