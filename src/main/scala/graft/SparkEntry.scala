@@ -4367,6 +4367,50 @@ object SparkEntry {
         (col("cms_estimate") - col("freq")).as("overestimate"))
     }),
 
+    // Corpus health report — the capstone composition: the one-page
+    // (metric, value) summary a data curator reads before a training
+    // run, assembled from operators the engine already proves
+    // one-by-one. Exact-dup mass from the q15 hash groups, near-dup
+    // mass from the SHARED q51 cluster artifact (one CC build per
+    // session feeds five queries and this), language spread, volume,
+    // and the exact lower-median document length computed on the
+    // value GRID (bounded cumulative window, the q163 discipline).
+    // Every value is a BIGINT — nothing to drift; the oracle replays
+    // each metric with its own family's established SQL.
+    "q200_corpus_report" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      def row(name: String, v: Column) =
+        d.agg(v.cast("long").as("value")).select(lit(name).as("metric"),
+          col("value"))
+      val dupGroups = d.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val exactDups = dupGroups
+        .agg(coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+          .cast("long").as("value"))
+        .select(lit("n_exact_dup_docs").as("metric"), col("value"))
+      val nearDups = docClusters(s, dir)
+        .agg(count(lit(1)).cast("long").as("value"))
+        .select(lit("n_neardup_clustered").as("metric"), col("value"))
+      val grid = d.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val medianChars = grid
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("nn"))))
+        .where(col("cum") >= expr("(nn + 1) DIV 2"))
+        .agg(min(col("n_chars")).cast("long").as("value"))
+        .select(lit("median_chars").as("metric"), col("value"))
+      row("n_docs", count(lit(1)))
+        .unionByName(row("n_distinct_texts",
+          countDistinct(sha2(col("text"), 256))))
+        .unionByName(exactDups)
+        .unionByName(nearDups)
+        .unionByName(row("n_langs", countDistinct(col("lang"))))
+        .unionByName(row("total_chars", sum(col("n_chars"))))
+        .unionByName(medianChars)
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6097,6 +6141,41 @@ object SparkEntry {
     // oracle is shared verbatim: passing both is exactly the
     // relational ≡ imperative equivalence claim.
     "q199_cms_native_agg" -> CMS_ORACLE,
+
+    // Mirrors q200: each metric in its family's established spelling;
+    // near-dup mass rides the q51 recursive CTE.
+    "q200_corpus_report" ->
+      s"""WITH clusters AS (
+         |$DUP_CLUSTERS_SQL
+         |),
+         |grid AS (
+         |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars),
+         |cum AS (
+         |  SELECT n_chars,
+         |    sum(cnt) OVER (ORDER BY n_chars ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM grid),
+         |nn AS (SELECT count(*) AS nn FROM documents)
+         |SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value
+         |FROM documents
+         |UNION ALL
+         |SELECT 'n_distinct_texts',
+         |  CAST(count(DISTINCT sha256(text)) AS BIGINT) FROM documents
+         |UNION ALL
+         |SELECT 'n_exact_dup_docs', CAST(COALESCE(sum(n), 0) AS BIGINT)
+         |FROM (SELECT count(*) AS n FROM documents GROUP BY sha256(text))
+         |WHERE n > 1
+         |UNION ALL
+         |SELECT 'n_neardup_clustered', CAST(count(*) AS BIGINT)
+         |FROM clusters
+         |UNION ALL
+         |SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT)
+         |FROM documents
+         |UNION ALL
+         |SELECT 'total_chars', CAST(sum(n_chars) AS BIGINT) FROM documents
+         |UNION ALL
+         |SELECT 'median_chars', CAST(min(n_chars) AS BIGINT)
+         |FROM cum CROSS JOIN nn WHERE cum >= (nn + 1) // 2""".stripMargin,
 
     "q137_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),

@@ -152,7 +152,7 @@ class PlanSpec extends SparkSpec {
       "q152_chi2_drift", "q156_equidepth_bins", "q158_tfidf_cosine_pairs",
       "q166_cohens_kappa", "q172_benford", "q178_negative_sample",
       "q179_ann_recall", "q180_ks_test", "q182_cramers_v",
-      "q183_quantile_map", "q185_split_gini")
+      "q183_quantile_map", "q185_split_gini", "q199_cms_native_agg")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +
