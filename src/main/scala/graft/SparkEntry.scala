@@ -4411,6 +4411,86 @@ object SparkEntry {
         .unionByName(medianChars)
     }),
 
+    // Headway regularity — THE transit service-quality KPI the
+    // reference's dashboard never got to: per (route, stop), the gaps
+    // between consecutive ACTUAL arrivals and their variance. Riders
+    // feel variance, not mean (a 10-min-exact service beats an
+    // "8-min average" that alternates 2/14). One lag window per
+    // (route, stop) partition; moments ride exact integers
+    // (DECIMAL(38,0) products) with ONE double divide for the
+    // population variance n·Σh²−(Σh)² over n².
+    "q201_headway_regularity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val arr = diffMartEpochs(s, dir)
+        .where(col("actual_arrival_epoch").isNotNull)
+        .select(col("route_id"), col("stop_id"),
+          col("actual_arrival_epoch").as("t"), col("trip_id"))
+      val w = Window.partitionBy("route_id", "stop_id")
+        .orderBy(col("t").asc, col("trip_id").asc)
+      val hw = arr.withColumn("prev", lag(col("t"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("route_id"), col("stop_id"),
+          (col("t") - col("prev")).as("h"))
+      hw.groupBy("route_id", "stop_id")
+        .agg(count(lit(1)).as("n_headways"),
+          sum(col("h")).as("sum_h"),
+          sum(d38(col("h")) * col("h")).as("sum_h2"))
+        .where(col("n_headways") >= 2)
+        .select(col("route_id"), col("stop_id"), col("n_headways"),
+          try_divide(col("sum_h").cast("double"),
+            col("n_headways").cast("double")).as("mean_headway_sec"),
+          try_divide(
+            (d38(col("n_headways")) * col("sum_h2") -
+              d38(col("sum_h")) * col("sum_h")).cast("double"),
+            (d38(col("n_headways")) * col("n_headways")).cast("double"))
+            .as("var_headway_sec2"))
+    }),
+
+    // On-time performance — the industry-standard transit KPI (share
+    // of observed arrivals within [-1 min, +5 min] of schedule), per
+    // route: integer window test on integer epochs, integer tallies,
+    // one divide. The mart's arrival diff column is minutes; the test
+    // runs on the epoch difference directly so the boundary is exact.
+    "q202_otp" -> ((s, dir) => {
+      diffMartEpochs(s, dir)
+        .where(col("actual_arrival_epoch").isNotNull)
+        .select(col("route_id"),
+          (col("actual_arrival_epoch") - col("scheduled_arrival_epoch"))
+            .as("dev"))
+        .groupBy("route_id")
+        .agg(count(lit(1)).as("n_obs"),
+          sum(when(col("dev") >= -60L && col("dev") <= 300L, 1L)
+            .otherwise(0L)).as("n_ontime"))
+        .select(col("route_id"), col("n_obs"), col("n_ontime"),
+          try_divide(col("n_ontime").cast("double"),
+            col("n_obs").cast("double")).as("otp"))
+    }),
+
+    // Bus bunching — the failure mode q201's variance measures, made
+    // countable: consecutive actual arrivals at a stop closer than
+    // 120 s are a bunched pair (the vehicle that caught up). Same lag
+    // window as q201; per route, the bunched share of all headways —
+    // integers, one divide.
+    "q203_bunching" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val arr = diffMartEpochs(s, dir)
+        .where(col("actual_arrival_epoch").isNotNull)
+        .select(col("route_id"), col("stop_id"),
+          col("actual_arrival_epoch").as("t"), col("trip_id"))
+      val w = Window.partitionBy("route_id", "stop_id")
+        .orderBy(col("t").asc, col("trip_id").asc)
+      arr.withColumn("prev", lag(col("t"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("route_id"), (col("t") - col("prev")).as("h"))
+        .groupBy("route_id")
+        .agg(count(lit(1)).as("n_headways"),
+          sum(when(col("h") < 120L, 1L).otherwise(0L)).as("n_bunched"))
+        .select(col("route_id"), col("n_headways"), col("n_bunched"),
+          try_divide(col("n_bunched").cast("double"),
+            col("n_headways").cast("double")).as("bunching_share"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6176,6 +6256,59 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'median_chars', CAST(min(n_chars) AS BIGINT)
          |FROM cum CROSS JOIN nn WHERE cum >= (nn + 1) // 2""".stripMargin,
+
+    // Mirrors q201: the mart CTE, the same lag window, HUGEINT moments.
+    "q201_headway_regularity" -> (MART_CTE +
+      """, arr AS (
+        |  SELECT route_id, stop_id, actual_arrival_epoch AS t, trip_id
+        |  FROM mart WHERE actual_arrival_epoch IS NOT NULL),
+        |hw AS (
+        |  SELECT route_id, stop_id,
+        |    t - lag(t, 1) OVER (PARTITION BY route_id, stop_id
+        |      ORDER BY t ASC, trip_id ASC) AS h
+        |  FROM arr),
+        |m AS (
+        |  SELECT route_id, stop_id, count(*) AS n_headways,
+        |    CAST(sum(h) AS BIGINT) AS sum_h,
+        |    CAST(sum(CAST(h AS HUGEINT) * h) AS HUGEINT) AS sum_h2
+        |  FROM hw WHERE h IS NOT NULL GROUP BY route_id, stop_id)
+        |SELECT route_id, stop_id, n_headways,
+        |  CAST(sum_h AS DOUBLE) / CAST(n_headways AS DOUBLE)
+        |    AS mean_headway_sec,
+        |  CAST(CAST(n_headways AS HUGEINT) * sum_h2 -
+        |      CAST(sum_h AS HUGEINT) * sum_h AS DOUBLE) /
+        |    CAST(CAST(n_headways AS HUGEINT) * n_headways AS DOUBLE)
+        |    AS var_headway_sec2
+        |FROM m WHERE n_headways >= 2""".stripMargin),
+
+    // Mirrors q202: exact integer window test on epochs, one divide.
+    "q202_otp" -> (MART_CTE +
+      """SELECT route_id, count(*) AS n_obs,
+        |  CAST(sum(CASE WHEN actual_arrival_epoch - scheduled_arrival_epoch
+        |    BETWEEN -60 AND 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+        |  CAST(sum(CASE WHEN actual_arrival_epoch - scheduled_arrival_epoch
+        |    BETWEEN -60 AND 300 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS otp
+        |FROM mart WHERE actual_arrival_epoch IS NOT NULL
+        |GROUP BY route_id""".stripMargin),
+
+    // Mirrors q203: q201's lag window, 120 s threshold, one divide.
+    "q203_bunching" -> (MART_CTE +
+      """, arr AS (
+        |  SELECT route_id, stop_id, actual_arrival_epoch AS t, trip_id
+        |  FROM mart WHERE actual_arrival_epoch IS NOT NULL),
+        |hw AS (
+        |  SELECT route_id,
+        |    t - lag(t, 1) OVER (PARTITION BY route_id, stop_id
+        |      ORDER BY t ASC, trip_id ASC) AS h
+        |  FROM arr)
+        |SELECT route_id, count(*) AS n_headways,
+        |  CAST(sum(CASE WHEN h < 120 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bunched,
+        |  CAST(sum(CASE WHEN h < 120 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS bunching_share
+        |FROM hw WHERE h IS NOT NULL
+        |GROUP BY route_id""".stripMargin),
 
     "q137_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
