@@ -4491,6 +4491,36 @@ object SparkEntry {
             col("n_headways").cast("double")).as("bunching_share"))
     }),
 
+    // Excess wait time — the professional frequent-service metric (TfL's
+    // headline bus KPI): a random-arrival rider waits E[h²]/2E[h]
+    // (actual, AWT), would wait E[h]/2 under perfect regularity (SWT),
+    // and EWT = AWT − SWT is what irregularity costs them. Derived from
+    // the SAME per-route headway moments as q201 (integer Σh, Σh² in
+    // DECIMAL(38,0)); AWT and SWT are each one mirrored divide and EWT
+    // one mirrored subtraction.
+    "q204_excess_wait" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val arr = diffMartEpochs(s, dir)
+        .where(col("actual_arrival_epoch").isNotNull)
+        .select(col("route_id"), col("stop_id"),
+          col("actual_arrival_epoch").as("t"), col("trip_id"))
+      val w = Window.partitionBy("route_id", "stop_id")
+        .orderBy(col("t").asc, col("trip_id").asc)
+      arr.withColumn("prev", lag(col("t"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("route_id"), (col("t") - col("prev")).as("h"))
+        .groupBy("route_id")
+        .agg(count(lit(1)).as("n_headways"), sum(col("h")).as("sum_h"),
+          sum(d38(col("h")) * col("h")).as("sum_h2"))
+        .select(col("route_id"), col("n_headways"),
+          try_divide(col("sum_h2").cast("double"),
+            (lit(2L) * d38(col("sum_h"))).cast("double")).as("awt_sec"),
+          try_divide(col("sum_h").cast("double"),
+            (lit(2L) * col("n_headways")).cast("double")).as("swt_sec"))
+        .withColumn("ewt_sec", col("awt_sec") - col("swt_sec"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6309,6 +6339,31 @@ object SparkEntry {
         |    CAST(count(*) AS DOUBLE) AS bunching_share
         |FROM hw WHERE h IS NOT NULL
         |GROUP BY route_id""".stripMargin),
+
+    // Mirrors q204: the q203 headway CTE per route, HUGEINT moments,
+    // the same two divides and one subtraction.
+    "q204_excess_wait" -> (MART_CTE +
+      """, arr AS (
+        |  SELECT route_id, stop_id, actual_arrival_epoch AS t, trip_id
+        |  FROM mart WHERE actual_arrival_epoch IS NOT NULL),
+        |hw AS (
+        |  SELECT route_id,
+        |    t - lag(t, 1) OVER (PARTITION BY route_id, stop_id
+        |      ORDER BY t ASC, trip_id ASC) AS h
+        |  FROM arr),
+        |m AS (
+        |  SELECT route_id, count(*) AS n_headways,
+        |    CAST(sum(h) AS BIGINT) AS sum_h,
+        |    CAST(sum(CAST(h AS HUGEINT) * h) AS HUGEINT) AS sum_h2
+        |  FROM hw WHERE h IS NOT NULL GROUP BY route_id)
+        |SELECT route_id, n_headways,
+        |  CAST(sum_h2 AS DOUBLE) / CAST(2 * CAST(sum_h AS HUGEINT) AS DOUBLE)
+        |    AS awt_sec,
+        |  CAST(sum_h AS DOUBLE) / CAST(2 * n_headways AS DOUBLE) AS swt_sec,
+        |  CAST(sum_h2 AS DOUBLE) / CAST(2 * CAST(sum_h AS HUGEINT) AS DOUBLE)
+        |    - CAST(sum_h AS DOUBLE) / CAST(2 * n_headways AS DOUBLE)
+        |    AS ewt_sec
+        |FROM m""".stripMargin),
 
     "q137_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
