@@ -92,21 +92,77 @@ final class GtfsRtTable(path: String) extends Table with SupportsRead
 }
 
 final class GtfsRtScanBuilder(path: String, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = GtfsRtTable.Schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** FILE pruning by `feed_epoch` — the connector's partition-pruning
+    * analog. The archive convention (FetchLoop and [[GtfsRtWrite]]
+    * both follow it) encodes the snapshot epoch as the trailing digit
+    * run of the file name; a pushed `feed_epoch` range then skips
+    * whole files at LISTING time, before a byte is read — on a
+    * tens-of-millions-of-files archive this is the difference between
+    * scanning a day and scanning the fleet's history. Opt-in via
+    * `epochInFileName=true`: trailing digits in arbitrary archives may
+    * be sequence numbers, and mispruning silently drops data, so the
+    * caller must declare the naming contract. Every filter is ALSO
+    * kept as a residual (we return them all from [[pushFilters]]), so
+    * Spark re-evaluates row-level — pruning is purely an optimization
+    * and rows from unparseable file names stay correct. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    pushed = filters.filter {
+      case EqualTo("feed_epoch", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThan("feed_epoch", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThanOrEqual("feed_epoch", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("feed_epoch", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThanOrEqual("feed_epoch", _: java.lang.Long | _: java.lang.Integer) => true
+      case _ => false
+    }
+    filters // all residual: pruning never substitutes for evaluation
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
+  private def epochBounds: Option[(Long, Long)] = {
+    import org.apache.spark.sql.sources._
+    if (pushed.isEmpty) None
+    else {
+      var lo = Long.MinValue
+      var hi = Long.MaxValue
+      def num(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+      }
+      pushed.foreach {
+        case EqualTo(_, v) => lo = lo.max(num(v)); hi = hi.min(num(v))
+        case GreaterThan(_, v) => lo = lo.max(num(v) + 1)
+        case GreaterThanOrEqual(_, v) => lo = lo.max(num(v))
+        case LessThan(_, v) => hi = hi.min(num(v) - 1)
+        case LessThanOrEqual(_, v) => hi = hi.min(num(v))
+        case _ =>
+      }
+      Some((lo, hi))
+    }
+  }
+
   override def build(): Scan = {
     // option overrides session conf — a caller reading a cold archive can
     // pack more aggressively than the session's parquet-tuned default
     val maxBytes = Option(options.get("maxPartitionBytes")).map(_.toLong)
     val recursive = options.getBoolean("recursiveFileLookup", false)
     val allowEmpty = options.getBoolean("allowEmpty", false)
+    val epochNamed = options.getBoolean("epochInFileName", false)
     // freeze the full option map HERE (the one read the user configured):
     // createReaderFactory runs later, on whatever session is then active
     import scala.jdk.CollectionConverters._
     new GtfsRtScan(path, required, maxBytes, recursive, allowEmpty,
-      options.asCaseSensitiveMap().asScala.toMap)
+      options.asCaseSensitiveMap().asScala.toMap,
+      if (epochNamed) epochBounds else None)
   }
 }
 
@@ -117,11 +173,14 @@ final case class GtfsRtInputPartition(files: Seq[String]) extends InputPartition
 final class GtfsRtScan(path: String, required: StructType,
                        maxBytesOpt: Option[Long], recursive: Boolean,
                        allowEmpty: Boolean,
-                       options: Map[String, String]) extends Scan with Batch {
+                       options: Map[String, String],
+                       epochBounds: Option[(Long, Long)] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GtfsRtScan path=$path cols=${required.fieldNames.mkString(",")}"
+    s"GtfsRtScan path=$path cols=${required.fieldNames.mkString(",")}" +
+      epochBounds.fold("") { case (lo, hi) => s" epochFiles=[$lo,$hi]" }
 
   /** The Hadoop conf for BOTH listing and executor-side reads: built-in
     * file sources fold datasource options into the per-read configuration
@@ -141,9 +200,23 @@ final class GtfsRtScan(path: String, required: StructType,
       val it = fs.listFiles(root, true)
       while (it.hasNext) listed += it.next()
     } else listed ++= fs.listStatus(root)
-    listed.toSeq
+    val all = listed.toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".pb"))
       .sortBy(_.getPath.toString)
+    epochBounds.fold(all) { case (lo, hi) =>
+      all.filter { st =>
+        // keep files whose name-encoded epoch is in range — and every
+        // file WITHOUT a parseable epoch (pruning must never guess)
+        fileEpoch(st.getPath.getName).forall(e => e >= lo && e <= hi)
+      }
+    }
+  }
+
+  /** Trailing digit run of a `.pb` file name, the archive's epoch
+    * convention: `..._1717200000.pb` / `part-00000-0-1717200000.pb`. */
+  private def fileEpoch(name: String): Option[Long] = {
+    val m = GtfsRtScan.EpochName.findFirstMatchIn(name)
+    m.flatMap(g => scala.util.Try(g.group(1).toLong).toOption)
   }
 
   /** Greedy size-packed bins capped at maxPartitionBytes — task count
@@ -209,6 +282,12 @@ final class GtfsRtScan(path: String, required: StructType,
 
 /** Watermark offset: the largest feed-file path read so far ("" = start
   * of the archive). */
+object GtfsRtScan {
+  /** Name-encoded epoch: the trailing digit run before `.pb`, preceded
+    * by a separator (never digits glued to other digits). */
+  private[sources] val EpochName = "[-_](\\d+)\\.pb$".r
+}
+
 final case class GtfsRtOffset(maxPath: String) extends Offset {
   override def json(): String =
     org.json4s.jackson.JsonMethods.compact(

@@ -218,6 +218,39 @@ class GtfsRtSourceSpec extends SparkSpec {
     }
   }
 
+  test("feed_epoch filter pushdown prunes FILES by name-encoded epoch " +
+    "when epochInFileName=true, stays row-correct, and never prunes " +
+    "without the declared naming contract") {
+    withDir { dir =>
+      // epoch-named files, one per snapshot (the FetchLoop/writer
+      // convention): snap-<epoch>.pb
+      (1 to 6).foreach { i =>
+        java.nio.file.Files.write(
+          dir.resolve(s"snap-${1717200000L + i}.pb"),
+          feed(s"T$i", 1717200000L + i, 2))
+      }
+      def read(opts: Map[String, String]) =
+        opts.foldLeft(spark.read.format(Fmt)
+            .option("maxPartitionBytes", "1")) { case (r, (k, v)) =>
+          r.option(k, v)
+        }.load(dir.toString)
+          .filter(org.apache.spark.sql.functions.col("feed_epoch") >=
+            1717200005L)
+      // contract declared: only the 2 in-range files are even planned
+      val pruned = read(Map("epochInFileName" -> "true"))
+      assert(pruned.rdd.getNumPartitions === 2,
+        "expected listing-time file pruning to 2 files")
+      assert(pruned.select("feed_epoch").distinct().collect()
+        .map(_.getLong(0)).toSet ===
+        Set(1717200005L, 1717200006L))
+      // no contract: all 6 files planned, rows still filtered correctly
+      val unpruned = read(Map.empty)
+      assert(unpruned.rdd.getNumPartitions === 6,
+        "must NOT prune files without epochInFileName=true")
+      assert(unpruned.count() === 4L) // 2 snapshots x 2 STUs
+    }
+  }
+
   test("reader options are folded into the Hadoop conf shipped to executors") {
     withDir { dir =>
       writeFeeds(dir, 1)
