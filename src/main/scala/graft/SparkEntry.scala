@@ -4521,6 +4521,109 @@ object SparkEntry {
         .withColumn("ewt_sec", col("awt_sec") - col("swt_sec"))
     }),
 
+    // Dwell time — how long vehicles sit at each stop (departure −
+    // arrival where both were observed): the capacity/accessibility
+    // signal behind stop-level scheduling. Integer differences, exact
+    // integer sums, one divide for the mean; max rides along.
+    "q205_dwell_time" -> ((s, dir) => {
+      diffMartEpochs(s, dir)
+        .where(col("actual_arrival_epoch").isNotNull &&
+          col("actual_departure_epoch").isNotNull)
+        .select(col("route_id"), col("stop_id"),
+          (col("actual_departure_epoch") - col("actual_arrival_epoch"))
+            .as("dwell"))
+        .where(col("dwell") >= 0)
+        .groupBy("route_id", "stop_id")
+        .agg(count(lit(1)).as("n_obs"), sum(col("dwell")).as("sum_dwell"),
+          max(col("dwell")).as("max_dwell_sec"))
+        .select(col("route_id"), col("stop_id"), col("n_obs"),
+          try_divide(col("sum_dwell").cast("double"),
+            col("n_obs").cast("double")).as("mean_dwell_sec"),
+          col("max_dwell_sec"))
+    }),
+
+    // Inter-stop run times — departure at stop s to arrival at stop
+    // s+1 within a trip: the segment-level travel-time matrix behind
+    // schedule construction. One lag window per trip ordered by
+    // stop_sequence; per (route, from, to) segment: exact integer
+    // sums, min, one divide.
+    "q206_run_times" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("trip_id", "start_date")
+        .orderBy(col("stop_sequence").asc)
+      diffMartEpochs(s, dir)
+        .select(col("trip_id"), col("start_date"), col("route_id"),
+          col("stop_sequence"), col("stop_id"),
+          col("actual_arrival_epoch"), col("actual_departure_epoch"))
+        .withColumn("prev_dep", lag(col("actual_departure_epoch"), 1).over(w))
+        .withColumn("prev_stop", lag(col("stop_id"), 1).over(w))
+        .withColumn("prev_seq", lag(col("stop_sequence"), 1).over(w))
+        .where(col("prev_dep").isNotNull &&
+          col("actual_arrival_epoch").isNotNull &&
+          col("prev_seq") === col("stop_sequence") - 1)
+        .select(col("route_id"), col("prev_stop").as("from_stop"),
+          col("stop_id").as("to_stop"),
+          (col("actual_arrival_epoch") - col("prev_dep")).as("run"))
+        .groupBy("route_id", "from_stop", "to_stop")
+        .agg(count(lit(1)).as("n_obs"), sum(col("run")).as("sum_run"),
+          min(col("run")).as("min_run_sec"))
+        .select(col("route_id"), col("from_stop"), col("to_stop"),
+          col("n_obs"),
+          try_divide(col("sum_run").cast("double"),
+            col("n_obs").cast("double")).as("mean_run_sec"),
+          col("min_run_sec"))
+    }),
+
+    // Delay accumulation along the route — does lateness build up
+    // stop by stop? Per route, the q174 OLS closed form fitted to
+    // (stop_sequence, arrival deviation): a positive slope is a route
+    // that cannot recover, the schedule-padding signal. Deviations are
+    // integer seconds, moments exact in DECIMAL(38,0), two mirrored
+    // divides.
+    "q207_delay_accumulation" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      diffMartEpochs(s, dir)
+        .where(col("actual_arrival_epoch").isNotNull)
+        .select(col("route_id"), col("stop_sequence").cast("long").as("x"),
+          (col("actual_arrival_epoch") - col("scheduled_arrival_epoch"))
+            .as("y"))
+        .groupBy("route_id")
+        .agg(count(lit(1)).as("n"),
+          sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+          sum(d38(col("x")) * col("y")).as("sxy"),
+          sum(d38(col("x")) * col("x")).as("sxx"))
+        .select(col("route_id"), col("n"),
+          try_divide(
+            (d38(col("n")) * col("sxy") - col("sx") * col("sy"))
+              .cast("double"),
+            (d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("sec_per_stop"),
+          try_divide(
+            (col("sy") * col("sxx") - col("sx") * col("sxy"))
+              .cast("double"),
+            (d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("intercept_sec"))
+    }),
+
+    // Delay survival curve — P(delay > t) at the thresholds riders
+    // quote (1/2/5/10 min), per route: the tail view a mean hides.
+    // Four integer tallies in one pass, one divide each.
+    "q208_delay_survival" -> ((s, dir) => {
+      val base = diffMartEpochs(s, dir)
+        .where(col("actual_arrival_epoch").isNotNull)
+        .select(col("route_id"),
+          (col("actual_arrival_epoch") - col("scheduled_arrival_epoch"))
+            .as("dev"))
+      val thresholds = Seq(60L, 120L, 300L, 600L)
+      base.groupBy("route_id")
+        .agg(count(lit(1)).as("n_obs"),
+          thresholds.map(th =>
+            sum(when(col("dev") > th, 1L).otherwise(0L)).as(s"n_gt$th")): _*)
+        .select(col("route_id") +: col("n_obs") +: thresholds.map(th =>
+          try_divide(col(s"n_gt$th").cast("double"),
+            col("n_obs").cast("double")).as(s"p_gt${th}s")): _*)
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6364,6 +6467,83 @@ object SparkEntry {
         |    - CAST(sum_h AS DOUBLE) / CAST(2 * n_headways AS DOUBLE)
         |    AS ewt_sec
         |FROM m""".stripMargin),
+
+    // Mirrors q205: integer dwell differences, exact sums, one divide.
+    "q205_dwell_time" -> (MART_CTE +
+      """, dw AS (
+        |  SELECT route_id, stop_id,
+        |    actual_departure_epoch - actual_arrival_epoch AS dwell
+        |  FROM mart
+        |  WHERE actual_arrival_epoch IS NOT NULL
+        |    AND actual_departure_epoch IS NOT NULL
+        |    AND actual_departure_epoch - actual_arrival_epoch >= 0)
+        |SELECT route_id, stop_id, count(*) AS n_obs,
+        |  CAST(sum(dwell) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_dwell_sec,
+        |  CAST(max(dwell) AS BIGINT) AS max_dwell_sec
+        |FROM dw GROUP BY route_id, stop_id""".stripMargin),
+
+    // Mirrors q206: the same per-trip lag window, consecutive-sequence
+    // gate, exact segment aggregates.
+    "q206_run_times" -> (MART_CTE +
+      """, lagd AS (
+        |  SELECT trip_id, start_date, route_id, stop_sequence, stop_id,
+        |    actual_arrival_epoch,
+        |    lag(actual_departure_epoch) OVER w AS prev_dep,
+        |    lag(stop_id) OVER w AS prev_stop,
+        |    lag(stop_sequence) OVER w AS prev_seq
+        |  FROM mart
+        |  WINDOW w AS (PARTITION BY trip_id, start_date
+        |               ORDER BY stop_sequence ASC)),
+        |seg AS (
+        |  SELECT route_id, prev_stop AS from_stop, stop_id AS to_stop,
+        |    actual_arrival_epoch - prev_dep AS run
+        |  FROM lagd
+        |  WHERE prev_dep IS NOT NULL AND actual_arrival_epoch IS NOT NULL
+        |    AND prev_seq = stop_sequence - 1)
+        |SELECT route_id, from_stop, to_stop, count(*) AS n_obs,
+        |  CAST(sum(run) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_run_sec,
+        |  CAST(min(run) AS BIGINT) AS min_run_sec
+        |FROM seg GROUP BY route_id, from_stop, to_stop""".stripMargin),
+
+    // Mirrors q207: q174's HUGEINT moment form on (sequence, deviation).
+    "q207_delay_accumulation" -> (MART_CTE +
+      """, d AS (
+        |  SELECT route_id, CAST(stop_sequence AS BIGINT) AS x,
+        |    actual_arrival_epoch - scheduled_arrival_epoch AS y
+        |  FROM mart WHERE actual_arrival_epoch IS NOT NULL),
+        |m AS (
+        |  SELECT route_id, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM d GROUP BY route_id)
+        |SELECT route_id, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS sec_per_stop,
+        |  CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        |    NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS intercept_sec
+        |FROM m""".stripMargin),
+
+    // Mirrors q208: four tallies, one divide each.
+    "q208_delay_survival" -> (MART_CTE +
+      """SELECT route_id, count(*) AS n_obs,
+        |  CAST(sum(CASE WHEN actual_arrival_epoch - scheduled_arrival_epoch
+        |    > 60 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS p_gt60s,
+        |  CAST(sum(CASE WHEN actual_arrival_epoch - scheduled_arrival_epoch
+        |    > 120 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS p_gt120s,
+        |  CAST(sum(CASE WHEN actual_arrival_epoch - scheduled_arrival_epoch
+        |    > 300 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS p_gt300s,
+        |  CAST(sum(CASE WHEN actual_arrival_epoch - scheduled_arrival_epoch
+        |    > 600 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS p_gt600s
+        |FROM mart WHERE actual_arrival_epoch IS NOT NULL
+        |GROUP BY route_id""".stripMargin),
 
     "q137_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
