@@ -4624,6 +4624,51 @@ object SparkEntry {
             col("n_obs").cast("double")).as(s"p_gt${th}s")): _*)
     }),
 
+    // Embedding class separation — the embedding-QUALITY audit behind
+    // every "train a classifier on these vectors" decision: per label,
+    // the mean squared distance to the OWN class centroid (cohesion)
+    // vs the squared distance to the NEAREST other centroid
+    // (separation); ratio < 1 means classes overlap. All-integer by
+    // construction: vectors quantize to the q19 1e5 grid, centroids
+    // are per-dimension integer floor-means (Σ DIV n — the mirrored
+    // spelling), distances are integer sums of squared differences in
+    // DECIMAL(38,0), and the one divide is the final ratio. Label
+    // domain is bounded (centroid frame broadcasts); the per-vector
+    // pass is one posexplode + two bounded joins.
+    "q209_embedding_separation" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val dims = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(Similarity.quantize(col("embedding"))))
+        .select(col("vec_id"), col("label"), col("pos").as("dim"),
+          col("col").as("q"))
+      val cent = dims.groupBy("label", "dim")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .select(col("label").as("c_label"), col("dim"),
+          expr("CASE WHEN sq >= 0 THEN sq DIV n " +
+            "ELSE -((-sq + n - 1) DIV n) END").as("c"))
+      // dist²(vector, every centroid) — label domain bounded, broadcast
+      val dist = dims.join(broadcast(cent), Seq("dim"))
+        .select(col("vec_id"), col("label"), col("c_label"),
+          ((col("q") - col("c")) * (col("q") - col("c"))).as("d2term"))
+        .groupBy("vec_id", "label", "c_label")
+        .agg(sum(d38(col("d2term"))).as("d2"))
+      val own = dist.where(col("label") === col("c_label"))
+        .select(col("vec_id"), col("label"), col("d2").as("own_d2"))
+      val other = dist.where(col("label") =!= col("c_label"))
+        .groupBy("vec_id").agg(min(col("d2")).as("nearest_other_d2"))
+      own.join(other, "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("own_d2")).as("sum_own_d2"),
+          sum(col("nearest_other_d2")).as("sum_other_d2"))
+        .select(col("label"), col("n_vecs"),
+          col("sum_own_d2").cast("long").as("sum_own_d2"),
+          col("sum_other_d2").cast("long").as("sum_other_d2"),
+          try_divide(col("sum_own_d2").cast("double"),
+            col("sum_other_d2").cast("double")).as("overlap_ratio"))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6544,6 +6589,43 @@ object SparkEntry {
         |    AS p_gt600s
         |FROM mart WHERE actual_arrival_epoch IS NOT NULL
         |GROUP BY route_id""".stripMargin),
+
+    // Mirrors q209: 1e5 quantization, the identical explicit-floor
+    // centroid CASE (both engines' integer division truncates toward
+    // zero, the CASE makes both floor), HUGEINT distance sums, one
+    // divide.
+    "q209_embedding_separation" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(round(unnest(embedding)::DOUBLE * 100000.0) AS BIGINT)
+        |      AS q
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, dim,
+        |    CASE WHEN sum(q) >= 0 THEN CAST(sum(q) AS BIGINT) // count(*)
+        |      ELSE -((-CAST(sum(q) AS BIGINT) + count(*) - 1) // count(*))
+        |      END AS c
+        |  FROM dims GROUP BY label, dim),
+        |dist AS (
+        |  SELECT d.vec_id, d.label, c.c_label,
+        |    CAST(sum(CAST((d.q - c.c) AS HUGEINT) * (d.q - c.c))
+        |      AS HUGEINT) AS d2
+        |  FROM dims d JOIN cent c ON d.dim = c.dim
+        |  GROUP BY d.vec_id, d.label, c.c_label),
+        |own AS (
+        |  SELECT vec_id, label, d2 AS own_d2 FROM dist
+        |  WHERE label = c_label),
+        |other AS (
+        |  SELECT vec_id, min(d2) AS nearest_other_d2 FROM dist
+        |  WHERE label <> c_label GROUP BY vec_id)
+        |SELECT o.label, count(*) AS n_vecs,
+        |  CAST(sum(o.own_d2) AS BIGINT) AS sum_own_d2,
+        |  CAST(sum(t.nearest_other_d2) AS BIGINT) AS sum_other_d2,
+        |  CAST(sum(o.own_d2) AS DOUBLE) /
+        |    CAST(sum(t.nearest_other_d2) AS DOUBLE) AS overlap_ratio
+        |FROM own o JOIN other t ON o.vec_id = t.vec_id
+        |GROUP BY o.label""".stripMargin,
 
     "q137_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
