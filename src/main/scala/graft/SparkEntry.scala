@@ -4669,6 +4669,52 @@ object SparkEntry {
             col("sum_other_d2").cast("double")).as("overlap_ratio"))
     }),
 
+    // The curation FUNNEL end-to-end — the whole training-data pipeline
+    // as one query, each stage an operator the engine proves elsewhere,
+    // chained: raw → exact dedup (q15's min-id representatives) →
+    // near-dup dedup (q51's shared cluster artifact; keep the
+    // min-label representative of each cluster) → decontamination
+    // (q48's trigram-overlap rule against the held-out eval slice) →
+    // quality gate (length ≥ 100) → deterministic stratified sample
+    // (q45's per-language content-hash rates). The report is the
+    // (stage, surviving docs, surviving chars) funnel a curator signs
+    // off on — and the composition is the "a reference user could run
+    // their whole pipeline here" claim, verified stage by stage.
+    "q210_curation_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val s1 = docs
+      // exact-dedup representatives
+      val keep = Dedup.exactDupGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val s2 = docs.join(keep, "doc_id")
+      // near-dup representatives: not clustered, or the cluster label
+      val cl = docClusters(s, dir)
+      val s3 = s2.join(cl, s2("doc_id") === cl("id"), "left")
+        .where(col("cluster_id").isNull ||
+          col("cluster_id") === col("doc_id"))
+        .select(docs.columns.map(col): _*)
+      // decontaminate vs the doc_id%10==0 holdout (q48 rule); the
+      // holdout rows themselves leave the training pool
+      val s4 = CorpusOps.decontaminate(
+        s3.where(col("doc_id") % 10L =!= 0L),
+        docs.where(col("doc_id") % 10L === 0L),
+        "doc_id", "text", n = 3)
+      val s5 = s4.where(col("n_chars") >= 100L)
+      val rate = when(col("lang") === "en", lit(700L))
+        .when(col("lang") === "es", lit(400L)).otherwise(lit(150L))
+      val s6 = s5.where(TextAnalysis.charPolyHash(col("text")) % 1000L < rate)
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
+      stage("1_raw", s1)
+        .unionByName(stage("2_exact_dedup", s2))
+        .unionByName(stage("3_neardup_dedup", s3))
+        .unionByName(stage("4_decontaminated", s4))
+        .unionByName(stage("5_quality", s5))
+        .unionByName(stage("6_sampled", s6))
+    }),
+
     // Cohen's kappa between two categorical columns — chance-corrected
     // agreement, the label-quality audit (annotator consistency, rule
     // vs model agreement) that raw accuracy overstates when the
@@ -6626,6 +6672,62 @@ object SparkEntry {
         |    CAST(sum(t.nearest_other_d2) AS DOUBLE) AS overlap_ratio
         |FROM own o JOIN other t ON o.vec_id = t.vec_id
         |GROUP BY o.label""".stripMargin,
+
+    // Mirrors q210: each stage in its family's established SQL,
+    // chained; the near-dup stage rides the q51 recursive CTE.
+    "q210_curation_funnel" ->
+      s"""WITH clusters AS (
+         |$DUP_CLUSTERS_SQL
+         |),
+         |keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY sha256(text)),
+         |s2 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+         |s3 AS (
+         |  SELECT s2.* FROM s2 LEFT JOIN clusters c ON s2.doc_id = c.id
+         |  WHERE c.cluster_id IS NULL OR c.cluster_id = s2.doc_id),
+         |tr AS (
+         |  SELECT doc_id, text, lang, source, n_chars, $TOKENS_SQL AS tk
+         |  FROM s3 WHERE doc_id % 10 <> 0),
+         |trsh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg
+         |  FROM tr),
+         |evt AS (
+         |  SELECT doc_id, $TOKENS_SQL AS tk FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |ev AS (
+         |  SELECT DISTINCT unnest(
+         |    list_distinct(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+         |  FROM evt),
+         |bad AS (
+         |  SELECT DISTINCT p.doc_id
+         |  FROM (SELECT doc_id, unnest(sg) AS shingle FROM trsh) p
+         |  JOIN ev ON p.shingle = ev.shingle),
+         |s4 AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM tr
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |s5 AS (SELECT * FROM s4 WHERE n_chars >= 100),
+         |s6 AS (
+         |  SELECT * FROM s5
+         |  WHERE ${charPolySql("text")} % 1000 <
+         |    CASE WHEN lang = 'en' THEN 700
+         |         WHEN lang = 'es' THEN 400 ELSE 150 END)
+         |SELECT '1_raw' AS stage, count(*) AS n_docs,
+         |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS n_chars
+         |FROM documents
+         |UNION ALL SELECT '2_exact_dedup', count(*),
+         |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) FROM s2
+         |UNION ALL SELECT '3_neardup_dedup', count(*),
+         |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) FROM s3
+         |UNION ALL SELECT '4_decontaminated', count(*),
+         |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) FROM s4
+         |UNION ALL SELECT '5_quality', count(*),
+         |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) FROM s5
+         |UNION ALL SELECT '6_sampled', count(*),
+         |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) FROM s6""".stripMargin,
 
     "q137_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
