@@ -4277,33 +4277,20 @@ object SparkEntry {
     // by ≥ w+k-1 characters, which plain q24-style whole-doc hashing
     // cannot promise. All integer polynomial hashes; the set renders
     // hash-checkable as (count, XOR-fold) scalars.
-    "q197_winnowing" -> ((s, dir) => {
-      val k = 8
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(-3, org.apache.spark.sql.expressions.Window.currentRow)
-      val grams = t(s, dir, "documents")
+    "q197_winnowing" -> ((s, dir) =>
+      // ONE codegen pass per document (expressions/WinnowFingerprints):
+      // no per-gram row explosion, no per-doc window shuffle — the
+      // oracle still spells the full relational derivation (gram rows,
+      // frame minima, distinct), so the hash match doubles as the
+      // kernel's correctness proof. 3.6 s → sub-second at sf0.1.
+      t(s, dir, "documents")
         .select(col("doc_id"),
-          // guard: Spark's sequence(1, 0) counts DOWN — short docs must
-          // yield an empty gram array, not [1, 0]
-          posexplode(expr(
-            s"CASE WHEN length(text) >= $k THEN " +
-              s"transform(sequence(1, length(text) - ${k - 1}), " +
-              s"i -> substring(text, i, $k)) " +
-              s"ELSE array() END")))
-        .select(col("doc_id"), col("pos"),
-          TextAnalysis.charPolyHash(col("col")).as("h"))
-      val mins = grams
-        .withColumn("nwin", count(lit(1)).over(w))
-        .withColumn("wmin", min(col("h")).over(w))
-        .where(col("nwin") === 4)
-        .select(col("doc_id"), col("wmin")).distinct()
-      t(s, dir, "documents").select("doc_id")
-        .join(mins, Seq("doc_id"), "left")
-        .groupBy("doc_id")
-        .agg(count(col("wmin")).as("n_fingerprints"),
-          coalesce(expr("bit_xor(wmin)"), lit(0L)).as("fp_xor"))
-    }),
+          graft.expressions.TextKernels.winnowOf(col("text"), 8, 4)
+            .as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fingerprints"),
+          aggregate(col("fps"), lit(0L),
+            (a, x) => a.bitwiseXOR(x)).as("fp_xor"))),
 
     // Time-to-convert — per converting user, the seconds from their
     // FIRST 'view' to their first subsequent 'purchase' (the funnel

@@ -188,6 +188,66 @@ object TextKernels {
     math.min(prev(m), inf).toLong
   }
 
+  /** [[WinnowFingerprints]] row kernel: rolling k-gram poly hash +
+    * monotonic-deque sliding minimum + distinct set, one pass over the
+    * codepoints. Value-identical to hashing each codepoint substring
+    * with [[SignatureKernels.polyHash]]. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    // codepoints array
+    val n = s.codePointCount(0, s.length)
+    if (n < k + w - 1) return new GenericArrayData(Array.empty[Long])
+    val cps = new Array[Int](n)
+    var ci = 0
+    var si = 0
+    while (si < s.length) {
+      val cp = s.codePointAt(si)
+      cps(ci) = cp; ci += 1; si += Character.charCount(cp)
+    }
+    val Mod = 1000000007L
+    // pow = 31^(k-1) mod p
+    var pow = 1L
+    var t = 0
+    while (t < k - 1) { pow = (pow * 31L) % Mod; t += 1 }
+    val m = n - k + 1 // number of grams
+    // rolling hashes
+    val hs = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * 31L + cps(i)) % Mod; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      val drop = (cps(i - 1) * pow) % Mod
+      h = ((h - drop + Mod) % Mod * 31L + cps(i + k - 1)) % Mod
+      hs(i) = h
+      i += 1
+    }
+    // sliding minimum over windows of w gram-hashes (indices in a
+    // monotonic deque, front = current minimum)
+    val selected = new java.util.HashSet[java.lang.Long]()
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0 // exclusive
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) selected.add(hs(dq(head)))
+      i += 1
+    }
+    val out = new Array[Long](selected.size())
+    val it = selected.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  def winnowOf(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))
+
   // ------------------------------------------------------- Column surface --
 
   def tokensOf(text: Column): Column =
@@ -351,5 +411,41 @@ case class BpeMergeTokens(child: Expression, a: String, b: String)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeMergeTokens =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03) as ONE codegen pass — the q197 operator's hot loop
+  * (k-gram poly hashes → sliding w-window minima → distinct selection)
+  * without materializing a row per gram: the relational spelling
+  * explodes |text| rows per document and windows over them (the
+  * dominant cost of the corpus pass); this kernel rolls the k-gram
+  * hash incrementally (h·31 ± codepoint mod 1e9+7 — value-identical to
+  * `graft_char_poly_hash(substring(text, i, k))`, which is what keeps
+  * the DuckDB oracle unchanged: the oracle still spells the relational
+  * derivation, and the hash match IS the kernel's correctness proof),
+  * keeps the w-window minimum with a monotonic deque (amortized O(1)
+  * per position), and collects the distinct selections. Returns the
+  * SORTED distinct fingerprints; documents shorter than k+w-1
+  * codepoints return an empty array (no fully-populated window). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, "k and w must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.winnow(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.winnow($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
