@@ -3384,12 +3384,17 @@ object SparkEntry {
     // dense terms — Σdf² quadratic; 3-grams are the sparse vocabulary
     // where the cap actually bites: measured 2.8M join rows at sf0.1
     // vs 480M for unigrams). minShared=3 prunes the pair aggregate
-    // before the norm joins; the cos≥0.5 display filter re-spells the
-    // same double both engines computed.
+    // before the norm joins; the cos≥0.5 gate re-spells the same double
+    // both engines computed from the same exact integers. The HASHED
+    // surface is integer/decimal-only — (id_a, id_b, n_shared, dot)
+    // already determines cos, whose rendered double rode a
+    // HUGEINT→DOUBLE cast that drifted across driver DuckDB versions
+    // (r8's one hash miss); cos itself stays on the operator's API and
+    // is value-pinned in CorpusOpsSpec.
     "q158_tfidf_cosine_pairs" -> ((s, dir) =>
       CorpusOps.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
         ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
-        .where(col("cos") >= 0.5)),
+        .where(col("cos") >= 0.5).drop("cos")),
 
     // Duplicate-cluster SIZE DISTRIBUTION — the dedup ladder's summary
     // report ("how much duplication, in what shape?"): a histogram of
@@ -5079,13 +5084,53 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
+  /** The oracles' HUGEINT mirror of [[Similarity.exactCosKey]]: the
+    * float-free centroid-ranking key sign(dot)·floor(dot²·10⁹/cnrm),
+    * assembled as (dot² // cnrm)·10⁹ + ((dot² % cnrm)·10⁹) // cnrm so no
+    * intermediate exceeds HUGEINT, NULL for a zero-norm centroid (the
+    * consumers rank `ckey DESC NULLS LAST, cid ASC`). Spark computes
+    * the identical integer in DECIMAL(38,0), so the cluster
+    * assignment/probe ORDER can never drift with a DuckDB version's
+    * int128→double rounding — the round-7/8 q149 failure mode, where a
+    * 1-ulp float-cosine flip relocated one vector and shifted every
+    * downstream centroid mean and inertia sum. */
+  private def cosKeySql(dot: String, cnrm: String): String = {
+    val d2 = s"(CAST($dot AS HUGEINT) * $dot)"
+    val mag = s"((($d2 // $cnrm) * 1000000000) + " +
+      s"(($d2 % $cnrm) * 1000000000) // $cnrm)"
+    s"CASE WHEN $cnrm = 0 THEN NULL WHEN $dot < 0 THEN -$mag ELSE $mag END"
+  }
+
+  /** One mirrored assignment round against centroid CTE `centCte`
+    * (cid, cv, cnrm): dots (sd$sfx), exact keys (k$sfx — kept visible so
+    * probe CTEs can rank with the same key), winner per vector (a$sfx). */
+  private def ivfAssignCtes(centCte: String, sfx: String): String =
+    s"""sd$sfx AS (
+       |  SELECT n.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1, len(n.v)+1),
+       |      i -> n.v[i]*c.cv[i])) AS BIGINT) AS dot,
+       |    c.cnrm AS cnrm
+       |  FROM n, $centCte c),
+       |k$sfx AS (
+       |  SELECT vec_id, cid,
+       |    ${cosKeySql("dot", "cnrm")} AS ckey
+       |  FROM sd$sfx),
+       |a$sfx AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ckey DESC NULLS LAST, cid ASC) AS rn FROM k$sfx)
+       |  WHERE rn = 1),
+       |""".stripMargin
+
   // q32's mirrored IVF training pipeline — seed centroids (first 16
   // corpus vectors), two Lloyd iterations with floor-mean integer
-  // centroids and (cos desc, cid asc) assignment, then the final
+  // centroids and the EXACT-KEY assignment (cosKeySql — float-free, so
+  // no DuckDB version can rank apart from Spark), then the final
   // per-vector assignment. Shared VERBATIM by the IVF search (q32) and
-  // the inertia readout (q149), so the two oracles can never train apart.
-  // Consumes EMB_CTE's `n`; produces `cent` (cid, cv, cnrm), `sc`
-  // (all cosines), and `assign` (vec_id → cid).
+  // the inertia readout (q149), so the two oracles can never train
+  // apart. Consumes EMB_CTE's `n`; produces `cent` (cid, cv, cnrm),
+  // `kf` (all final exact keys — the probe CTEs rank over it), and
+  // `assign` (vec_id → cid).
   private val IVF_TRAIN_CTES: String =
     """dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM n) + 1)) AS i),
       |c0 AS (
@@ -5094,17 +5139,9 @@ object SparkEntry {
       |c0n AS (
       |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
       |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c0),
-      |s0 AS (
-      |  SELECT n.vec_id, c.cid,
-      |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
-      |        i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)
-      |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS cos
-      |  FROM n, c0n c),
-      |a0 AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY cos DESC, cid ASC) AS rn FROM s0) WHERE rn = 1),
-      |m0 AS (
+      |""".stripMargin +
+    ivfAssignCtes("c0n", "0") +
+    """m0 AS (
       |  SELECT a.cid, d.i,
       |    CAST(floor(CAST(sum(n.v[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
       |  FROM a0 a JOIN n USING (vec_id) CROSS JOIN dims d
@@ -5116,17 +5153,9 @@ object SparkEntry {
       |c1n AS (
       |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
       |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c1),
-      |s1 AS (
-      |  SELECT n.vec_id, c.cid,
-      |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
-      |        i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)
-      |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS cos
-      |  FROM n, c1n c),
-      |a1 AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY cos DESC, cid ASC) AS rn FROM s1) WHERE rn = 1),
-      |m1 AS (
+      |""".stripMargin +
+    ivfAssignCtes("c1n", "1") +
+    """m1 AS (
       |  SELECT a.cid, d.i,
       |    CAST(floor(CAST(sum(n.v[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
       |  FROM a1 a JOIN n USING (vec_id) CROSS JOIN dims d
@@ -5138,16 +5167,9 @@ object SparkEntry {
       |cent AS (
       |  SELECT cid, cv, CAST(list_sum(list_transform(range(1, len(cv)+1),
       |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM c2),
-      |sc AS (
-      |  SELECT n.vec_id, cent.cid,
-      |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
-      |        i -> n.v[i]*cent.cv[i])) AS BIGINT) AS DOUBLE)
-      |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(cent.cnrm AS DOUBLE))) AS cos
-      |  FROM n, cent),
-      |assign AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY cos DESC, cid ASC) AS rn FROM sc) WHERE rn = 1),
+      |""".stripMargin +
+    ivfAssignCtes("cent", "f") +
+    """assign AS (SELECT vec_id, cid FROM af),
       |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -7222,7 +7244,8 @@ object SparkEntry {
       """probe AS (
         |  SELECT vec_id AS query_id, cid FROM (
         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, cid ASC) AS rn FROM sc WHERE vec_id < 10)
+        |      ORDER BY ckey DESC NULLS LAST, cid ASC) AS rn
+        |    FROM kf WHERE vec_id < 10)
         |  WHERE rn <= 4),
         |cand AS (
         |  SELECT p.query_id, a.vec_id FROM probe p JOIN assign a ON p.cid = a.cid),
@@ -7282,18 +7305,25 @@ object SparkEntry {
         |    i -> cv[i]*cv[i])) AS BIGINT) AS cnrm FROM cc0),
         |cs0 AS (
         |  SELECT n.vec_id, c.cid,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(n.v)+1),
-        |        i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS cos
+        |    CAST(list_sum(list_transform(range(1, len(n.v)+1),
+        |      i -> n.v[i]*c.cv[i])) AS BIGINT) AS dot,
+        |    c.cnrm AS cnrm
         |  FROM n, cc0n c),
+        |ck0 AS (
+        |  SELECT vec_id, cid,
+        |""".stripMargin +
+      s"    ${cosKeySql("dot", "cnrm")} AS ckey\n" +
+      """  FROM cs0),
         |assign AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, cid ASC) AS rn FROM cs0) WHERE rn = 1),
+        |      ORDER BY ckey DESC NULLS LAST, cid ASC) AS rn FROM ck0)
+        |  WHERE rn = 1),
         |probe AS (
         |  SELECT vec_id AS query_id, cid FROM (
         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, cid ASC) AS rn FROM cs0 WHERE vec_id < 10)
+        |      ORDER BY ckey DESC NULLS LAST, cid ASC) AS rn
+        |    FROM ck0 WHERE vec_id < 10)
         |  WHERE rn <= 4),
         |cand AS (
         |  SELECT p.query_id, a.vec_id FROM probe p JOIN assign a ON p.cid = a.cid),
@@ -7644,9 +7674,7 @@ object SparkEntry {
          |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
          |  GROUP BY 1, 2
          |  HAVING count(*) >= 3)
-         |SELECT id_a, id_b, n_shared, CAST(dot AS DECIMAL(38,0)) AS dot,
-         |  CAST(dot AS DOUBLE) /
-         |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cos
+         |SELECT id_a, id_b, n_shared, CAST(dot AS DECIMAL(38,0)) AS dot
          |FROM p
          |JOIN nrm na ON p.id_a = na.id
          |JOIN nrm nb ON p.id_b = nb.id

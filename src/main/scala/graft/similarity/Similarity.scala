@@ -296,28 +296,70 @@ object Similarity {
   def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
     lshBucketQ(quantize(emb), quantizePlanes(planes))
 
-  /** Per-row array of cosines of a quantized vector to each centroid
-    * (1-based positions = cid). Integer dots via the codegen'd expression;
-    * try_divide for the zero-norm edge. */
-  private def centCos(cents: Seq[Seq[Long]], cNorms: Seq[Long],
-                      vCol: Column, nCol: Column): Column =
+  /** EXACT centroid-ranking key — the float-free replacement for the
+    * per-centroid cosine. For one vector, ranking centroids by
+    * cos = dot/(|v|·|c|) is ranking by dot/√cnrm (|v| is shared across
+    * centroids, so it cancels), which is ranking by sign(dot)·dot²/cnrm.
+    * This key is that ratio scaled to integer NANOUNITS, computed
+    * exactly in decimal arithmetic:
+    *
+    *   key = sign(dot) · ((dot² DIV cnrm)·10⁹ + ((dot² MOD cnrm)·10⁹) DIV cnrm)
+    *
+    * i.e. floor(dot²·10⁹/cnrm) without ever forming an overflowing
+    * product. Both engines (Spark DECIMAL(38,0), DuckDB HUGEINT)
+    * compute the identical integer, so a cluster assignment can NEVER
+    * flip between engines or DuckDB versions — the round-7/8 q149 hash
+    * drift was exactly a 1-ulp float-cosine assignment flip relocating
+    * one vector. Ratios closer than one nanounit (≈1e-16 relative at
+    * this data's norms, below float32 embedding noise) tie and break by
+    * cid, deterministically and identically in both engines.
+    *
+    * Magnitudes (dim ≤ 64, components quantized to ≤ 1e5): |dot| ≤
+    * 6.4e11, dot² ≤ 4.1e23 (DECIMAL(38,0)-exact), dot² DIV cnrm ≤ |v|²
+    * ≤ 6.4e11 (Cauchy–Schwarz), so key ≤ 6.4e20 — every intermediate
+    * decimal-exact, both DIV results long-safe. A zero-norm CENTROID
+    * has no cosine to anything → NULL key (ranked last, the old
+    * try_divide/NULLS-LAST contract); a zero-norm VECTOR has dot = 0 to
+    * every centroid → key 0 everywhere → the argmax tie-break lands it
+    * in the first probeable list, as before. */
+  private[graft] def exactCosKey(dot: Column, cnrm: Column): Column = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val giga = d19(lit(1000000000L))
+    val d2 = d19(dot) * d19(dot)
+    // Spark registers IntegralDivide as SQL `div`: decimal DIV decimal
+    // → exact floor LONG (operands here are nonnegative).
+    val q = call_function("div", d2, d19(cnrm))
+    val r = d2 - d19(q) * d19(cnrm)
+    val t2 = call_function("div", r * giga, d19(cnrm))
+    val key = (d19(q) * giga + d19(t2)).cast("decimal(38,0)")
+    when(cnrm === 0, lit(null).cast("decimal(38,0)"))
+      .otherwise(when(dot < 0, -key)
+        .when(dot > 0, key)
+        .otherwise(lit(0).cast("decimal(38,0)")))
+  }
+
+  /** Per-row array of [[exactCosKey]]s of a quantized vector to each
+    * centroid (1-based positions = cid) — integer dots via the codegen'd
+    * expression. Needs no vector-norm column: the norm is shared across
+    * centroids and cancels out of the ranking. */
+  private def centKeys(cents: Seq[Seq[Long]], cNorms: Seq[Long],
+                       vCol: Column): Column =
     array(cents.indices.map { j =>
-      try_divide(intDot(vCol, typedLit(cents(j))).cast("double"),
-        sqrt(nCol.cast("double")) * sqrt(lit(cNorms(j).toDouble)))
+      exactCosKey(intDot(vCol, typedLit(cents(j))), lit(cNorms(j)))
     }: _*)
 
-  /** Nearest-centroid id (1-based) over a materialized `__cos` column
-    * (the [[centCos]] array the caller must have bound — binding it once
+  /** Nearest-centroid id (1-based) over a materialized `__key` column
+    * (the [[centKeys]] array the caller must have bound — binding it once
     * keeps the nCentroids dot products evaluated once, not per reference):
-    * argmax with the deterministic smallest-cid tie-break. The coalesce
-    * fires only for a ZERO-NORM vector (cosine NULL to every centroid —
-    * try_divide in [[cosineQ]]/[[centCos]]): it lands in list 1, the same
-    * list the oracle's NULLS-LAST row_number assigns, so such a vector
-    * stays in a PROBEABLE list instead of vanishing into a list no query
-    * ever probes. The non-nullable result also lets join IsNotNull
-    * predicates constant-fold instead of duplicating the assignment. */
+    * argmax with the deterministic smallest-cid tie-break (array_position
+    * returns the FIRST position of the max; equal exact keys are equal in
+    * both engines, unlike float ties). The coalesce fires only when every
+    * centroid has zero norm (all keys NULL): the vector lands in list 1,
+    * the same list the oracle's NULLS-LAST row_number assigns. The
+    * non-nullable result also lets join IsNotNull predicates
+    * constant-fold instead of duplicating the assignment. */
   private val nearestCid: Column =
-    coalesce(expr("array_position(__cos, array_max(__cos))").cast("long"),
+    coalesce(expr("array_position(__key, array_max(__key))").cast("long"),
       lit(1L))
 
   /** The deterministic seed rule shared by every trained quantizer here
@@ -351,7 +393,7 @@ object Similarity {
     val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
     val centArr = array(cents.map(v => typedLit(v)): _*)
     val normArr = array(cNorms.map(lit): _*)
-    cq.withColumn("__cos", centCos(cents, cNorms, col("cv"), col("cn")))
+    cq.withColumn("__key", centKeys(cents, cNorms, col("cv")))
       .withColumn("cid", nearestCid)
       .withColumn("__dist2",
         col("cn") + element_at(normArr, col("cid").cast("int")) -
@@ -362,21 +404,22 @@ object Similarity {
         sum(col("__dist2").cast("decimal(38,0)")).as("inertia"))
   }
 
-  /** The `nProbe` nearest centroid ids (1-based) from a bound `__cos`
-    * array: sort (−cos, cid) structs — cos desc, cid asc — then slice.
-    * Shared by [[ivfTopK]] and [[ivfPqTopK]] so the probe tie-break can
-    * never drift between the two IVF paths. A ZERO-NORM centroid has
-    * NULL cosine to everything (try_divide); its nc coalesces to +∞ so
-    * it sorts to the END of the probe order — Spark's struct array_sort
-    * would otherwise put NULL fields FIRST while the oracles' ORDER BY
-    * cos DESC is NULLS-LAST, and the probe lists would diverge (the
-    * assignment side's [[nearestCid]] already matched the oracle;
-    * SimilaritySpec pins the probe side with a zero-norm seed). */
+  /** The `nProbe` nearest centroid ids (1-based) from a bound `__key`
+    * array: sort (nullFlag, −key, cid) structs — valid first, key desc,
+    * cid asc — then slice. Shared by [[ivfTopK]] and [[ivfPqTopK]] so
+    * the probe tie-break can never drift between the two IVF paths, and
+    * float-free like the assignment ([[exactCosKey]]) so the probe ORDER
+    * itself can never drift between engines either. A ZERO-NORM centroid
+    * has a NULL key; its nullFlag sorts it to the END of the probe order
+    * (the oracles' ckey DESC NULLS LAST), its nk coalesces to 0 so the
+    * struct comparison among invalid centroids falls to cid
+    * (SimilaritySpec pins the probe side with a zero-norm seed). */
   private def probeListCol(nCentroids: Int, nProbe: Int): Column =
     slice(transform(array_sort(
       array((0 until nCentroids).map(j => struct(
-        coalesce(col("__cos").getItem(j) * lit(-1.0),
-          lit(Double.PositiveInfinity)).as("nc"),
+        col("__key").getItem(j).isNull.cast("int").as("nul"),
+        coalesce(col("__key").getItem(j) * lit(-1),
+          lit(0).cast("decimal(38,0)")).as("nk"),
         lit(j + 1L).as("cid"))): _*)),
       s => s.getField("cid")), 1, nProbe)
 
@@ -395,7 +438,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val cNorms = cents.map(v => v.map(x => x * x).sum)
       val sums = c
-        .withColumn("__cos", centCos(cents, cNorms, col("cv"), col("cn")))
+        .withColumn("__key", centKeys(cents, cNorms, col("cv")))
         .withColumn("cid", nearestCid)
         .select(col("cid"), posexplode(col("cv")))
         .groupBy("cid", "pos")
@@ -456,12 +499,12 @@ object Similarity {
     val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
 
     val c = cq
-      .withColumn("__cos", centCos(cents, cNorms, col("cv"), col("cn")))
+      .withColumn("__key", centKeys(cents, cNorms, col("cv")))
       .withColumn("list_id", nearestCid)
-      .drop("__cos")
+      .drop("__key")
     val q = withQuantized(queries, idCol, embCol, "qv", "qn").drop(embCol)
       .withColumnRenamed(idCol, "query_id")
-      .withColumn("__cos", centCos(cents, cNorms, col("qv"), col("qn")))
+      .withColumn("__key", centKeys(cents, cNorms, col("qv")))
       // nProbe nearest centroids: sort (−cos, cid) structs — cos desc, cid asc
       .withColumn("__probe", probeListCol(cents.size, nProbe))
       .select(col("query_id"), col("qv"), col("qn"),
@@ -686,13 +729,13 @@ object Similarity {
     val cqv = corpus.select(col(idCol), quantize(col(embCol)).as("cv"))
       .withColumn("cn", intDot(col("cv"), col("cv")))
     val assigned = cqv
-      .withColumn("__cos", centCos(cents, cNorms, col("cv"), col("cn")))
+      .withColumn("__key", centKeys(cents, cNorms, col("cv")))
       .withColumn("list_id", nearestCid)
       .select(col(idCol), col("list_id"))
     val q = queries.select(col(idCol).as("query_id"),
         quantize(col(embCol)).as("qv"))
       .withColumn("qn", intDot(col("qv"), col("qv")))
-      .withColumn("__cos", centCos(cents, cNorms, col("qv"), col("qn")))
+      .withColumn("__key", centKeys(cents, cNorms, col("qv")))
       .withColumn("__probe", probeListCol(cents.size, nProbe))
       .select(col("query_id"), explode(col("__probe")).as("list_id"))
     // (query_id, vec_id) candidates from probed lists — slim both sides.
