@@ -4506,8 +4506,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_headways"), sum(col("h")).as("sum_h"),
           sum(d38(col("h")) * col("h")).as("sum_h2"))
         .select(col("route_id"), col("n_headways"),
+          // 2.0 * double(sum_h), not double(2 * decimal(sum_h)): keeps
+          // the denominator on the exact BIGINT→DOUBLE path (<2^53 at
+          // gate scale; *2.0 is a power-of-two, exact) instead of the
+          // version-sensitive int128→double conversion — HashSurfaceSpec
           try_divide(col("sum_h2").cast("double"),
-            (lit(2L) * d38(col("sum_h"))).cast("double")).as("awt_sec"),
+            lit(2.0) * col("sum_h").cast("double")).as("awt_sec"),
           try_divide(col("sum_h").cast("double"),
             (lit(2L) * col("n_headways")).cast("double")).as("swt_sec"))
         .withColumn("ewt_sec", col("awt_sec") - col("swt_sec"))
@@ -6560,10 +6564,10 @@ object SparkEntry {
         |    CAST(sum(CAST(h AS HUGEINT) * h) AS HUGEINT) AS sum_h2
         |  FROM hw WHERE h IS NOT NULL GROUP BY route_id)
         |SELECT route_id, n_headways,
-        |  CAST(sum_h2 AS DOUBLE) / CAST(2 * CAST(sum_h AS HUGEINT) AS DOUBLE)
+        |  CAST(sum_h2 AS DOUBLE) / (2.0 * CAST(sum_h AS DOUBLE))
         |    AS awt_sec,
         |  CAST(sum_h AS DOUBLE) / CAST(2 * n_headways AS DOUBLE) AS swt_sec,
-        |  CAST(sum_h2 AS DOUBLE) / CAST(2 * CAST(sum_h AS HUGEINT) AS DOUBLE)
+        |  CAST(sum_h2 AS DOUBLE) / (2.0 * CAST(sum_h AS DOUBLE))
         |    - CAST(sum_h AS DOUBLE) / CAST(2 * n_headways AS DOUBLE)
         |    AS ewt_sec
         |FROM m""".stripMargin),

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** The hashed-surface float lint (round-9 VERDICT item 3).
+  *
+  * The driver's correctness gate hashes every output cell; a DOUBLE on
+  * that surface survives only if BOTH engines produce the identical
+  * bits on EVERY DuckDB version — which holds exactly when the double
+  * is (a) a raw passthrough of source data, or (b) the end of the
+  * one-mirrored-divide discipline over integers that stay below 2^53
+  * at gate scale (BIGINT→DOUBLE is value-exact there; +, *, /, sqrt
+  * are IEEE-correctly-rounded in both engines, so op-for-op mirrored
+  * chains are bit-stable). What is NOT version-stable is casting an
+  * int128 (DuckDB HUGEINT, Spark DECIMAL(38,0)) beyond 2^53 to
+  * double: DuckDB's int128→double conversion has changed rounding
+  * across releases. That exact path produced the only two red rows of
+  * CORRECTNESS_r08 (q158's rendered cos; q149's float-cosine
+  * assignment) — both now de-floated.
+  *
+  * This spec freezes the double-typed hashed surface: every
+  * double/float column (recursively, through arrays and structs) of
+  * every registered query must be REGISTERED here, and every
+  * registration must still exist. Adding a query with a new double
+  * output forces the author through this file — and through the
+  * question "is this double derived only from <2^53 integers and
+  * mirrored op-for-op, or should the hashed surface carry the exact
+  * integers instead?" (the q158 resolution). Every entry below was
+  * hash-verified green against the DuckDB oracle when registered.
+  */
+class HashSurfaceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** query → double-typed output columns ("col", "col.field" inside a
+    * struct, "col[]" for an array of doubles). */
+  private val mirroredDoubles: Map[String, Set[String]] = Map(
+    "q01_diff_mart" -> Set("arrival_time_diff_in_minutes", "departure_time_diff_in_minutes", "average_diff_in_minutes", "temperature"),
+    "q02_star_join" -> Set("revenue", "sum_qty"),
+    "q03_avg_delay_by_hour" -> Set("avg_delay_min"),
+    "q04_avg_delay_sliced" -> Set("avg_delay_min"),
+    "q07_delay_rollup" -> Set("avg_delay_min"),
+    "q08_upsert" -> Set("value"),
+    "q09_insert_if_absent" -> Set("value"),
+    "q102_containment" -> Set("contain_a", "contain_b"),
+    "q104_merge_aggregates" -> Set("avg_delay"),
+    "q106_share_of_day" -> Set("trip_abs_delay", "share"),
+    "q109_delay_ntile" -> Set("delay_min"),
+    "q10_latest_per_key" -> Set("value"),
+    "q112_partitioned_merge" -> Set("value"),
+    "q113_top_quality_per_lang" -> Set("quality_score"),
+    "q114_token_rarity" -> Set("mean_df_ratio"),
+    "q119_corrupt_tolerance" -> Set("avg_value"),
+    "q120_topk_aggregate" -> Set("quality_score"),
+    "q123_snapshot_diff" -> Set("old_o_totalprice", "new_o_totalprice"),
+    "q125_pmi_cooccur" -> Set("lift"),
+    "q126_pareto_frontier" -> Set("o_totalprice"),
+    "q127_token_concentration" -> Set("hhi"),
+    "q12_weather_bucket" -> Set("avg_value"),
+    "q130_prefix_jaccard" -> Set("jaccard"),
+    "q131_vocab_coverage" -> Set("cum_share"),
+    "q132_contamination_score" -> Set("contamination"),
+    "q133_delay_gini" -> Set("total_abs_delay", "gini"),
+    "q134_stop_pagerank" -> Set("pagerank"),
+    "q135_jl_topk" -> Set("cosine"),
+    "q137_dup_spans" -> Set("dup_share"),
+    "q139_gap_fill" -> Set("day_value"),
+    "q13_json_extract" -> Set("avg_value"),
+    "q140_interpolate" -> Set("value_filled"),
+    "q141_sq8_ann" -> Set("cosine"),
+    "q144_chi2_terms" -> Set("chi2"),
+    "q145_mad_outliers" -> Set("med", "mad"),
+    "q147_winsorize" -> Set("lo", "hi", "sum_winsorized"),
+    "q14_window_latest" -> Set("value"),
+    "q152_chi2_drift" -> Set("e_a", "e_b", "chi2"),
+    "q153_moving_avg" -> Set("ma"),
+    "q157_target_encode" -> Set("loo_mean_chars"),
+    "q159_key_skew" -> Set("med_per_key", "max_share", "skew_factor"),
+    "q160_corr_matrix" -> Set("corr"),
+    "q161_ewma" -> Set("ewma"),
+    "q162_lm_fluency" -> Set("fluency"),
+    "q163_weighted_median" -> Set("weighted_median_price"),
+    "q166_cohens_kappa" -> Set("kappa"),
+    "q16_minhash_pairs" -> Set("est_jaccard"),
+    "q170_rolling_median" -> Set("med"),
+    "q171_auc" -> Set("auc"),
+    "q172_benford" -> Set("share", "expected", "chi2_term"),
+    "q173_jaro_winkler" -> Set("jw"),
+    "q174_ols_group" -> Set("slope_cents_per_unit", "intercept_cents"),
+    "q179_ann_recall" -> Set("recall"),
+    "q180_ks_test" -> Set("ks"),
+    "q182_cramers_v" -> Set("chi2", "cramers_v"),
+    "q185_split_gini" -> Set("weighted_gini"),
+    "q186_calibration_bins" -> Set("pos_rate", "mean_score_micro"),
+    "q187_confusion_f1" -> Set("precision", "recall", "f1"),
+    "q189_theil_sen" -> Set("theil_sen_slope"),
+    "q18_ngram_jaccard" -> Set("jaccard"),
+    "q190_seasonal_residual" -> Set("residual"),
+    "q191_l_diversity" -> Set("max_dominance"),
+    "q192_readability" -> Set("ari"),
+    "q195_first_touch" -> Set("conversion_rate"),
+    "q196_linear_attribution" -> Set("credit"),
+    "q19_cosine_topk" -> Set("cosine"),
+    "q201_headway_regularity" -> Set("mean_headway_sec", "var_headway_sec2"),
+    "q202_otp" -> Set("otp"),
+    "q203_bunching" -> Set("bunching_share"),
+    "q204_excess_wait" -> Set("awt_sec", "swt_sec", "ewt_sec"),
+    "q205_dwell_time" -> Set("mean_dwell_sec"),
+    "q206_run_times" -> Set("mean_run_sec"),
+    "q207_delay_accumulation" -> Set("sec_per_stop", "intercept_sec"),
+    "q208_delay_survival" -> Set("p_gt60s", "p_gt120s", "p_gt300s", "p_gt600s"),
+    "q209_embedding_separation" -> Set("overlap_ratio"),
+    "q20_ann_lsh" -> Set("cosine"),
+    "q22_quality" -> Set("ttr", "avg_token_len", "stopword_ratio", "quality_score"),
+    "q23_token_stats" -> Set("chars_per_token"),
+    "q30_weather_attach" -> Set("temperature"),
+    "q31_csv_roundtrip" -> Set("avg_value"),
+    "q32_ivf_topk" -> Set("cosine"),
+    "q33_bucketed_join" -> Set("avg_value"),
+    "q36_realtime_e1" -> Set("temperature"),
+    "q37_dedup_pipeline" -> Set("jaccard"),
+    "q38_jaccard_maxdf" -> Set("jaccard"),
+    "q39_salted_join" -> Set("avg_value"),
+    "q41_embed_neardup" -> Set("cosine"),
+    "q43_trigram_jaccard" -> Set("jaccard"),
+    "q47_delay_by_window" -> Set("avg_delay_min"),
+    "q50_delay_percentiles" -> Set("p25", "p50", "p75"),
+    "q52_corpus_pipeline" -> Set("avg_quality"),
+    "q54_ann_banded" -> Set("cosine"),
+    "q55_hof_dot_rewrite" -> Set("cosine"),
+    "q58_poly_minhash_pairs" -> Set("est_jaccard"),
+    "q59_poly_dedup_pipeline" -> Set("jaccard"),
+    "q60_tfidf" -> Set("score"),
+    "q61_repetition" -> Set("dup_bigram_frac", "top_bigram_frac"),
+    "q63_pooled_embeddings" -> Set("unit"),
+    "q65_hof_tokens_rewrite" -> Set("chars_per_token"),
+    "q69_asof_join" -> Set("purchase_value"),
+    "q72_incremental_dedup" -> Set("est_jaccard"),
+    "q74_orc_roundtrip" -> Set("avg_value"),
+    "q75_partitioned_pruning" -> Set("avg_value"),
+    "q77_delay_temp_corr" -> Set("corr_delay_temp"),
+    "q79_delay_cube" -> Set("avg_delay_min"),
+    "q80_delay_pivot" -> Set("Clear", "Clouds", "Rain", "Snow"),
+    "q85_asof_forward" -> Set("purchase_value"),
+    "q86_bm25" -> Set("score"),
+    "q89_hybrid_rrf" -> Set("rrf"),
+    "q90_novelty" -> Set("novelty", "gini"),
+    "q91_delay_outliers" -> Set("delay_min", "z"),
+    "q94_cohort_retention" -> Set("retention"),
+    "q95_sliding_error_rate" -> Set("error_rate"),
+    "q96_group_minhash" -> Set("est_jaccard"),
+    "q97_schema_evolution" -> Set("avg_value"),
+    "q98_unpivot" -> Set("avg_delay"),
+    "q99_delay_position" -> Set("delay_min", "pct_rank", "cume")
+  )
+
+  test("every double on a hashed surface is consciously registered, " +
+    "and no registration is stale") {
+    def floats(dt: DataType, prefix: String): Seq[String] = dt match {
+      case DoubleType | FloatType => Seq(prefix)
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => floats(f.dataType,
+          if (prefix.isEmpty) f.name else s"$prefix.${f.name}"))
+      case a: ArrayType => floats(a.elementType, s"$prefix[]")
+      case m: MapType =>
+        floats(m.keyType, s"$prefix{k}") ++ floats(m.valueType, s"$prefix{v}")
+      case _ => Nil
+    }
+    val actual: Map[String, Set[String]] =
+      SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+        val cols = floats(SparkEntry.queries(q)(spark, sf).schema, "").toSet
+        if (cols.nonEmpty) Some(q -> cols) else None
+      }.toMap
+    val unregistered = actual.toSeq.sortBy(_._1).flatMap { case (q, cols) =>
+      val extra = cols -- mirroredDoubles.getOrElse(q, Set.empty)
+      if (extra.nonEmpty) Some(s"$q: ${extra.toSeq.sorted.mkString(", ")}")
+      else None
+    }
+    val stale = mirroredDoubles.toSeq.sortBy(_._1).flatMap { case (q, cols) =>
+      val gone = cols -- actual.getOrElse(q, Set.empty)
+      if (gone.nonEmpty) Some(s"$q: ${gone.toSeq.sorted.mkString(", ")}")
+      else None
+    }
+    assert(unregistered.isEmpty,
+      "UNREGISTERED double columns on a hashed surface — either carry " +
+        "the exact integers instead, or register here after verifying " +
+        "the <2^53 mirrored-divide discipline:\n" +
+        unregistered.mkString("\n"))
+    assert(stale.isEmpty,
+      s"stale registrations (column gone or no longer double):\n" +
+        stale.mkString("\n"))
+  }
+
+  test("no oracle SQL casts a HUGEINT directly to DOUBLE — the int128 " +
+    "to double conversion is the one float op whose rounding has " +
+    "drifted across DuckDB versions (the r7/r8 q149+q158 hash misses)") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (q, sql) =>
+        if (sql.contains("HUGEINT AS DOUBLE") ||
+          sql.contains("HUGEINT) AS DOUBLE"))
+          Some(q)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"oracles with explicit HUGEINT→DOUBLE casts: $offenders")
+  }
+}
