@@ -4997,6 +4997,66 @@ object SparkEntry {
         .unionByName(audit(t(s, dir, "lineitem"), "l_returnflag",
           "lineitem.l_returnflag"))
     }),
+
+    // Sketch-accuracy audit — the q179 discipline applied to q40's HLL:
+    // an oracle can't replay an engine-internal sketch, but it CAN
+    // assert the sketch's published guarantee. The oracle emits the
+    // exact per-hour distinct count and `within_bound = TRUE`; the
+    // Spark side computes BOTH the HLL++ estimate and the exact count
+    // and tests |est − exact| ≤ max(5, ceil(3·rsd·exact)) (3σ at
+    // rsd = 0.02 — deterministic: the sketch hash is fixed, so the
+    // boolean is a constant of the data, not a coin flip). A sketch
+    // regression flips the boolean and the driver's hash compare
+    // catches it; the estimate itself stays off the hashed surface.
+    // This is an AUDIT query: the exact countDistinct it carries is the
+    // cost q40 exists to avoid — run it on samples/canaries, not the
+    // full 100 TB.
+    "q211_hll_error_bound" -> ((s, dir) =>
+      diffMart(s, dir).groupBy("sudbury_hour_of_day")
+        .agg(approx_count_distinct(col("trip_id"), 0.02).as("__est"),
+          countDistinct(col("trip_id")).as("n_exact"))
+        .select(col("sudbury_hour_of_day"), col("n_exact"),
+          (abs(col("__est") - col("n_exact")) <=
+            greatest(lit(5L), ceil(col("n_exact").cast("double") * lit(0.06))
+              .cast("long"))).as("within_bound"))),
+
+    // GK-sketch rank-guarantee audit (q151's percentile_approx at
+    // accuracy 1/ε = 100), same discipline: the estimate's exact rank
+    // interval [count(< est), count(≤ est)] must come within
+    // εN (+2 definitional slack) of the target rank φN. The oracle
+    // emits the exact group sizes and TRUE; Spark recomputes the ranks
+    // relationally — one broadcast of 3 estimates per day_type against
+    // the delay frame, map-side-combined conditional counts, integer
+    // rank arithmetic (φ in exact micro-units). The engine-defined
+    // estimate values stay on q151's rows-only surface; their GUARANTEE
+    // is what hash-checks here.
+    "q212_gk_error_bound" -> ((s, dir) => {
+      val delays = diffMartEpochs(s, dir)
+        .select(col("day_type"),
+          (col("actual_arrival_epoch") - col("scheduled_arrival_epoch"))
+            .as("delay"))
+        .where(col("delay").isNotNull)
+      val est = delays.groupBy("day_type")
+        .agg(expr("percentile_approx(delay, array(0.5D, 0.9D, 0.99D), 100)")
+          .as("p"))
+        .select(col("day_type"), posexplode(col("p")))
+        .select(col("day_type"),
+          element_at(array(lit(500000L), lit(900000L), lit(990000L)),
+            col("pos") + 1).as("phi_micro"),
+          col("col").as("est"))
+      delays.join(broadcast(est), Seq("day_type"))
+        .groupBy("day_type", "phi_micro")
+        .agg(count(lit(1)).as("n_obs"),
+          sum((col("delay") < col("est")).cast("long")).as("__lt"),
+          sum((col("delay") <= col("est")).cast("long")).as("__le"))
+        .select(col("day_type"), col("phi_micro"), col("n_obs"),
+          ((col("__le") >=
+            expr("n_obs * phi_micro DIV 1000000") -
+              (expr("n_obs DIV 100") + lit(2L))) &&
+           (col("__lt") <=
+            expr("n_obs * phi_micro DIV 1000000") +
+              expr("n_obs DIV 100") + lit(2L))).as("within_bound"))
+    }),
   )
 
   // -------------------------------------------------------------- oracle --
@@ -8703,6 +8763,29 @@ object SparkEntry {
         |  CAST(max_per_key * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
         |    AS skew_factor
         |FROM s""".stripMargin,
+
+    // Mirrors q211: the oracle asserts the HLL guarantee (TRUE) next to
+    // the exact count it can compute; Spark's side is what tests it.
+    "q211_hll_error_bound" -> (MART_CTE +
+      """SELECT sudbury_hour_of_day,
+        |  count(DISTINCT trip_id) AS n_exact,
+        |  TRUE AS within_bound
+        |FROM mart GROUP BY sudbury_hour_of_day""".stripMargin),
+
+    // Mirrors q212: the oracle asserts the GK rank guarantee (TRUE)
+    // next to the exact group sizes; Spark's relational rank check is
+    // what tests it.
+    "q212_gk_error_bound" -> (MART_CTE +
+      """, d AS (
+        |  SELECT day_type,
+        |    actual_arrival_epoch - scheduled_arrival_epoch AS delay
+        |  FROM mart
+        |  WHERE actual_arrival_epoch IS NOT NULL
+        |    AND scheduled_arrival_epoch IS NOT NULL)
+        |SELECT day_type, CAST(phi_micro AS BIGINT) AS phi_micro,
+        |  count(*) AS n_obs, TRUE AS within_bound
+        |FROM d CROSS JOIN (VALUES (500000), (900000), (990000)) p(phi_micro)
+        |GROUP BY day_type, phi_micro""".stripMargin),
   )
 
   private lazy val MM_FEATURES_SQL: String =
