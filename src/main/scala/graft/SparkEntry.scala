@@ -3542,11 +3542,17 @@ object SparkEntry {
         7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
         9 -> 0.04575749056067514)
       val exp = benford.toDF("digit", "share")
+      // filter on the QUANTIZED value, not the raw one: 0 < value <
+      // 5e-7 rounds to v_micro = 0, whose leading digit '0' would be
+      // counted in n_total yet excluded from the nine displayed rows —
+      // expected counts would no longer sum to the observed total
+      // (round-8 ADVICE); v_micro >= 1 keeps n_total = Σ observed
       val obs = t(s, dir, "events")
-        .where(col("value") > 0)
-        .select(substring(
-            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
-              .cast("string"), 1, 1).cast("int").as("digit"))
+        .select(floor(col("value") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("v_micro"))
+        .where(col("v_micro") >= 1L)
+        .select(substring(col("v_micro").cast("string"), 1, 1)
+          .cast("int").as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("observed"))
       val n = obs.agg(sum(col("observed")).as("n_total"))
       exp.join(obs, Seq("digit"), "left")
@@ -7875,10 +7881,13 @@ object SparkEntry {
     // hardcoded Benford literals, op-for-op χ² terms.
     "q172_benford" ->
       """WITH obs AS (
-        |  SELECT CAST(substr(CAST(CAST(floor(value * 1000000.0 + 0.5)
-        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |  SELECT CAST(substr(CAST(v_micro AS VARCHAR), 1, 1) AS INT)
+        |      AS digit,
         |    count(*) AS observed
-        |  FROM events WHERE value > 0 GROUP BY 1),
+        |  FROM (SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+        |          AS v_micro
+        |        FROM events)
+        |  WHERE v_micro >= 1 GROUP BY 1),
         |ex AS (SELECT * FROM (VALUES
         |  (1, 0.3010299956639812e0), (2, 0.17609125905568124e0),
         |  (3, 0.12493873660829993e0), (4, 0.09691001300805642e0),

@@ -21,12 +21,15 @@ import org.apache.spark.sql.functions._
   * (degrees, ids, counts), so the same plan in any engine produces the
   * same rows.
   *
-  * BFS runs the textbook iterative frontier expansion with a FIXED depth
-  * bound: `maxDepth` equi-joins of the (slim) frontier against the edge
-  * list, keeping the first (= minimum) level at which each node is
-  * reached. A fixed bound keeps the unrolled lineage shallow (the
-  * [[PageRank]] discipline — no per-round driver action, no convergence
-  * collect); levels are small integers, exact everywhere.
+  * BFS runs the textbook iterative frontier expansion under a depth
+  * CEILING: up to `maxDepth` equi-joins of the (slim) frontier against
+  * the edge list, keeping the first (= minimum) level at which each node
+  * is reached, stopping early once a frontier comes back empty. Every
+  * round localCheckpoints both the frontier and the visited set (the
+  * q51 connected-components discipline), so lineage and analysis cost
+  * stay O(1) per round at ANY depth instead of nesting one
+  * join+distinct+anti-join deeper per level; levels are small integers,
+  * exact everywhere.
   */
 object Graph {
 
@@ -93,16 +96,27 @@ object Graph {
     import spark.implicits._
     var visited = Seq((source, 0)).toDF("node", "level")
     var frontier = visited
-    for (depth <- 1 to maxDepth) {
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
       // expand the CURRENT frontier only (classic BFS: nodes reached at
       // depth-1 cannot discover anything new), drop already-visited
       val next = frontier.join(adj, col("node") === col("s"))
         .select(col("d").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("level", lit(depth))
-      visited = visited.unionByName(next)
+        // truncate lineage EVERY round (the q51 connected-components
+        // checkpoint discipline): each iteration otherwise nests one
+        // join + distinct + anti-join deeper into both `next` and the
+        // growing `visited` union, and the plan grows superlinearly
+        // with maxDepth — re-analysis cost and lineage-recompute risk,
+        // not data volume, become the bound on traversal depth
+        .localCheckpoint(eager = true)
+      visited = visited.unionByName(next).localCheckpoint(eager = true)
       frontier = next
     }
+    // the frontier-empty early exit above also stops at the graph's
+    // true eccentricity: maxDepth is a CEILING, not a forced round count
     visited
   }
 }

@@ -47,11 +47,25 @@ final class GtfsRtWriteBuilder(path: String, info: LogicalWriteInfo)
       require(missing.isEmpty,
         s"graft.sources.GtfsRtSource write requires columns " +
           s"${required.mkString(", ")}; missing: ${missing.mkString(", ")}")
+      val maxRows = Option(info.options.get("maxBufferedRowsPerTask"))
+        .map(_.toLong).getOrElse(GtfsRtWrite.DefaultMaxBufferedRowsPerTask)
+      require(maxRows > 0, s"maxBufferedRowsPerTask must be > 0, got $maxRows")
       val conf = new SerializableConfiguration(org.apache.spark.sql
         .SparkSession.active.sessionState.newHadoopConf())
-      new GtfsRtBatchWrite(path, info.queryId(), schema, conf)
+      new GtfsRtBatchWrite(path, info.queryId(), schema, conf, maxRows)
     }
   }
+}
+
+object GtfsRtWrite {
+  /** Per-task buffered-row ceiling (see [[GtfsRtDataWriter]]): snapshots
+    * are minutes of one agency's updates, so a task holding more than
+    * this many rows means the input wasn't split along feed boundaries
+    * (or isn't feed data at all) — fail fast with a message naming the
+    * fix instead of letting the buffer OOM the executor. ~10⁶ RtRows is
+    * on the order of 100 MB; override per-write with the
+    * `maxBufferedRowsPerTask` option. */
+  val DefaultMaxBufferedRowsPerTask: Long = 1000000L
 }
 
 final case class GtfsRtCommitMessage(files: Seq[String])
@@ -59,26 +73,41 @@ final case class GtfsRtCommitMessage(files: Seq[String])
 
 final class GtfsRtBatchWrite(path: String, queryId: String,
                              schema: StructType,
-                             conf: SerializableConfiguration)
+                             conf: SerializableConfiguration,
+                             maxBufferedRows: Long)
     extends BatchWrite {
   private def tempDir = new Path(path, s"_temporary-$queryId")
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    GtfsRtWriterFactory(path, queryId, schema, conf)
+    GtfsRtWriterFactory(path, queryId, schema, conf, maxBufferedRows)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(path)
     val fs = target.getFileSystem(conf.value)
     fs.mkdirs(target)
-    messages.foreach {
-      case GtfsRtCommitMessage(files) => files.foreach { f =>
+    val moves = messages.flatMap {
+      case GtfsRtCommitMessage(files) => files.map { f =>
         val src = new Path(f)
-        val dst = new Path(target, src.getName)
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"commit rename failed: $src -> $dst")
+        src -> new Path(target, src.getName)
       }
       case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    // All-or-nothing guard BEFORE the first rename: task file names carry
+    // a queryId fragment, so a collision here means a previous run's file
+    // of the SAME query id (a retry of a committed job) or an outside
+    // write — either way, renaming some files and then throwing midway
+    // would leave a torn commit. Renames after a clean precheck can still
+    // race a concurrent writer, but the failure then surfaces on the
+    // rename itself rather than silently overwriting.
+    val taken = moves.collect { case (_, dst) if fs.exists(dst) => dst }
+    if (taken.nonEmpty)
+      throw new java.io.IOException(
+        s"commit aborted before any rename: destination files already " +
+          s"exist: ${taken.mkString(", ")}")
+    moves.foreach { case (src, dst) =>
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"commit rename failed: $src -> $dst")
     }
     fs.delete(tempDir, true)
   }
@@ -91,22 +120,27 @@ final class GtfsRtBatchWrite(path: String, queryId: String,
 
 final case class GtfsRtWriterFactory(path: String, queryId: String,
                                      schema: StructType,
-                                     conf: SerializableConfiguration)
+                                     conf: SerializableConfiguration,
+                                     maxBufferedRows: Long)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new GtfsRtDataWriter(path, queryId, schema, conf, partitionId, taskId)
+    new GtfsRtDataWriter(path, queryId, schema, conf, partitionId, taskId,
+      maxBufferedRows)
 }
 
 /** Buffers this task's rows per feed_epoch, encodes each group as one
   * FeedMessage on commit. Feed snapshots are minutes of one agency's
   * updates — small by nature — so the per-task buffer is bounded by the
   * task's input split, the same memory shape as any columnar writer's
-  * row group. */
+  * row group; `maxBufferedRows` ENFORCES that assumption (an
+  * epoch-skewed or mis-split input fails fast with the fix named,
+  * instead of OOMing the executor mid-task). */
 final class GtfsRtDataWriter(path: String, queryId: String,
                              schema: StructType,
                              conf: SerializableConfiguration,
-                             partitionId: Int, taskId: Long)
+                             partitionId: Int, taskId: Long,
+                             maxBufferedRows: Long)
     extends DataWriter[InternalRow] {
 
   private val idx = GtfsRtTable.Schema.fields.map(f =>
@@ -115,8 +149,17 @@ final class GtfsRtDataWriter(path: String, queryId: String,
   // epoch (None = headerless) -> rows in arrival order
   private val byEpoch =
     mutable.LinkedHashMap.empty[Option[Long], mutable.ArrayBuffer[RtRow]]
+  private var buffered = 0L
 
   override def write(row: InternalRow): Unit = {
+    buffered += 1
+    if (buffered > maxBufferedRows)
+      throw new IllegalStateException(
+        s"GtfsRtSource write task $taskId buffered more than " +
+          s"$maxBufferedRows rows before its first commit; feed snapshots " +
+          "should be far smaller. Repartition the input into more tasks " +
+          "(e.g. repartition by feed_epoch) or raise the " +
+          "maxBufferedRowsPerTask write option.")
     def str(name: String): String = {
       val i = idx(name)
       if (row.isNullAt(i)) null else row.getUTF8String(i).toString
@@ -163,7 +206,11 @@ final class GtfsRtDataWriter(path: String, queryId: String,
     val fs = temp.getFileSystem(conf.value)
     fs.mkdirs(temp)
     val files = byEpoch.map { case (epoch, rows) =>
+      // the queryId fragment makes the FINAL name unique across
+      // applications: bare (partitionId, taskId) restart at 0 per app,
+      // so two appends to one archive could otherwise collide in commit
       val name = f"part-$partitionId%05d-$taskId-" +
+        s"${queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)}-" +
         s"${epoch.map(_.toString).getOrElse("noepoch")}.pb"
       val out = new Path(temp, name)
       val stream = fs.create(out, true)

@@ -251,6 +251,55 @@ class GtfsRtSourceSpec extends SparkSpec {
     }
   }
 
+  test("write path: a job that dies mid-write is reader-invisible — the " +
+    "old archive reads back unchanged, no temp tree and no partial .pb " +
+    "files survive the abort") {
+    withDir { dst =>
+      // the pre-existing archive a failed repair job must not disturb
+      writeFeeds(dst, 2)
+      val before = spark.read.format(Fmt).load(dst.toString)
+        .collect().map(_.toString).sorted.toSeq
+      val beforeFiles = dst.toFile.listFiles().map(_.getName).sorted.toSeq
+      // 12 rows through a 1-task plan with a 5-row task ceiling: the
+      // task throws MID-WRITE (after buffering rows), Spark aborts the
+      // task and then the job, and BatchWrite.abort must leave the
+      // target exactly as it was
+      val in = spark.read.format(Fmt).load(dst.toString)
+        .unionByName(spark.read.format(Fmt).load(dst.toString))
+      val ex = intercept[Exception] {
+        in.coalesce(1).write.format(Fmt)
+          .option("maxBufferedRowsPerTask", "5")
+          .mode("append").save(dst.toString)
+      }
+      assert(ex.getMessage != null)
+      val afterFiles = dst.toFile.listFiles().map(_.getName).sorted.toSeq
+      assert(afterFiles === beforeFiles,
+        s"aborted job changed the archive: $beforeFiles -> $afterFiles")
+      val after = spark.read.format(Fmt).load(dst.toString)
+        .collect().map(_.toString).sorted.toSeq
+      assert(after === before)
+    }
+  }
+
+  test("write path: two appends of the same data to one archive never " +
+    "collide in commit — final names carry a per-query fragment, so the " +
+    "second append lands beside the first instead of failing the " +
+    "exists-precheck") {
+    withDir { src =>
+      withDir { dst =>
+        writeFeeds(src, 2)
+        val in = spark.read.format(Fmt).load(src.toString)
+        in.coalesce(1).write.format(Fmt).mode("append").save(dst.toString)
+        in.coalesce(1).write.format(Fmt).mode("append").save(dst.toString)
+        val files = dst.toFile.listFiles().map(_.getName).filter(_.endsWith(".pb"))
+        assert(files.length === 4, s"expected 2+2 snapshot files: ${files.toSeq}")
+        assert(files.distinct.length === 4)
+        // both copies read back: 2 epochs x 2 files x 3 STUs
+        assert(spark.read.format(Fmt).load(dst.toString).count() === 12L)
+      }
+    }
+  }
+
   test("reader options are folded into the Hadoop conf shipped to executors") {
     withDir { dir =>
       writeFeeds(dir, 1)
