@@ -11,7 +11,18 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     if (args(0) == "skewbench") { skewBench(spark, args(1)); spark.stop(); return }
     if (args(0) == "scaleprobe") {
-      scaleProbe(spark, args(1), args.drop(2).toSeq); spark.stop(); return
+      // scaleprobe <sfDir> [x<N>] [queries...] — replica factor defaults
+      // to the README table's x10; "x30" probes the superlinear pair
+      // members at an OBSERVED (not extrapolated) 30x corpus
+      val (factor, qs) = args.drop(2).toSeq match {
+        case head +: rest if head.matches("x\\d+") =>
+          (head.drop(1).toInt, rest)
+        case rest => (10, rest)
+      }
+      scaleProbe(spark, args(1), factor, qs); spark.stop(); return
+    }
+    if (args(0) == "depthprobe") {
+      depthProbe(spark, args(1)); spark.stop(); return
     }
     if (args(0) == "multifile") {
       multiFile(spark, args(1), args(2)); spark.stop(); return
@@ -34,18 +45,19 @@ object Scratch {
     * cluster blowup, not scale) — then time the top-5 bench queries at
     * both scales, cache-cold each. */
   private def scaleProbe(spark: SparkSession, sfDir: String,
+                         factor: Int,
                          queries: Seq[String] = Nil): Unit = {
-    val big = "target/scale_x10"
+    val big = s"target/scale_x$factor"
     val marker = new java.io.File(big + "/_done")
     if (!marker.exists()) {
       val docs = Tables.t(spark, sfDir, "documents")
       val embs = Tables.t(spark, sfDir, "embeddings")
-      val docsN = (0 until 10).map { i =>
+      val docsN = (0 until factor).map { i =>
         docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
           .withColumn("text",
             regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
       }.reduce(_ unionByName _)
-      val embsN = (0 until 10).map { i =>
+      val embsN = (0 until factor).map { i =>
         embs.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L))
           // deterministic per-copy perturbation keeps vectors distinct
           .withColumn("embedding", expr(
@@ -66,7 +78,7 @@ object Scratch {
     if (!evMarker.exists()) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
-      val evN = (0 until 10).map { i =>
+      val evN = (0 until factor).map { i =>
         evRaw.withColumn("event_id",
             col("event_id") + lit(i.toLong * 1000000000L))
           .withColumn("user_id",
@@ -81,7 +93,7 @@ object Scratch {
     val liMarker = new java.io.File(big + "/_done_lineitem")
     if (!liMarker.exists()) {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val liN = (0 until 10).map { i =>
+      val liN = (0 until factor).map { i =>
         li.withColumn("l_orderkey",
             col("l_orderkey") + lit(i.toLong * 1000000000L))
           .withColumn("l_partkey",
@@ -95,7 +107,8 @@ object Scratch {
     val probes = if (queries.nonEmpty) queries
       else Seq("q51_dup_clusters", "q87_pq_ann", "q43_trigram_jaccard",
         "q38_jaccard_maxdf", "q72_incremental_dedup")
-    for (q <- probes; (label, dir) <- Seq("x1" -> sfDir, "x10" -> big)) {
+    for (q <- probes;
+         (label, dir) <- Seq("x1" -> sfDir, s"x$factor" -> big)) {
       // min of 2 cache-cold runs: the first execution of a plan also
       // pays one-time codegen/JIT, which would masquerade as data cost
       val secs = (1 to 2).map { _ =>
@@ -106,6 +119,46 @@ object Scratch {
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"PROBE $q%-22s $label%-4s $secs%8.2f s")
+    }
+  }
+
+  /** Per-partition DEPTH probe for the transit-KPI window family
+    * (verdict r8 item 7): the scaleprobe events replica grows the USER
+    * axis (10× users, same depth per user), under which q201/q206 grew
+    * ~1.5-1.8× — this probe isolates the other axis: 10× trips per
+    * (route, stop) at the SAME key domain, i.e. every lag-window
+    * partition 10× deeper. Copies shift ONLY event_id (trip identity);
+    * user_id — and with it stop_id and route_id, both derived from it in
+    * the mart fixture — stays fixed, so the (route, stop) windows of
+    * q201/q203 and the (trip, date) windows + (route, from, to) groups
+    * of q206 deepen instead of multiplying. If depth-×10 wall ≈
+    * user-×10 wall, the growth is scan-bound (rows dominate); a
+    * superlinear depth curve would instead point at per-partition sort
+    * cost inside WindowExec. */
+  private def depthProbe(spark: SparkSession, sfDir: String): Unit = {
+    val big = "target/depth_x10"
+    val marker = new java.io.File(big + "/_done")
+    if (!marker.exists()) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+      val evN = (0 until 10).map { i =>
+        evRaw.withColumn("event_id",
+          col("event_id") + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionByName _)
+      evN.write.mode("overwrite").parquet(s"$big/events.parquet")
+      marker.createNewFile()
+    }
+    for (q <- Seq("q201_headway_regularity", "q203_bunching",
+           "q206_run_times");
+         (label, dir) <- Seq("x1" -> sfDir, "x10deep" -> big)) {
+      val secs = (1 to 2).map { _ =>
+        SparkEntry.resetCaches()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"PROBE $q%-24s $label%-8s $secs%8.2f s")
     }
   }
 

@@ -59,4 +59,80 @@ object SimilarityProps extends Properties("Similarity") {
       val r8 = recall(nCentroids)
       r2 <= r4 && r4 <= r8 && r8 == 1.0
     }
+
+  // ---- exactCosKey: the float-free centroid-ranking key that closed the
+  // q149 hash drift. Its scaladoc's whole claim is "both engines compute
+  // the identical integer"; these two properties pin the Spark side to an
+  // arbitrary-precision oracle across the key's full documented magnitude
+  // range. The generator must respect the key's DOMAIN invariant — dot is
+  // an inner product <v,c> with |v|^2 <= Vmax and |c|^2 = cnrm, so
+  // Cauchy–Schwarz bounds dot^2 <= Vmax * cnrm (that is exactly what
+  // keeps both DIV results long-safe); independent (dot, cnrm) would
+  // fabricate inputs no pair of vectors can produce.
+
+  private val Vmax = 640000000000L // |v|^2 at dim 64, components <= 1e5
+
+  /** (dot, cnrm) with cnrm = 0 -> NULL sometimes, else dot^2 <= Vmax*cnrm. */
+  private val genDotCnrm: Gen[(Long, Long)] = Gen.frequency(
+    1 -> Gen.zip(Gen.const(0L), Gen.const(0L)),
+    9 -> (for {
+      cnrm <- Gen.chooseNum(1L, Vmax)
+      dmax = {
+        // float sqrt can land 1 past the exact bound; walk back to it
+        var d = math.sqrt(Vmax.toDouble * cnrm.toDouble).toLong
+        while (BigInt(d) * d > BigInt(Vmax) * cnrm) d -= 1
+        d
+      }
+      dot <- Gen.chooseNum(-dmax, dmax)
+    } yield (dot, cnrm)))
+
+  private def keyOracle(dot: Long, cnrm: Long): Option[BigInt] =
+    if (cnrm == 0) None
+    else {
+      val mag = (BigInt(dot) * BigInt(dot) * BigInt(1000000000L)) / cnrm
+      Some(BigInt(dot).sign * mag)
+    }
+
+  property("exactCosKey == floor(dot^2 * 1e9 / cnrm) with sign, " +
+    "computed in arbitrary precision (NULL iff cnrm = 0)") =
+    forAll(Gen.listOfN(40, genDotCnrm)) { pairs =>
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val got = pairs.toDF("dot", "cnrm")
+        .select(Similarity.exactCosKey(col("dot"), col("cnrm")).as("k"))
+        .collect()
+        .map(r => if (r.isNullAt(0)) None else Some(BigInt(r.getDecimal(0).toBigInteger)))
+      got.toSeq == pairs.map { case (d, c) => keyOracle(d, c) }
+    }
+
+  property("exactCosKey order agrees with the exact rational " +
+    "sign(dot)*dot^2/cnrm order whenever the keys differ (ties only " +
+    "within one nanounit of ratio)") =
+    forAll(Gen.listOfN(20,
+      Gen.zip(genDotCnrm.suchThat(_._2 > 0),
+        genDotCnrm.suchThat(_._2 > 0)))) { quads =>
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val rows = quads.map { case ((d1, c1), (d2, c2)) => (d1, c1, d2, c2) }
+      val keys = rows.toDF("d1", "c1", "d2", "c2")
+        .select(Similarity.exactCosKey(col("d1"), col("c1")).as("k1"),
+          Similarity.exactCosKey(col("d2"), col("c2")).as("k2"))
+        .collect()
+        .map(r => (BigInt(r.getDecimal(0).toBigInteger),
+          BigInt(r.getDecimal(1).toBigInteger)))
+      // exact rational compare of sign(d)*d^2/c: cross-multiply
+      def ratCmp(d1: Long, c1: Long, d2: Long, c2: Long): Int = {
+        val s1 = BigInt(d1).sign; val s2 = BigInt(d2).sign
+        if (s1 != s2) s1.compare(s2)
+        else {
+          val l = BigInt(d1) * BigInt(d1) * c2
+          val r = BigInt(d2) * BigInt(d2) * c1
+          if (s1 >= 0) l.compare(r) else r.compare(l)
+        }
+      }
+      rows.zip(keys).forall { case ((d1, c1, d2, c2), (k1, k2)) =>
+        val kc = k1.compare(k2)
+        kc == 0 || kc == ratCmp(d1, c1, d2, c2)
+      }
+    }
 }
