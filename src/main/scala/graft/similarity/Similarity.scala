@@ -300,43 +300,33 @@ object Similarity {
     * per-centroid cosine. For one vector, ranking centroids by
     * cos = dot/(|v|·|c|) is ranking by dot/√cnrm (|v| is shared across
     * centroids, so it cancels), which is ranking by sign(dot)·dot²/cnrm.
-    * This key is that ratio scaled to integer NANOUNITS, computed
-    * exactly in decimal arithmetic:
+    * This key is that ratio scaled to integer NANOUNITS:
     *
-    *   key = sign(dot) · ((dot² DIV cnrm)·10⁹ + ((dot² MOD cnrm)·10⁹) DIV cnrm)
+    *   key = sign(dot) · floor(dot²·10⁹ / cnrm)
     *
-    * i.e. floor(dot²·10⁹/cnrm) without ever forming an overflowing
-    * product. Both engines (Spark DECIMAL(38,0), DuckDB HUGEINT)
-    * compute the identical integer, so a cluster assignment can NEVER
-    * flip between engines or DuckDB versions — the round-7/8 q149 hash
-    * drift was exactly a 1-ulp float-cosine assignment flip relocating
-    * one vector. Ratios closer than one nanounit (≈1e-16 relative at
-    * this data's norms, below float32 embedding noise) tie and break by
-    * cid, deterministically and identically in both engines.
+    * computed exactly by the codegen'd
+    * [[graft.expressions.CosRankKey]] kernel (one unscaled BigInteger
+    * chain — the original DECIMAL(38,0) column spelling computed the
+    * identical integer through ~8 checked BigDecimal ops per pair and
+    * cost 2-3× on the IVF family; the oracles' HUGEINT spelling in
+    * cosKeySql is unchanged). Both engines compute the identical
+    * integer, so a cluster assignment can NEVER flip between engines
+    * or DuckDB versions — the round-7/8 q149 hash drift was exactly a
+    * 1-ulp float-cosine assignment flip relocating one vector. Ratios
+    * closer than one nanounit (≈1e-16 relative at this data's norms,
+    * below float32 embedding noise) tie and break by cid,
+    * deterministically and identically in both engines.
     *
     * Magnitudes (dim ≤ 64, components quantized to ≤ 1e5): |dot| ≤
-    * 6.4e11, dot² ≤ 4.1e23 (DECIMAL(38,0)-exact), dot² DIV cnrm ≤ |v|²
-    * ≤ 6.4e11 (Cauchy–Schwarz), so key ≤ 6.4e20 — every intermediate
-    * decimal-exact, both DIV results long-safe. A zero-norm CENTROID
+    * 6.4e11, dot² ≤ 4.1e23, dot² DIV cnrm ≤ |v|²
+    * ≤ 6.4e11 (Cauchy–Schwarz), so key ≤ 6.4e20 — comfortably inside
+    * DECIMAL(38,0)/HUGEINT. A zero-norm CENTROID
     * has no cosine to anything → NULL key (ranked last, the old
     * try_divide/NULLS-LAST contract); a zero-norm VECTOR has dot = 0 to
     * every centroid → key 0 everywhere → the argmax tie-break lands it
     * in the first probeable list, as before. */
-  private[graft] def exactCosKey(dot: Column, cnrm: Column): Column = {
-    def d19(c: Column) = c.cast("decimal(19,0)")
-    val giga = d19(lit(1000000000L))
-    val d2 = d19(dot) * d19(dot)
-    // Spark registers IntegralDivide as SQL `div`: decimal DIV decimal
-    // → exact floor LONG (operands here are nonnegative).
-    val q = call_function("div", d2, d19(cnrm))
-    val r = d2 - d19(q) * d19(cnrm)
-    val t2 = call_function("div", r * giga, d19(cnrm))
-    val key = (d19(q) * giga + d19(t2)).cast("decimal(38,0)")
-    when(cnrm === 0, lit(null).cast("decimal(38,0)"))
-      .otherwise(when(dot < 0, -key)
-        .when(dot > 0, key)
-        .otherwise(lit(0).cast("decimal(38,0)")))
-  }
+  private[graft] def exactCosKey(dot: Column, cnrm: Column): Column =
+    graft.expressions.CosRankKey.cosRankKey(dot, cnrm)
 
   /** Per-row array of [[exactCosKey]]s of a quantized vector to each
     * centroid (1-based positions = cid) — integer dots via the codegen'd
