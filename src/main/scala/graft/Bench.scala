@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default matches the driver contract's local[32]: a lower silent
+    // default skews shuffle-heavy medians ~2x and reads as a regression.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Per-query medians over N full passes decide regressions that a
     // single shared-JVM pass cannot (documented run-to-run jitter ±30%).
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
