@@ -3384,17 +3384,19 @@ object SparkEntry {
     // dense terms — Σdf² quadratic; 3-grams are the sparse vocabulary
     // where the cap actually bites: measured 2.8M join rows at sf0.1
     // vs 480M for unigrams). minShared=3 prunes the pair aggregate
-    // before the norm joins; the cos≥0.5 gate re-spells the same double
-    // both engines computed from the same exact integers. The HASHED
-    // surface is integer/decimal-only — (id_a, id_b, n_shared, dot)
-    // already determines cos, whose rendered double rode a
-    // HUGEINT→DOUBLE cast that drifted across driver DuckDB versions
-    // (r8's one hash miss); cos itself stays on the operator's API and
-    // is value-pinned in CorpusOpsSpec.
+    // before the norm joins. The HASHED surface is integer/decimal-only
+    // — (id_a, id_b, n_shared, dot, cos_key_nano) — AND so is the
+    // MEMBERSHIP gate: `cos >= 0.5` respelled as the staged-floor
+    // integer `cos_key_nano >= 0.25e9` (see CorpusOps.cosKeyNano),
+    // because a float gate decides membership on the HUGEINT→DOUBLE
+    // cast whose rounding drifts across driver DuckDB versions (the r8
+    // hash-miss class: a pair within one ulp of 0.5 joins the output in
+    // one engine and not the other). cos itself stays on the operator's
+    // API and is value-pinned in CorpusOpsSpec.
     "q158_tfidf_cosine_pairs" -> ((s, dir) =>
       CorpusOps.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
         ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
-        .where(col("cos") >= 0.5).drop("cos")),
+        .where(col("cos_key_nano") >= 250000000L).drop("cos")),
 
     // Duplicate-cluster SIZE DISTRIBUTION — the dedup ladder's summary
     // report ("how much duplication, in what shape?"): a histogram of
@@ -4511,16 +4513,32 @@ object SparkEntry {
         .groupBy("route_id")
         .agg(count(lit(1)).as("n_headways"), sum(col("h")).as("sum_h"),
           sum(d38(col("h")) * col("h")).as("sum_h2"))
+        // AWT/SWT/EWT quantized to exact integer MICROSECONDS by one
+        // integral divide each, THEN rendered as micro/1e6: the micro
+        // values are identical integers in both engines (largest
+        // intermediate sum_h2·1e6 ≲ 10²³, DECIMAL(38,0)/HUGEINT-safe)
+        // and stay far below 2^53, so the final doubles are bit-stable
+        // under ANY engine version. The earlier spelling divided
+        // double(sum_h2) directly — sum_h2 is an int128 that crosses
+        // 2^53 at replica scale, putting membership of the hashed
+        // values on the version-drifting int128→double rounding (the
+        // r7/r8 class). sum_h = 0 (every headway zero) yields NULL awt,
+        // matching the old try_divide contract.
         .select(col("route_id"), col("n_headways"),
-          // 2.0 * double(sum_h), not double(2 * decimal(sum_h)): keeps
-          // the denominator on the exact BIGINT→DOUBLE path (<2^53 at
-          // gate scale; *2.0 is a power-of-two, exact) instead of the
-          // version-sensitive int128→double conversion — HashSurfaceSpec
-          try_divide(col("sum_h2").cast("double"),
-            lit(2.0) * col("sum_h").cast("double")).as("awt_sec"),
-          try_divide(col("sum_h").cast("double"),
-            (lit(2L) * col("n_headways")).cast("double")).as("swt_sec"))
-        .withColumn("ewt_sec", col("awt_sec") - col("swt_sec"))
+          when(col("sum_h") === 0L, lit(null).cast("long"))
+            .otherwise(call_function("div",
+              col("sum_h2") * lit(1000000L).cast("decimal(19,0)"),
+              d38(col("sum_h")) * lit(2L).cast("decimal(19,0)")))
+            .as("awt_micro"),
+          call_function("div",
+            d38(col("sum_h")) * lit(1000000L).cast("decimal(19,0)"),
+            d38(col("n_headways")) * lit(2L).cast("decimal(19,0)"))
+            .as("swt_micro"))
+        .select(col("route_id"), col("n_headways"),
+          (col("awt_micro").cast("double") / lit(1000000.0)).as("awt_sec"),
+          (col("swt_micro").cast("double") / lit(1000000.0)).as("swt_sec"),
+          ((col("awt_micro") - col("swt_micro")).cast("double") /
+            lit(1000000.0)).as("ewt_sec"))
     }),
 
     // Dwell time — how long vehicles sit at each stop (departure −
@@ -6614,7 +6632,9 @@ object SparkEntry {
         |GROUP BY route_id""".stripMargin),
 
     // Mirrors q204: the q203 headway CTE per route, HUGEINT moments,
-    // the same two divides and one subtraction.
+    // then the same integral divides to exact BIGINT microseconds —
+    // the rendered doubles are micro/1e6 with micro < 2^53, so no
+    // int128→double rounding (version-drift-prone) is ever exercised.
     "q204_excess_wait" -> (MART_CTE +
       """, arr AS (
         |  SELECT route_id, stop_id, actual_arrival_epoch AS t, trip_id
@@ -6628,15 +6648,19 @@ object SparkEntry {
         |  SELECT route_id, count(*) AS n_headways,
         |    CAST(sum(h) AS BIGINT) AS sum_h,
         |    CAST(sum(CAST(h AS HUGEINT) * h) AS HUGEINT) AS sum_h2
-        |  FROM hw WHERE h IS NOT NULL GROUP BY route_id)
+        |  FROM hw WHERE h IS NOT NULL GROUP BY route_id),
+        |micro AS (
+        |  SELECT route_id, n_headways,
+        |    CAST((sum_h2 * 1000000) // NULLIF(2 * CAST(sum_h AS HUGEINT), 0)
+        |      AS BIGINT) AS awt_micro,
+        |    CAST((CAST(sum_h AS HUGEINT) * 1000000) // (2 * n_headways)
+        |      AS BIGINT) AS swt_micro
+        |  FROM m)
         |SELECT route_id, n_headways,
-        |  CAST(sum_h2 AS DOUBLE) / (2.0 * CAST(sum_h AS DOUBLE))
-        |    AS awt_sec,
-        |  CAST(sum_h AS DOUBLE) / CAST(2 * n_headways AS DOUBLE) AS swt_sec,
-        |  CAST(sum_h2 AS DOUBLE) / (2.0 * CAST(sum_h AS DOUBLE))
-        |    - CAST(sum_h AS DOUBLE) / CAST(2 * n_headways AS DOUBLE)
-        |    AS ewt_sec
-        |FROM m""".stripMargin),
+        |  CAST(awt_micro AS DOUBLE) / 1000000.0 AS awt_sec,
+        |  CAST(swt_micro AS DOUBLE) / 1000000.0 AS swt_sec,
+        |  CAST(awt_micro - swt_micro AS DOUBLE) / 1000000.0 AS ewt_sec
+        |FROM micro""".stripMargin),
 
     // Mirrors q205: integer dwell differences, exact sums, one divide.
     "q205_dwell_time" -> (MART_CTE +
@@ -7716,8 +7740,12 @@ object SparkEntry {
         |FROM documents d JOIN g USING (lang)""".stripMargin,
 
     // Mirrors tfidfCosinePairs: BIGINT-floor q_idf, HUGEINT dots/norms
-    // (arrow-exports as DECIMAL(38,0), the q63 precedent), one double
-    // divide + sqrt at the end, identical op order.
+    // (arrow-exports as DECIMAL(38,0), the q63 precedent), and the
+    // staged-floor integer membership gate — floor(floor(1e9·dot/lo)·
+    // dot/hi) >= 0.25e9 with lo/hi = min/max norm — identical integer
+    // floors in both engines, no int128→double cast anywhere (the r8
+    // drift class). The staging never forms dot² or nrm·nrm (both
+    // overflow int128 at sf0.1); largest intermediate is dot·1e9.
     "q158_tfidf_cosine_pairs" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
          |tf AS (
@@ -7743,13 +7771,18 @@ object SparkEntry {
          |    sum(a.w * b.w) AS dot
          |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
          |  GROUP BY 1, 2
-         |  HAVING count(*) >= 3)
-         |SELECT id_a, id_b, n_shared, CAST(dot AS DECIMAL(38,0)) AS dot
-         |FROM p
-         |JOIN nrm na ON p.id_a = na.id
-         |JOIN nrm nb ON p.id_b = nb.id
-         |WHERE CAST(dot AS DOUBLE) /
-         |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.5
+         |  HAVING count(*) >= 3),
+         |keyed AS (
+         |  SELECT id_a, id_b, n_shared, dot,
+         |    (((dot * 1000000000) // least(na.nrm, nb.nrm)) * dot)
+         |      // greatest(na.nrm, nb.nrm) AS cos_key_nano
+         |  FROM p
+         |  JOIN nrm na ON p.id_a = na.id
+         |  JOIN nrm nb ON p.id_b = nb.id)
+         |SELECT id_a, id_b, n_shared, CAST(dot AS DECIMAL(38,0)) AS dot,
+         |  CAST(cos_key_nano AS BIGINT) AS cos_key_nano
+         |FROM keyed
+         |WHERE cos_key_nano >= 250000000
          |""".stripMargin,
 
     // Mirrors q167: the shared recursive-CTE clusters, the same

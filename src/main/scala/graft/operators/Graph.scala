@@ -94,6 +94,19 @@ object Graph {
       .union(und.select(col("b").as("s"), col("a").as("d")))
     val spark = edges.sparkSession
     import spark.implicits._
+    // Release a superseded round's localCheckpoint blocks eagerly (the
+    // other half of the q51 discipline): Dataset.unpersist does not
+    // touch localCheckpoint blocks — they are an RDD-level persist —
+    // so the underlying LogicalRDD must be unpersisted directly, or
+    // every round's full visited snapshot stays pinned in executor
+    // block storage until RDD GC: O(depth · |visited|) on the deep
+    // traversals this truncation exists to enable. A no-op for the
+    // non-checkpointed seed frame.
+    def release(df: DataFrame): Unit = {
+      org.apache.spark.sql.graftbridge.Bridge.localCheckpointRdd(df)
+        .foreach(_.unpersist(blocking = false))
+      df.unpersist(blocking = false)
+    }
     var visited = Seq((source, 0)).toDF("node", "level")
     var frontier = visited
     var depth = 0
@@ -112,9 +125,19 @@ object Graph {
         // with maxDepth — re-analysis cost and lineage-recompute risk,
         // not data volume, become the bound on traversal depth
         .localCheckpoint(eager = true)
-      visited = visited.unionByName(next).localCheckpoint(eager = true)
+      val newVisited = visited.unionByName(next)
+        .localCheckpoint(eager = true)
+      // both frames of the NEW round are materialized self-contained;
+      // the old round's blocks are never read again
+      release(frontier)
+      if (visited ne frontier) release(visited)
+      visited = newVisited
       frontier = next
     }
+    // the final frontier's rows live on inside the returned visited
+    // snapshot (its union was materialized eagerly); only the visited
+    // blocks must outlive this call
+    if (frontier ne visited) release(frontier)
     // the frontier-empty early exit above also stops at the graph's
     // true eccentricity: maxDepth is a CEILING, not a forced round count
     visited

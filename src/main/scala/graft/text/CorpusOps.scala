@@ -717,7 +717,37 @@ object CorpusOps {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("dot"),
         (col("dot").cast("double") /
           sqrt(col("nrm_a").cast("double") * col("nrm_b").cast("double")))
-          .as("cos"))
+          .as("cos"),
+        cosKeyNano(col("dot"), col("nrm_a"), col("nrm_b")))
+  }
+
+  /** `cos_key_nano`: a deterministic INTEGER stand-in for cos² in
+    * nano-units — `floor(floor(10⁹·dot/lo)·dot/hi)` with
+    * `lo/hi = min/max(nrm_a, nrm_b)` — for THRESHOLDING pairs without
+    * ever comparing floats across engines. Every weight here is
+    * positive, so dot > 0 and Cauchy–Schwarz gives dot ≤ √(lo·hi) ≤ hi;
+    * the staged floors then bound `10⁹·cos² − key ∈ [0, 2)` (the inner
+    * floor loses < 1, amplified by dot/hi ≤ 1; the outer floor loses
+    * < 1), so `key ≥ K` is the predicate `cos² ≥ (K+δ)/10⁹, δ ∈ [0,2)`
+    * — within two NANOUNITS of the float gate it replaces, but decided
+    * on identical integers in both engines. The staging exists because
+    * the direct spellings overflow int128 at sf0.1 (dot² ~ 10⁴¹,
+    * nrm_a·nrm_b likewise); here the largest intermediate is
+    * dot·10⁹ ≲ 10³² and t·dot ≲ 10⁹·hi ≲ 10³², both DECIMAL(38,0)/
+    * HUGEINT-safe, and both floor quotients are long-safe
+    * (t ≤ 10⁹·√(hi/lo), key ≤ 10⁹). A float gate (`cos >= 0.5`) rode
+    * the HUGEINT→DOUBLE cast whose rounding drifts across DuckDB
+    * releases — the r8 q158 hash-miss class; pairs within one ulp of
+    * the threshold could flip MEMBERSHIP, not just a rendered value. */
+  private def cosKeyNano(dot: org.apache.spark.sql.Column,
+                         nrmA: org.apache.spark.sql.Column,
+                         nrmB: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column = {
+    val lo = least(nrmA, nrmB)
+    val hi = greatest(nrmA, nrmB)
+    val t = call_function("div", dot * lit(1000000000L).cast("decimal(19,0)"), lo)
+    call_function("div", t.cast("decimal(19,0)") * dot, hi)
+      .as("cos_key_nano")
   }
 
   def chi2Terms(docs: DataFrame, idCol: String, classCol: String,

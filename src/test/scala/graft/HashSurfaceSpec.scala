@@ -191,17 +191,75 @@ class HashSurfaceSpec extends SparkSpec {
         stale.mkString("\n"))
   }
 
-  test("no oracle SQL casts a HUGEINT directly to DOUBLE — the int128 " +
-    "to double conversion is the one float op whose rounding has " +
-    "drifted across DuckDB versions (the r7/r8 q149+q158 hash misses)") {
+  /** (query, cast text) pairs PROVEN to stay below 2^53 — int→double is
+    * exact there, so no version's rounding rule can matter. Each entry
+    * must carry the bound argument in a comment. */
+  private val provenSmallCasts: Map[String, Set[String]] = Map(
+    // n2 = Σ_dim s_q² with s_q a 50-member group sum of 1e5-quantized
+    // unit-ish components: n2 ≤ 64·(50·1e5)² = 1.6e15 < 2^53, bounded
+    // by GROUP SIZE and DIMS (both fixed), never by corpus size;
+    // measured 7.4e11 at sf0.1.
+    "q63_pooled_embeddings" -> Set("CAST(n.n2 AS DOUBLE)")
+  )
+
+  test("no oracle SQL casts a HUGEINT-DERIVED column to DOUBLE — the " +
+    "int128 to double conversion is the one float op whose rounding has " +
+    "drifted across DuckDB versions (the r7/r8 q149+q158 hash misses). " +
+    "Tracks derivation through aliases, not just the literal keyword: " +
+    "an identifier is HUGEINT-tainted if its defining line mentions " +
+    "HUGEINT or references a tainted identifier, and washed clean by an " +
+    "explicit AS BIGINT cast (int64→double is correctly rounded " +
+    "identically everywhere)") {
+    val Ident = "[A-Za-z_][A-Za-z0-9_]*"
+    val typeWords = Set("double", "bigint", "hugeint", "decimal",
+      "integer", "varchar", "date", "boolean", "float")
+    val aliasRe = s"(?i)\\bAS\\s+($Ident)".r
+    val washRe = s"(?i)AS\\s+BIGINT\\s*\\)".r
+    val castRe =
+      s"(?i)CAST\\s*\\(\\s*((?:$Ident\\.)?($Ident))\\s+AS\\s+DOUBLE\\s*\\)".r
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (q, sql) =>
-        if (sql.contains("HUGEINT AS DOUBLE") ||
-          sql.contains("HUGEINT) AS DOUBLE"))
-          Some(q)
+        val lines = sql.split('\n')
+        var huge = Set.empty[String]
+        var washed = Set.empty[String]
+        var changed = true
+        while (changed) {
+          changed = false
+          for (line <- lines) {
+            val aliases = aliasRe.findAllMatchIn(line).map(_.group(1))
+              .filterNot(a => typeWords(a.toLowerCase)).toSeq
+            if (aliases.nonEmpty) {
+              val tainted = line.toUpperCase.contains("HUGEINT") ||
+                huge.exists(h => s"\\b${java.util.regex.Pattern.quote(h)}\\b"
+                  .r.findFirstIn(line).isDefined)
+              val wash = washRe.findFirstIn(line).isDefined
+              for (a <- aliases) {
+                if (wash && !washed(a)) { washed += a; changed = true }
+                else if (tainted && !huge(a) && !washed(a)) {
+                  huge += a; changed = true
+                }
+              }
+            }
+          }
+        }
+        val allowed = provenSmallCasts.getOrElse(q, Set.empty)
+        val flags = castRe.findAllMatchIn(sql)
+          .filter(m => huge(m.group(2)) && !washed(m.group(2)))
+          .map(_.group(0)).toSet -- allowed
+        if (flags.nonEmpty) Some(s"$q: ${flags.toSeq.sorted.mkString(", ")}")
         else None
     }
     assert(offenders.isEmpty,
-      s"oracles with explicit HUGEINT→DOUBLE casts: $offenders")
+      "oracles casting HUGEINT-derived columns to DOUBLE — respell via " +
+        "an integral divide to BIGINT (the q204 micro pattern) or " +
+        "register in provenSmallCasts with a <2^53 bound argument:\n" +
+        offenders.mkString("\n"))
+    val staleAllow = provenSmallCasts.keys.filterNot { q =>
+      SparkEntry.oracleSql.get(q).exists(sql =>
+        provenSmallCasts(q).forall(sql.contains))
+    }
+    assert(staleAllow.isEmpty,
+      s"provenSmallCasts entries no longer present in their oracle: " +
+        staleAllow.mkString(", "))
   }
 }

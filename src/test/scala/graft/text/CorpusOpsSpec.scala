@@ -390,14 +390,22 @@ class CorpusOpsSpec extends SparkSpec {
       ngram = 2, minDf = 1L, maxDfPermille = 1000L, minShared = 1L)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getLong(2), r.getDouble(4))).toMap
-    // identical weight vectors: dot = |a||b| exactly, cos renders 1.0
+        (r.getLong(2), r.getDouble(4), r.getLong(5))).toMap
+    // identical weight vectors: dot = |a||b| exactly, cos renders 1.0,
+    // and the integer gate key hits exactly 10^9 (dot = lo = hi makes
+    // both staged floors exact)
     assert(out((1L, 2L))._2 === 1.0)
+    assert(out((1L, 2L))._3 === 1000000000L)
     assert(out((1L, 2L))._1 === 5L) // 5 bigrams shared
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
     // 1-4 share exactly the bigrams "alpha beta" and "beta gamma"
     assert(out((1L, 4L))._1 === 2L)
     assert(out((1L, 4L))._2 > 0.0 && out((1L, 4L))._2 < 1.0)
+    // the key is cos^2 in nano-units, within its documented [0,2)
+    // staged-floor slack of the float cosine the operator also emits
+    val (_, cos14, key14) = out((1L, 4L))
+    assert(key14 > 0L && key14 < 1000000000L)
+    assert(math.abs(cos14 * cos14 * 1e9 - key14) < 3.0)
     // a df-cap at 500 permille kills terms present in >2 of 4 docs: the
     // shared-prefix bigrams (df=3) vanish, so pair (1,4) disappears but
     // the duplicate pair (terms at df=2) survives
