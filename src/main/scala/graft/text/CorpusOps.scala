@@ -739,9 +739,9 @@ object CorpusOps {
     * the HUGEINT→DOUBLE cast whose rounding drifts across DuckDB
     * releases — the r8 q158 hash-miss class; pairs within one ulp of
     * the threshold could flip MEMBERSHIP, not just a rendered value. */
-  private def cosKeyNano(dot: org.apache.spark.sql.Column,
-                         nrmA: org.apache.spark.sql.Column,
-                         nrmB: org.apache.spark.sql.Column)
+  private[graft] def cosKeyNano(dot: org.apache.spark.sql.Column,
+                                nrmA: org.apache.spark.sql.Column,
+                                nrmB: org.apache.spark.sql.Column)
   : org.apache.spark.sql.Column = {
     val lo = least(nrmA, nrmB)
     val hi = greatest(nrmA, nrmB)

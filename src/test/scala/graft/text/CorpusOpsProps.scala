@@ -119,4 +119,64 @@ object CorpusOpsProps extends Properties("CorpusOps") {
           score == tf.toDouble * (n / df.toDouble)
       }
     }
+
+  // ---- cosKeyNano: the staged-floor integer membership gate behind
+  // q158 (the exactCosKey discipline applied to PAIR cosines, where
+  // dot² and nrm·nrm overflow int128 so the key must be staged). The
+  // generator respects the operator's domain: dot ∈ [0, √(na·nb)]
+  // (Cauchy–Schwarz over positive tf-idf weights) and a bounded norm
+  // ratio (hi/lo ≤ 10¹², far beyond any real tf-idf pair — the scaladoc
+  // bound t ≤ 10⁹·√(hi/lo) keeps the first quotient long-safe there).
+
+  private def isqrt(n: BigInt): BigInt =
+    if (n <= 1) n
+    else {
+      var x = BigInt(math.sqrt(n.doubleValue).toLong + 2)
+      while (x * x > n) x = (x + n / x) / 2
+      x
+    }
+
+  private val genDotNorms: Gen[(BigInt, BigInt, BigInt)] = for {
+    lo <- Gen.chooseNum(1L, 1000000000000L) // 1e12
+    ratio <- Gen.chooseNum(1L, 1000000L)
+    scale <- Gen.chooseNum(1L, 1000000000L) // pushes norms past int64
+    swap <- Gen.oneOf(true, false)
+    dotPermille <- Gen.chooseNum(0L, 1000L)
+  } yield {
+    val na0 = BigInt(lo) * scale
+    val nb0 = BigInt(lo) * ratio * scale
+    val dot = isqrt(na0 * nb0) * dotPermille / 1000
+    if (swap) (dot, nb0, na0) else (dot, na0, nb0)
+  }
+
+  property("cosKeyNano == floor(floor(1e9*dot/lo)*dot/hi) computed in " +
+    "arbitrary precision, and within [0, 2) nano-units of 1e9*cos^2") =
+    forAll(Gen.listOfN(30, genDotNorms)) { triples =>
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("dot", DecimalType(38, 0)),
+        StructField("na", DecimalType(38, 0)),
+        StructField("nb", DecimalType(38, 0))))
+      val rows = triples.map { case (d, a, b) =>
+        org.apache.spark.sql.Row(
+          new java.math.BigDecimal(d.bigInteger),
+          new java.math.BigDecimal(a.bigInteger),
+          new java.math.BigDecimal(b.bigInteger))
+      }
+      val got = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+        .select(CorpusOps.cosKeyNano(col("dot"), col("na"), col("nb")))
+        .collect().map(_.getLong(0))
+      got.toSeq == triples.map { case (dot, na, nb) =>
+        val lo = na.min(nb); val hi = na.max(nb)
+        (dot * BigInt(1000000000L) / lo * dot / hi).toLong
+      } &&
+      got.toSeq.zip(triples).forall { case (k, (dot, na, nb)) =>
+        // exact rational 1e9·cos² − key ∈ [0, 2): cross-multiplied,
+        // no floats — 0 ≤ 1e9·dot² − k·na·nb < 2·na·nb
+        val diff = BigInt(1000000000L) * dot * dot - BigInt(k) * na * nb
+        diff >= 0 && diff < 2 * na * nb
+      }
+    }
 }
