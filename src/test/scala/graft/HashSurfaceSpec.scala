@@ -262,4 +262,52 @@ class HashSurfaceSpec extends SparkSpec {
       s"provenSmallCasts entries no longer present in their oracle: " +
         staleAllow.mkString(", "))
   }
+
+  /** Queries allowed to use interpolating quantiles: every probability
+    * must be DYADIC (k/2^n — 0.25/0.5/0.75) over INTEGER inputs, which
+    * makes the interpolation a + (b−a)·p exact in binary floating point
+    * — no rounding for a version to drift on. Anything else (arbitrary
+    * p, float inputs) must be respelled as the two-pass discrete rank
+    * pick (the q156 pattern). */
+  private val dyadicQuantiles = Set("q145_mad_outliers", "q147_winsorize",
+    "q159_key_skew", "q50_delay_percentiles")
+
+  test("no oracle SQL uses a non-correctly-rounded or order-dependent " +
+    "float function — ln/exp/pow diverge between libm builds, avg and " +
+    "double sums are shuffle-order-dependent, random is random; the " +
+    "engine's discipline is integer/decimal aggregation with mirrored " +
+    "divides, and this freezes it") {
+    val banned = Seq(
+      "ln/log" -> "(?i)\\b(ln|log|log2|log10)\\s*\\(".r,
+      "exp" -> "(?i)\\bexp\\s*\\(".r,
+      "pow" -> "(?i)\\b(pow|power)\\s*\\(".r,
+      "avg" -> "(?i)\\bavg\\s*\\(".r,
+      "stddev/var" -> "(?i)\\b(stddev|var_pop|var_samp|variance)\\s*\\(".r,
+      "random" -> "(?i)\\b(random|rand)\\s*\\(".r,
+      "double-sum" -> "(?i)sum\\s*\\(\\s*CAST\\s*\\([^)]*AS\\s+DOUBLE".r)
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (q, sql) =>
+        val hits = banned.collect {
+          case (label, re) if re.findFirstIn(sql).isDefined => label
+        }
+        if (hits.nonEmpty) Some(s"$q: ${hits.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty,
+      "oracles using drift-prone float functions — respell with exact " +
+        "integer/decimal aggregation and one mirrored divide:\n" +
+        offenders.mkString("\n"))
+    val quantileRe = "(?i)\\b(percentile|quantile)\\w*\\s*\\(".r
+    val quantileUsers = SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
+      case (q, sql) if quantileRe.findFirstIn(sql).isDefined => q
+    }
+    val unapproved = quantileUsers.filterNot(dyadicQuantiles)
+    assert(unapproved.isEmpty,
+      "oracles using quantiles without a dyadic-p review — register in " +
+        s"dyadicQuantiles after checking p is k/2^n over integers: " +
+        unapproved.mkString(", "))
+    val staleDyadic = dyadicQuantiles
+      .filterNot(q => quantileUsers.contains(q))
+    assert(staleDyadic.isEmpty,
+      s"stale dyadicQuantiles entries: ${staleDyadic.mkString(", ")}")
+  }
 }
