@@ -108,19 +108,23 @@ object Scratch {
       else Seq("q51_dup_clusters", "q87_pq_ann", "q43_trigram_jaccard",
         "q38_jaccard_maxdf", "q72_incremental_dedup")
     for (q <- probes;
-         (label, dir) <- Seq("x1" -> sfDir, s"x$factor" -> big)) {
-      // min of 2 cache-cold runs: the first execution of a plan also
-      // pays one-time codegen/JIT, which would masquerade as data cost
-      val secs = (1 to 2).map { _ =>
-        SparkEntry.resetCaches()
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"PROBE $q%-22s $label%-4s $secs%8.2f s")
-    }
+         (label, dir) <- Seq("x1" -> sfDir, s"x$factor" -> big))
+      println(f"PROBE $q%-22s $label%-4s ${probeWall(spark, q, dir)}%8.2f s")
   }
+
+  /** The ONE probe measurement protocol (scaleprobe and depthprobe must
+    * stay comparable): min of 2 cache-cold runs — the first execution of
+    * a plan also pays one-time codegen/JIT, which would masquerade as
+    * data cost — with full materialization through the noop sink. */
+  private def probeWall(spark: SparkSession, q: String,
+                        dir: String): Double =
+    (1 to 2).map { _ =>
+      SparkEntry.resetCaches()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
   /** Per-partition DEPTH probe for the transit-KPI window family
     * (verdict r8 item 7): the scaleprobe events replica grows the USER
@@ -150,16 +154,9 @@ object Scratch {
     }
     for (q <- Seq("q201_headway_regularity", "q203_bunching",
            "q206_run_times");
-         (label, dir) <- Seq("x1" -> sfDir, "x10deep" -> big)) {
-      val secs = (1 to 2).map { _ =>
-        SparkEntry.resetCaches()
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"PROBE $q%-24s $label%-8s $secs%8.2f s")
-    }
+         (label, dir) <- Seq("x1" -> sfDir, "x10deep" -> big))
+      println(
+        f"PROBE $q%-24s $label%-8s ${probeWall(spark, q, dir)}%8.2f s")
   }
 
   /** Multi-file layout fixture: every bench table re-written as an
