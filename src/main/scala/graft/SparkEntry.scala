@@ -827,7 +827,10 @@ object SparkEntry {
       |sd AS (SELECT unnest(range(1, 17)) AS i),
       |mu AS (
       |  SELECT a.m, a.code, sd.i,
-      |    CAST(floor(CAST(sum(c.sv[sd.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+      |    CAST(CASE WHEN sum(c.sv[sd.i]) >= 0
+      |              THEN sum(c.sv[sd.i]) // count(*)
+      |              ELSE -((-sum(c.sv[sd.i]) + count(*) - 1) // count(*))
+      |         END AS BIGINT) AS mv
       |  FROM asn0 a JOIN cs c ON a.vec_id = c.vec_id AND a.m = c.m
       |  CROSS JOIN sd GROUP BY a.m, a.code, sd.i),
       |cb1 AS (
@@ -1731,10 +1734,36 @@ object SparkEntry {
     // integer dist² = |x|²+|c|²−2⟨x,c⟩ per assigned vector, summed in
     // DECIMAL(38,0). The training loop is q32's (shared CTEs in the
     // oracle); the readout adds one O(dim) codegen dot per row and a
-    // 16-key aggregate.
+    // 16-key aggregate. The HASHED surface splits the decimal inertia
+    // into two BIGINT limbs (hi = DIV 10¹², lo = MOD 10¹²): r7-r9
+    // showed the driver's comparator treats an int128-typed column
+    // (Spark DECIMAL(38,0) / DuckDB HUGEINT) differently from int64 —
+    // e.g. DuckDB's pandas path renders both as float64, lossy past
+    // 2^53 and repr-divergent from pyarrow's Decimal below it — so the
+    // contract is: hashed columns are int64 in BOTH engines, at
+    // magnitudes < 2^53 (limbs < 10¹²; total for inertia < 10²⁴, far
+    // above any reachable scale — the decimal carries the true sum).
     "q149_kmeans_inertia" -> ((s, dir) =>
       Similarity.ivfClusterStats(t(s, dir, "embeddings"), "vec_id",
-        "embedding", nCentroids = 16, kmeansIters = 2)),
+        "embedding", nCentroids = 16, kmeansIters = 2)
+        .select(col("cid"), col("n_assigned"),
+          expr("CAST(inertia DIV 1000000000000 AS BIGINT)").as("inertia_hi"),
+          expr("CAST(inertia % 1000000000000 AS BIGINT)").as("inertia_lo"))),
+
+    // r10 DIAGNOSTICS (VERDICT r9 item 1) — q149's training pipeline
+    // read out at intermediate points on pure-int64 surfaces, so a
+    // still-red q149 in CORRECTNESS_r10 comes with the first diverging
+    // stage named: per-vector assignment, final centroid coordinates,
+    // per-round assignment histograms.
+    "q149a_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssignments(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nCentroids = 16, iters = 2)),
+    "q149b_ivf_centroids" -> ((s, dir) =>
+      Similarity.ivfCentroidRows(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nCentroids = 16, iters = 2)),
+    "q149c_ivf_round_hist" -> ((s, dir) =>
+      Similarity.ivfRoundHist(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nCentroids = 16, iters = 2)),
 
     // Mergeable quantile sketch (Greenwald–Khanna via built-in
     // percentile_approx, accuracy 1/ε = 100) — the sketch family's
@@ -3393,10 +3422,47 @@ object SparkEntry {
     // hash-miss class: a pair within one ulp of 0.5 joins the output in
     // one engine and not the other). cos itself stays on the operator's
     // API and is value-pinned in CorpusOpsSpec.
+    // ... and the decimal dot itself ships as two BIGINT limbs
+    // (hi = DIV 10¹², lo = MOD 10¹²) for the same reason as q149's
+    // inertia: an int128-typed hashed column (DECIMAL(38,0)/HUGEINT)
+    // is rendered differently from int64 by the driver's comparator
+    // (float64 past 2^53 on the DuckDB pandas path, repr-divergent
+    // below it), while int64 limbs < 10¹² are conversion-proof in any
+    // engine. Total for dot < 10²⁴ (hi < 10¹² < 2^53); dot ≥ 0 always
+    // (tf-idf weights are positive), so DIV/MOD agree across engines.
     "q158_tfidf_cosine_pairs" -> ((s, dir) =>
       CorpusOps.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
         ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
-        .where(col("cos_key_nano") >= 250000000L).drop("cos")),
+        .where(col("cos_key_nano") >= 250000000L)
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          expr("CAST(dot DIV 1000000000000 AS BIGINT)").as("dot_hi"),
+          expr("CAST(dot % 1000000000000 AS BIGINT)").as("dot_lo"),
+          col("cos_key_nano"))),
+
+    // r10 DIAGNOSTICS (VERDICT r9 item 1) — q158's staged pipeline read
+    // out at three intermediate points on pure-int64 surfaces: eligible-
+    // vocabulary aggregate, per-doc norms (10¹² limbs), per-pair dots
+    // pre-gate. The first red row in CORRECTNESS_r10 names the first
+    // diverging stage.
+    "q158a_tfidf_elig" -> ((s, dir) =>
+      CorpusOps.tfidfStages(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
+        .elig.agg(count(lit(1)).as("n_terms"),
+          min(col("q_idf")).as("min_q_idf"),
+          max(col("q_idf")).as("max_q_idf"),
+          sum(col("q_idf")).as("sum_q_idf"))),
+    "q158b_tfidf_norms" -> ((s, dir) =>
+      CorpusOps.tfidfStages(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
+        .norms.select(col("id"), col("n_terms"),
+          expr("CAST(nrm DIV 1000000000000 AS BIGINT)").as("nrm_hi"),
+          expr("CAST(nrm % 1000000000000 AS BIGINT)").as("nrm_lo"))),
+    "q158c_tfidf_pairs" -> ((s, dir) =>
+      CorpusOps.tfidfStages(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
+        .pairs.select(col("id_a"), col("id_b"), col("n_shared"),
+          expr("CAST(dot DIV 1000000000000 AS BIGINT)").as("dot_hi"),
+          expr("CAST(dot % 1000000000000 AS BIGINT)").as("dot_lo"))),
 
     // Duplicate-cluster SIZE DISTRIBUTION — the dedup ladder's summary
     // report ("how much duplication, in what shape?"): a histogram of
@@ -5231,7 +5297,10 @@ object SparkEntry {
     ivfAssignCtes("c0n", "0") +
     """m0 AS (
       |  SELECT a.cid, d.i,
-      |    CAST(floor(CAST(sum(n.v[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+      |    CAST(CASE WHEN sum(n.v[d.i]) >= 0
+      |              THEN sum(n.v[d.i]) // count(*)
+      |              ELSE -((-sum(n.v[d.i]) + count(*) - 1) // count(*))
+      |         END AS BIGINT) AS mv
       |  FROM a0 a JOIN n USING (vec_id) CROSS JOIN dims d
       |  GROUP BY a.cid, d.i),
       |c1 AS (
@@ -5245,7 +5314,10 @@ object SparkEntry {
     ivfAssignCtes("c1n", "1") +
     """m1 AS (
       |  SELECT a.cid, d.i,
-      |    CAST(floor(CAST(sum(n.v[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+      |    CAST(CASE WHEN sum(n.v[d.i]) >= 0
+      |              THEN sum(n.v[d.i]) // count(*)
+      |              ELSE -((-sum(n.v[d.i]) + count(*) - 1) // count(*))
+      |         END AS BIGINT) AS mv
       |  FROM a1 a JOIN n USING (vec_id) CROSS JOIN dims d
       |  GROUP BY a.cid, d.i),
       |c2 AS (
@@ -5259,6 +5331,39 @@ object SparkEntry {
     ivfAssignCtes("cent", "f") +
     """assign AS (SELECT vec_id, cid FROM af),
       |""".stripMargin
+
+  // The q158 tf-idf staging, shared VERBATIM by the main oracle and the
+  // r10 bisection diagnostics (q158a/b/c) so the diagnostic oracles can
+  // never drift from the surface they bisect. Ends with `p` (pairs
+  // post-minShared, pre-norm-join).
+  private val TFIDF3_CTES: String =
+    s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+       |tf AS (
+       |  SELECT doc_id AS id, term, count(*) AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(tk) - 1),
+       |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |            AS term
+       |        FROM toks)
+       |  GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |nn AS (SELECT count(*) AS n_docs FROM documents),
+       |elig AS (
+       |  SELECT term, (n_docs * 1000000) // df AS q_idf
+       |  FROM dfq, nn
+       |  WHERE df >= 2 AND df * 1000 <= 200 * n_docs),
+       |w AS (
+       |  SELECT id, term, CAST(tf AS HUGEINT) * q_idf AS w
+       |  FROM tf JOIN elig USING (term)),
+       |nrm AS (SELECT id, count(*) AS n_terms, sum(w * w) AS nrm
+       |        FROM w GROUP BY id),
+       |p AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared,
+       |    sum(a.w * b.w) AS dot
+       |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 3),
+       |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_diff_mart" -> (MART_CTE +
@@ -7357,8 +7462,12 @@ object SparkEntry {
         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin),
 
     // Mirrors ivfClusterStats: q32's training CTEs verbatim, then the
-    // exact integer |x|²+|c|²−2⟨x,c⟩ readout summed per cluster in
-    // DECIMAL(38,0).
+    // exact integer |x|²+|c|²−2⟨x,c⟩ readout summed per cluster; the
+    // HUGEINT sum ships as two BIGINT limbs (// 10¹², % 10¹²) so the
+    // hashed surface is int64-typed in both engines (see the Spark-side
+    // q149 comment: int128-typed hashed columns are what the driver's
+    // comparator renders engine-differently). Both operands nonnegative,
+    // so // and % agree across division conventions.
     "q149_kmeans_inertia" -> (EMB_CTE + IVF_TRAIN_CTES +
       """inr AS (
         |  SELECT a.cid, n.nrm, cent.cnrm,
@@ -7366,8 +7475,36 @@ object SparkEntry {
         |      i -> n.v[i]*cent.cv[i])) AS BIGINT) AS dot
         |  FROM assign a JOIN n USING (vec_id) JOIN cent ON a.cid = cent.cid)
         |SELECT cid, count(*) AS n_assigned,
-        |  CAST(sum(nrm + cnrm - 2 * dot) AS DECIMAL(38,0)) AS inertia
+        |  CAST(sum(nrm + cnrm - 2 * dot) // 1000000000000 AS BIGINT) AS inertia_hi,
+        |  CAST(sum(nrm + cnrm - 2 * dot) % 1000000000000 AS BIGINT) AS inertia_lo
         |FROM inr GROUP BY cid""".stripMargin),
+
+    // r10 DIAGNOSTICS for the q149 driver-hash divergence (VERDICT r9
+    // item 1): the shared training CTEs read out at intermediate points
+    // on pure-int64 surfaces — per-vector final assignment, final
+    // centroid coordinates, and per-round assignment histograms. The
+    // first red row names the first diverging training stage; all green
+    // while q149 stays red implicates the inertia readout (or the
+    // comparator).
+    "q149a_ivf_assign" -> (EMB_CTE + IVF_TRAIN_CTES +
+      """sel AS (SELECT vec_id, cid FROM assign)
+        |SELECT vec_id, cid FROM sel""".stripMargin),
+
+    "q149b_ivf_centroids" -> (EMB_CTE + IVF_TRAIN_CTES +
+      """sel AS (
+        |  SELECT cid, d.i AS pos, CAST(cv[d.i] AS BIGINT) AS coord
+        |  FROM cent CROSS JOIN dims d WHERE d.i <= len(cv))
+        |SELECT cid, pos, coord FROM sel""".stripMargin),
+
+    "q149c_ivf_round_hist" -> (EMB_CTE + IVF_TRAIN_CTES +
+      """sel AS (
+        |  SELECT 0 AS round, cid, count(*) AS n_assigned FROM a0 GROUP BY cid
+        |  UNION ALL
+        |  SELECT 1 AS round, cid, count(*) AS n_assigned FROM a1 GROUP BY cid
+        |  UNION ALL
+        |  SELECT 2 AS round, cid, count(*) AS n_assigned FROM af GROUP BY cid)
+        |SELECT CAST(round AS BIGINT) AS round, cid, n_assigned
+        |FROM sel""".stripMargin),
 
 
     // PQ-ADC mirrored end-to-end: subvector split, seed codebooks (first 16
@@ -7740,50 +7877,58 @@ object SparkEntry {
         |FROM documents d JOIN g USING (lang)""".stripMargin,
 
     // Mirrors tfidfCosinePairs: BIGINT-floor q_idf, HUGEINT dots/norms
-    // (arrow-exports as DECIMAL(38,0), the q63 precedent), and the
-    // staged-floor integer membership gate — floor(floor(1e9·dot/lo)·
-    // dot/hi) >= 0.25e9 with lo/hi = min/max norm — identical integer
-    // floors in both engines, no int128→double cast anywhere (the r8
-    // drift class). The staging never forms dot² or nrm·nrm (both
-    // overflow int128 at sf0.1); largest intermediate is dot·1e9.
-    "q158_tfidf_cosine_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
-         |tf AS (
-         |  SELECT doc_id AS id, term, count(*) AS tf
-         |  FROM (SELECT doc_id,
-         |          unnest(list_transform(range(1, len(tk) - 1),
-         |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-         |            AS term
-         |        FROM toks)
-         |  GROUP BY 1, 2),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |nn AS (SELECT count(*) AS n_docs FROM documents),
-         |elig AS (
-         |  SELECT term, (n_docs * 1000000) // df AS q_idf
-         |  FROM dfq, nn
-         |  WHERE df >= 2 AND df * 1000 <= 200 * n_docs),
-         |w AS (
-         |  SELECT id, term, CAST(tf AS HUGEINT) * q_idf AS w
-         |  FROM tf JOIN elig USING (term)),
-         |nrm AS (SELECT id, sum(w * w) AS nrm FROM w GROUP BY id),
-         |p AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared,
-         |    sum(a.w * b.w) AS dot
-         |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
-         |  GROUP BY 1, 2
-         |  HAVING count(*) >= 3),
-         |keyed AS (
-         |  SELECT id_a, id_b, n_shared, dot,
-         |    (((dot * 1000000000) // least(na.nrm, nb.nrm)) * dot)
-         |      // greatest(na.nrm, nb.nrm) AS cos_key_nano
-         |  FROM p
-         |  JOIN nrm na ON p.id_a = na.id
-         |  JOIN nrm nb ON p.id_b = nb.id)
-         |SELECT id_a, id_b, n_shared, CAST(dot AS DECIMAL(38,0)) AS dot,
-         |  CAST(cos_key_nano AS BIGINT) AS cos_key_nano
-         |FROM keyed
-         |WHERE cos_key_nano >= 250000000
-         |""".stripMargin,
+    // internally, and the staged-floor integer membership gate —
+    // floor(floor(1e9·dot/lo)·dot/hi) >= 0.25e9 with lo/hi = min/max
+    // norm — identical integer floors in both engines, no int128→double
+    // cast anywhere (the r8 drift class). The staging never forms dot²
+    // or nrm·nrm (both overflow int128 at sf0.1); largest intermediate
+    // is dot·1e9. The HASHED dot ships as two BIGINT limbs (the r9
+    // resolution: int128-TYPED surface columns — HUGEINT here,
+    // DECIMAL(38,0) on the Spark side — are rendered engine-differently
+    // by the driver's comparator; int64 limbs < 10¹² cannot be).
+    "q158_tfidf_cosine_pairs" -> (TFIDF3_CTES +
+      """keyed AS (
+        |  SELECT id_a, id_b, n_shared, dot,
+        |    (((dot * 1000000000) // least(na.nrm, nb.nrm)) * dot)
+        |      // greatest(na.nrm, nb.nrm) AS cos_key_nano
+        |  FROM p
+        |  JOIN nrm na ON p.id_a = na.id
+        |  JOIN nrm nb ON p.id_b = nb.id)
+        |SELECT id_a, id_b, n_shared,
+        |  CAST(dot // 1000000000000 AS BIGINT) AS dot_hi,
+        |  CAST(dot % 1000000000000 AS BIGINT) AS dot_lo,
+        |  CAST(cos_key_nano AS BIGINT) AS cos_key_nano
+        |FROM keyed
+        |WHERE cos_key_nano >= 250000000
+        |""".stripMargin),
+
+    // r10 DIAGNOSTICS for the q158 driver-hash divergence (VERDICT r9
+    // item 1): the same staged CTEs, read out at three intermediate
+    // points on pure-BIGINT surfaces. Whichever is the FIRST red row in
+    // CORRECTNESS_r10 names the first diverging stage; all green while
+    // q158 stays red implicates the final keyed/gate stage (or the
+    // comparator itself).
+    "q158a_tfidf_elig" -> (TFIDF3_CTES +
+      """sel AS (SELECT 1 AS one)
+        |SELECT count(*) AS n_terms,
+        |  CAST(min(q_idf) AS BIGINT) AS min_q_idf,
+        |  CAST(max(q_idf) AS BIGINT) AS max_q_idf,
+        |  CAST(sum(q_idf) AS BIGINT) AS sum_q_idf
+        |FROM elig""".stripMargin),
+
+    "q158b_tfidf_norms" -> (TFIDF3_CTES +
+      """sel AS (SELECT 1 AS one)
+        |SELECT id, n_terms,
+        |  CAST(nrm // 1000000000000 AS BIGINT) AS nrm_hi,
+        |  CAST(nrm % 1000000000000 AS BIGINT) AS nrm_lo
+        |FROM nrm""".stripMargin),
+
+    "q158c_tfidf_pairs" -> (TFIDF3_CTES +
+      """sel AS (SELECT 1 AS one)
+        |SELECT id_a, id_b, n_shared,
+        |  CAST(dot // 1000000000000 AS BIGINT) AS dot_hi,
+        |  CAST(dot % 1000000000000 AS BIGINT) AS dot_lo
+        |FROM p""".stripMargin),
 
     // Mirrors q167: the shared recursive-CTE clusters, the same
     // size histogram + complement singleton row.

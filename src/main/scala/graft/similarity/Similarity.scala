@@ -377,14 +377,12 @@ object Similarity {
     * absent (no vectors, no row), like the SQL GROUP BY. */
   def ivfClusterStats(corpus: DataFrame, idCol: String, embCol: String,
                       nCentroids: Int = 16, kmeansIters: Int = 0): DataFrame = {
-    val init = seedVectors(corpus, idCol, embCol, nCentroids)
-    val cq = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
-    val cents = refineCentroids(cq, init, kmeansIters)
+    val (cents, assigned) =
+      trainedAssignments(corpus, idCol, embCol, nCentroids, kmeansIters)
     val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
     val centArr = array(cents.map(v => typedLit(v)): _*)
     val normArr = array(cNorms.map(lit): _*)
-    cq.withColumn("__key", centKeys(cents, cNorms, col("cv")))
-      .withColumn("cid", nearestCid)
+    assigned
       .withColumn("__dist2",
         col("cn") + element_at(normArr, col("cid").cast("int")) -
           lit(2L) * intDot(col("cv"),
@@ -393,6 +391,61 @@ object Similarity {
       .agg(count(lit(1)).as("n_assigned"),
         sum(col("__dist2").cast("decimal(38,0)")).as("inertia"))
   }
+
+  /** Train (seed + `iters` Lloyd rounds) and assign: the shared front of
+    * [[ivfClusterStats]] and the r10 bisection diagnostics. Returns the
+    * final centroids and the quantized corpus with its `cid` column. */
+  private def trainedAssignments(corpus: DataFrame, idCol: String,
+                                 embCol: String, nCentroids: Int,
+                                 iters: Int): (Seq[Seq[Long]], DataFrame) = {
+    val init = seedVectors(corpus, idCol, embCol, nCentroids)
+    val cq = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
+    val cents = refineCentroids(cq, init, iters)
+    val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
+    (cents, cq.withColumn("__key", centKeys(cents, cNorms, col("cv")))
+      .withColumn("cid", nearestCid))
+  }
+
+  /** DIAGNOSTIC (r10 driver-divergence bisection, VERDICT r9 item 1):
+    * the per-vector final assignment — the ultimate localizer between
+    * "training/assignment diverged" and "the inertia readout diverged".
+    * Pure int64 surface. */
+  private[graft] def ivfAssignments(corpus: DataFrame, idCol: String,
+                                    embCol: String, nCentroids: Int,
+                                    iters: Int): DataFrame =
+    trainedAssignments(corpus, idCol, embCol, nCentroids, iters)
+      ._2.select(col(idCol), col("cid"))
+
+  /** DIAGNOSTIC: the final trained centroids as (cid, pos, coord) rows —
+    * a plan-time constant emitted via the session (the mirrored oracle
+    * re-derives them from its own training CTEs, so a hash match here
+    * proves the two training loops computed identical integer
+    * centroids). Coordinates are quantized ints, cnorm-free: every
+    * value is far below 2^53. */
+  private[graft] def ivfCentroidRows(corpus: DataFrame, idCol: String,
+                                     embCol: String, nCentroids: Int,
+                                     iters: Int): DataFrame = {
+    val (cents, _) =
+      trainedAssignments(corpus, idCol, embCol, nCentroids, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (v, j) =>
+      v.zipWithIndex.map { case (c, p) => ((j + 1).toLong, (p + 1).toLong, c) }
+    }.toDF("cid", "pos", "coord")
+  }
+
+  /** DIAGNOSTIC: per-round assignment histograms (round 0 = seed
+    * centroids, round r = after r Lloyd updates) — if a Lloyd round is
+    * where the driver's oracle diverges, the first red round names it.
+    * Re-trains per round (bounded: diagnostics run at gate scale). */
+  private[graft] def ivfRoundHist(corpus: DataFrame, idCol: String,
+                                  embCol: String, nCentroids: Int,
+                                  iters: Int): DataFrame =
+    (0 to iters).map { r =>
+      trainedAssignments(corpus, idCol, embCol, nCentroids, r)._2
+        .groupBy("cid").agg(count(lit(1)).as("n_assigned"))
+        .select(lit(r.toLong).as("round"), col("cid"), col("n_assigned"))
+    }.reduce(_ unionByName _)
 
   /** The `nProbe` nearest centroid ids (1-based) from a bound `__key`
     * array: sort (nullFlag, −key, cid) structs — valid first, key desc,
@@ -438,7 +491,11 @@ object Similarity {
       cents = cents.zipWithIndex.map { case (old, j) =>
         byCid.get(j + 1L) match {
           case Some(rows) => rows.sortBy(_.getInt(1)).toSeq
-            .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+            // floorDiv ≡ floor(s/n) exactly, with no double transit at
+            // all — the training chain is integer-closed at ANY scale
+            // (the r9 floor(toDouble/…) was exact only while the sums
+            // stayed below 2^53)
+            .map(r => Math.floorDiv(r.getLong(2), r.getLong(3)))
           case None => old
         }
       }
@@ -644,7 +701,8 @@ object Similarity {
         cb(m).zipWithIndex.map { case (old, j) =>
           grouped.get((m, (j + 1).toLong)) match {
             case Some(rows) => rows.sortBy(_.getInt(2)).toSeq
-              .map(r => math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong)
+              // integer-closed floor mean (see refineCentroids)
+              .map(r => Math.floorDiv(r.getLong(3), r.getLong(4)))
             case None => old
           }
         }

@@ -679,6 +679,32 @@ object CorpusOps {
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        ngram: Int, minDf: Long, maxDfPermille: Long,
                        minShared: Long): DataFrame = {
+    val st = tfidfStages(docs, idCol, textCol, ngram, minDf,
+      maxDfPermille, minShared)
+    st.pairs
+      .join(st.norms.select(col("id").as("id_a"), col("nrm").as("nrm_a")),
+        "id_a")
+      .join(st.norms.select(col("id").as("id_b"), col("nrm").as("nrm_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("dot"),
+        (col("dot").cast("double") /
+          sqrt(col("nrm_a").cast("double") * col("nrm_b").cast("double")))
+          .as("cos"),
+        cosKeyNano(col("dot"), col("nrm_a"), col("nrm_b")))
+  }
+
+  /** The staged frames behind [[tfidfCosinePairs]], exposed for the r10
+    * driver-divergence bisection diagnostics (VERDICT r9 item 1): `elig`
+    * (term, q_idf), `norms` (id, n_terms, nrm), `pairs` (id_a, id_b,
+    * n_shared, dot — post-minShared, PRE norm-join/gate). A hash match
+    * on a stage proves both engines agree up to there. */
+  private[graft] case class TfidfStages(elig: DataFrame, norms: DataFrame,
+                                        pairs: DataFrame)
+
+  private[graft] def tfidfStages(docs: DataFrame, idCol: String,
+                                 textCol: String, ngram: Int, minDf: Long,
+                                 maxDfPermille: Long,
+                                 minShared: Long): TfidfStages = {
     val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val toks = TextAnalysis.tokens(col(textCol))
     val terms =
@@ -704,21 +730,15 @@ object CorpusOps {
         (d38(col("tf")) * col("q_idf")).as("w"))
       .localCheckpoint(eager = false)
     val norms = weighted.groupBy("id")
-      .agg(sum(col("w") * col("w")).as("nrm"))
-    weighted.as("a")
+      .agg(count(lit(1)).as("n_terms"), sum(col("w") * col("w")).as("nrm"))
+    val pairs = weighted.as("a")
       .join(weighted.as("b"),
         col("a.term") === col("b.term") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"),
         sum(col("a.w") * col("b.w")).as("dot"))
       .where(col("n_shared") >= minShared)
-      .join(norms.select(col("id").as("id_a"), col("nrm").as("nrm_a")), "id_a")
-      .join(norms.select(col("id").as("id_b"), col("nrm").as("nrm_b")), "id_b")
-      .select(col("id_a"), col("id_b"), col("n_shared"), col("dot"),
-        (col("dot").cast("double") /
-          sqrt(col("nrm_a").cast("double") * col("nrm_b").cast("double")))
-          .as("cos"),
-        cosKeyNano(col("dot"), col("nrm_a"), col("nrm_b")))
+    TfidfStages(elig, norms, pairs)
   }
 
   /** `cos_key_nano`: a deterministic INTEGER stand-in for cos² in
@@ -732,10 +752,18 @@ object CorpusOps {
     * — within two NANOUNITS of the float gate it replaces, but decided
     * on identical integers in both engines. The staging exists because
     * the direct spellings overflow int128 at sf0.1 (dot² ~ 10⁴¹,
-    * nrm_a·nrm_b likewise); here the largest intermediate is
-    * dot·10⁹ ≲ 10³² and t·dot ≲ 10⁹·hi ≲ 10³², both DECIMAL(38,0)/
-    * HUGEINT-safe, and both floor quotients are long-safe
-    * (t ≤ 10⁹·√(hi/lo), key ≤ 10⁹). A float gate (`cos >= 0.5`) rode
+    * nrm_a·nrm_b likewise). The inner floor t = floor(10⁹·dot/lo) is
+    * itself assembled in two stages — (dot DIV lo)·10⁹ +
+    * ((dot MOD lo)·10⁹) DIV lo, the exact identity for nonnegative
+    * operands — and KEPT IN DECIMAL(38,0), so no stage rides a
+    * silently-overflowable long: dot DIV lo ≤ √(hi/lo) and
+    * ((dot MOD lo)·10⁹) DIV lo < 10⁹ are each long-safe over the
+    * ENTIRE decimal domain (the r9 single-stage long t nulled out past
+    * norm ratio ~8.5×10¹⁹ — ADVICE r9), and t·dot ≤ 10⁹·cos²·hi ≤
+    * 10⁹·hi stays DECIMAL(38,0)/HUGEINT-safe for hi < 10²⁹. The final
+    * key is ≤ 10⁹, a plain long. The oracle's one-stage HUGEINT
+    * spelling computes the identical integer (int128 never overflows
+    * there). A float gate (`cos >= 0.5`) rode
     * the HUGEINT→DOUBLE cast whose rounding drifts across DuckDB
     * releases — the r8 q158 hash-miss class; pairs within one ulp of
     * the threshold could flip MEMBERSHIP, not just a rendered value. */
@@ -743,10 +771,13 @@ object CorpusOps {
                                 nrmA: org.apache.spark.sql.Column,
                                 nrmB: org.apache.spark.sql.Column)
   : org.apache.spark.sql.Column = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val giga = lit(1000000000L).cast("decimal(19,0)")
     val lo = least(nrmA, nrmB)
     val hi = greatest(nrmA, nrmB)
-    val t = call_function("div", dot * lit(1000000000L).cast("decimal(19,0)"), lo)
-    call_function("div", t.cast("decimal(19,0)") * dot, hi)
+    val t = d38(call_function("div", dot, lo)) * giga +
+      d38(call_function("div", (dot % lo) * giga, lo))
+    call_function("div", t * dot, hi)
       .as("cos_key_nano")
   }
 

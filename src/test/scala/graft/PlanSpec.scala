@@ -137,7 +137,9 @@ class PlanSpec extends SparkSpec {
     * range attach and q144's corpus-count attach are 1-ROW aggregate
     * broadcasts, the q60 scalar shape; q156's total-count attach to the
     * ranked rows and q158's n_docs attach to the df table are the same
-    * 1-row scalar shape; q166's kappa readout joins two 1-ROW aggregate
+    * 1-row scalar shape (the q158a/b/c r10 bisection diagnostics read
+    * the same staged frames, so they inherit the same declared attach);
+    * q166's kappa readout joins two 1-ROW aggregate
     * frames — both sides constant; q172's total-count attach to the
     * 9-digit grid, q178's catalog-size attach, q180's/q183's
     * sample-totals attaches, q182's n/chi2 scalar chain, and q185's
@@ -150,6 +152,7 @@ class PlanSpec extends SparkSpec {
       "q134_stop_pagerank", "q135_jl_topk", "q139_gap_fill",
       "q141_sq8_ann", "q142_histogram", "q144_chi2_terms",
       "q152_chi2_drift", "q156_equidepth_bins", "q158_tfidf_cosine_pairs",
+      "q158a_tfidf_elig", "q158b_tfidf_norms", "q158c_tfidf_pairs",
       "q166_cohens_kappa", "q172_benford", "q178_negative_sample",
       "q179_ann_recall", "q180_ks_test", "q182_cramers_v",
       "q183_quantile_map", "q185_split_gini", "q199_cms_native_agg")

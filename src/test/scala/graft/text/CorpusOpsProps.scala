@@ -123,10 +123,10 @@ object CorpusOpsProps extends Properties("CorpusOps") {
   // ---- cosKeyNano: the staged-floor integer membership gate behind
   // q158 (the exactCosKey discipline applied to PAIR cosines, where
   // dot² and nrm·nrm overflow int128 so the key must be staged). The
-  // generator respects the operator's domain: dot ∈ [0, √(na·nb)]
-  // (Cauchy–Schwarz over positive tf-idf weights) and a bounded norm
-  // ratio (hi/lo ≤ 10¹², far beyond any real tf-idf pair — the scaladoc
-  // bound t ≤ 10⁹·√(hi/lo) keeps the first quotient long-safe there).
+  // generator exercises the FULL documented domain (ADVICE r9): norm
+  // ratio hi/lo up to 10¹² (the scaladoc bound), norms up to 10²⁸
+  // (t·dot ≤ 10⁹·hi must stay inside DECIMAL(38,0)), dot ∈ [0,
+  // √(na·nb)] (Cauchy–Schwarz over positive tf-idf weights).
 
   private def isqrt(n: BigInt): BigInt =
     if (n <= 1) n
@@ -138,8 +138,12 @@ object CorpusOpsProps extends Properties("CorpusOps") {
 
   private val genDotNorms: Gen[(BigInt, BigInt, BigInt)] = for {
     lo <- Gen.chooseNum(1L, 1000000000000L) // 1e12
-    ratio <- Gen.chooseNum(1L, 1000000L)
-    scale <- Gen.chooseNum(1L, 1000000000L) // pushes norms past int64
+    ratio <- Gen.chooseNum(1L, 1000000000000L) // 1e12: the full scaladoc bound
+    // scale pushes norms past int64 but keeps hi = lo·ratio·scale ≤ 1e28
+    // (the t·dot ≤ 1e9·hi < 1e38 decimal envelope)
+    scale <- Gen.chooseNum(1L,
+      (BigInt(10).pow(28) / (BigInt(lo) * ratio))
+        .min(BigInt(1000000000L)).max(BigInt(1)).toLong)
     swap <- Gen.oneOf(true, false)
     dotPermille <- Gen.chooseNum(0L, 1000L)
   } yield {
