@@ -348,6 +348,34 @@ object SparkEntry {
   private val EXACT_AVG = "CAST(sum(CAST(%s AS DECIMAL(20,6))) AS DOUBLE) / count(%s)"
   private def exactAvgSql(c: String) = EXACT_AVG.format(c, c)
 
+  /** Renders a DECIMAL(38,0) integer aggregate as DOUBLE through int64
+    * limbs instead of a direct int128→double cast — the one conversion
+    * whose rounding has drifted across DuckDB versions (the r7-r9
+    * q149/q158 hash-miss class, closed for final surfaces by the limb
+    * columns in 24abc0e; this closes it for RENDERED doubles too). Both
+    * engines compute hi = trunc(M/10¹⁶) and lo = M % 10¹⁶ (both
+    * truncate toward zero with dividend-sign remainder — verified for
+    * DuckDB `//`/`%` on HUGEINT and Spark's IntegralDivide/Remainder on
+    * decimals), each an exact int64, then the fixed IEEE chain
+    * hi→double · 1e16 + lo→double: three correctly-rounded ops that are
+    * bit-identical on every engine and version. Exact for |M| < 2⁵³,
+    * within ~2 ulp of M above it; total for |M| < 9.2·10³⁴ (past that
+    * hi overflows int64 — the largest caller value is q160's 3.3·10³²
+    * moment at sf0.1, with the per-site growth law documented at each
+    * call site). Mirror of [[hugeAsDoubleSql]]. */
+  private val LIMB = 10000000000000000L // 10^16
+  private def hugeAsDouble(c: Column): Column =
+    call_function("div", c, lit(LIMB).cast("decimal(19,0)")).cast("double") *
+      lit(1.0e16) +
+      (c % lit(LIMB).cast("decimal(19,0)")).cast("long").cast("double")
+
+  /** Oracle-side mirror of [[hugeAsDouble]]: the identical limb spelling
+    * over DuckDB HUGEINT. Spelled with explicit CASTs so HashSurfaceSpec's
+    * taint lint sees the AS BIGINT wash inside each double cast. */
+  private def hugeAsDoubleSql(e: String): String =
+    s"(CAST(CAST(($e) // 10000000000000000 AS BIGINT) AS DOUBLE) * 1e16" +
+      s" + CAST(CAST(($e) % 10000000000000000 AS BIGINT) AS DOUBLE))"
+
   /** q111/q118's NULL-safe full-row hash over events. EVERY column rides
     * the row encoding (an anti-entropy checksum that skips columns
     * declares diverged replicas in sync); NULLs take an explicit sentinel
@@ -3683,17 +3711,22 @@ object SparkEntry {
           sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
           sum(d38(col("x")) * col("y")).as("sxy"),
           sum(d38(col("x")) * col("x")).as("sxx"))
+        // the moment terms grow ~n² (intercept numerator 4.4·10¹⁹ at
+        // sf0.1, past int64) — all four rendered through the
+        // hugeAsDouble limb chain, never a direct int128→double cast
         .select(col("l_returnflag"), col("n"),
           try_divide(
-            (d38(col("n")) * col("sxy") - col("sx") * col("sy"))
-              .cast("double"),
-            (d38(col("n")) * col("sxx") - col("sx") * col("sx"))
-              .cast("double")).as("slope_cents_per_unit"),
+            hugeAsDouble(
+              d38(col("n")) * col("sxy") - col("sx") * col("sy")),
+            hugeAsDouble(
+              d38(col("n")) * col("sxx") - col("sx") * col("sx")))
+            .as("slope_cents_per_unit"),
           try_divide(
-            (col("sy") * col("sxx") - col("sx") * col("sxy"))
-              .cast("double"),
-            (d38(col("n")) * col("sxx") - col("sx") * col("sx"))
-              .cast("double")).as("intercept_cents"))
+            hugeAsDouble(
+              col("sy") * col("sxx") - col("sx") * col("sxy")),
+            hugeAsDouble(
+              d38(col("n")) * col("sxx") - col("sx") * col("sx")))
+            .as("intercept_cents"))
     }),
 
     // Cumulative DISTINCT count over an ordered stream — "how many
@@ -3867,8 +3900,9 @@ object SparkEntry {
         .agg(max(col("diff")).as("d_num"))
         .select(col("n1"), col("n2"),
           col("d_num").cast("long").as("d_num"),
-          try_divide(col("d_num").cast("double"),
-            (d38(col("n1")) * col("n2")).cast("double")).as("ks"))
+          // n1·n2 growth (10¹¹ at sf0.1) — limb-rendered
+          try_divide(hugeAsDouble(col("d_num")),
+            hugeAsDouble(d38(col("n1")) * col("n2"))).as("ks"))
     }),
 
     // Changepoint detection (largest level shift) — per user, the
@@ -4506,10 +4540,12 @@ object SparkEntry {
         .select(col("route_id"), col("stop_id"), col("n_headways"),
           try_divide(col("sum_h").cast("double"),
             col("n_headways").cast("double")).as("mean_headway_sec"),
+          // n²·h² growth (1.6·10¹³ at sf0.1) — limb-rendered, never a
+          // direct int128→double cast
           try_divide(
-            (d38(col("n_headways")) * col("sum_h2") -
-              d38(col("sum_h")) * col("sum_h")).cast("double"),
-            (d38(col("n_headways")) * col("n_headways")).cast("double"))
+            hugeAsDouble(d38(col("n_headways")) * col("sum_h2") -
+              d38(col("sum_h")) * col("sum_h")),
+            hugeAsDouble(d38(col("n_headways")) * col("n_headways")))
             .as("var_headway_sec2"))
     }),
 
@@ -4678,17 +4714,21 @@ object SparkEntry {
           sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
           sum(d38(col("x")) * col("y")).as("sxy"),
           sum(d38(col("x")) * col("x")).as("sxx"))
+        // q174's moment form: terms grow ~n² per route (1.2·10¹² at
+        // sf0.1) — rendered through the hugeAsDouble limb chain
         .select(col("route_id"), col("n"),
           try_divide(
-            (d38(col("n")) * col("sxy") - col("sx") * col("sy"))
-              .cast("double"),
-            (d38(col("n")) * col("sxx") - col("sx") * col("sx"))
-              .cast("double")).as("sec_per_stop"),
+            hugeAsDouble(
+              d38(col("n")) * col("sxy") - col("sx") * col("sy")),
+            hugeAsDouble(
+              d38(col("n")) * col("sxx") - col("sx") * col("sx")))
+            .as("sec_per_stop"),
           try_divide(
-            (col("sy") * col("sxx") - col("sx") * col("sxy"))
-              .cast("double"),
-            (d38(col("n")) * col("sxx") - col("sx") * col("sx"))
-              .cast("double")).as("intercept_sec"))
+            hugeAsDouble(
+              col("sy") * col("sxx") - col("sx") * col("sxy")),
+            hugeAsDouble(
+              d38(col("n")) * col("sxx") - col("sx") * col("sx")))
+            .as("intercept_sec"))
     }),
 
     // Delay survival curve — P(delay > t) at the thresholds riders
@@ -4751,8 +4791,9 @@ object SparkEntry {
         .select(col("label"), col("n_vecs"),
           col("sum_own_d2").cast("long").as("sum_own_d2"),
           col("sum_other_d2").cast("long").as("sum_other_d2"),
-          try_divide(col("sum_own_d2").cast("double"),
-            col("sum_other_d2").cast("double")).as("overlap_ratio"))
+          // Σd² ≈ 2.2·10¹² at sf0.1 (linear in vectors) — limb-rendered
+          try_divide(hugeAsDouble(col("sum_own_d2")),
+            hugeAsDouble(col("sum_other_d2"))).as("overlap_ratio"))
     }),
 
     // The curation FUNNEL end-to-end — the whole training-data pipeline
@@ -4833,10 +4874,11 @@ object SparkEntry {
       n.crossJoin(broadcast(cross))
         .select(col("n").as("n_rows"), col("n_agree"),
           col("sum_marg").cast("long").as("sum_marg"),
+          // n² growth (9·10¹⁰ at sf0.1) — limb-rendered
           try_divide(
-            (d38(col("n")) * col("n_agree") - col("sum_marg"))
-              .cast("double"),
-            (d38(col("n")) * col("n") - col("sum_marg")).cast("double"))
+            hugeAsDouble(
+              d38(col("n")) * col("n_agree") - col("sum_marg")),
+            hugeAsDouble(d38(col("n")) * col("n") - col("sum_marg")))
             .as("kappa"))
     }),
 
@@ -5041,13 +5083,17 @@ object SparkEntry {
         pairs.map { case (a, b) => sum(q(a) * q(b)).as(s"sx_${a}__$b") }
       val aggd = t(s, dir, "lineitem")
         .agg(count(lit(1)).as("n_rows"), n.as("__n") +: moments: _*)
+      // moments reach n²·q² ≈ 3.3·10³² at sf0.1 (n² growth law; the
+      // hugeAsDouble domain holds to ~×16 data — recompute the limb
+      // split at larger gates) — rendered through the limb chain, never
+      // a direct int128→double cast
       def corr(a: String, b: String) = try_divide(
-        (col("__n") * col(s"sx_${a}__$b") - col(s"s_$a") * col(s"s_$b"))
-          .cast("double"),
-        sqrt((col("__n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
-          .cast("double")) *
-          sqrt((col("__n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
-            .cast("double")))
+        hugeAsDouble(
+          col("__n") * col(s"sx_${a}__$b") - col(s"s_$a") * col(s"s_$b")),
+        sqrt(hugeAsDouble(
+          col("__n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))) *
+          sqrt(hugeAsDouble(
+            col("__n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))))
       val withCorrs = aggd.select(col("n_rows") +:
         pairs.map { case (a, b) => corr(a, b).as(s"c_${a}__$b") }: _*)
       val stackArgs = pairs
@@ -6685,7 +6731,7 @@ object SparkEntry {
 
     // Mirrors q201: the mart CTE, the same lag window, HUGEINT moments.
     "q201_headway_regularity" -> (MART_CTE +
-      """, arr AS (
+      s""", arr AS (
         |  SELECT route_id, stop_id, actual_arrival_epoch AS t, trip_id
         |  FROM mart WHERE actual_arrival_epoch IS NOT NULL),
         |hw AS (
@@ -6701,9 +6747,11 @@ object SparkEntry {
         |SELECT route_id, stop_id, n_headways,
         |  CAST(sum_h AS DOUBLE) / CAST(n_headways AS DOUBLE)
         |    AS mean_headway_sec,
-        |  CAST(CAST(n_headways AS HUGEINT) * sum_h2 -
-        |      CAST(sum_h AS HUGEINT) * sum_h AS DOUBLE) /
-        |    CAST(CAST(n_headways AS HUGEINT) * n_headways AS DOUBLE)
+        |  ${hugeAsDoubleSql(
+             "CAST(n_headways AS HUGEINT) * sum_h2 - " +
+               "CAST(sum_h AS HUGEINT) * sum_h")} /
+        |    ${hugeAsDoubleSql(
+             "CAST(n_headways AS HUGEINT) * n_headways")}
         |    AS var_headway_sec2
         |FROM m WHERE n_headways >= 2""".stripMargin),
 
@@ -6808,7 +6856,7 @@ object SparkEntry {
 
     // Mirrors q207: q174's HUGEINT moment form on (sequence, deviation).
     "q207_delay_accumulation" -> (MART_CTE +
-      """, d AS (
+      s""", d AS (
         |  SELECT route_id, CAST(stop_sequence AS BIGINT) AS x,
         |    actual_arrival_epoch - scheduled_arrival_epoch AS y
         |  FROM mart WHERE actual_arrival_epoch IS NOT NULL),
@@ -6820,10 +6868,12 @@ object SparkEntry {
         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
         |  FROM d GROUP BY route_id)
         |SELECT route_id, CAST(n AS BIGINT) AS n,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS sec_per_stop,
-        |  CAST(sy * sxx - sx * sxy AS DOUBLE) /
-        |    NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS intercept_sec
+        |  ${hugeAsDoubleSql("n * sxy - sx * sy")} /
+        |    NULLIF(${hugeAsDoubleSql("n * sxx - sx * sx")}, 0)
+        |    AS sec_per_stop,
+        |  ${hugeAsDoubleSql("sy * sxx - sx * sxy")} /
+        |    NULLIF(${hugeAsDoubleSql("n * sxx - sx * sx")}, 0)
+        |    AS intercept_sec
         |FROM m""".stripMargin),
 
     // Mirrors q208: four tallies, one divide each.
@@ -6849,7 +6899,7 @@ object SparkEntry {
     // zero, the CASE makes both floor), HUGEINT distance sums, one
     // divide.
     "q209_embedding_separation" ->
-      """WITH dims AS (
+      s"""WITH dims AS (
         |  SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) - 1 AS dim,
         |    CAST(round(unnest(embedding)::DOUBLE * 100000.0) AS BIGINT)
@@ -6876,8 +6926,8 @@ object SparkEntry {
         |SELECT o.label, count(*) AS n_vecs,
         |  CAST(sum(o.own_d2) AS BIGINT) AS sum_own_d2,
         |  CAST(sum(t.nearest_other_d2) AS BIGINT) AS sum_other_d2,
-        |  CAST(sum(o.own_d2) AS DOUBLE) /
-        |    CAST(sum(t.nearest_other_d2) AS DOUBLE) AS overlap_ratio
+        |  ${hugeAsDoubleSql("sum(o.own_d2)")} /
+        |    ${hugeAsDoubleSql("sum(t.nearest_other_d2)")} AS overlap_ratio
         |FROM own o JOIN other t ON o.vec_id = t.vec_id
         |GROUP BY o.label""".stripMargin,
 
@@ -7281,6 +7331,13 @@ object SparkEntry {
          |  start_offset // 2048 AS bin
          |FROM off""".stripMargin,
 
+    // n2 = Σ_dim s_q² with s_q a 50-member group sum of 1e5-quantized
+    // unit-ish components: n2 ≤ 64·(50·1e5)² = 1.6e15 < 2^53 (bounded by
+    // GROUP SIZE and DIMS, never corpus size; measured 7.4e11 at sf0.1),
+    // so the AS BIGINT wash is value-exact and the later n2→DOUBLE is
+    // int64→double — correctly rounded identically in every engine (the
+    // r10 respell that emptied the HashSurfaceSpec HUGEINT-cast
+    // allowlist).
     "q63_pooled_embeddings" ->
       """WITH e AS (
         |  SELECT vec_id // 50 AS group_id,
@@ -7294,7 +7351,7 @@ object SparkEntry {
         |  SELECT group_id, dim, CAST(sum(q) AS BIGINT) AS s_q
         |  FROM q GROUP BY group_id, dim),
         |norms AS (
-        |  SELECT group_id, sum(CAST(s_q AS HUGEINT) * s_q) AS n2
+        |  SELECT group_id, CAST(sum(CAST(s_q AS HUGEINT) * s_q) AS BIGINT) AS n2
         |  FROM sums GROUP BY group_id)
         |SELECT s.group_id, s.dim, s.s_q,
         |  CASE WHEN n.n2 = 0 THEN NULL
@@ -8100,7 +8157,7 @@ object SparkEntry {
     // Mirrors q174: cents quantization, HUGEINT moments, the same two
     // integer-numerator closed forms, one divide each.
     "q174_ols_group" ->
-      """WITH li AS (
+      s"""WITH li AS (
         |  SELECT l_returnflag,
         |    CAST(l_quantity AS BIGINT) AS x,
         |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
@@ -8113,11 +8170,11 @@ object SparkEntry {
         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
         |  FROM li GROUP BY l_returnflag)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)
+        |  ${hugeAsDoubleSql("n * sxy - sx * sy")} /
+        |    NULLIF(${hugeAsDoubleSql("n * sxx - sx * sx")}, 0)
         |    AS slope_cents_per_unit,
-        |  CAST(sy * sxx - sx * sxy AS DOUBLE) /
-        |    NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)
+        |  ${hugeAsDoubleSql("sy * sxx - sx * sxy")} /
+        |    NULLIF(${hugeAsDoubleSql("n * sxx - sx * sx")}, 0)
         |    AS intercept_cents
         |FROM m""".stripMargin,
 
@@ -8271,7 +8328,7 @@ object SparkEntry {
     // Mirrors q180: identical micro-unit grid, cumulative ECDF counts,
     // cross-multiplied integer deviations (HUGEINT), one divide.
     "q180_ks_test" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n1_v,
@@ -8296,8 +8353,8 @@ object SparkEntry {
         |      AS diff
         |  FROM c CROSS JOIN tot)
         |SELECT n1, n2, CAST(max(diff) AS BIGINT) AS d_num,
-        |  CAST(max(diff) AS DOUBLE) /
-        |    CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS ks
+        |  ${hugeAsDoubleSql("max(diff)")} /
+        |    ${hugeAsDoubleSql("CAST(n1 AS HUGEINT) * n2")} AS ks
         |FROM d GROUP BY n1, n2""".stripMargin,
 
     // Mirrors q181: identical bounded frames, cross-multiplied integer
@@ -8751,7 +8808,7 @@ object SparkEntry {
     // Mirrors q166: identical perturbed second rater, the same
     // denominator-cleared integer form, HUGEINT products, one divide.
     "q166_cohens_kappa" ->
-      """WITH r AS (
+      s"""WITH r AS (
         |  SELECT event_type AS a,
         |    CASE WHEN event_id % 7 = 0 THEN 'view' ELSE event_type END AS b
         |  FROM events),
@@ -8767,8 +8824,8 @@ object SparkEntry {
         |  SELECT CAST(sum(ra * rb) AS BIGINT) AS sum_marg
         |  FROM ra JOIN rb ON ra.a = rb.b)
         |SELECT CAST(n AS BIGINT) AS n_rows, n_agree, sum_marg,
-        |  CAST(n * n_agree - sum_marg AS DOUBLE) /
-        |    CAST(n * n - sum_marg AS DOUBLE) AS kappa
+        |  ${hugeAsDoubleSql("n * n_agree - sum_marg")} /
+        |    ${hugeAsDoubleSql("n * n - sum_marg")} AS kappa
         |FROM nn, cr""".stripMargin,
 
     // Mirrors q165: the identical decomposed enrichment built from
@@ -8908,9 +8965,9 @@ object SparkEntry {
       }.mkString(", ")
       val rows = pairs.map { case (a, b) =>
         s"""SELECT '$a' AS col_a, '$b' AS col_b, n_rows,
-           |  CAST(n*sx_${a}__$b - s_$a*s_$b AS DOUBLE) /
-           |    (sqrt(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE)) *
-           |     sqrt(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE)))
+           |  ${hugeAsDoubleSql(s"n*sx_${a}__$b - s_$a*s_$b")} /
+           |    (sqrt(${hugeAsDoubleSql(s"n*ss_$a - s_$a*s_$a")}) *
+           |     sqrt(${hugeAsDoubleSql(s"n*ss_$b - s_$b*s_$b")}))
            |    AS corr FROM m""".stripMargin
       }.mkString("\n|UNION ALL\n|".stripMargin)
       s"""WITH m AS (

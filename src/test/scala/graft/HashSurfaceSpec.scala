@@ -193,65 +193,119 @@ class HashSurfaceSpec extends SparkSpec {
 
   /** (query, cast text) pairs PROVEN to stay below 2^53 — int→double is
     * exact there, so no version's rounding rule can matter. Each entry
-    * must carry the bound argument in a comment. */
-  private val provenSmallCasts: Map[String, Set[String]] = Map(
-    // n2 = Σ_dim s_q² with s_q a 50-member group sum of 1e5-quantized
-    // unit-ish components: n2 ≤ 64·(50·1e5)² = 1.6e15 < 2^53, bounded
-    // by GROUP SIZE and DIMS (both fixed), never by corpus size;
-    // measured 7.4e11 at sf0.1.
-    "q63_pooled_embeddings" -> Set("CAST(n.n2 AS DOUBLE)")
-  )
+    * must carry the bound argument in a comment. EMPTY since r10: the
+    * one surviving entry (q63's n2) was respelled with an AS BIGINT
+    * wash at its definition (the value is < 2^53, so the wash is
+    * exact) — keep it empty; a new entry needs a written bound proof. */
+  private val provenSmallCasts: Map[String, Set[String]] = Map.empty
 
-  test("no oracle SQL casts a HUGEINT-DERIVED column to DOUBLE — the " +
+  test("no oracle SQL casts a HUGEINT-DERIVED expression to DOUBLE — the " +
     "int128 to double conversion is the one float op whose rounding has " +
     "drifted across DuckDB versions (the r7/r8 q149+q158 hash misses). " +
-    "Tracks derivation through aliases, not just the literal keyword: " +
-    "an identifier is HUGEINT-tainted if its defining line mentions " +
-    "HUGEINT or references a tainted identifier, and washed clean by an " +
-    "explicit AS BIGINT cast (int64→double is correctly rounded " +
-    "identically everywhere)") {
+    "Tracks derivation through aliases with EXPRESSION-SPAN attribution " +
+    "(ADVICE r9): an alias is washed only when ITS definition is an " +
+    "outermost AS BIGINT cast (int64→double is correctly rounded " +
+    "identically everywhere), tainted when its definition mentions " +
+    "HUGEINT or references a tainted identifier; and the DOUBLE-cast " +
+    "scan is a balanced-paren walk over CAST(<any expr> AS DOUBLE), " +
+    "not an identifier-only regex") {
     val Ident = "[A-Za-z_][A-Za-z0-9_]*"
     val typeWords = Set("double", "bigint", "hugeint", "decimal",
       "integer", "varchar", "date", "boolean", "float")
     val aliasRe = s"(?i)\\bAS\\s+($Ident)".r
-    val washRe = s"(?i)AS\\s+BIGINT\\s*\\)".r
-    val castRe =
-      s"(?i)CAST\\s*\\(\\s*((?:$Ident\\.)?($Ident))\\s+AS\\s+DOUBLE\\s*\\)".r
+    // an alias's definition span: from its AS backward to the nearest
+    // same-depth comma / SELECT / opening paren — the expression the
+    // alias actually names, across line breaks (the r9 line-level wash
+    // could launder a sibling alias on the same line)
+    def aliasDefs(sql: String): Seq[(String, String)] = {
+      val depthAt = new Array[Int](sql.length + 1)
+      var d = 0
+      for (i <- sql.indices) {
+        depthAt(i) = d
+        if (sql.charAt(i) == '(') d += 1
+        else if (sql.charAt(i) == ')') d = math.max(0, d - 1)
+      }
+      depthAt(sql.length) = d
+      aliasRe.findAllMatchIn(sql).toSeq
+        .filterNot(m => typeWords(m.group(1).toLowerCase))
+        .map { m =>
+          val asDepth = depthAt(m.start)
+          var i = m.start - 1
+          var stop = -1
+          while (i >= 0 && stop < 0) {
+            val c = sql.charAt(i)
+            if (depthAt(i) < asDepth) stop = i + 1 // the opening paren
+            else if (depthAt(i) == asDepth && c == ',') stop = i + 1
+            else if (depthAt(i) == asDepth &&
+              sql.regionMatches(true, i, "SELECT", 0, 6)) stop = i + 6
+            else i -= 1
+          }
+          (m.group(1), sql.substring(math.max(stop, 0), m.start).trim)
+        }
+    }
+    // balanced-paren scan for CAST( ... AS DOUBLE ): returns the inner
+    // expression text of every double cast
+    def doubleCasts(sql: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val castRe = "(?i)\\bCAST\\s*\\(".r
+      for (m <- castRe.findAllMatchIn(sql)) {
+        var i = m.end; var d = 1
+        while (i < sql.length && d > 0) {
+          val c = sql.charAt(i)
+          if (c == '(') d += 1 else if (c == ')') d -= 1
+          i += 1
+        }
+        if (d == 0) {
+          val inner = sql.substring(m.end, i - 1)
+          val tail = "(?is)\\s+AS\\s+DOUBLE\\s*$".r
+          tail.findFirstMatchIn(inner).foreach { t =>
+            out += inner.substring(0, t.start)
+          }
+        }
+      }
+      out.toSeq
+    }
+    def refs(text: String, ident: String): Boolean =
+      s"\\b${java.util.regex.Pattern.quote(ident)}\\b".r
+        .findFirstIn(text).isDefined
+    val outermostWash = "(?is)^CAST\\s*\\(.*AS\\s+BIGINT\\s*\\)$".r
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (q, sql) =>
-        val lines = sql.split('\n')
+        val defs = aliasDefs(sql)
         var huge = Set.empty[String]
         var washed = Set.empty[String]
         var changed = true
         while (changed) {
           changed = false
-          for (line <- lines) {
-            val aliases = aliasRe.findAllMatchIn(line).map(_.group(1))
-              .filterNot(a => typeWords(a.toLowerCase)).toSeq
-            if (aliases.nonEmpty) {
-              val tainted = line.toUpperCase.contains("HUGEINT") ||
-                huge.exists(h => s"\\b${java.util.regex.Pattern.quote(h)}\\b"
-                  .r.findFirstIn(line).isDefined)
-              val wash = washRe.findFirstIn(line).isDefined
-              for (a <- aliases) {
-                if (wash && !washed(a)) { washed += a; changed = true }
-                else if (tainted && !huge(a) && !washed(a)) {
-                  huge += a; changed = true
-                }
-              }
+          for ((a, body) <- defs) {
+            val wash = outermostWash.findFirstIn(body).isDefined
+            val tainted = body.toUpperCase.contains("HUGEINT") ||
+              huge.exists(h => refs(body, h))
+            if (wash && !washed(a)) { washed += a; changed = true }
+            else if (!wash && tainted && !huge(a) && !washed(a)) {
+              huge += a; changed = true
             }
           }
         }
-        val allowed = provenSmallCasts.getOrElse(q, Set.empty)
-        val flags = castRe.findAllMatchIn(sql)
-          .filter(m => huge(m.group(2)) && !washed(m.group(2)))
-          .map(_.group(0)).toSet -- allowed
+        val live = huge -- washed
+        val flags = doubleCasts(sql)
+          .filter { inner =>
+            // a wash INSIDE the cast expression clears only idents it
+            // covers; keep the check conservative: flag when any live
+            // tainted ident appears and the expression has no AS BIGINT
+            // wash of its own
+            live.exists(h => refs(inner, h)) &&
+              "(?i)AS\\s+BIGINT\\s*\\)".r.findFirstIn(inner).isEmpty
+          }
+          .map(inner => "CAST(" + inner.replaceAll("\\s+", " ").trim +
+            " AS DOUBLE)")
+          .toSet -- provenSmallCasts.getOrElse(q, Set.empty)
         if (flags.nonEmpty) Some(s"$q: ${flags.toSeq.sorted.mkString(", ")}")
         else None
     }
     assert(offenders.isEmpty,
-      "oracles casting HUGEINT-derived columns to DOUBLE — respell via " +
-        "an integral divide to BIGINT (the q204 micro pattern) or " +
+      "oracles casting HUGEINT-derived expressions to DOUBLE — respell " +
+        "via an integral divide to BIGINT (the q204 micro pattern) or " +
         "register in provenSmallCasts with a <2^53 bound argument:\n" +
         offenders.mkString("\n"))
     val staleAllow = provenSmallCasts.keys.filterNot { q =>
@@ -309,5 +363,55 @@ class HashSurfaceSpec extends SparkSpec {
       .filterNot(q => quantileUsers.contains(q))
     assert(staleDyadic.isEmpty,
       s"stale dyadicQuantiles entries: ${staleDyadic.mkString(", ")}")
+  }
+
+  test("the hugeAsDouble limb identity holds on Spark exactly as the " +
+    "oracles assume of DuckDB: div truncates toward zero, % takes the " +
+    "dividend's sign (verified on DuckDB 1.0.0: -7//2 = -3 rem -1), so " +
+    "hi*1e16 + lo reconstructs M exactly for positive AND negative " +
+    "moments near the limb boundaries") {
+    import org.apache.spark.sql.functions._
+    val limb = BigDecimal("10000000000000000") // 10^16
+    val cases = Seq(
+      BigDecimal("-70000000000000000001"), BigDecimal("70000000000000000001"),
+      BigDecimal("-9999999999999999"), BigDecimal("9999999999999999"),
+      BigDecimal("-10000000000000000"), BigDecimal("10000000000000000"),
+      BigDecimal("-330000000000000000000000000000001"), // q160-scale moment
+      BigDecimal(0), BigDecimal(-1), BigDecimal(1))
+    // explicit DECIMAL(38,0) schema: the implicit BigDecimal encoder is
+    // (38,18), which can't hold a 33-digit moment
+    val d38Schema = StructType(Seq(StructField("m", DecimalType(38, 0))))
+    def asDf(ms: Seq[BigDecimal]) = spark.createDataFrame(
+      java.util.Arrays.asList(ms.map(m =>
+        org.apache.spark.sql.Row(m.bigDecimal.setScale(0))): _*), d38Schema)
+    val rows = asDf(cases)
+      .select(col("m"),
+        call_function("div", col("m"),
+          lit(limb.bigDecimal).cast("decimal(19,0)")).as("hi"),
+        (col("m") % lit(limb.bigDecimal).cast("decimal(19,0)"))
+          .cast("long").as("lo"))
+      .collect()
+    rows.zip(cases).foreach { case (r, m) =>
+      // div yields BIGINT (hi < 10^17 here; the hugeAsDouble domain bound
+      // |M| < 9.2e34 is exactly where this long would overflow)
+      val hi = BigDecimal(r.getLong(1))
+      val lo = BigDecimal(r.getLong(2))
+      assert(hi * limb + lo == m, s"limb identity broke for $m: hi=$hi lo=$lo")
+      assert(lo.signum * m.signum >= 0, s"remainder sign for $m: $lo")
+      // truncation toward zero: |hi| = floor(|m| / limb)
+      assert(hi.abs == (m.abs / limb).setScale(0, BigDecimal.RoundingMode.DOWN),
+        s"div not truncating for $m: hi=$hi")
+    }
+    // and the rendered double is the fixed 3-op IEEE chain on int64s:
+    // exact when |m| < 2^53, within 2 ulp above it — spot-pin exactness
+    val exact = BigDecimal(9007199254740991L) // 2^53 - 1
+    val rendered = asDf(Seq(exact, -exact))
+      .select((call_function("div", col("m"),
+        lit(limb.bigDecimal).cast("decimal(19,0)")).cast("double") *
+        lit(1.0e16) +
+        (col("m") % lit(limb.bigDecimal).cast("decimal(19,0)"))
+          .cast("long").cast("double")).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(rendered.toSeq == Seq(9007199254740991.0, -9007199254740991.0))
   }
 }
