@@ -32,12 +32,20 @@ import org.apache.spark.sql.types._
   * arbitrary-precision definition is property-pinned in
   * SimilarityProps.
   *
-  * Semantics (total — no domain restriction): NULL iff cnrm = 0 (a
-  * zero-norm centroid has no cosine to anything; the consumers rank
-  * NULLS LAST, mirroring the oracles), else the exact signed integer
-  * for any (dot, cnrm); a negative cnrm — which no caller produces,
-  * norms being sums of squares — uses |cnrm|, keeping the division
-  * semantics identical to the nonnegative-operand decimal spelling.
+  * Semantics: NULL iff cnrm = 0 (a zero-norm centroid has no cosine
+  * to anything; the consumers rank NULLS LAST, mirroring the oracles),
+  * else the exact signed integer for any (dot, cnrm) whose magnitude
+  * dot²·10⁹/|cnrm| fits DECIMAL(38,0) — i.e. |dot| < 3.16·10¹⁴ even at
+  * the worst case cnrm = 1, and far wider for real norms (ADVICE r9:
+  * the doc used to claim totality; the precondition is now explicit
+  * and GUARDED — an out-of-envelope key throws a descriptive
+  * ArithmeticException rather than Decimal's bare precision error or,
+  * worse, a silent null that would corrupt NULLS-LAST rankings). All
+  * callers quantize to the 1e5 grid with dim ≤ 64, so |dot| ≤
+  * 64·(10⁵)² = 6.4·10¹¹ — four decimal orders inside the guard. A
+  * negative cnrm — which no caller produces, norms being sums of
+  * squares — uses |cnrm|, keeping the division semantics identical to
+  * the nonnegative-operand decimal spelling.
   */
 case class CosRankKey(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -76,13 +84,21 @@ case class CosRankKey(left: Expression, right: Expression)
 
 object CosRankKey {
   private val GigaBig = BigInteger.valueOf(1000000000L)
+  private val MaxD38 = BigInteger.TEN.pow(38)
 
-  /** The ranking key as a Spark Decimal(38,0), null iff cnrm = 0. */
+  /** The ranking key as a Spark Decimal(38,0), null iff cnrm = 0;
+    * throws a descriptive ArithmeticException when dot²·10⁹/|cnrm|
+    * exceeds the 38-digit decimal envelope (see class doc). */
   def key(dot: Long, cnrm: Long): Decimal = {
     if (cnrm == 0L) return null
     val d = BigInteger.valueOf(dot)
     val mag = d.multiply(d).multiply(GigaBig)
       .divide(BigInteger.valueOf(cnrm).abs)
+    if (mag.compareTo(MaxD38) >= 0)
+      throw new ArithmeticException(
+        s"graft_cos_rank_key overflow: dot=$dot, cnrm=$cnrm gives " +
+          s"dot^2*1e9/|cnrm| = $mag (> 38 digits); the key requires " +
+          "|dot| < 3.16e14 at cnrm = 1 — see CosRankKey's scaladoc")
     val signed = if (dot < 0) mag.negate() else mag
     Decimal(new JBigDecimal(signed), 38, 0)
   }

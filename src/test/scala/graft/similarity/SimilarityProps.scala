@@ -135,4 +135,33 @@ object SimilarityProps extends Properties("Similarity") {
         kc == 0 || kc == ratCmp(d1, c1, d2, c2)
       }
     }
+
+  // ADVICE r9: the key's magnitude envelope is now guarded, not just
+  // documented — past 38 digits it must throw the DESCRIPTIVE error
+  // (never Decimal's bare precision failure, never a silent null), and
+  // the boundary itself must be exact.
+  property("CosRankKey.key throws a descriptive ArithmeticException " +
+    "exactly when dot^2*1e9/|cnrm| reaches 10^38, and stays exact " +
+    "just inside the boundary") =
+    forAll(Gen.chooseNum(1L, 1000000L)) { cnrm =>
+      import graft.expressions.CosRankKey
+      // smallest |dot| whose key overflows at this cnrm:
+      // dot^2 >= 10^29 * cnrm
+      val bound = {
+        // smallest d with d^2 >= limit; float sqrt can land either side
+        val limit = BigInt(10).pow(29) * cnrm
+        var d = math.sqrt(1e29 * cnrm.toDouble).toLong
+        while (BigInt(d) * d >= limit) d -= 1
+        while (BigInt(d + 1) * (d + 1) < limit) d += 1
+        d + 1
+      }
+      val over =
+        try { CosRankKey.key(bound, cnrm); false }
+        catch { case e: ArithmeticException =>
+          e.getMessage.contains("graft_cos_rank_key overflow") }
+      val justInside = BigInt(CosRankKey.key(bound - 1, cnrm)
+        .toJavaBigDecimal.toBigInteger) ==
+        BigInt(bound - 1) * (bound - 1) * 1000000000L / cnrm
+      over && justInside
+    }
 }
