@@ -44,10 +44,22 @@ object Scratch {
     * every document, which would inflate every dup group ×10 and probe
     * cluster blowup, not scale) — then time the top-5 bench queries at
     * both scales, cache-cold each. */
+  /** Replica-fixture dir keyed on the SOURCE dir (ADVICE r9): the
+    * _done markers alone would silently reuse a replica built from a
+    * different testdata dir — wrong measurements, no error. A short
+    * canonical-path digest in the fixture path rebuilds per source. */
+  private def fixtureDir(base: String, sfDir: String): String = {
+    val canon = new java.io.File(sfDir).getCanonicalPath
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString
+    s"${base}_$digest"
+  }
+
   private def scaleProbe(spark: SparkSession, sfDir: String,
                          factor: Int,
                          queries: Seq[String] = Nil): Unit = {
-    val big = s"target/scale_x$factor"
+    val big = fixtureDir(s"target/scale_x$factor", sfDir)
     val marker = new java.io.File(big + "/_done")
     if (!marker.exists()) {
       val docs = Tables.t(spark, sfDir, "documents")
@@ -140,7 +152,7 @@ object Scratch {
     * superlinear depth curve would instead point at per-partition sort
     * cost inside WindowExec. */
   private def depthProbe(spark: SparkSession, sfDir: String): Unit = {
-    val big = "target/depth_x10"
+    val big = fixtureDir("target/depth_x10", sfDir)
     val marker = new java.io.File(big + "/_done")
     if (!marker.exists()) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
