@@ -1,6 +1,55 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  def median(xs: List[Double]): Double = xs match {
+    case Nil => 0.0 // query failed every pass; the errors map carries it
+    case _ =>
+      val s = xs.sorted
+      s(s.size / 2) // odd run counts: the true median; even: upper median
+  }
+
+  /** The bench-comparability check, promoted from README prose into the
+    * bench JSON itself (VERDICT r9 item 4): this box's totals swing ±60%
+    * under host contention, but contention scales every query UNIFORMLY —
+    * a real regression is a NON-uniform outlier against the recorded
+    * reference medians. `scale` is the median per-query ratio vs the
+    * reference (contention shows up here, harmlessly); `outliers` lists
+    * queries deviating >1.6× from that uniform scale with material wall
+    * (>0.5 s either side — a 0.1 s query tripling is jitter, not signal).
+    * Empty outliers = comparable run, whatever the total says. A wrong
+    * core count (the r9 local[4] phantom regression) surfaces as a
+    * shuffle-heavy outlier cluster plus the `cpus` field.
+    *
+    * Reference format (`tools/bench_reference.txt`): one `<query> <sec>`
+    * per line, `#` comments — regenerate from the latest recorded medians
+    * when the baseline moves. Pure function of (medians, reference lines)
+    * so BenchSpec can pin the classification. */
+  def comparabilityJson(medians: Seq[(String, Double)],
+                        refLines: Iterator[String],
+                        refLabel: String): String = {
+    val ref = refLines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val parts = l.split("\\s+"); parts(0) -> parts(1).toDouble }
+      .toMap
+    val cur = medians.toMap
+    val ratios = medians.collect {
+      case (n, c) if ref.get(n).exists(_ > 0) && c > 0 => n -> (c / ref(n))
+    }
+    if (ratios.isEmpty) s"""{"reference":"$refLabel","scale":null}"""
+    else {
+      val scale = median(ratios.map(_._2).toList)
+      val outliers = ratios.filter { case (n, r) =>
+        (r > scale * 1.6 || r < scale / 1.6) &&
+          math.max(cur(n), ref(n)) > 0.5
+      }
+      val outJson = outliers.sortBy(_._1).map { case (n, r) =>
+        "\"" + n + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+      s"""{"reference":"$refLabel","scale":${f"$scale%.3f"},""" +
+        s""""uniform":${outliers.isEmpty},"outliers":$outJson}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default matches the driver contract's local[32]: a lower silent
@@ -50,19 +99,24 @@ object Bench {
         }
       }
     }
-    def median(xs: List[Double]): Double = xs match {
-      case Nil => 0.0 // query failed every pass; the errors map carries it
-      case _ =>
-        val s = xs.sorted
-        s(s.size / 2) // odd run counts: the true median; even: upper median
-    }
     val medians = names.map(n => n -> median(times(n)))
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$nRuns,"sf":"$sfDir"}""")
+    val refPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "tools/bench_reference.txt")
+    val comparability = {
+      val f = new java.io.File(refPath)
+      if (!f.exists()) s"""{"reference":null}"""
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try comparabilityJson(medians, src.getLines(), refPath)
+        finally src.close()
+      }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$nRuns,"cpus":$cpus,"comparability":$comparability,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
