@@ -190,8 +190,25 @@ final class GtfsRtScan(path: String, required: StructType,
   private def hadoopConf() =
     SparkSession.active.sessionState.newHadoopConfWithOptions(options)
 
-  /** One metadata-only listing pass: every `.pb` file under the root
-    * (recursive when configured), sorted by full path for determinism. */
+  /** One metadata-only listing pass: every VISIBLE `.pb` file under the
+    * root (recursive when configured) plus every file resolved through a
+    * `commit-*.manifest` (the connector's own atomic-commit unit — see
+    * GtfsRtWrite), sorted by full path for determinism.
+    *
+    * Visibility rules (reader half of the manifest commit protocol):
+    * files under a path segment starting with `_` or `.` are HIDDEN —
+    * Spark's own file-source convention — which excludes both in-flight
+    * `_temporary-*` trees (before this filter, a recursive read RACING a
+    * write could list uncommitted task files) and committed
+    * `_data-<qid>/` dirs; the latter become visible only through their
+    * manifest, whose single publish rename is the commit's atomicity
+    * point. Manifest lines resolve against the manifest's OWN directory,
+    * so date-partitioned archives of committed writes read recursively.
+    * Orphans in a data dir that a manifest does not list (speculative
+    * task duplicates) stay invisible. Cost shape at scale: the same one
+    * listing walk, plus one open per manifest (small, one line per file)
+    * — no per-data-file RPCs beyond the listStatus the listing already
+    * paid. */
   private[sources] def listFeedFiles(): Seq[FileStatus] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hadoopConf())
@@ -200,8 +217,34 @@ final class GtfsRtScan(path: String, required: StructType,
       val it = fs.listFiles(root, true)
       while (it.hasNext) listed += it.next()
     } else listed ++= fs.listStatus(root)
-    val all = listed.toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".pb"))
+    val rootStr = root.toUri.getPath
+    def hidden(p: Path): Boolean = {
+      // any segment strictly below the root starting with _ or .
+      var cur = p.getParent
+      var name = p.getName
+      var h = name.startsWith("_") || name.startsWith(".")
+      while (!h && cur != null && cur.toUri.getPath != rootStr) {
+        val n = cur.getName
+        h = n.startsWith("_") || n.startsWith(".")
+        cur = cur.getParent
+      }
+      h
+    }
+    val visible = listed.toSeq.filter(st => st.isFile && !hidden(st.getPath))
+    val bare = visible.filter(_.getPath.getName.endsWith(".pb"))
+    val fromManifests = visible
+      .filter(st => GtfsRtScan.ManifestName
+        .findFirstIn(st.getPath.getName).isDefined)
+      .flatMap { mst =>
+        val base = mst.getPath.getParent
+        val in = fs.open(mst.getPath)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+        lines.map(rel => fs.getFileStatus(new Path(base, rel)))
+      }
+    val all = (bare ++ fromManifests)
+      .groupBy(_.getPath.toString).map(_._2.head).toSeq
       .sortBy(_.getPath.toString)
     epochBounds.fold(all) { case (lo, hi) =>
       all.filter { st =>
@@ -286,6 +329,10 @@ object GtfsRtScan {
   /** Name-encoded epoch: the trailing digit run before `.pb`, preceded
     * by a separator (never digits glued to other digits). */
   private[sources] val EpochName = "[-_](\\d+)\\.pb$".r
+
+  /** Commit-manifest file names (the writer's atomic publish unit —
+    * must agree with [[GtfsRtWrite.manifestName]]). */
+  private[sources] val ManifestName = "^commit-[0-9a-zA-Z]+\\.manifest$".r
 }
 
 final case class GtfsRtOffset(maxPath: String) extends Offset {

@@ -29,13 +29,23 @@ import graft.gtfs._
   * column-subset input with nulls via by-name output resolution —
   * both contracts pinned in GtfsRtSourceSpec).
   *
-  * Commit protocol: every task writes to `_temporary-<queryId>/` and
-  * reports its files; the driver MOVES them into the target directory
-  * only in `commit()` (rename, per-file atomic on a real filesystem)
-  * and deletes the temp tree on `abort()` — a killed job never leaves
-  * half-written `.pb` files where the reader lists. Speculative
-  * duplicate tasks write distinct temp names and only the committed
-  * task's files are moved.
+  * Commit protocol (manifest, single visibility point — VERDICT r9
+  * item 5): every task writes to `_temporary-<queryId>/` and reports
+  * its files; `commit()` renames that whole directory ONCE to
+  * `_data-<queryId>/` (underscore-hidden, so readers never list into
+  * it), then publishes a `commit-<queryId>.manifest` at the target
+  * root — one relative path per line, ONLY the committed tasks' files
+  * (a speculative duplicate's orphan rides along in the data dir but
+  * is never listed, hence never read) — via write-temp + one rename.
+  * The manifest rename is the commit's entire visibility point: a
+  * crash or failed rename ANYWHERE before it leaves zero new files
+  * visible to the reader (the r9 per-file rename loop could tear —
+  * some files renamed, then a failure — which the all-or-nothing
+  * precheck narrowed but could not close). `abort()` deletes the temp
+  * tree. Readers resolve manifests alongside bare `.pb` files, so
+  * archives from external producers keep working (GtfsRtScan's
+  * listing). Reader-visible atomicity under a mid-commit crash is
+  * pinned in GtfsRtSourceSpec.
   */
 final class GtfsRtWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder {
@@ -66,6 +76,14 @@ object GtfsRtWrite {
     * on the order of 100 MB; override per-write with the
     * `maxBufferedRowsPerTask` option. */
   val DefaultMaxBufferedRowsPerTask: Long = 1000000L
+
+  /** Query-id fragment used in on-disk names (manifest + data dir must
+    * agree with the reader's resolution, so the spelling lives here). */
+  def sanitizeQueryId(queryId: String): String =
+    queryId.replaceAll("[^0-9a-zA-Z]", "").take(16)
+
+  def manifestName(sanitizedQid: String): String =
+    s"commit-$sanitizedQid.manifest"
 }
 
 final case class GtfsRtCommitMessage(files: Seq[String])
@@ -86,30 +104,40 @@ final class GtfsRtBatchWrite(path: String, queryId: String,
     val target = new Path(path)
     val fs = target.getFileSystem(conf.value)
     fs.mkdirs(target)
-    val moves = messages.flatMap {
-      case GtfsRtCommitMessage(files) => files.map { f =>
-        val src = new Path(f)
-        src -> new Path(target, src.getName)
-      }
+    val committed = messages.flatMap {
+      case GtfsRtCommitMessage(files) => files.map(f => new Path(f).getName)
       case other => throw new IllegalStateException(s"unexpected $other")
     }
-    // All-or-nothing guard BEFORE the first rename: task file names carry
-    // a queryId fragment, so a collision here means a previous run's file
-    // of the SAME query id (a retry of a committed job) or an outside
-    // write — either way, renaming some files and then throwing midway
-    // would leave a torn commit. Renames after a clean precheck can still
-    // race a concurrent writer, but the failure then surfaces on the
-    // rename itself rather than silently overwriting.
-    val taken = moves.collect { case (_, dst) if fs.exists(dst) => dst }
-    if (taken.nonEmpty)
+    if (committed.isEmpty) { fs.delete(tempDir, true); return }
+    val qid = GtfsRtWrite.sanitizeQueryId(queryId)
+    val dataDir = new Path(target, s"_data-$qid")
+    val manifest = new Path(target, GtfsRtWrite.manifestName(qid))
+    // retry-of-a-committed-job guard: the manifest (or its data dir)
+    // already existing means this queryId committed once — refuse
+    // BEFORE touching anything rather than silently re-publishing
+    if (fs.exists(manifest) || fs.exists(dataDir))
       throw new java.io.IOException(
-        s"commit aborted before any rename: destination files already " +
-          s"exist: ${taken.mkString(", ")}")
-    moves.foreach { case (src, dst) =>
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"commit rename failed: $src -> $dst")
+        s"commit aborted: $manifest or $dataDir already exists — this " +
+          "query id already committed to this archive")
+    // one directory rename stages every task file out of the temp tree;
+    // speculative-duplicate orphans ride along but are never listed in
+    // the manifest, so readers never see them
+    if (!fs.rename(tempDir, dataDir))
+      throw new java.io.IOException(
+        s"commit rename failed: $tempDir -> $dataDir")
+    // the manifest publish is the ONE reader-visible step: write to an
+    // underscore-hidden temp name, fsync via close, single rename
+    val tmpManifest = new Path(target, s"_manifest-tmp-$qid")
+    val out = fs.create(tmpManifest, true)
+    try out.write(committed.sorted
+      .map(n => s"_data-$qid/$n\n").mkString.getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmpManifest, manifest)) {
+      fs.delete(tmpManifest, false)
+      throw new java.io.IOException(
+        s"commit rename failed: $tmpManifest -> $manifest — no new " +
+          "files are visible to readers (the data dir stays hidden)")
     }
-    fs.delete(tempDir, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -172,18 +172,26 @@ class GtfsRtSourceSpec extends SparkSpec {
 
   test("write path: a flattened-row DataFrame writes protobuf snapshots " +
     "that read back row-identical (one file per feed_epoch per task); " +
-    "no _temporary tree survives the commit") {
+    "the commit publishes ONE manifest over a hidden _data dir, no " +
+    "_temporary tree survives") {
     withDir { src =>
       withDir { dst =>
         writeFeeds(src, 4)
         val in = spark.read.format(Fmt).load(src.toString)
         in.coalesce(1).write.format(Fmt).mode("append").save(dst.toString)
-        // one snapshot per epoch (single task), no temp litter
-        val written = Option(dst.toFile.listFiles()).get.map(_.getName)
-        assert(written.count(_.endsWith(".pb")) === 4,
-          s"expected 4 snapshot files, got ${written.toSeq}")
-        assert(!written.exists(_.startsWith("_temporary")),
-          s"temp tree leaked: ${written.toSeq}")
+        // manifest-commit layout: root = 1 manifest + 1 hidden data dir
+        // holding one snapshot per epoch (single task), no temp litter
+        val rootEntries = Option(dst.toFile.listFiles()).get.map(_.getName)
+        assert(rootEntries.count(_.matches("commit-[0-9a-zA-Z]+\\.manifest"))
+          === 1, s"expected one commit manifest, got ${rootEntries.toSeq}")
+        val dataDirs = rootEntries.filter(_.startsWith("_data-"))
+        assert(dataDirs.length === 1, s"got ${rootEntries.toSeq}")
+        val pbFiles = new java.io.File(dst.toFile, dataDirs.head)
+          .listFiles().map(_.getName)
+        assert(pbFiles.count(_.endsWith(".pb")) === 4,
+          s"expected 4 snapshot files, got ${pbFiles.toSeq}")
+        assert(!rootEntries.exists(_.startsWith("_temporary")),
+          s"temp tree leaked: ${rootEntries.toSeq}")
         val back = spark.read.format(Fmt).load(dst.toString)
         val key = (df: org.apache.spark.sql.DataFrame) =>
           df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
@@ -282,21 +290,67 @@ class GtfsRtSourceSpec extends SparkSpec {
   }
 
   test("write path: two appends of the same data to one archive never " +
-    "collide in commit — final names carry a per-query fragment, so the " +
-    "second append lands beside the first instead of failing the " +
-    "exists-precheck") {
+    "collide in commit — each lands under its own queryId-named manifest " +
+    "and data dir, so the second append publishes beside the first") {
     withDir { src =>
       withDir { dst =>
         writeFeeds(src, 2)
         val in = spark.read.format(Fmt).load(src.toString)
         in.coalesce(1).write.format(Fmt).mode("append").save(dst.toString)
         in.coalesce(1).write.format(Fmt).mode("append").save(dst.toString)
-        val files = dst.toFile.listFiles().map(_.getName).filter(_.endsWith(".pb"))
-        assert(files.length === 4, s"expected 2+2 snapshot files: ${files.toSeq}")
-        assert(files.distinct.length === 4)
+        val rootEntries = dst.toFile.listFiles().map(_.getName)
+        assert(rootEntries
+          .count(_.matches("commit-[0-9a-zA-Z]+\\.manifest")) === 2,
+          s"expected two commit manifests: ${rootEntries.toSeq}")
+        val pbFiles = rootEntries.filter(_.startsWith("_data-"))
+          .flatMap(d => new java.io.File(dst.toFile, d).listFiles())
+          .map(_.getName).filter(_.endsWith(".pb"))
+        assert(pbFiles.length === 4, s"expected 2+2 snapshots: ${pbFiles.toSeq}")
+        assert(pbFiles.distinct.length === 4)
         // both copies read back: 2 epochs x 2 files x 3 STUs
         assert(spark.read.format(Fmt).load(dst.toString).count() === 12L)
       }
+    }
+  }
+
+  test("write path: commit atomicity is the single manifest publish — a " +
+    "crash BEFORE it (staged hidden data dir, temp tree, temp manifest) " +
+    "leaves zero new rows visible in batch and recursive reads, and the " +
+    "manifest alone flips the whole commit visible (VERDICT r9 item 5)") {
+    withDir { dst =>
+      writeFeeds(dst, 2) // the pre-existing archive: 2 x 3 = 6 rows
+      assert(spark.read.format(Fmt).load(dst.toString).count() === 6L)
+      // reconstruct the exact on-disk states of a commit that died after
+      // the data-dir rename but before the manifest publish
+      val qid = "deadbeef"
+      val dataDir = dst.resolve(s"_data-$qid")
+      Files.createDirectories(dataDir)
+      Files.write(dataDir.resolve(s"part-00000-0-$qid-1717200099.pb"),
+        feed("TORN", 1717200099L, 3))
+      // plus an in-flight task tree and a half-written temp manifest
+      val tmpTree = dst.resolve("_temporary-someotherquery")
+      Files.createDirectories(tmpTree)
+      Files.write(tmpTree.resolve("part-00000-0-xyz-1717200098.pb"),
+        feed("INFLIGHT", 1717200098L, 3))
+      Files.write(dst.resolve(s"_manifest-tmp-$qid"),
+        s"_data-$qid/part-00000-0-$qid-1717200099.pb\n".getBytes("UTF-8"))
+      // none of it is reader-visible, plain or recursive
+      assert(spark.read.format(Fmt).load(dst.toString).count() === 6L)
+      assert(spark.read.format(Fmt)
+        .option("recursiveFileLookup", "true")
+        .load(dst.toString).count() === 6L)
+      // the one rename that commits: temp manifest -> manifest
+      Files.move(dst.resolve(s"_manifest-tmp-$qid"),
+        dst.resolve(s"commit-$qid.manifest"))
+      val after = spark.read.format(Fmt).load(dst.toString)
+      assert(after.count() === 9L)
+      assert(after.filter("trip_id = 'TORN'").count() === 3L)
+      // orphans in a data dir that the manifest does NOT list stay
+      // invisible (speculative task duplicates)
+      Files.write(dataDir.resolve(s"part-00001-9-$qid-1717200097.pb"),
+        feed("ORPHAN", 1717200097L, 3))
+      assert(spark.read.format(Fmt).load(dst.toString)
+        .filter("trip_id = 'ORPHAN'").count() === 0L)
     }
   }
 
