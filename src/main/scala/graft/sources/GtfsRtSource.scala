@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -335,19 +335,64 @@ object GtfsRtScan {
   private[sources] val ManifestName = "^commit-[0-9a-zA-Z]+\\.manifest$".r
 }
 
-final case class GtfsRtOffset(maxPath: String) extends Offset {
+final case class GtfsRtOffset(maxPath: String, maxMod: Long = 0L)
+    extends Offset {
   override def json(): String =
     org.json4s.jackson.JsonMethods.compact(
-      org.json4s.JObject("maxPath" -> org.json4s.JString(maxPath)))
+      org.json4s.JObject("maxPath" -> org.json4s.JString(maxPath),
+        "maxMod" -> org.json4s.JLong(maxMod)))
 }
 
-final class GtfsRtMicroBatchStream(scan: GtfsRtScan) extends MicroBatchStream {
-  override def initialOffset(): Offset = GtfsRtOffset("")
+/** Tails the archive with a PATH-ordered watermark (`maxPath` = largest
+  * path processed): O(1) offset state at any archive size, correct for
+  * producers whose file names are MONOTONE in arrival order — the
+  * FetchLoop drop-dir contract (`snap_<epoch>.pb`) and any
+  * epoch-named archive. A producer that violates it (e.g. pointing
+  * readStream at an archive receiving BATCH connector commits, whose
+  * queryId-fragment names carry no order) would silently lose the
+  * late-sorting files — so the offset carries a second leg, the max
+  * modification time at watermark, and `latestOffset` FAILS with the
+  * contract named when a file strictly newer than the watermark sorts
+  * at or below `maxPath` (the same check also catches in-place
+  * rewrites of processed files). Detection, not silent drop; bounded
+  * state either way. Old single-leg checkpoints deserialize with
+  * maxMod = 0, which disables detection until the next offset is
+  * written (never fails a resumed stream spuriously). */
+final class GtfsRtMicroBatchStream(scan: GtfsRtScan) extends MicroBatchStream
+    with SupportsAdmissionControl {
+  override def initialOffset(): Offset = GtfsRtOffset("", 0L)
 
-  override def latestOffset(): Offset = {
+  // the engine prefers the admission-control overload whenever the
+  // interface is implemented; this variant exists only for the trait
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the supported entry")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latestFrom(start.asInstanceOf[GtfsRtOffset])
+
+  private[sources] def latestFrom(prev: GtfsRtOffset): GtfsRtOffset = {
     val files = scan.listFeedFiles()
-    GtfsRtOffset(
-      if (files.isEmpty) "" else files.last.getPath.toString)
+    val late = files.filter(st => st.getModificationTime > prev.maxMod &&
+      prev.maxMod > 0L && st.getPath.toString <= prev.maxPath)
+    if (late.nonEmpty)
+      throw new IllegalStateException(
+        "graft.sources.GtfsRtSource streaming requires file names " +
+          "monotone in arrival order (the snap_<epoch>.pb convention): " +
+          s"file(s) newer than the committed watermark sort at or below " +
+          s"it and would be silently skipped: " +
+          late.map(_.getPath.getName).mkString(", ") +
+          ". Stream from a FetchLoop-style drop directory, or batch-read " +
+          "manifest archives.")
+    if (files.isEmpty) prev
+    else {
+      val lastPath = files.last.getPath.toString
+      GtfsRtOffset(
+        if (lastPath > prev.maxPath) lastPath else prev.maxPath,
+        files.map(_.getModificationTime).max.max(prev.maxMod))
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -365,7 +410,12 @@ final class GtfsRtMicroBatchStream(scan: GtfsRtScan) extends MicroBatchStream {
   override def deserializeOffset(json: String): Offset = {
     val parsed = org.json4s.jackson.JsonMethods.parse(json)
     val org.json4s.JString(p) = parsed \ "maxPath": @unchecked
-    GtfsRtOffset(p)
+    val mod = parsed \ "maxMod" match {
+      case org.json4s.JInt(m) => m.toLong
+      case org.json4s.JLong(m) => m
+      case _ => 0L // pre-r10 single-leg checkpoint
+    }
+    GtfsRtOffset(p, mod)
   }
 
   // nothing to clean up: the committed watermark fully describes progress

@@ -170,6 +170,41 @@ class GtfsRtSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming watermark contract is DETECTED, not silently violated: " +
+    "a file strictly newer than the committed watermark that sorts at or " +
+    "below maxPath fails latestOffset with the monotone-naming contract " +
+    "named; monotone arrivals advance both offset legs") {
+    withDir { dir =>
+      spark.sparkContext // listFeedFiles builds its conf off the session
+      writeFeeds(dir, 2) // snap_001, snap_002
+      val scan = new GtfsRtScan(dir.toString, GtfsRtTable.Schema,
+        maxBytesOpt = None, recursive = false, allowEmpty = true,
+        options = Map.empty)
+      val stream = new GtfsRtMicroBatchStream(scan)
+      val o0 = stream.initialOffset().asInstanceOf[GtfsRtOffset]
+      val o1 = stream.latestFrom(o0)
+      assert(o1.maxPath.endsWith("snap_002.pb") && o1.maxMod > 0L)
+      // monotone arrival: advances cleanly
+      Thread.sleep(5)
+      Files.write(dir.resolve("snap_003.pb"), feed("T3", 1717200003L, 1))
+      val o2 = stream.latestFrom(o1)
+      assert(o2.maxPath.endsWith("snap_003.pb"))
+      assert(o2.maxMod >= o1.maxMod)
+      // NON-monotone arrival: strictly newer modtime, sorts below the
+      // watermark — the batch-commit naming shape — must fail loudly
+      Thread.sleep(5)
+      val late = dir.resolve("snap_000_late.pb")
+      Files.write(late, feed("LATE", 1717200000L, 1))
+      late.toFile.setLastModified(System.currentTimeMillis() + 60000)
+      val ex = intercept[IllegalStateException](stream.latestFrom(o2))
+      assert(ex.getMessage.contains("monotone"), ex.getMessage)
+      assert(ex.getMessage.contains("snap_000_late.pb"), ex.getMessage)
+      // a pre-r10 checkpoint (maxMod = 0) never fails spuriously
+      assert(stream.latestFrom(GtfsRtOffset(o2.maxPath, 0L))
+        .maxPath == o2.maxPath)
+    }
+  }
+
   test("write path: a flattened-row DataFrame writes protobuf snapshots " +
     "that read back row-identical (one file per feed_epoch per task); " +
     "the commit publishes ONE manifest over a hidden _data dir, no " +
