@@ -27,7 +27,16 @@ object Bench {
     * so BenchSpec can pin the classification. */
   def comparabilityJson(medians: Seq[(String, Double)],
                         refLines: Iterator[String],
-                        refLabel: String): String = {
+                        refLabel: String,
+                        singlePass: Boolean = false): String = {
+    // a 1-pass run is systematically first-pass-biased: the earliest
+    // queries pay whole-pipeline JIT that medians-of-N absorb (observed:
+    // q01-q05/q29 flag 1.7-3.6x on a same-code single pass while the
+    // 3-run medians match at scale 0.98) — say so in the JSON rather
+    // than letting the outlier list read as regressions
+    val note = if (singlePass)
+      """"note":"single pass: first-run JIT bias inflates early queries; use runs>=3 medians for regression calls","""
+    else ""
     val ref = refLines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l => val parts = l.split("\\s+"); parts(0) -> parts(1).toDouble }
@@ -45,7 +54,7 @@ object Bench {
       }
       val outJson = outliers.sortBy(_._1).map { case (n, r) =>
         "\"" + n + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
-      s"""{"reference":"$refLabel","scale":${f"$scale%.3f"},""" +
+      s"""{"reference":"$refLabel",$note"scale":${f"$scale%.3f"},""" +
         s""""uniform":${outliers.isEmpty},"outliers":$outJson}"""
     }
   }
@@ -112,7 +121,8 @@ object Bench {
       if (!f.exists()) s"""{"reference":null}"""
       else {
         val src = scala.io.Source.fromFile(f)
-        try comparabilityJson(medians, src.getLines(), refPath)
+        try comparabilityJson(medians, src.getLines(), refPath,
+          singlePass = nRuns == 1)
         finally src.close()
       }
     }

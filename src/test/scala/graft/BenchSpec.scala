@@ -71,6 +71,17 @@ class BenchSpec extends AnyFunSuite {
       .contains(""""scale":null"""))
   }
 
+  test("a single-pass run carries the first-run-JIT caveat in the JSON; " +
+    "median-of-N runs do not") {
+    val ref = "q01 1.0\n"
+    val json1 = Bench.comparabilityJson(Seq("q01" -> 1.0),
+      ref.linesIterator, "ref", singlePass = true)
+    assert(json1.contains(""""note":"single pass"""), json1)
+    val json3 = Bench.comparabilityJson(Seq("q01" -> 1.0),
+      ref.linesIterator, "ref")
+    assert(!json3.contains(""""note""""), json3)
+  }
+
   test("median: odd count takes the middle, even takes the upper middle, " +
     "empty is 0.0 (the failed-every-pass sentinel)") {
     assert(Bench.median(List(3.0, 1.0, 2.0)) === 2.0)
