@@ -159,6 +159,61 @@ object SparkEntry {
     }
   }
 
+  /** IVF coarse-quantizer centroids, trained once per (session, dir,
+    * knobs) — the pqTrained discipline for the OTHER trained artifact:
+    * q32's search shares the (16, iters=2) training with the whole q149
+    * family (stats + three bisection diagnostics), and q149c's per-round
+    * histograms hit the iters=0/1 keys instead of retraining each.
+    * Plain driver values (nCentroids × dim longs). */
+  private val ivfTrainedCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.HashMap[String, Seq[Seq[Long]]]]()
+
+  private def ivfTrained(s: SparkSession, dir: String,
+                         nCentroids: Int, iters: Int): Seq[Seq[Long]] = {
+    val key = s"$dir|n=$nCentroids|iters=$iters"
+    val cached = ivfTrainedCache.synchronized {
+      Option(ivfTrainedCache.get(s)).flatMap(_.get(key))
+    }
+    cached.getOrElse {
+      // trained OUTSIDE the monitor (multi-job Lloyd loop; see pqTrained)
+      val trained = Similarity.trainCentroids(t(s, dir, "embeddings"),
+        "vec_id", "embedding", nCentroids, iters)
+      ivfTrainedCache.synchronized {
+        val m = ivfTrainedCache.computeIfAbsent(s, _ =>
+          scala.collection.mutable.HashMap.empty)
+        m.getOrElseUpdate(key, trained)
+      }
+    }
+  }
+
+  /** The q158 tf-idf staged frames (weighted postings localCheckpoint +
+    * its three readouts), built once per (session, dir) and shared by
+    * q158 and its three bisection diagnostics — the mart/cluster
+    * artifact pattern. SoftReference values for the same
+    * value-refers-to-weak-key reason as [[SessionDirCache]]; release
+    * drops the checkpoint blocks eagerly. Knobs are fixed (all four
+    * consumers share them) and named in the key for honesty. */
+  private val tfidfStagesCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.HashMap[
+      String, java.lang.ref.SoftReference[text.CorpusOps.TfidfStages]]]()
+
+  private def tfidfShared(s: SparkSession,
+                          dir: String): text.CorpusOps.TfidfStages =
+    tfidfStagesCache.synchronized {
+      val m = tfidfStagesCache.computeIfAbsent(s, _ =>
+        scala.collection.mutable.HashMap.empty)
+      val key = s"$dir|ngram=3|minDf=2|maxDfPermille=200|minShared=3"
+      m.get(key).flatMap(r => Option(r.get)) match {
+        case Some(st) => st
+        case None =>
+          val st = text.CorpusOps.tfidfStages(t(s, dir, "documents"),
+            "doc_id", "text", ngram = 3, minDf = 2L, maxDfPermille = 200L,
+            minShared = 3L)
+          m(key) = new java.lang.ref.SoftReference(st)
+          st
+      }
+    }
+
   /** Drop the memoized marts/clusters/candidates AND their persisted
     * blocks — for harnesses (Bench) that need each measurement pass to
     * start cache-cold. A bare `spark.catalog.clearCache()` would drop
@@ -167,6 +222,14 @@ object SparkEntry {
   def resetCaches(): Unit = {
     allCaches.foreach(_.reset())
     pqTrainedCache.synchronized(pqTrainedCache.clear())
+    ivfTrainedCache.synchronized(ivfTrainedCache.clear())
+    tfidfStagesCache.synchronized {
+      tfidfStagesCache.values.forEach(_.values.foreach { ref =>
+        val st = ref.get
+        if (st != null) text.CorpusOps.releaseTfidfStages(st)
+      })
+      tfidfStagesCache.clear()
+    }
   }
 
   private def buildDiffMart(s: SparkSession, dir: String): DataFrame = {
@@ -1773,7 +1836,8 @@ object SparkEntry {
     // above any reachable scale — the decimal carries the true sum).
     "q149_kmeans_inertia" -> ((s, dir) =>
       Similarity.ivfClusterStats(t(s, dir, "embeddings"), "vec_id",
-        "embedding", nCentroids = 16, kmeansIters = 2)
+        "embedding", nCentroids = 16, kmeansIters = 2,
+        trainedCents = Some(ivfTrained(s, dir, 16, 2)))
         .select(col("cid"), col("n_assigned"),
           expr("CAST(inertia DIV 1000000000000 AS BIGINT)").as("inertia_hi"),
           expr("CAST(inertia % 1000000000000 AS BIGINT)").as("inertia_lo"))),
@@ -1782,16 +1846,16 @@ object SparkEntry {
     // read out at intermediate points on pure-int64 surfaces, so a
     // still-red q149 in CORRECTNESS_r10 comes with the first diverging
     // stage named: per-vector assignment, final centroid coordinates,
-    // per-round assignment histograms.
+    // per-round assignment histograms. All ride the ivfTrained artifact
+    // — one training (per knob set) for the whole family plus q32.
     "q149a_ivf_assign" -> ((s, dir) =>
       Similarity.ivfAssignments(t(s, dir, "embeddings"), "vec_id",
-        "embedding", nCentroids = 16, iters = 2)),
+        "embedding", ivfTrained(s, dir, 16, 2))),
     "q149b_ivf_centroids" -> ((s, dir) =>
-      Similarity.ivfCentroidRows(t(s, dir, "embeddings"), "vec_id",
-        "embedding", nCentroids = 16, iters = 2)),
+      Similarity.ivfCentroidRows(s, ivfTrained(s, dir, 16, 2))),
     "q149c_ivf_round_hist" -> ((s, dir) =>
       Similarity.ivfRoundHist(t(s, dir, "embeddings"), "vec_id",
-        "embedding", nCentroids = 16, iters = 2)),
+        "embedding", iters = 2, r => ivfTrained(s, dir, 16, r))),
 
     // Mergeable quantile sketch (Greenwald–Khanna via built-in
     // percentile_approx, accuracy 1/ε = 100) — the sketch family's
@@ -2667,7 +2731,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
       Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
-        nCentroids = 16, nProbe = 4, kmeansIters = 2)
+        nCentroids = 16, nProbe = 4, kmeansIters = 2,
+        trainedCents = Some(ivfTrained(s, dir, 16, 2)))
     }),
 
     // Johnson-Lindenstrauss sketch-first ANN: the fixed Rademacher ±1
@@ -3459,8 +3524,7 @@ object SparkEntry {
     // engine. Total for dot < 10²⁴ (hi < 10¹² < 2^53); dot ≥ 0 always
     // (tf-idf weights are positive), so DIV/MOD agree across engines.
     "q158_tfidf_cosine_pairs" -> ((s, dir) =>
-      CorpusOps.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
-        ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
+      CorpusOps.tfidfCosinePairsFrom(tfidfShared(s, dir))
         .where(col("cos_key_nano") >= 250000000L)
         .select(col("id_a"), col("id_b"), col("n_shared"),
           expr("CAST(dot DIV 1000000000000 AS BIGINT)").as("dot_hi"),
@@ -3471,23 +3535,22 @@ object SparkEntry {
     // out at three intermediate points on pure-int64 surfaces: eligible-
     // vocabulary aggregate, per-doc norms (10¹² limbs), per-pair dots
     // pre-gate. The first red row in CORRECTNESS_r10 names the first
-    // diverging stage.
+    // diverging stage. All four consumers share ONE tfidfShared staged
+    // build per (session, dir) — the weighted-postings checkpoint is
+    // the materialized artifact, charged to the pass's first consumer.
     "q158a_tfidf_elig" -> ((s, dir) =>
-      CorpusOps.tfidfStages(t(s, dir, "documents"), "doc_id", "text",
-        ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
+      tfidfShared(s, dir)
         .elig.agg(count(lit(1)).as("n_terms"),
           min(col("q_idf")).as("min_q_idf"),
           max(col("q_idf")).as("max_q_idf"),
           sum(col("q_idf")).as("sum_q_idf"))),
     "q158b_tfidf_norms" -> ((s, dir) =>
-      CorpusOps.tfidfStages(t(s, dir, "documents"), "doc_id", "text",
-        ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
+      tfidfShared(s, dir)
         .norms.select(col("id"), col("n_terms"),
           expr("CAST(nrm DIV 1000000000000 AS BIGINT)").as("nrm_hi"),
           expr("CAST(nrm % 1000000000000 AS BIGINT)").as("nrm_lo"))),
     "q158c_tfidf_pairs" -> ((s, dir) =>
-      CorpusOps.tfidfStages(t(s, dir, "documents"), "doc_id", "text",
-        ngram = 3, minDf = 2L, maxDfPermille = 200L, minShared = 3L)
+      tfidfShared(s, dir)
         .pairs.select(col("id_a"), col("id_b"), col("n_shared"),
           expr("CAST(dot DIV 1000000000000 AS BIGINT)").as("dot_hi"),
           expr("CAST(dot % 1000000000000 AS BIGINT)").as("dot_lo"))),

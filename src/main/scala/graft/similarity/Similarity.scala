@@ -376,9 +376,12 @@ object Similarity {
     * oracle shares the training CTEs verbatim. Empty clusters are
     * absent (no vectors, no row), like the SQL GROUP BY. */
   def ivfClusterStats(corpus: DataFrame, idCol: String, embCol: String,
-                      nCentroids: Int = 16, kmeansIters: Int = 0): DataFrame = {
-    val (cents, assigned) =
-      trainedAssignments(corpus, idCol, embCol, nCentroids, kmeansIters)
+                      nCentroids: Int = 16, kmeansIters: Int = 0,
+                      trainedCents: Option[Seq[Seq[Long]]] = None)
+      : DataFrame = {
+    val cents = trainedCents.getOrElse(
+      trainCentroids(corpus, idCol, embCol, nCentroids, kmeansIters))
+    val assigned = assignWith(corpus, idCol, embCol, cents)
     val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
     val centArr = array(cents.map(v => typedLit(v)): _*)
     val normArr = array(cNorms.map(lit): _*)
@@ -392,18 +395,27 @@ object Similarity {
         sum(col("__dist2").cast("decimal(38,0)")).as("inertia"))
   }
 
-  /** Train (seed + `iters` Lloyd rounds) and assign: the shared front of
-    * [[ivfClusterStats]] and the r10 bisection diagnostics. Returns the
-    * final centroids and the quantized corpus with its `cid` column. */
-  private def trainedAssignments(corpus: DataFrame, idCol: String,
-                                 embCol: String, nCentroids: Int,
-                                 iters: Int): (Seq[Seq[Long]], DataFrame) = {
+  /** Seed + `iters` Lloyd rounds on the FULL corpus: the trained coarse
+    * quantizer as plain driver values — the TRAINED-ARTIFACT entry
+    * (SparkEntry memoizes one per (session, dir, knobs), the PQ-codebook
+    * pattern: q32's search and the whole q149 family share one training
+    * instead of six). Deterministic, so a cached result is
+    * value-identical to retraining. */
+  def trainCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                     nCentroids: Int, iters: Int): Seq[Seq[Long]] = {
     val init = seedVectors(corpus, idCol, embCol, nCentroids)
     val cq = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
-    val cents = refineCentroids(cq, init, iters)
+    refineCentroids(cq, init, iters)
+  }
+
+  /** Assign the quantized corpus to its nearest centroid: the shared
+    * back half of [[ivfClusterStats]] and the bisection diagnostics. */
+  private def assignWith(corpus: DataFrame, idCol: String, embCol: String,
+                         cents: Seq[Seq[Long]]): DataFrame = {
+    val cq = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
     val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
-    (cents, cq.withColumn("__key", centKeys(cents, cNorms, col("cv")))
-      .withColumn("cid", nearestCid))
+    cq.withColumn("__key", centKeys(cents, cNorms, col("cv")))
+      .withColumn("cid", nearestCid)
   }
 
   /** DIAGNOSTIC (r10 driver-divergence bisection, VERDICT r9 item 1):
@@ -411,10 +423,10 @@ object Similarity {
     * "training/assignment diverged" and "the inertia readout diverged".
     * Pure int64 surface. */
   private[graft] def ivfAssignments(corpus: DataFrame, idCol: String,
-                                    embCol: String, nCentroids: Int,
-                                    iters: Int): DataFrame =
-    trainedAssignments(corpus, idCol, embCol, nCentroids, iters)
-      ._2.select(col(idCol), col("cid"))
+                                    embCol: String,
+                                    cents: Seq[Seq[Long]]): DataFrame =
+    assignWith(corpus, idCol, embCol, cents)
+      .select(col(idCol), col("cid"))
 
   /** DIAGNOSTIC: the final trained centroids as (cid, pos, coord) rows —
     * a plan-time constant emitted via the session (the mirrored oracle
@@ -422,12 +434,8 @@ object Similarity {
     * proves the two training loops computed identical integer
     * centroids). Coordinates are quantized ints, cnorm-free: every
     * value is far below 2^53. */
-  private[graft] def ivfCentroidRows(corpus: DataFrame, idCol: String,
-                                     embCol: String, nCentroids: Int,
-                                     iters: Int): DataFrame = {
-    val (cents, _) =
-      trainedAssignments(corpus, idCol, embCol, nCentroids, iters)
-    val spark = corpus.sparkSession
+  private[graft] def ivfCentroidRows(spark: org.apache.spark.sql.SparkSession,
+                                     cents: Seq[Seq[Long]]): DataFrame = {
     import spark.implicits._
     cents.zipWithIndex.flatMap { case (v, j) =>
       v.zipWithIndex.map { case (c, p) => ((j + 1).toLong, (p + 1).toLong, c) }
@@ -437,12 +445,14 @@ object Similarity {
   /** DIAGNOSTIC: per-round assignment histograms (round 0 = seed
     * centroids, round r = after r Lloyd updates) — if a Lloyd round is
     * where the driver's oracle diverges, the first red round names it.
-    * Re-trains per round (bounded: diagnostics run at gate scale). */
+    * `perRound(r)` supplies the round-r centroids (memoized by the
+    * caller; bounded: diagnostics run at gate scale). */
   private[graft] def ivfRoundHist(corpus: DataFrame, idCol: String,
-                                  embCol: String, nCentroids: Int,
-                                  iters: Int): DataFrame =
+                                  embCol: String, iters: Int,
+                                  perRound: Int => Seq[Seq[Long]])
+      : DataFrame =
     (0 to iters).map { r =>
-      trainedAssignments(corpus, idCol, embCol, nCentroids, r)._2
+      assignWith(corpus, idCol, embCol, perRound(r))
         .groupBy("cid").agg(count(lit(1)).as("n_assigned"))
         .select(lit(r.toLong).as("round"), col("cid"), col("n_assigned"))
     }.reduce(_ unionByName _)
@@ -520,29 +530,38 @@ object Similarity {
               idCol: String, embCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               kmeansIters: Int = 0,
-              trainFraction: Double = 1.0): DataFrame = {
+              trainFraction: Double = 1.0,
+              trainedCents: Option[Seq[Seq[Long]]] = None): DataFrame = {
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
-    // Driver action at plan time: collect the tiny centroid set.
-    val init: Seq[Seq[Long]] =
-      seedVectors(corpus, idCol, embCol, nCentroids)
     val cq = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
-    // The 100 TB training contract: every Lloyd iteration scans its
-    // training set, so the quantizer trains on a bounded DETERMINISTIC
-    // id-hash sample (trainFraction < 1 — production IVF trains on a
-    // sample and assigns the full corpus in one pass); centroids stay
-    // plan-time constants either way, and with nProbe = nCentroids the
-    // search result is exact REGARDLESS of where the centroids came
-    // from (quantizer quality moves recall, never correctness —
-    // SimilaritySpec pins both claims).
-    val train =
-      if (trainFraction >= 1.0) cq
-      // 1e9 granularity: a 1e-6-scale fraction (the realistic input at
-      // corpus scale) must still select a non-empty stratum, not
-      // silently round to `< 0` and train on nothing
-      else cq.where(pmod(xxhash64(col(idCol)), lit(1000000000L)) <
-        lit(math.max(1L, math.round(trainFraction * 1e9))))
-    val cents = refineCentroids(train, init, kmeansIters)
+    // trainedCents: a caller-supplied pre-trained quantizer — the shared-
+    // artifact path (SparkEntry memoizes one [[trainCentroids]] per
+    // (session, dir, knobs); q32 and the q149 family train once between
+    // them). MUST equal what this function would train itself for the
+    // oracle mirror to hold, which the deterministic trainer guarantees
+    // for the same (corpus, knobs).
+    val cents = trainedCents.getOrElse {
+      // Driver action at plan time: collect the tiny centroid set.
+      val init: Seq[Seq[Long]] =
+        seedVectors(corpus, idCol, embCol, nCentroids)
+      // The 100 TB training contract: every Lloyd iteration scans its
+      // training set, so the quantizer trains on a bounded DETERMINISTIC
+      // id-hash sample (trainFraction < 1 — production IVF trains on a
+      // sample and assigns the full corpus in one pass); centroids stay
+      // plan-time constants either way, and with nProbe = nCentroids the
+      // search result is exact REGARDLESS of where the centroids came
+      // from (quantizer quality moves recall, never correctness —
+      // SimilaritySpec pins both claims).
+      val train =
+        if (trainFraction >= 1.0) cq
+        // 1e9 granularity: a 1e-6-scale fraction (the realistic input at
+        // corpus scale) must still select a non-empty stratum, not
+        // silently round to `< 0` and train on nothing
+        else cq.where(pmod(xxhash64(col(idCol)), lit(1000000000L)) <
+          lit(math.max(1L, math.round(trainFraction * 1e9))))
+      refineCentroids(train, init, kmeansIters)
+    }
     val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
 
     val c = cq

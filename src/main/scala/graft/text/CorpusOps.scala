@@ -678,9 +678,17 @@ object CorpusOps {
     * — only (id, term, w) postings. */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        ngram: Int, minDf: Long, maxDfPermille: Long,
-                       minShared: Long): DataFrame = {
-    val st = tfidfStages(docs, idCol, textCol, ngram, minDf,
-      maxDfPermille, minShared)
+                       minShared: Long): DataFrame =
+    tfidfCosinePairsFrom(tfidfStages(docs, idCol, textCol, ngram, minDf,
+      maxDfPermille, minShared))
+
+  /** [[tfidfCosinePairs]] over an already-built [[TfidfStages]] — the
+    * entry for callers that share ONE staged build across several
+    * consumers (SparkEntry memoizes the stages per (session, dir), the
+    * mart/cluster artifact pattern: q158 and its three bisection
+    * diagnostics all read the same weighted-postings checkpoint instead
+    * of re-running tokenize→tf→join each). */
+  def tfidfCosinePairsFrom(st: TfidfStages): DataFrame = {
     st.pairs
       .join(st.norms.select(col("id").as("id_a"), col("nrm").as("nrm_a")),
         "id_a")
@@ -697,9 +705,21 @@ object CorpusOps {
     * driver-divergence bisection diagnostics (VERDICT r9 item 1): `elig`
     * (term, q_idf), `norms` (id, n_terms, nrm), `pairs` (id_a, id_b,
     * n_shared, dot — post-minShared, PRE norm-join/gate). A hash match
-    * on a stage proves both engines agree up to there. */
+    * on a stage proves both engines agree up to there. `weighted` is the
+    * shared localCheckpoint all three derive from — carried so a memoizing
+    * caller can release its blocks eagerly ([[releaseTfidfStages]]). */
   private[graft] case class TfidfStages(elig: DataFrame, norms: DataFrame,
-                                        pairs: DataFrame)
+                                        pairs: DataFrame,
+                                        weighted: DataFrame)
+
+  /** Drop the weighted-postings checkpoint blocks a [[TfidfStages]]
+    * retains (the [[graft.dedup.Dedup.releaseClusterState]] discipline:
+    * Dataset.unpersist does not reach localCheckpoint's RDD-level
+    * blocks). */
+  private[graft] def releaseTfidfStages(st: TfidfStages): Unit =
+    Seq(st.weighted, st.elig).foreach(df =>
+      org.apache.spark.sql.graftbridge.Bridge.localCheckpointRdd(df)
+        .foreach(_.unpersist(blocking = false)))
 
   private[graft] def tfidfStages(docs: DataFrame, idCol: String,
                                  textCol: String, ngram: Int, minDf: Long,
@@ -714,11 +734,17 @@ object CorpusOps {
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // elig rides its own checkpoint: it is both an input to `weighted`
+    // (whose first materialization caches these blocks as a dependency,
+    // for free) and a diagnostic readout of its own (q158a) — without
+    // the checkpoint that readout would re-run the whole tokenize→tf
+    // front. Slim frame: one row per eligible term.
     val elig = dfreq.crossJoin(broadcast(nDocs))
       .where(col("df") >= minDf &&
         col("df") * 1000L <= lit(maxDfPermille) * col("n_docs"))
       .select(col("term"),
         expr("n_docs * 1000000L DIV df").as("q_idf"))
+      .localCheckpoint(eager = false)
     // the weight multiply happens IN decimal space (never a transient
     // long product): tf·q_idf at corpus scale exceeds 2⁶³ long before
     // the dot products do. The weighted postings feed THREE consumers
@@ -738,7 +764,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"),
         sum(col("a.w") * col("b.w")).as("dot"))
       .where(col("n_shared") >= minShared)
-    TfidfStages(elig, norms, pairs)
+    TfidfStages(elig, norms, pairs, weighted)
   }
 
   /** `cos_key_nano`: a deterministic INTEGER stand-in for cos² in
