@@ -2,6 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  private def fmt(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   def median(xs: List[Double]): Double = xs match {
     case Nil => 0.0 // query failed every pass; the errors map carries it
     case _ =>
@@ -53,8 +56,11 @@ object Bench {
           math.max(cur(n), ref(n)) > 0.5
       }
       val outJson = outliers.sortBy(_._1).map { case (n, r) =>
-        "\"" + n + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
-      s"""{"reference":"$refLabel",$note"scale":${f"$scale%.3f"},""" +
+        // Locale.ROOT: the f-interpolator is default-locale-sensitive —
+        // a comma-decimal locale would make the whole bench line
+        // unparseable JSON
+        "\"" + n + "\":" + fmt(r, 2) }.mkString("{", ",", "}")
+      s"""{"reference":"$refLabel",$note"scale":${fmt(scale, 3)},""" +
         s""""uniform":${outliers.isEmpty},"outliers":$outJson}"""
     }
   }

@@ -125,39 +125,63 @@ object SparkEntry {
 
   private val allCaches = Seq(martCache, clustersCache, polyCandCache)
 
+  /** The ONE keyed trained-artifact cache (ADVICE-style dedup of what
+    * had grown into three hand-rolled copies): weak-session keying (a
+    * dead session's entries collect), SoftReference values (an artifact
+    * references nothing the session can't rebuild — a reclaimed entry
+    * just retrains), knob-derived string keys BUILT FROM the actual
+    * arguments so a caller with different knobs gets its own artifact,
+    * and a double-checked publish protocol: `build` runs OUTSIDE the
+    * monitor (multi-job Lloyd trainings must not serialize unrelated
+    * sessions or block resetCaches for their duration); a benign race
+    * builds twice and the first published artifact wins for both. */
+  private final class SessionKeyedCache[V <: AnyRef](
+      onRelease: V => Unit = (_: V) => ()) {
+    private val bySession = new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.HashMap[
+        String, java.lang.ref.SoftReference[V]]]()
+    def getOrBuild(s: SparkSession, key: String)(build: => V): V = {
+      val cached = synchronized {
+        Option(bySession.get(s)).flatMap(_.get(key))
+          .flatMap(r => Option(r.get))
+      }
+      cached.getOrElse {
+        val v = build
+        synchronized {
+          val m = bySession.computeIfAbsent(s, _ =>
+            scala.collection.mutable.HashMap.empty)
+          m.get(key).flatMap(r => Option(r.get)) match {
+            case Some(winner) => winner
+            case None => m(key) = new java.lang.ref.SoftReference(v); v
+          }
+        }
+      }
+    }
+    def reset(): Unit = synchronized {
+      bySession.values.forEach(_.values.foreach { ref =>
+        val v = ref.get
+        if (v != null) onRelease(v)
+      })
+      bySession.clear()
+    }
+  }
+
   /** PQ codebooks are a trained ARTIFACT like the cluster labels: trained
-    * once per (session, dir) and consumed by q87's flat ADC and q92's
-    * IVF-gated ADC — two Lloyd trainings of the IDENTICAL codebooks would
-    * be pure waste in any production pipeline. Plain driver values (no
-    * persisted blocks), same weak-session keying as [[SessionDirCache]]. */
-  private val pqTrainedCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.HashMap[String, (Int, Seq[Seq[Seq[Long]]])]]()
+    * once per (session, dir, knobs) and consumed by q87's flat ADC and
+    * q92's IVF-gated ADC — two Lloyd trainings of the IDENTICAL
+    * codebooks would be pure waste in any production pipeline. */
+  private val pqTrainedCache =
+    new SessionKeyedCache[(Int, Seq[Seq[Seq[Long]]])]()
 
   private def pqTrained(s: SparkSession, dir: String,
                         numSubspaces: Int = 4, codebookSize: Int = 16,
-                        trainIters: Int = 1): (Int, Seq[Seq[Seq[Long]]]) = {
-    // training params ride in the key, BUILT FROM the actual arguments:
-    // a caller with different knobs gets its own artifact, never a
-    // silently mismatched one
-    val key = s"$dir|M=$numSubspaces|K=$codebookSize|iters=$trainIters"
-    // double-checked publish: the multi-job Lloyd training must NOT run
-    // under the global monitor (it would serialize unrelated sessions
-    // and block resetCaches for the training's duration); a benign race
-    // can train twice, the first published artifact wins for both
-    val cached = pqTrainedCache.synchronized {
-      Option(pqTrainedCache.get(s)).flatMap(_.get(key))
-    }
-    cached.getOrElse {
-      val trained = Similarity.pqTrain(t(s, dir, "embeddings"),
+                        trainIters: Int = 1): (Int, Seq[Seq[Seq[Long]]]) =
+    pqTrainedCache.getOrBuild(s,
+      s"$dir|M=$numSubspaces|K=$codebookSize|iters=$trainIters") {
+      Similarity.pqTrain(t(s, dir, "embeddings"),
         "vec_id", "embedding", numSubspaces = numSubspaces,
         codebookSize = codebookSize, trainIters = trainIters)
-      pqTrainedCache.synchronized {
-        val m = pqTrainedCache.computeIfAbsent(s, _ =>
-          scala.collection.mutable.HashMap.empty)
-        m.getOrElseUpdate(key, trained)
-      }
     }
-  }
 
   /** IVF coarse-quantizer centroids, trained once per (session, dir,
     * knobs) — the pqTrained discipline for the OTHER trained artifact:
@@ -165,53 +189,32 @@ object SparkEntry {
     * family (stats + three bisection diagnostics), and q149c's per-round
     * histograms hit the iters=0/1 keys instead of retraining each.
     * Plain driver values (nCentroids × dim longs). */
-  private val ivfTrainedCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.HashMap[String, Seq[Seq[Long]]]]()
+  private val ivfTrainedCache = new SessionKeyedCache[Seq[Seq[Long]]]()
 
   private def ivfTrained(s: SparkSession, dir: String,
-                         nCentroids: Int, iters: Int): Seq[Seq[Long]] = {
-    val key = s"$dir|n=$nCentroids|iters=$iters"
-    val cached = ivfTrainedCache.synchronized {
-      Option(ivfTrainedCache.get(s)).flatMap(_.get(key))
-    }
-    cached.getOrElse {
-      // trained OUTSIDE the monitor (multi-job Lloyd loop; see pqTrained)
-      val trained = Similarity.trainCentroids(t(s, dir, "embeddings"),
+                         nCentroids: Int, iters: Int): Seq[Seq[Long]] =
+    ivfTrainedCache.getOrBuild(s, s"$dir|n=$nCentroids|iters=$iters") {
+      Similarity.trainCentroids(t(s, dir, "embeddings"),
         "vec_id", "embedding", nCentroids, iters)
-      ivfTrainedCache.synchronized {
-        val m = ivfTrainedCache.computeIfAbsent(s, _ =>
-          scala.collection.mutable.HashMap.empty)
-        m.getOrElseUpdate(key, trained)
-      }
     }
-  }
 
-  /** The q158 tf-idf staged frames (weighted postings localCheckpoint +
-    * its three readouts), built once per (session, dir) and shared by
-    * q158 and its three bisection diagnostics — the mart/cluster
-    * artifact pattern. SoftReference values for the same
-    * value-refers-to-weak-key reason as [[SessionDirCache]]; release
-    * drops the checkpoint blocks eagerly. Knobs are fixed (all four
-    * consumers share them) and named in the key for honesty. */
-  private val tfidfStagesCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.HashMap[
-      String, java.lang.ref.SoftReference[text.CorpusOps.TfidfStages]]]()
+  /** The q158 tf-idf staged frames (weighted postings + eligible-vocab
+    * localCheckpoints and their three readouts), built once per
+    * (session, dir) and shared by q158 and its three bisection
+    * diagnostics — the mart/cluster artifact pattern; release drops the
+    * checkpoint blocks eagerly. Knobs are fixed (all four consumers
+    * share them) and named in the key for honesty. */
+  private val tfidfStagesCache =
+    new SessionKeyedCache[text.CorpusOps.TfidfStages](
+      text.CorpusOps.releaseTfidfStages)
 
   private def tfidfShared(s: SparkSession,
                           dir: String): text.CorpusOps.TfidfStages =
-    tfidfStagesCache.synchronized {
-      val m = tfidfStagesCache.computeIfAbsent(s, _ =>
-        scala.collection.mutable.HashMap.empty)
-      val key = s"$dir|ngram=3|minDf=2|maxDfPermille=200|minShared=3"
-      m.get(key).flatMap(r => Option(r.get)) match {
-        case Some(st) => st
-        case None =>
-          val st = text.CorpusOps.tfidfStages(t(s, dir, "documents"),
-            "doc_id", "text", ngram = 3, minDf = 2L, maxDfPermille = 200L,
-            minShared = 3L)
-          m(key) = new java.lang.ref.SoftReference(st)
-          st
-      }
+    tfidfStagesCache.getOrBuild(s,
+      s"$dir|ngram=3|minDf=2|maxDfPermille=200|minShared=3") {
+      text.CorpusOps.tfidfStages(t(s, dir, "documents"),
+        "doc_id", "text", ngram = 3, minDf = 2L, maxDfPermille = 200L,
+        minShared = 3L)
     }
 
   /** Drop the memoized marts/clusters/candidates AND their persisted
@@ -221,15 +224,8 @@ object SparkEntry {
     * un-persisted for every later use. */
   def resetCaches(): Unit = {
     allCaches.foreach(_.reset())
-    pqTrainedCache.synchronized(pqTrainedCache.clear())
-    ivfTrainedCache.synchronized(ivfTrainedCache.clear())
-    tfidfStagesCache.synchronized {
-      tfidfStagesCache.values.forEach(_.values.foreach { ref =>
-        val st = ref.get
-        if (st != null) text.CorpusOps.releaseTfidfStages(st)
-      })
-      tfidfStagesCache.clear()
-    }
+    Seq(pqTrainedCache, ivfTrainedCache, tfidfStagesCache)
+      .foreach(_.reset())
   }
 
   private def buildDiffMart(s: SparkSession, dir: String): DataFrame = {
@@ -3543,7 +3539,13 @@ object SparkEntry {
         .elig.agg(count(lit(1)).as("n_terms"),
           min(col("q_idf")).as("min_q_idf"),
           max(col("q_idf")).as("max_q_idf"),
-          sum(col("q_idf")).as("sum_q_idf"))),
+          // decimal sum + limbs: a plain long sum would WRAP silently at
+          // corpus scale (non-ANSI) while the oracle's HUGEINT sum stays
+          // exact — the diagnostic itself must never be the divergence
+          sum(col("q_idf").cast("decimal(38,0)")).as("sq"))
+        .select(col("n_terms"), col("min_q_idf"), col("max_q_idf"),
+          expr("CAST(sq DIV 1000000000000 AS BIGINT)").as("sum_q_idf_hi"),
+          expr("CAST(sq % 1000000000000 AS BIGINT)").as("sum_q_idf_lo"))),
     "q158b_tfidf_norms" -> ((s, dir) =>
       tfidfShared(s, dir)
         .norms.select(col("id"), col("n_terms"),
@@ -8033,7 +8035,8 @@ object SparkEntry {
         |SELECT count(*) AS n_terms,
         |  CAST(min(q_idf) AS BIGINT) AS min_q_idf,
         |  CAST(max(q_idf) AS BIGINT) AS max_q_idf,
-        |  CAST(sum(q_idf) AS BIGINT) AS sum_q_idf
+        |  CAST(sum(q_idf) // 1000000000000 AS BIGINT) AS sum_q_idf_hi,
+        |  CAST(sum(q_idf) % 1000000000000 AS BIGINT) AS sum_q_idf_lo
         |FROM elig""".stripMargin),
 
     "q158b_tfidf_norms" -> (TFIDF3_CTES +

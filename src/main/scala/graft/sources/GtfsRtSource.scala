@@ -177,6 +177,16 @@ final class GtfsRtScan(path: String, required: StructType,
                        epochBounds: Option[(Long, Long)] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
+
+  /** Streaming arrival-order detection switch (default on) — the
+    * operator's recovery hatch: after investigating a detected
+    * violation, `.option("strictArrivalCheck", "false")` restores the
+    * pre-detection best-effort tail (late-sorting files are skipped)
+    * so the stream is never permanently wedged on state it cannot
+    * change. */
+  private[sources] val strictArrival: Boolean = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("strictArrivalCheck") => v.toBoolean
+  }.getOrElse(true)
   override def toBatch: Batch = this
   override def description(): String =
     s"GtfsRtScan path=$path cols=${required.fieldNames.mkString(",")}" +
@@ -217,7 +227,12 @@ final class GtfsRtScan(path: String, required: StructType,
       val it = fs.listFiles(root, true)
       while (it.hasNext) listed += it.next()
     } else listed ++= fs.listStatus(root)
-    val rootStr = root.toUri.getPath
+    // QUALIFIED root for the ancestor walk: FileStatus paths come back
+    // fully qualified, so a relative/unqualified load path would never
+    // match an ancestor, the walk would run past the archive root, and
+    // a hidden-looking segment ABOVE it (a ".workspace" checkout, say)
+    // would hide the whole archive
+    val rootStr = fs.makeQualified(root).toUri.getPath
     def hidden(p: Path): Boolean = {
       // any segment strictly below the root starting with _ or .
       var cur = p.getParent
@@ -241,7 +256,20 @@ final class GtfsRtScan(path: String, required: StructType,
         val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().map(_.trim).filter(_.nonEmpty).toList
         finally in.close()
-        lines.map(rel => fs.getFileStatus(new Path(base, rel)))
+        lines.map { rel =>
+          // a manifest line whose file is gone (retention cleaned the
+          // data dir, someone hand-deleted a file) must name the STALE
+          // MANIFEST and the fix, not surface as a bare
+          // FileNotFoundException that reads like archive corruption
+          try fs.getFileStatus(new Path(base, rel))
+          catch { case _: java.io.FileNotFoundException =>
+            throw new java.io.FileNotFoundException(
+              s"graft.sources.GtfsRtSource: commit manifest " +
+                s"${mst.getPath} lists $rel, which no longer exists — " +
+                "the manifest is stale (data dir cleaned up without it?); " +
+                "delete the manifest to drop that commit from the archive")
+          }
+        }
       }
     val all = (bare ++ fromManifests)
       .groupBy(_.getPath.toString).map(_._2.head).toSeq
@@ -375,17 +403,27 @@ final class GtfsRtMicroBatchStream(scan: GtfsRtScan) extends MicroBatchStream
 
   private[sources] def latestFrom(prev: GtfsRtOffset): GtfsRtOffset = {
     val files = scan.listFeedFiles()
-    val late = files.filter(st => st.getModificationTime > prev.maxMod &&
-      prev.maxMod > 0L && st.getPath.toString <= prev.maxPath)
+    // strictly-below only: the watermark file ITSELF is excluded — a
+    // non-atomic producer's newest file can be listed mid-write and get
+    // its close-time mtime after the offset commits, and flagging that
+    // would wedge the stream forever on state the operator cannot
+    // change (FetchLoop's temp+atomic-move never hits this; the
+    // detection exists for foreign producers). Detection is also only
+    // as fine as the filesystem's mtime granularity: a late-sorting
+    // file stamped the SAME instant as the watermark passes unseen.
+    val late = files.filter(st => scan.strictArrival &&
+      st.getModificationTime > prev.maxMod &&
+      prev.maxMod > 0L && st.getPath.toString < prev.maxPath)
     if (late.nonEmpty)
       throw new IllegalStateException(
         "graft.sources.GtfsRtSource streaming requires file names " +
           "monotone in arrival order (the snap_<epoch>.pb convention): " +
-          s"file(s) newer than the committed watermark sort at or below " +
-          s"it and would be silently skipped: " +
+          s"file(s) newer than the committed watermark sort below it " +
+          s"and would be silently skipped: " +
           late.map(_.getPath.getName).mkString(", ") +
-          ". Stream from a FetchLoop-style drop directory, or batch-read " +
-          "manifest archives.")
+          ". Stream from a FetchLoop-style drop directory, batch-read " +
+          "manifest archives, or set strictArrivalCheck=false to " +
+          "accept the skip and unwedge the stream.")
     if (files.isEmpty) prev
     else {
       val lastPath = files.last.getPath.toString

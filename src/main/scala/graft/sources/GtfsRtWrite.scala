@@ -143,6 +143,18 @@ final class GtfsRtBatchWrite(path: String, queryId: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = tempDir.getFileSystem(conf.value)
     fs.delete(tempDir, true)
+    // a commit that failed AFTER the tempDir->dataDir rename left the
+    // staged (hidden, reader-invisible) data dir behind with nothing
+    // referencing it; without this, gigabytes leak per failed publish.
+    // Deleting is safe exactly when the manifest is absent — present
+    // means the commit actually succeeded and abort was called for some
+    // other task's failure path, so the published data must stand
+    val qid = GtfsRtWrite.sanitizeQueryId(queryId)
+    val target = new Path(path)
+    val manifest = new Path(target, GtfsRtWrite.manifestName(qid))
+    val dataDir = new Path(target, s"_data-$qid")
+    if (!fs.exists(manifest)) fs.delete(dataDir, true)
+    fs.delete(new Path(target, s"_manifest-tmp-$qid"), false)
   }
 }
 

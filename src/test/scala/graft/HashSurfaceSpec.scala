@@ -288,14 +288,35 @@ class HashSurfaceSpec extends SparkSpec {
           }
         }
         val live = huge -- washed
+        // spans of balanced CAST( ... AS BIGINT) inside an expression: a
+        // wash clears only the identifiers it COVERS — an unrelated
+        // washed sub-cast elsewhere in the same expression must not
+        // launder a tainted sibling (the expression-level rerun of the
+        // line-level laundering this lint's r10 rewrite closed)
+        def bigintSpans(inner: String): Seq[(Int, Int)] = {
+          val castRe = "(?i)\\bCAST\\s*\\(".r
+          castRe.findAllMatchIn(inner).toSeq.flatMap { m =>
+            var i = m.end; var d = 1
+            while (i < inner.length && d > 0) {
+              val c = inner.charAt(i)
+              if (c == '(') d += 1 else if (c == ')') d -= 1
+              i += 1
+            }
+            if (d == 0 && "(?is)AS\\s+BIGINT\\s*$".r
+                .findFirstIn(inner.substring(m.end, i - 1)).isDefined)
+              Some((m.start, i))
+            else None
+          }
+        }
         val flags = doubleCasts(sql)
           .filter { inner =>
-            // a wash INSIDE the cast expression clears only idents it
-            // covers; keep the check conservative: flag when any live
-            // tainted ident appears and the expression has no AS BIGINT
-            // wash of its own
-            live.exists(h => refs(inner, h)) &&
-              "(?i)AS\\s+BIGINT\\s*\\)".r.findFirstIn(inner).isEmpty
+            val spans = bigintSpans(inner)
+            def covered(pos: Int) =
+              spans.exists { case (s0, e0) => pos >= s0 && pos < e0 }
+            live.exists { h =>
+              s"\\b${java.util.regex.Pattern.quote(h)}\\b".r
+                .findAllMatchIn(inner).exists(m => !covered(m.start))
+            }
           }
           .map(inner => "CAST(" + inner.replaceAll("\\s+", " ").trim +
             " AS DOUBLE)")

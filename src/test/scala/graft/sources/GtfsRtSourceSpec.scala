@@ -202,6 +202,68 @@ class GtfsRtSourceSpec extends SparkSpec {
       // a pre-r10 checkpoint (maxMod = 0) never fails spuriously
       assert(stream.latestFrom(GtfsRtOffset(o2.maxPath, 0L))
         .maxPath == o2.maxPath)
+      // the WATERMARK FILE's own mtime bumping is NOT a violation — a
+      // non-atomic producer's newest file listed mid-write gets its
+      // close-time mtime after the offset commits, and flagging that
+      // would wedge the stream forever (the detection is strictly-below)
+      Files.delete(late)
+      dir.resolve("snap_003.pb").toFile
+        .setLastModified(System.currentTimeMillis() + 120000)
+      assert(stream.latestFrom(o2).maxPath.endsWith("snap_003.pb"))
+      // and strictArrivalCheck=false is the operator's recovery hatch:
+      // same torn state, detection off, the stream proceeds
+      Files.write(late, feed("LATE", 1717200000L, 1))
+      late.toFile.setLastModified(System.currentTimeMillis() + 60000)
+      val lax = new GtfsRtMicroBatchStream(new GtfsRtScan(dir.toString,
+        GtfsRtTable.Schema, maxBytesOpt = None, recursive = false,
+        allowEmpty = true, options = Map("strictArrivalCheck" -> "false")))
+      assert(lax.latestFrom(o2).maxPath.endsWith("snap_003.pb"))
+    }
+  }
+
+  test("a stale commit manifest (file deleted out from under it) fails " +
+    "with the manifest named and the fix stated, not a bare " +
+    "FileNotFoundException; abort after a failed manifest publish " +
+    "removes the orphaned hidden data dir") {
+    withDir { dst =>
+      spark.sparkContext
+      writeFeeds(dst, 1)
+      val qid = "stalecafe"
+      val dataDir = dst.resolve(s"_data-$qid")
+      Files.createDirectories(dataDir)
+      Files.write(dst.resolve(s"commit-$qid.manifest"),
+        s"_data-$qid/part-gone-1717200001.pb\n".getBytes("UTF-8"))
+      val ex = intercept[java.io.FileNotFoundException](
+        spark.read.format(Fmt).load(dst.toString).count())
+      assert(ex.getMessage.contains(s"commit-$qid.manifest"), ex.getMessage)
+      assert(ex.getMessage.contains("stale"), ex.getMessage)
+      Files.delete(dst.resolve(s"commit-$qid.manifest"))
+      // orphan cleanup: a commit that died between the data-dir rename
+      // and the manifest publish leaves _data-<qid> with no manifest;
+      // abort() must remove it (and the temp manifest), and must NOT
+      // touch a data dir whose manifest exists (that commit succeeded)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      Files.write(dataDir.resolve("part-x-1717200002.pb"),
+        feed("ORPHAN", 1717200002L, 1))
+      Files.write(dst.resolve(s"_manifest-tmp-$qid"),
+        "x\n".getBytes("UTF-8"))
+      new GtfsRtBatchWrite(dst.toString, qid,
+        GtfsRtTable.Schema, conf, 1000L).abort(Array.empty)
+      assert(!Files.exists(dataDir))
+      assert(!Files.exists(dst.resolve(s"_manifest-tmp-$qid")))
+      val okQid = "okcommit1"
+      val okData = dst.resolve(s"_data-$okQid")
+      Files.createDirectories(okData)
+      Files.write(okData.resolve("part-y-1717200003.pb"),
+        feed("KEPT", 1717200003L, 1))
+      Files.write(dst.resolve(s"commit-$okQid.manifest"),
+        s"_data-$okQid/part-y-1717200003.pb\n".getBytes("UTF-8"))
+      new GtfsRtBatchWrite(dst.toString, okQid,
+        GtfsRtTable.Schema, conf, 1000L).abort(Array.empty)
+      assert(Files.exists(okData), "abort must not touch a published commit")
+      assert(spark.read.format(Fmt).load(dst.toString)
+        .filter("trip_id = 'KEPT'").count() === 1L)
     }
   }
 
