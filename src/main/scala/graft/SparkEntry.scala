@@ -125,47 +125,6 @@ object SparkEntry {
 
   private val allCaches = Seq(martCache, clustersCache, polyCandCache)
 
-  /** The ONE keyed trained-artifact cache (ADVICE-style dedup of what
-    * had grown into three hand-rolled copies): weak-session keying (a
-    * dead session's entries collect), SoftReference values (an artifact
-    * references nothing the session can't rebuild — a reclaimed entry
-    * just retrains), knob-derived string keys BUILT FROM the actual
-    * arguments so a caller with different knobs gets its own artifact,
-    * and a double-checked publish protocol: `build` runs OUTSIDE the
-    * monitor (multi-job Lloyd trainings must not serialize unrelated
-    * sessions or block resetCaches for their duration); a benign race
-    * builds twice and the first published artifact wins for both. */
-  private final class SessionKeyedCache[V <: AnyRef](
-      onRelease: V => Unit = (_: V) => ()) {
-    private val bySession = new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.HashMap[
-        String, java.lang.ref.SoftReference[V]]]()
-    def getOrBuild(s: SparkSession, key: String)(build: => V): V = {
-      val cached = synchronized {
-        Option(bySession.get(s)).flatMap(_.get(key))
-          .flatMap(r => Option(r.get))
-      }
-      cached.getOrElse {
-        val v = build
-        synchronized {
-          val m = bySession.computeIfAbsent(s, _ =>
-            scala.collection.mutable.HashMap.empty)
-          m.get(key).flatMap(r => Option(r.get)) match {
-            case Some(winner) => winner
-            case None => m(key) = new java.lang.ref.SoftReference(v); v
-          }
-        }
-      }
-    }
-    def reset(): Unit = synchronized {
-      bySession.values.forEach(_.values.foreach { ref =>
-        val v = ref.get
-        if (v != null) onRelease(v)
-      })
-      bySession.clear()
-    }
-  }
-
   /** PQ codebooks are a trained ARTIFACT like the cluster labels: trained
     * once per (session, dir, knobs) and consumed by q87's flat ADC and
     * q92's IVF-gated ADC — two Lloyd trainings of the IDENTICAL

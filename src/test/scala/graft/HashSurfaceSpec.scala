@@ -386,6 +386,36 @@ class HashSurfaceSpec extends SparkSpec {
       s"stale dyadicQuantiles entries: ${staleDyadic.mkString(", ")}")
   }
 
+  test("no registered query output carries a DECIMAL or FLOAT32 column — " +
+    "the driver-side comparator materializes results through pandas, " +
+    "where DuckDB HUGEINT/DECIMAL become float64 (lossy past 2^53, " +
+    "repr-divergent from Spark's exact Decimal below it) while BIGINT " +
+    "stays int64 on every path; q149/q158 were red for three rounds " +
+    "because they were the only two queries with an int128-typed output " +
+    "column. Big integers ship as int64 limbs (hugeAsDouble / DIV-MOD " +
+    "10^12 pairs), never as a decimal column") {
+    def decimals(dt: DataType, prefix: String): Seq[String] = dt match {
+      case d: DecimalType => Seq(s"$prefix: $d")
+      case FloatType => Seq(s"$prefix: float32")
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => decimals(f.dataType,
+          if (prefix.isEmpty) f.name else s"$prefix.${f.name}"))
+      case a: ArrayType => decimals(a.elementType, s"$prefix[]")
+      case m: MapType =>
+        decimals(m.keyType, s"$prefix{k}") ++
+          decimals(m.valueType, s"$prefix{v}")
+      case _ => Nil
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val cols = decimals(SparkEntry.queries(q)(spark, sf).schema, "")
+      if (cols.nonEmpty) Some(s"$q: ${cols.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty,
+      "DECIMAL/FLOAT32 on a hashed surface — the comparator's pandas " +
+        "path cannot round-trip these; render as int64 limbs or a " +
+        "mirrored double instead:\n" + offenders.mkString("\n"))
+  }
+
   test("the hugeAsDouble limb identity holds on Spark exactly as the " +
     "oracles assume of DuckDB: div truncates toward zero, % takes the " +
     "dividend's sign (verified on DuckDB 1.0.0: -7//2 = -3 rem -1), so " +
