@@ -5,6 +5,20 @@ object Bench {
   private def fmt(v: Double, digits: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
 
+  /** JSON string-escape for interpolated labels: a reference path or query
+    * name containing a quote or backslash (e.g. a Windows-style path in
+    * SPARK_GRAFT_BENCH_REF) must not make the whole bench line unparseable
+    * JSON — the same care Locale.ROOT already takes for numbers. */
+  private[graft] def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def median(xs: List[Double]): Double = xs match {
     case Nil => 0.0 // query failed every pass; the errors map carries it
     case _ =>
@@ -19,8 +33,10 @@ object Bench {
     * reference medians. `scale` is the median per-query ratio vs the
     * reference (contention shows up here, harmlessly); `outliers` lists
     * queries deviating >1.6× from that uniform scale with material wall
-    * (>0.5 s either side — a 0.1 s query tripling is jitter, not signal).
-    * Empty outliers = comparable run, whatever the total says. A wrong
+    * (>0.5 s either side — a 0.1 s query tripling is jitter, not signal),
+    * capped at the 12 worst deviations so a skewed run can't balloon the
+    * bench line (`outliers_n` is the uncapped count; `uniform` keys off
+    * it). Empty outliers = comparable run, whatever the total says. A wrong
     * core count (the r9 local[4] phantom regression) surfaces as a
     * shuffle-heavy outlier cluster plus the `cpus` field.
     *
@@ -31,7 +47,8 @@ object Bench {
   def comparabilityJson(medians: Seq[(String, Double)],
                         refLines: Iterator[String],
                         refLabel: String,
-                        singlePass: Boolean = false): String = {
+                        singlePass: Boolean = false,
+                        sfDir: String = ""): String = {
     // a 1-pass run is systematically first-pass-biased: the earliest
     // queries pay whole-pipeline JIT that medians-of-N absorb (observed:
     // q01-q05/q29 flag 1.7-3.6x on a same-code single pass while the
@@ -40,28 +57,48 @@ object Bench {
     val note = if (singlePass)
       """"note":"single pass: first-run JIT bias inflates early queries; use runs>=3 medians for regression calls","""
     else ""
-    val ref = refLines.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    val lines = refLines.map(_.trim).filter(_.nonEmpty).toSeq
+    // a `# sfdir: <path>` directive records which scale factor the
+    // medians were measured at; comparing a run at any OTHER sf would
+    // produce ratios that are pure scale-curve artifacts dressed up as
+    // outliers, so refuse rather than mislead
+    val refSf = lines.collectFirst {
+      case l if l.startsWith("# sfdir:") => l.stripPrefix("# sfdir:").trim
+    }
+    if (refSf.exists(r => sfDir.nonEmpty && r != sfDir))
+      return s"""{"reference":"${esc(refLabel)}","scale":null,""" +
+        s""""skipped":"reference recorded at ${esc(refSf.get)}, """ +
+        s"""this run is ${esc(sfDir)} - ratios would not be comparable"}"""
+    val ref = lines
+      .filter(l => !l.startsWith("#"))
       .map { l => val parts = l.split("\\s+"); parts(0) -> parts(1).toDouble }
       .toMap
     val cur = medians.toMap
     val ratios = medians.collect {
       case (n, c) if ref.get(n).exists(_ > 0) && c > 0 => n -> (c / ref(n))
     }
-    if (ratios.isEmpty) s"""{"reference":"$refLabel","scale":null}"""
+    if (ratios.isEmpty) s"""{"reference":"${esc(refLabel)}","scale":null}"""
     else {
       val scale = median(ratios.map(_._2).toList)
       val outliers = ratios.filter { case (n, r) =>
         (r > scale * 1.6 || r < scale / 1.6) &&
           math.max(cur(n), ref(n)) > 0.5
       }
-      val outJson = outliers.sortBy(_._1).map { case (n, r) =>
+      // bounded output: list only the WORST deviations (by log-distance
+      // from the uniform scale) so a badly-skewed run can't balloon the
+      // bench line past what the driver's fixed-size tail capture keeps;
+      // outliers_n carries the true count either way
+      val worst = outliers
+        .sortBy { case (_, r) => -math.abs(math.log(r / scale)) }
+        .take(12)
+      val outJson = worst.sortBy(_._1).map { case (n, r) =>
         // Locale.ROOT: the f-interpolator is default-locale-sensitive —
         // a comma-decimal locale would make the whole bench line
         // unparseable JSON
-        "\"" + n + "\":" + fmt(r, 2) }.mkString("{", ",", "}")
-      s"""{"reference":"$refLabel",$note"scale":${fmt(scale, 3)},""" +
-        s""""uniform":${outliers.isEmpty},"outliers":$outJson}"""
+        "\"" + esc(n) + "\":" + fmt(r, 2) }.mkString("{", ",", "}")
+      s"""{"reference":"${esc(refLabel)}",$note"scale":${fmt(scale, 3)},""" +
+        s""""uniform":${outliers.isEmpty},"outliers_n":${outliers.size},""" +
+        s""""outliers":$outJson}"""
     }
   }
 
@@ -115,9 +152,10 @@ object Bench {
       }
     }
     val medians = names.map(n => n -> median(times(n)))
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = medians.map { case (k, v) => s"\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = errors.map { case (k, e) =>
+      s"\"" + esc(k) + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val refPath =
@@ -128,11 +166,21 @@ object Bench {
       else {
         val src = scala.io.Source.fromFile(f)
         try comparabilityJson(medians, src.getLines(), refPath,
-          singlePass = nRuns == 1)
+          singlePass = nRuns == 1, sfDir = sfDir)
         finally src.close()
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$nRuns,"cpus":$cpus,"comparability":$comparability,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$nRuns,"cpus":$cpus,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
+    // The full line above carries the whole per-query map (~7 KB for 200+
+    // queries); a fixed-size log-tail capture truncates its head and loses
+    // the headline total. This LAST line is a complete, self-describing
+    // digest bounded well under 2 KB — total, error count, the slowest
+    // queries, and the (outlier-capped) comparability verdict — so any
+    // tail of the output still ends in one parseable JSON line.
+    val slowest = medians.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries_n":${names.size},"errors_n":${errors.size},"runs":$nRuns,"cpus":$cpus,"slowest":$slowest,"comparability":$comparability,"sf":"${esc(sfDir)}","note":"digest; full per-query map on the preceding line"}""")
     spark.stop()
   }
 }

@@ -31,14 +31,21 @@ private[graft] final class SessionKeyedCache[V <: AnyRef](
     }
     cached.getOrElse {
       val v = build
-      synchronized {
+      val (result, lost) = synchronized {
         val m = bySession.computeIfAbsent(s, _ =>
           scala.collection.mutable.HashMap.empty)
         m.get(key).flatMap(r => Option(r.get)) match {
-          case Some(winner) => winner
-          case None => m(key) = new java.lang.ref.SoftReference(v); v
+          case Some(winner) => (winner, true)
+          case None => m(key) = new java.lang.ref.SoftReference(v); (v, false)
         }
       }
+      // the losing build is discarded without ever being published — run
+      // its release hook (outside the monitor, like the build itself) so
+      // an artifact type that retains off-heap state (checkpoint blocks,
+      // the documented reason onRelease exists) is freed now rather than
+      // whenever ContextCleaner catches up
+      if (lost) onRelease(v)
+      result
     }
   }
 

@@ -5217,6 +5217,24 @@ object SparkEntry {
             expr("n_obs * phi_micro DIV 1000000") +
               expr("n_obs DIV 100") + lit(2L))).as("within_bound"))
     }),
+
+    // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup
+    // over the SAME memoized IVF training as q32/q149 (one artifact,
+    // four consumers), keep-lowest-centroid-similarity priority, exact
+    // integer epsilon gate (3/10) — the per-vector keep/prune decision
+    // is fully hash-checked, float-free end to end.
+    "q213_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        ivfTrained(s, dir, 16, 2), epsNum = 3L, epsDen = 10L)),
+
+    // CCNet/fastText-style target-affinity filter: hashed bag-of-tokens
+    // linear classifier with integer ppm weights (target = lang 'en'),
+    // 512 buckets, Laplace-smoothed, above-corpus-mean selection — the
+    // quality/domain scoring stage of a curation pipeline, fully
+    // hash-checked.
+    "q214_affinity_filter" -> ((s, dir) =>
+      text.CorpusOps.affinityScore(t(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", buckets = 512)),
   )
 
   // -------------------------------------------------------------- oracle --
@@ -9055,6 +9073,65 @@ object SparkEntry {
         |  count(*) AS n_obs, TRUE AS within_bound
         |FROM d CROSS JOIN (VALUES (500000), (900000), (990000)) p(phi_micro)
         |GROUP BY day_type, phi_micro""".stripMargin),
+
+    // SemDeDup: shares the IVF training CTEs verbatim with q32/q149
+    // (same centroids, same exact-key assignment), then the keep-
+    // priority order (assigned-centroid ckey ASC NULLS FIRST, vec_id
+    // ASC) and the cross-multiplied HUGEINT epsilon gate — cos ≥ 3/10
+    // ⟺ dot > 0 ∧ dot²·100 ≥ nrm_x·nrm_y·9. Integer surface only.
+    "q213_semdedup" -> (EMB_CTE + IVF_TRAIN_CTES +
+      """sck AS (
+        |  SELECT a.vec_id, a.cid, k.ckey
+        |  FROM assign a JOIN kf k ON a.vec_id = k.vec_id AND a.cid = k.cid),
+        |pd AS (
+        |  SELECT x.vec_id AS xid,
+        |    CAST(list_sum(list_transform(range(1, len(nx.v)+1),
+        |      i -> nx.v[i]*ny.v[i])) AS BIGINT) AS dot,
+        |    nx.nrm AS xn, ny.nrm AS yn
+        |  FROM sck x JOIN sck y ON x.cid = y.cid
+        |    AND (y.ckey < x.ckey
+        |         OR (y.ckey = x.ckey AND y.vec_id < x.vec_id)
+        |         OR (y.ckey IS NULL
+        |             AND (x.ckey IS NOT NULL OR y.vec_id < x.vec_id)))
+        |  JOIN n nx ON x.vec_id = nx.vec_id
+        |  JOIN n ny ON y.vec_id = ny.vec_id),
+        |pruned AS (
+        |  SELECT DISTINCT xid FROM pd
+        |  WHERE dot > 0
+        |    AND CAST(dot AS HUGEINT) * dot * 100 >=
+        |        CAST(xn AS HUGEINT) * yn * 9)
+        |SELECT s.vec_id, s.cid,
+        |  CAST(CASE WHEN p.xid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM sck s LEFT JOIN pruned p ON s.vec_id = p.xid""".stripMargin),
+
+    // Affinity filter: poly-hashed token buckets (512), smoothed integer
+    // ppm weights t/r per bucket, mean over document tokens, selection
+    // by cross-multiplied above-corpus-mean — all integer, zero-token
+    // documents surface with zeros.
+    "q214_affinity_filter" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, (lang = 'en') AS t, unnest($TOKENS_SQL) AS tok
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, t, ${charPolySql("tok")} % 512 AS f FROM toks),
+         |w AS (
+         |  SELECT f,
+         |    ((sum(CASE WHEN t THEN 1 ELSE 0 END) + 1) * 1000000)
+         |      // (count(*) + 2) AS w
+         |  FROM feats GROUP BY f),
+         |scored AS (
+         |  SELECT fe.doc_id, count(*) AS n_tokens, sum(w.w) AS sw
+         |  FROM feats fe JOIN w USING (f) GROUP BY fe.doc_id),
+         |perdoc AS (
+         |  SELECT d.doc_id,
+         |    CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(s.sw // s.n_tokens, 0) AS BIGINT) AS affinity_ppm
+         |  FROM documents d LEFT JOIN scored s USING (doc_id)),
+         |m AS (SELECT sum(affinity_ppm) AS tot, count(*) AS n FROM perdoc)
+         |SELECT p.doc_id, p.n_tokens, p.affinity_ppm,
+         |  CAST(CASE WHEN CAST(p.affinity_ppm AS HUGEINT) * m.n >= m.tot
+         |       THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM perdoc p CROSS JOIN m""".stripMargin,
   )
 
   private lazy val MM_FEATURES_SQL: String =

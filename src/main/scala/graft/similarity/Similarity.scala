@@ -457,6 +457,68 @@ object Similarity {
         .select(lit(r.toLong).as("round"), col("cid"), col("n_assigned"))
     }.reduce(_ unionByName _)
 
+  /** SemDeDup — semantic deduplication via embedding clusters (Abbas et
+    * al. 2023, arXiv:2303.09540): cluster the corpus with the SAME
+    * trained coarse quantizer as [[ivfTopK]]/[[ivfClusterStats]], then
+    * within each cluster prune every vector that has cosine ≥ ε to a
+    * vector of higher keep-priority, where keep-priority follows the
+    * paper's rule — the member with the LOWEST cosine similarity to its
+    * cluster centroid is kept first (it is the most "exemplar-distant",
+    * preserving diversity). This is the paper's upper-triangular
+    * formulation: x is pruned iff SOME y earlier in the priority order
+    * (any y, kept or pruned — not sequential-greedy) is ε-close to x.
+    *
+    * Exactness: priority is the integer [[exactCosKey]] to the assigned
+    * centroid (ascending, NULLS FIRST — a zero-norm centroid has no
+    * cosine, so its whole cluster falls back to id order), ties by id;
+    * the ε-gate is the float-free cross-multiplied comparison
+    * cos(x,y) ≥ εn/εd  ⟺  dot > 0  ∧  dot²·εd² ≥ |x|²·|y|²·εn²
+    * in DECIMAL(38,0) (dot² ≤ 4.1e23, |x|²·|y|² ≤ 2.6e26 at the 1e5
+    * quantization grid with dim ≤ 64 — inside 38 digits with ε² factors
+    * up to ~1e10). The whole output surface is integer: no float ever
+    * enters, so no engine or version can disagree.
+    *
+    * Scale shape: the within-cluster pairwise join is the published
+    * algorithm's cost model — clustering exists exactly to bound it.
+    * Pairs per cluster are (n/k)²/2, so k MUST scale with the corpus
+    * (the paper uses 50k clusters for LAION-440M; a fixed k at 100 TB
+    * would funnel the corpus through k join keys). The operator takes
+    * the trained centroids as input so the caller controls k; the
+    * registered query's k=16 is gate-scale only. Everything else is
+    * an equi-join on cid plus map-side-combinable aggregation — no
+    * window, no driver materialization beyond the k×dim centroids. */
+  def semDedup(corpus: DataFrame, idCol: String, embCol: String,
+               cents: Seq[Seq[Long]], epsNum: Long, epsDen: Long)
+      : DataFrame = {
+    require(epsNum > 0 && epsDen > 0 && epsNum < epsDen,
+      s"semDedup needs 0 < eps < 1 as a ratio, got $epsNum/$epsDen")
+    val a = assignWith(corpus, idCol, embCol, cents)
+      .withColumn("__ck", element_at(col("__key"), col("cid").cast("int")))
+      .select(col(idCol), col("cv"), col("cn"), col("cid"), col("__ck"))
+    val x = a.select(col(idCol).as("xid"), col("cv").as("xv"),
+      col("cn").as("xn"), col("cid"), col("__ck").as("xck"))
+    val y = a.select(col(idCol).as("yid"), col("cv").as("yv"),
+      col("cn").as("yn"), col("cid").as("ycid"), col("__ck").as("yck"))
+    // y precedes x in keep-priority: ck ASC NULLS FIRST, id ASC
+    val earlier = (col("yck") < col("xck")) ||
+      (col("yck") === col("xck") && col("yid") < col("xid")) ||
+      (col("yck").isNull &&
+        (col("xck").isNotNull || col("yid") < col("xid")))
+    val dot = intDot(col("xv"), col("yv"))
+    val dotD = dot.cast("decimal(38,0)")
+    val gate = (dot > 0) &&
+      (dotD * dotD * lit(epsDen * epsDen) >=
+        col("xn").cast("decimal(38,0)") * col("yn") * lit(epsNum * epsNum))
+    val pruned = x.join(y, col("cid") === col("ycid") && earlier)
+      .where(gate)
+      .select(col("xid")).distinct()
+    a.select(col(idCol), col("cid"))
+      .join(pruned.select(col("xid").as(idCol), lit(0L).as("__kept")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        coalesce(col("__kept"), lit(1L)).as("kept"))
+  }
+
   /** The `nProbe` nearest centroid ids (1-based) from a bound `__key`
     * array: sort (nullFlag, −key, cid) structs — valid first, key desc,
     * cid asc — then slice. Shared by [[ivfTopK]] and [[ivfPqTopK]] so

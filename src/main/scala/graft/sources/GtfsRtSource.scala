@@ -381,9 +381,14 @@ final case class GtfsRtOffset(maxPath: String, maxMod: Long = 0L)
   * late-sorting files — so the offset carries a second leg, the max
   * modification time at watermark, and `latestOffset` FAILS with the
   * contract named when a file strictly newer than the watermark sorts
-  * at or below `maxPath` (the same check also catches in-place
-  * rewrites of processed files). Detection, not silent drop; bounded
-  * state either way. Old single-leg checkpoints deserialize with
+  * strictly below `maxPath` (the same check also catches in-place
+  * rewrites of processed files — EXCEPT a rewrite of the watermark
+  * file itself, which is deliberately excluded: a non-atomic
+  * producer's newest file can legitimately gain its close-time mtime
+  * after the offset commits, and flagging that would wedge the stream
+  * on state the operator cannot change — see `latestFrom`). Detection,
+  * not silent drop; bounded state either way. Old single-leg
+  * checkpoints deserialize with
   * maxMod = 0, which disables detection until the next offset is
   * written (never fails a resumed stream spuriously). */
 final class GtfsRtMicroBatchStream(scan: GtfsRtScan) extends MicroBatchStream

@@ -126,12 +126,22 @@ final class GtfsRtBatchWrite(path: String, queryId: String,
       throw new java.io.IOException(
         s"commit rename failed: $tempDir -> $dataDir")
     // the manifest publish is the ONE reader-visible step: write to an
-    // underscore-hidden temp name, fsync via close, single rename
+    // underscore-hidden temp name, hsync, single rename. close() alone
+    // does NOT fsync on local or HDFS filesystems — without the explicit
+    // hsync a machine crash after the rename could surface a truncated
+    // manifest whose torn last line then fails reads (loudly, with the
+    // stale-manifest error) until repaired
     val tmpManifest = new Path(target, s"_manifest-tmp-$qid")
     val out = fs.create(tmpManifest, true)
-    try out.write(committed.sorted
-      .map(n => s"_data-$qid/$n\n").mkString.getBytes("UTF-8"))
-    finally out.close()
+    try {
+      out.write(committed.sorted
+        .map(n => s"_data-$qid/$n\n").mkString.getBytes("UTF-8"))
+      try out.hsync()
+      catch { case _: UnsupportedOperationException =>
+        // stream isn't Syncable (some FS wrappers): crash-durability
+        // reverts to the filesystem's own close semantics
+      }
+    } finally out.close()
     if (!fs.rename(tmpManifest, manifest)) {
       fs.delete(tmpManifest, false)
       throw new java.io.IOException(

@@ -10,6 +10,70 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Target-domain affinity scoring — the CCNet/fastText-style hashed
+    * bag-of-tokens linear classifier (Wenzek et al. 2020 score high-
+    * quality/target-language data with a fastText model; LLaMA-style
+    * pipelines filter on such scores), reduced to its relational core:
+    * every token hashes into one of `buckets` feature buckets (the
+    * oracle-mirrorable [[TextAnalysis.charPolyHash]], not an engine-
+    * private hash), each bucket's weight is the smoothed integer ratio
+    * of its target-corpus to whole-corpus occurrence counts in parts-
+    * per-million, and a document's affinity is the mean bucket weight
+    * over its tokens — a linear bag-of-features score, exactly what a
+    * degenerate (bias-free, unigram) fastText reduces to.
+    *
+    * `targetPred` marks the in-target rows (e.g. lang = 'en'); `w_f =
+    * ((t_f + 1)·scale) ÷ (r_f + 2)` is Laplace-smoothed so empty and
+    * unseen buckets stay finite, with integer division — the WHOLE
+    * surface (n_tokens, affinity_ppm, selected) is integer, so no float
+    * rounding can ever drift between engines. `selected` marks documents
+    * whose affinity is at or above the corpus MEAN (affinity·n_docs ≥
+    * Σ affinity, cross-multiplied in DECIMAL(38,0) — never a float
+    * mean), the scale-free spelling of "keep the top slice": an absolute
+    * ppm cutoff would silently shift meaning with the corpus mix.
+    * Envelope: (t_f+1)·scale must fit int64 — with the 1e6 default that
+    * is ~9.2e12 tokens per bucket, far above a 100 TB corpus spread
+    * over ≥512 buckets.
+    *
+    * Scale shape: one token explode, ONE aggregate over `buckets` keys
+    * (map-side combined — the reduce moves buckets×partitions rows,
+    * never the corpus), the weight table broadcast back onto the
+    * postings (buckets rows — always broadcastable by construction),
+    * one aggregate on the natural doc key, and a 1-ROW corpus-mean
+    * attach (the q60 scalar-broadcast shape, declared in PlanSpec).
+    * Documents with zero tokens surface with n_tokens = 0, affinity 0,
+    * unselected. */
+  def affinityScore(docs: DataFrame, idCol: String, textCol: String,
+                    targetPred: org.apache.spark.sql.Column, buckets: Int,
+                    scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && scale > 0, "buckets and scale must be positive")
+    val feats = docs.select(col(idCol), targetPred.as("__t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), col("__t"),
+        (TextAnalysis.charPolyHash(col("__tok")) % buckets).as("f"))
+    val w = feats.groupBy("f")
+      .agg(count(lit(1)).as("r_f"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("t_f"))
+      .select(col("f"),
+        expr(s"((t_f + 1) * $scale) div (r_f + 2)").as("w"))
+    val scored = feats.join(broadcast(w), Seq("f"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("__sw"))
+      .select(col(idCol), col("n_tokens"),
+        expr("__sw div n_tokens").as("affinity_ppm"))
+    val perDoc = docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("affinity_ppm"), lit(0L)).as("affinity_ppm"))
+    val mean = perDoc.agg(sum("affinity_ppm").as("__tot"),
+      count(lit(1)).as("__n"))
+    perDoc.crossJoin(broadcast(mean))
+      .select(col(idCol), col("n_tokens"), col("affinity_ppm"),
+        (col("affinity_ppm").cast("decimal(38,0)") * col("__n") >=
+          col("__tot").cast("decimal(38,0)")).cast("long").as("selected"))
+  }
+
   /** Benchmark decontamination: drop every training document sharing at
     * least one `n`-gram with the eval corpus — the standard guard against
     * test-set leakage into pretraining data.

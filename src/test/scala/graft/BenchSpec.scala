@@ -82,6 +82,51 @@ class BenchSpec extends AnyFunSuite {
     assert(!json3.contains(""""note""""), json3)
   }
 
+  test("the outlier list is capped at the 12 worst deviations (a skewed " +
+    "run must not balloon the bench line) while outliers_n keeps the " +
+    "true count") {
+    // 30 stable queries pin the scale at 1.0; 20 outliers at graded ratios
+    val stable = (1 to 30).map(i => f"s$i%02d" -> 2.0)
+    val out = (1 to 20).map(i => f"o$i%02d" -> (2.0 * (2.0 + i)))
+    val ref = (stable ++ out.map { case (n, _) => n -> 2.0 })
+      .map { case (n, v) => s"$n $v" }.mkString("\n")
+    val json = comp(stable ++ out, ref)
+    assert(json.contains(""""outliers_n":20"""), json)
+    assert(json.contains(""""uniform":false"""), json)
+    // the 12 WORST survive the cap: o20 (largest ratio) in, o01 dropped
+    assert(json.contains("\"o20\":"), json)
+    assert(!json.contains("\"o01\":"), json)
+    assert("\"o\\d\\d\":".r.findAllIn(json).size == 12, json)
+  }
+
+  test("labels are JSON-escaped: a reference path or query name with a " +
+    "quote or backslash must not make the bench line unparseable") {
+    val json = Bench.comparabilityJson(
+      Seq("q01" -> 1.0, "q02" -> 1.0, "q\"1\\" -> 3.0),
+      "q01 1.0\nq02 1.0\nq\"1\\ 1.0\n".linesIterator,
+      """C:\bench "ref".txt""")
+    assert(json.contains("""C:\\bench \"ref\".txt"""), json)
+    assert(json.contains("""{"q\"1\\":3.00}"""), json)
+    // and the escape helper round-trips control characters
+    assert(Bench.esc("a\nb\tc") == "a\\nb\\tc")
+  }
+
+  test("a reference recorded at a different scale factor is refused — " +
+    "cross-sf ratios are scale-curve artifacts, not regressions") {
+    val ref = "# sfdir: /root/testdata/sf0.1\nq01 1.0\n"
+    val skipped = Bench.comparabilityJson(Seq("q01" -> 5.0),
+      ref.linesIterator, "ref", sfDir = "/root/testdata/sf0.001")
+    assert(skipped.contains(""""skipped""""), skipped)
+    assert(skipped.contains(""""scale":null"""), skipped)
+    val matching = Bench.comparabilityJson(Seq("q01" -> 5.0),
+      ref.linesIterator, "ref", sfDir = "/root/testdata/sf0.1")
+    assert(matching.contains(""""scale":5.000"""), matching)
+    // a directive-less reference stays comparable (old format)
+    val legacy = Bench.comparabilityJson(Seq("q01" -> 5.0),
+      "q01 1.0\n".linesIterator, "ref", sfDir = "/root/testdata/sf0.001")
+    assert(legacy.contains(""""scale":5.000"""), legacy)
+  }
+
   test("median: odd count takes the middle, even takes the upper middle, " +
     "empty is 0.0 (the failed-every-pass sentinel)") {
     assert(Bench.median(List(3.0, 1.0, 2.0)) === 2.0)

@@ -144,7 +144,9 @@ class PlanSpec extends SparkSpec {
     * 9-digit grid, q178's catalog-size attach, q180's/q183's
     * sample-totals attaches, q182's n/chi2 scalar chain, and q185's
     * class-totals attach are all the same 1-ROW aggregate broadcast;
-    * q179 embeds the q19 brute-force cosine baseline it audits). */
+    * q179 embeds the q19 brute-force cosine baseline it audits;
+    * q214's corpus-mean attach for the above-mean selection rule is
+    * the same 1-ROW aggregate broadcast). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
       "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
@@ -155,7 +157,8 @@ class PlanSpec extends SparkSpec {
       "q158a_tfidf_elig", "q158b_tfidf_norms", "q158c_tfidf_pairs",
       "q166_cohens_kappa", "q172_benford", "q178_negative_sample",
       "q179_ann_recall", "q180_ks_test", "q182_cramers_v",
-      "q183_quantile_map", "q185_split_gini", "q199_cms_native_agg")
+      "q183_quantile_map", "q185_split_gini", "q199_cms_native_agg",
+      "q214_affinity_filter")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

@@ -19,8 +19,10 @@ class SessionKeyedCacheSpec extends SparkSpec {
   }
 
   test("racing builders: the FIRST published artifact wins for both — " +
-    "the loser's build result is discarded, never served") {
-    val cache = new SessionKeyedCache[java.lang.Integer]()
+    "the loser's build result is discarded AND released, never served") {
+    val released = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val cache = new SessionKeyedCache[java.lang.Integer](
+      v => released.add(v.intValue()))
     val barrier = new java.util.concurrent.CyclicBarrier(2)
     val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     val threads = (1 to 2).map { i =>
@@ -38,6 +40,12 @@ class SessionKeyedCacheSpec extends SparkSpec {
     // and later hits serve that same winner
     assert(cache.getOrBuild(spark, "k")(Int.box(99)).intValue() ==
       got.head)
+    // the discarded build's release hook ran exactly once, on the loser
+    // (an off-heap-backed artifact must not leak until GC) — the winner
+    // stays live and unreleased
+    val rel = released.toArray(Array.empty[Integer]).map(_.intValue()).toSet
+    assert(rel == Set(1, 2) - got.head,
+      s"exactly the losing build must be released; winner=$got released=$rel")
   }
 
   test("reset runs the release hook on every live entry and empties the " +

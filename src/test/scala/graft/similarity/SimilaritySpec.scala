@@ -355,4 +355,59 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === naive)
   }
+
+  test("semDedup matches a naive exact-integer reimplementation: nearest-" +
+    "centroid clusters, keep-lowest-centroid-similarity priority, and the " +
+    "cross-multiplied epsilon prune (eps = 1/2)") {
+    val corpus = vecs(60, seed = 11L)
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    val cents = corpus.take(4).map { case (_, v) => quant(v) }
+    val cNorms = cents.map(c => c.map(x => x * x).sum)
+    // the exactCosKey integer: sign(dot)*floor(dot^2*1e9/cnrm), null-free
+    // here (no zero-norm centroid in this fixture)
+    def key(v: Seq[Long], j: Int): BigInt = {
+      val dot = v.zip(cents(j)).map { case (a, b) => a * b }.sum
+      val mag = (BigInt(dot) * dot * 1000000000L) / cNorms(j)
+      if (dot < 0) -mag else mag
+    }
+    val q = corpus.map { case (id, v) => (id, quant(v)) }
+    val assigned = q.map { case (id, v) =>
+      val keys = cents.indices.map(j => key(v, j))
+      val cid = keys.indices.maxBy(j => (keys(j), -j)) + 1
+      (id, v, cid.toLong, keys(cid - 1))
+    }
+    def close(a: Seq[Long], b: Seq[Long]): Boolean = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      dot > 0 && BigInt(dot) * dot * 4 >= BigInt(na) * nb
+    }
+    val naive = assigned.map { case (id, v, cid, k) =>
+      val prunedBy = assigned.exists { case (id2, v2, cid2, k2) =>
+        cid2 == cid && (k2 < k || (k2 == k && id2 < id)) && close(v, v2)
+      }
+      (id, cid, if (prunedBy) 0L else 1L)
+    }.toSet
+    val got = Similarity.semDedup(toDF(corpus), "vec_id", "embedding",
+        cents.map(_.toSeq), epsNum = 1L, epsDen = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === naive)
+    // the fixture must actually exercise the prune
+    assert(naive.exists(_._3 == 0L), "no pair crossed eps; weak fixture")
+  }
+
+  test("semDedup on exact duplicates keeps exactly the smaller id (equal " +
+    "centroid keys tie-break by id)") {
+    val base = vecs(6, seed = 12L)
+    val corpus = base ++ Seq((100L, base.head._2)) // 100 duplicates id 0
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    val cents = Seq(quant(base.head._2))
+    val out = Similarity.semDedup(toDF(corpus), "vec_id", "embedding",
+        cents, epsNum = 99L, epsDen = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(0L) === 1L, "the smaller duplicate id must be kept")
+    assert(out(100L) === 0L, "the larger duplicate id must be pruned")
+  }
 }

@@ -5,6 +5,50 @@ import graft.SparkSpec
 /** Decontamination matching semantics and chunk window arithmetic. */
 class CorpusOpsSpec extends SparkSpec {
 
+  test("affinityScore: hand-computed smoothed integer weights, per-doc " +
+    "means, above-corpus-mean selection, and the zero-token row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "aa", "en"),   // target
+      (2L, "aa", "de"),
+      (3L, "bb", "de"),
+      (4L, "", "de"))     // zero tokens
+      .toDF("doc_id", "text", "lang")
+    // bucket(aa): r=2, t=1 -> w = (1+1)*1e6 // (2+2) = 500000
+    // bucket(bb): r=1, t=0 -> w = (0+1)*1e6 // (1+2) = 333333
+    // affinities: d1=500000 d2=500000 d3=333333 d4=0
+    // mean*4 = 1333333; selected iff affinity*4 >= 1333333
+    val out = CorpusOps.affinityScore(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 512)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((1L, 500000L, 1L)),
+      2L -> ((1L, 500000L, 1L)),
+      3L -> ((1L, 333333L, 0L)),
+      4L -> ((0L, 0L, 0L))))
+  }
+
+  test("affinityScore separates target-heavy documents: a doc written in " +
+    "target-dominant tokens outranks one written in non-target tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 20L).map { i =>
+      val target = i <= 8
+      val tok = if (target) "alpha" else "beta"
+      // everyone shares some 'common' tokens; the tail is class-specific
+      (i, s"common common $tok $tok $tok", if (target) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val out = CorpusOps.affinityScore(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val (tgt, non) = out.partition(_._1 <= 8L)
+    assert(tgt.map(_._2).min > non.map(_._2).max,
+      s"target docs must outscore non-target: $out")
+    assert(tgt.forall(_._3 == 1L) && non.forall(_._3 == 0L))
+  }
+
   test("decontaminate drops exactly the train docs sharing an n-gram " +
     "with the eval set") {
     import spark.implicits._
