@@ -4843,7 +4843,7 @@ object SparkEntry {
       val s3 = s2.join(cl, s2("doc_id") === cl("id"), "left")
         .where(col("cluster_id").isNull ||
           col("cluster_id") === col("doc_id"))
-        .select(docs.columns.map(col): _*)
+        .select(docs.columns.toIndexedSeq.map(col): _*)
       // decontaminate vs the doc_id%10==0 holdout (q48 rule); the
       // holdout rows themselves leave the training pool
       val s4 = CorpusOps.decontaminate(

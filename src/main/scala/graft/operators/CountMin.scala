@@ -75,6 +75,6 @@ object CountMin {
         explode(cellArray(col(keyCol), depth, width)))
       .join(broadcast(cms), col("__cell.d") === cms("d") &&
         col("__cell.w") === cms("w"), "left")
-      .groupBy(queries.columns.map(col): _*)
+      .groupBy(queries.columns.toIndexedSeq.map(col): _*)
       .agg(coalesce(min(col("counter")), lit(0L)).as("cms_estimate"))
 }

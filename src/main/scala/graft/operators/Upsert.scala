@@ -28,7 +28,8 @@ object Upsert {
   def latestPerKey(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
     val dataCols = df.columns.filterNot(keys.contains)
     df.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(dataCols.map(col): _*), col(orderCol)).as("__latest"))
+      .agg(max_by(struct(dataCols.toIndexedSeq.map(col): _*),
+        col(orderCol)).as("__latest"))
       .select(keys.map(col) ++ dataCols.map(c => col(s"__latest.$c").as(c)): _*)
   }
 

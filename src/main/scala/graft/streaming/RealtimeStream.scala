@@ -240,7 +240,7 @@ object RealtimeStream {
     // basePath keeps the partition column while reading only the
     // fragmented directories — no partition-value string decoding
     val df = spark.read.option("basePath", targetPath)
-      .parquet(fragmented.map(_._1.toString): _*)
+      .parquet(fragmented.toIndexedSeq.map(_._1.toString): _*)
     val stage = targetPath + ".compact-stage"
     df.write.mode("overwrite").parquet(stage) // break the read-write cycle
     val staged = spark.read.parquet(stage)
