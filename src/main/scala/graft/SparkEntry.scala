@@ -5227,6 +5227,15 @@ object SparkEntry {
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         ivfTrained(s, dir, 16, 2), epsNum = 3L, epsDen = 10L)),
 
+    // Prototype-based data pruning (Sorscher et al. 2022): keep the
+    // hardest half of every cluster — rank by exact integer cosine-key
+    // to the assigned centroid (same memoized IVF training as
+    // q32/q149/q213), keep fraction as a cross-multiplied integer.
+    "q215_prototype_pruning" -> ((s, dir) =>
+      Similarity.prototypePruning(t(s, dir, "embeddings"), "vec_id",
+        "embedding", ivfTrained(s, dir, 16, 2), keepNum = 1L,
+        keepDen = 2L)),
+
     // CCNet/fastText-style target-affinity filter: hashed bag-of-tokens
     // linear classifier with integer ppm weights (target = lang 'en'),
     // 512 buckets, Laplace-smoothed, above-corpus-mean selection — the
@@ -9103,6 +9112,24 @@ object SparkEntry {
         |SELECT s.vec_id, s.cid,
         |  CAST(CASE WHEN p.xid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM sck s LEFT JOIN pruned p ON s.vec_id = p.xid""".stripMargin),
+
+    // Prototype pruning: same trained centroids and exact-key
+    // assignment; hardest-first rank (ckey ASC NULLS FIRST, id ASC)
+    // within the cluster, keep fraction 1/2 as rnk·2 ≤ n_cluster·1.
+    "q215_prototype_pruning" -> (EMB_CTE + IVF_TRAIN_CTES +
+      """sck AS (
+        |  SELECT a.vec_id, a.cid, k.ckey
+        |  FROM assign a JOIN kf k ON a.vec_id = k.vec_id AND a.cid = k.cid),
+        |r AS (
+        |  SELECT vec_id, cid,
+        |    CAST(row_number() OVER (PARTITION BY cid
+        |      ORDER BY ckey ASC NULLS FIRST, vec_id ASC) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_cluster
+        |  FROM sck)
+        |SELECT vec_id, cid, rnk, n_cluster,
+        |  CAST(CASE WHEN rnk * 2 <= n_cluster * 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS kept
+        |FROM r""".stripMargin),
 
     // Affinity filter: poly-hashed token buckets (512), smoothed integer
     // ppm weights t/r per bucket, mean over document tokens, selection

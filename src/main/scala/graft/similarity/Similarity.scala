@@ -519,6 +519,46 @@ object Similarity {
         coalesce(col("__kept"), lit(1L)).as("kept"))
   }
 
+  /** Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv:2206.14486): rank every example by its cosine
+    * similarity to its cluster's prototype (the k-means centroid — the
+    * paper's self-supervised prototypicality metric) and KEEP the
+    * hardest fraction — the examples FARTHEST from their prototype —
+    * which the paper shows beats random pruning in the abundant-data
+    * regime. The complement of [[semDedup]] over the same trained
+    * artifact: SemDeDup removes redundancy (near-duplicate pairs),
+    * prototype pruning removes the easy/typical core.
+    *
+    * Exactness: the prototypicality rank is the integer [[exactCosKey]]
+    * to the assigned centroid, ascending NULLS FIRST (hardest first; a
+    * zero-norm centroid's cluster falls back to id order), ties by id;
+    * `kept` = rank·keepDen ≤ n_cluster·keepNum — the keep fraction as a
+    * cross-multiplied integer comparison, never a float quantile. The
+    * whole surface (rank, cluster size, keep flag) is int64.
+    *
+    * Scale shape: one per-cluster window (rank + size) — bounded by the
+    * cluster size, so as with [[semDedup]] the centroid count k must
+    * scale with the corpus to keep clusters bounded; the registered
+    * query's k=16 is gate-scale only. No driver materialization beyond
+    * the k×dim centroids the caller already holds. */
+  def prototypePruning(corpus: DataFrame, idCol: String, embCol: String,
+                       cents: Seq[Seq[Long]], keepNum: Long, keepDen: Long)
+      : DataFrame = {
+    require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
+      s"prototypePruning needs 0 <= keep <= 1 as a ratio, " +
+        s"got $keepNum/$keepDen")
+    val a = assignWith(corpus, idCol, embCol, cents)
+      .withColumn("__ck", element_at(col("__key"), col("cid").cast("int")))
+    val byHardness = Window.partitionBy("cid")
+      .orderBy(col("__ck").asc_nulls_first, col(idCol).asc)
+    val cluster = Window.partitionBy("cid")
+    a.select(col(idCol), col("cid"),
+        row_number().over(byHardness).cast("long").as("rnk"),
+        count(lit(1)).over(cluster).as("n_cluster"))
+      .withColumn("kept",
+        (col("rnk") * keepDen <= col("n_cluster") * keepNum).cast("long"))
+  }
+
   /** The `nProbe` nearest centroid ids (1-based) from a bound `__key`
     * array: sort (nullFlag, −key, cid) structs — valid first, key desc,
     * cid asc — then slice. Shared by [[ivfTopK]] and [[ivfPqTopK]] so

@@ -397,6 +397,42 @@ class SimilaritySpec extends SparkSpec {
     assert(naive.exists(_._3 == 0L), "no pair crossed eps; weak fixture")
   }
 
+  test("prototypePruning matches a naive exact-integer reimplementation: " +
+    "hardest-first rank within the assigned cluster, keep fraction as a " +
+    "cross-multiplied integer (keep 1/3)") {
+    val corpus = vecs(60, seed = 13L)
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    val cents = corpus.take(4).map { case (_, v) => quant(v) }
+    val cNorms = cents.map(c => c.map(x => x * x).sum)
+    def key(v: Seq[Long], j: Int): BigInt = {
+      val dot = v.zip(cents(j)).map { case (a, b) => a * b }.sum
+      val mag = (BigInt(dot) * dot * 1000000000L) / cNorms(j)
+      if (dot < 0) -mag else mag
+    }
+    val assigned = corpus.map { case (id, v) =>
+      val q = quant(v)
+      val keys = cents.indices.map(j => key(q, j))
+      val cid = keys.indices.maxBy(j => (keys(j), -j)) + 1
+      (id, cid.toLong, keys(cid - 1))
+    }
+    val naive = assigned.groupBy(_._2).flatMap { case (cid, members) =>
+      val ordered = members.sortBy { case (id, _, k) => (k, id) }
+      val n = ordered.size.toLong
+      ordered.zipWithIndex.map { case ((id, _, _), i) =>
+        val rnk = i + 1L
+        (id, cid, rnk, n, if (rnk * 3 <= n * 1) 1L else 0L)
+      }
+    }.toSet
+    val got = Similarity.prototypePruning(toDF(corpus), "vec_id",
+        "embedding", cents.map(_.toSeq), keepNum = 1L, keepDen = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === naive)
+    // the fixture keeps SOME and prunes SOME in every cluster
+    assert(naive.exists(_._5 == 1L) && naive.exists(_._5 == 0L))
+  }
+
   test("semDedup on exact duplicates keeps exactly the smaller id (equal " +
     "centroid keys tie-break by id)") {
     val base = vecs(6, seed = 12L)
