@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: sbt's default logged
+// output strategy prepends "[info] " to every line, which defeats any
+// line-oriented JSON parse of Bench/Verify output (a tail capture that
+// json-loads lines never sees a line starting with '{'). StdoutOutput
+// inherits this process's stdio, so Bench's JSON lines arrive bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
