@@ -1015,4 +1015,85 @@ object Dedup {
           col("name_a"), col("name_b"), maxDist).as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** Bag-of-words canonical dedup: two documents are duplicates when
+    * they contain the SAME TOKEN SET — the canonical key is the sorted
+    * distinct token list rejoined to one string, which collapses word
+    * reorderings and repetition-count changes that exact text-hash
+    * dedup ([[exactDupGroups]]) misses and shingle Jaccard only scores
+    * approximately. The standard cheap middle rung of a dedup ladder:
+    * still a pure hash-aggregate (one shuffle on the canonical key, no
+    * candidate generation, no pair join), but insensitive to the most
+    * common template permutations.
+    *
+    * Emits every document with its cluster label (`cluster_id` = the
+    * group's minimum id — the [[dupClusters]] labeling convention),
+    * the cluster size, and `is_canonical` marking the one kept
+    * representative. Tokens here are lowercase ASCII words, where
+    * Spark's binary UTF8 array_sort and the oracle's list_sort agree;
+    * a mixed-script corpus would pin a collation first.
+    *
+    * Scale shape: group sizes are corpus-duplication-bounded, the key
+    * aggregate is map-side combinable, and the join back to documents
+    * is on the same canonical key the aggregate just shuffled on — AQE
+    * reuses the partitioning; nothing quadratic anywhere. */
+  def canonicalDedup(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"),
+      array_join(array_sort(array_distinct(
+        graft.text.TextAnalysis.tokens(col(textCol)))), " ").as("__ck"))
+    val groups = keyed.groupBy("__ck")
+      .agg(min(col("id")).as("cluster_id"),
+        count(lit(1)).as("cluster_size"))
+    keyed.join(groups, Seq("__ck"))
+      .select(col("id"), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).cast("long").as("is_canonical"))
+  }
+
+  /** Candidate-generation recall/precision audit: how much of an EXACT
+    * ground-truth pair set does an approximate candidate generator
+    * recover, and how much does it over-generate — the "measure, don't
+    * guess" readout for tuning LSH band/row/cap knobs before a 100 TB
+    * run. Both inputs are (id_a, id_b) pair frames with id_a < id_b
+    * (e.g. [[prefixJaccardPairs]] as truth, the banded
+    * [[polyMinhashCandidatePairs]] as candidates). Emits ONE row of
+    * integer counts — n_truth, n_candidates, n_hit — from which recall
+    * (hit/truth) and precision (hit/candidates) are exact rationals;
+    * the counts stay integer so the audit itself is hash-exact.
+    *
+    * Scale shape: both pair sets are the (already sub-corpus-sized)
+    * outputs of bounded generators; the intersection is one equi-join
+    * on the pair key followed by three count aggregates. */
+  def recallAudit(truthPairs: DataFrame,
+                  candidatePairs: DataFrame): DataFrame = {
+    val t = truthPairs.select(col("id_a"), col("id_b"))
+    val c = candidatePairs.select(col("id_a"), col("id_b"))
+    val hit = t.join(c, Seq("id_a", "id_b"), "left_semi")
+    t.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(c.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+  }
+
+  /** Cross-source duplication matrix over a CONFIRMED near-dup pair set:
+    * counts verified duplicate pairs per unordered source pair — the
+    * contamination accounting a multi-source corpus needs ("how much of
+    * crawl B is already in dump A") before deciding dedup precedence
+    * between sources. `pairs` is any (id_a, id_b) frame of confirmed
+    * duplicates (e.g. [[prefixJaccardPairs]] output); sources attach by
+    * two slim broadcast-sized joins of (id, source); the unordered
+    * normalization (least/greatest) folds (A,B) and (B,A) into one cell.
+    * Diagonal cells (same-source pairs) are kept — intra-source
+    * duplication is the baseline the cross cells are read against. */
+  def sourceOverlap(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    sourceCol: String): DataFrame = {
+    val src = docs.select(col(idCol).as("__id"),
+      col(sourceCol).as("__src"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(src.select(col("__id").as("id_a"), col("__src").as("sa")), "id_a")
+      .join(src.select(col("__id").as("id_b"), col("__src").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

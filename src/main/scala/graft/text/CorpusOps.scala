@@ -909,4 +909,136 @@ object CorpusOps {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= topK)
   }
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1 and
+    * the FineWeb reimplementation publish the rule FAMILY; thresholds
+    * are corpus-tuned knobs): a document survives only if every
+    * per-document rule holds. The four rules kept here are the ones a
+    * whitespace-token corpus can express — token-count bounds, mean
+    * token length bounds, a minimum stop-word count, and a maximum
+    * most-frequent-token share (the repetition rule) — and every one is
+    * decided by INTEGER cross-multiplication (`3 ≤ sum_len/n ≤ 10` is
+    * `3·n ≤ sum_len ∧ sum_len ≤ 10·n`), so the whole surface is
+    * hash-exact with no ratio ever materialized as a float.
+    *
+    * Scale shape: one token explode into ONE (id, token) count
+    * aggregate (map-side combined), reduced per document in a second
+    * natural-key aggregate — sum/max over (tf, tf·len, stop-membership)
+    * — then a left join back to the full corpus so zero-token documents
+    * surface with zeroed features and `keep = 0` (the word-count lower
+    * bound rejects them). No window, no self-join; both shuffles are on
+    * keys the 100 TB corpus is naturally partitioned by. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String], minTokens: Long, maxTokens: Long,
+                  minAvgLen: Long, maxAvgLen: Long, minStop: Long,
+                  maxTopShareNum: Long, maxTopShareDen: Long): DataFrame = {
+    require(minTokens >= 1 && maxTokens >= minTokens,
+      "token bounds must satisfy 1 <= minTokens <= maxTokens")
+    require(maxTopShareNum > 0 && maxTopShareDen > 0,
+      "top-share bound must be a positive fraction")
+    val tf = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val feats = tf.groupBy(idCol).agg(
+      sum(col("__tf")).as("n_tokens"),
+      sum(col("__tf") * length(col("__tok")).cast("long"))
+        .as("sum_token_len"),
+      sum(when(col("__tok").isin(stopwords: _*), col("__tf"))
+        .otherwise(0L)).as("n_stop"),
+      max(col("__tf")).as("max_tf"))
+    val r = docs.select(col(idCol)).join(feats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_token_len"), lit(0L)).as("sum_token_len"),
+        coalesce(col("n_stop"), lit(0L)).as("n_stop"),
+        coalesce(col("max_tf"), lit(0L)).as("max_tf"))
+    val rWords = col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
+    val rAvgLen = col("sum_token_len") >= lit(minAvgLen) * col("n_tokens") &&
+      col("sum_token_len") <= lit(maxAvgLen) * col("n_tokens") &&
+      col("n_tokens") > 0L
+    val rStop = col("n_stop") >= minStop
+    val rRep = col("max_tf") * lit(maxTopShareDen) <=
+      col("n_tokens") * lit(maxTopShareNum)
+    r.select(col(idCol), col("n_tokens"), col("sum_token_len"),
+      col("n_stop"), col("max_tf"),
+      rWords.cast("long").as("r_words"),
+      rAvgLen.cast("long").as("r_avg_len"),
+      rStop.cast("long").as("r_stop"),
+      rRep.cast("long").as("r_repetition"),
+      (rWords && rAvgLen && rStop && rRep).cast("long").as("keep"))
+  }
+
+  /** DSIR-style importance weighting + proportional resampling (Xie et
+    * al. 2023 select pretraining data by the likelihood ratio of hashed
+    * n-gram unigram models between a target and the raw corpus),
+    * re-expressed integer-exact: bigram shingles hash into `buckets`
+    * features via the oracle-mirrorable [[TextAnalysis.charPolyHash]],
+    * each bucket's weight is the Laplace-smoothed likelihood ratio
+    *   w_f = ⌊(t_f+1)·(R+B)·scale / ((r_f+1)·(T+B))⌋
+    * (T, R = total target/raw feature occurrences, B = bucket count —
+    * the add-one-smoothed p_target(f)/p_raw(f) cross-multiplied into one
+    * integer), a document's weight is the floored mean over its
+    * shingles, and `sampled` keeps the document with probability
+    * proportional to its weight through the deterministic content-hash
+    * coin `(polyhash('dsir:'||id)·48271 mod p) mod (2·scale) < weight`
+    * — the q116 split discipline plus one Lehmer-style multiplicative
+    * mix (48271 is the MINSTD multiplier; p = 10⁹+7 the hash modulus).
+    * The mix is load-bearing: polyhashes of 'dsir:'||id for CONSECUTIVE
+    * ids are consecutive integers in one narrow band, so reducing them
+    * by a modulus of the same magnitude as the band would make the coin
+    * an id-range test, not a coin; one multiplication mod p scatters
+    * the band across the full residue range (measured: the unmixed coin
+    * kept 2% of a ratio≈1 corpus, the mixed one the expected ~50%).
+    * The 2·scale coin modulus sets the acceptance rate at
+    * weight/(2·scale) — i.e. ~50% for a ratio-1 document — keeping the
+    * decision informative on corpora whose bucket ratios cluster near 1
+    * (a mod-scale coin would accept nearly everything there). The paper
+    * sums LOG ratios; the mean-of-ratios spelling keeps the identical
+    * monotone "towards-target" ordering signal while staying in
+    * integers (a libm log would be the one engine-divergent op in the
+    * chain).
+    *
+    * The cross-multiplied numerator (t_f+1)·(R+B)·scale can exceed
+    * int64 on a big corpus, so the weight arithmetic runs in
+    * DECIMAL(38,0) (≈10³⁸ headroom: ~10¹² target shingles × ~10¹³ raw ×
+    * 10⁶ scale still fits) and only the per-document BIGINT mean leaves
+    * the decimal domain. Scale shape = [[affinityScore]]: explode,
+    * bucket aggregate (map-side combined), broadcast weight table,
+    * per-doc aggregate, left join for shingle-less docs. */
+  def dsirWeight(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: org.apache.spark.sql.Column, buckets: Int,
+                 scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && scale > 0, "buckets and scale must be positive")
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val feats = docs.select(col(idCol), targetPred.as("__t"),
+        explode(TextAnalysis.ngramShingles(
+          TextAnalysis.tokens(col(textCol)), 2)).as("__sh"))
+      .select(col(idCol), col("__t"),
+        (TextAnalysis.charPolyHash(col("__sh")) % buckets).as("f"))
+    val perBucket = feats.groupBy("f")
+      .agg(count(lit(1)).as("r_f"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("t_f"))
+    val totals = perBucket.agg(sum(col("r_f")).as("__R"),
+      sum(col("t_f")).as("__T"))
+    val w = perBucket.crossJoin(broadcast(totals))
+      .select(col("f"), call_function("div",
+        d38(col("t_f") + 1L) * d38(col("__R") + buckets.toLong) * d38(lit(scale)),
+        d38(col("r_f") + 1L) * d38(col("__T") + buckets.toLong))
+        .cast("long").as("w"))
+    val scored = feats.join(broadcast(w), Seq("f"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"), sum("w").as("__sw"))
+      .select(col(idCol), col("n_shingles"),
+        expr("__sw div n_shingles").as("weight_ppm"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("weight_ppm"), lit(0L)).as("weight_ppm"))
+      .withColumn("sampled",
+        (TextAnalysis.charPolyHash(
+          concat(lit("dsir:"), col(idCol).cast("string"))) * 48271L %
+          1000000007L % (2L * scale) <
+          col("weight_ppm")).cast("long"))
+  }
 }

@@ -146,7 +146,10 @@ class PlanSpec extends SparkSpec {
     * class-totals attach are all the same 1-ROW aggregate broadcast;
     * q179 embeds the q19 brute-force cosine baseline it audits;
     * q214's corpus-mean attach for the above-mean selection rule is
-    * the same 1-ROW aggregate broadcast). */
+    * the same 1-ROW aggregate broadcast; q217's (R, T) feature-totals
+    * attach onto the bucket table is the same 1-ROW shape; q219's
+    * whole OUTPUT is three crossed 1-ROW count aggregates — constant ×
+    * constant, never data × data). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
       "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
@@ -158,7 +161,7 @@ class PlanSpec extends SparkSpec {
       "q166_cohens_kappa", "q172_benford", "q178_negative_sample",
       "q179_ann_recall", "q180_ks_test", "q182_cramers_v",
       "q183_quantile_map", "q185_split_gini", "q199_cms_native_agg",
-      "q214_affinity_filter")
+      "q214_affinity_filter", "q217_dsir_weight", "q219_lsh_recall")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

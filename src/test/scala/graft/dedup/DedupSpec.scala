@@ -420,4 +420,46 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // collapsed into 1
     assert(pairs.contains((1L, 2L)))                     // near-dup caught
   }
+
+  test("canonicalDedup: word reorderings and repetition changes collapse " +
+    "to the min-id representative; distinct token sets stay apart") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha beta gamma",
+      2L -> "gamma alpha beta",        // reordering of 1
+      3L -> "alpha alpha beta gamma",  // repetition change of 1
+      4L -> "alpha beta",              // strict subset: different set
+      5L -> "delta")
+      .toDF("doc_id", "text")
+    val out = Dedup.canonicalDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((1L, 3L, 1L)))
+    assert(out(2L) === ((1L, 3L, 0L)))
+    assert(out(3L) === ((1L, 3L, 0L)))
+    assert(out(4L) === ((4L, 1L, 1L)))
+    assert(out(5L) === ((5L, 1L, 1L)))
+  }
+
+  test("recallAudit: counts truth, candidates, and their intersection") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L), (5L, 6L), (7L, 8L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.recallAudit(truth, cand).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 4L, 2L)))
+  }
+
+  test("sourceOverlap: unordered pair cells aggregate both orientations " +
+    "and keep the intra-source diagonal") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"), (5L, "a"))
+      .toDF("doc_id", "source")
+    // (1,2): a-b; (4,3): b-a folds into a-b; (1,5): a-a diagonal
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.sourceOverlap(pairs, docs, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(("a", "b") -> 2L, ("a", "a") -> 1L))
+  }
 }

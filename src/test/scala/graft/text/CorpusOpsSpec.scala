@@ -459,4 +459,56 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped === Set((1L, 2L)))
   }
+
+  test("gopherRules: each rule rejects its construction, zero-token docs " +
+    "zero out, and keep is the conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 tokens, sum length 15 (avg in [2,8]), one stopword, max_tf 1
+      // → every rule passes
+      1L -> "the word some text",
+      2L -> "", // zero tokens: all features 0, keep 0
+      3L -> "xx xx xx xx", // repetition: max_tf 4 of 4 > 1/2 share
+      4L -> "the supercalifragilisticexpialidocious words here", // avg > 8
+      5L -> "zz yy ww vv") // no stopword
+      .toDF("doc_id", "text")
+    val out = CorpusOps.gopherRules(docs, "doc_id", "text",
+        stopwords = Seq("the", "a", "of"), minTokens = 3L, maxTokens = 10L,
+        minAvgLen = 2L, maxAvgLen = 8L, minStop = 1L,
+        maxTopShareNum = 1L, maxTopShareDen = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getLong(9))).toMap
+    assert(out(1L) === ((4L, 1L, 1L, 1L, 1L, 1L))) // all rules pass
+    assert(out(2L) === ((0L, 0L, 0L, 0L, 1L, 0L))) // 0·den <= 0·num holds
+    assert(out(3L)._5 === 0L && out(3L)._6 === 0L) // repetition fails
+    assert(out(4L)._3 === 0L && out(4L)._6 === 0L) // avg-len fails
+    assert(out(5L)._4 === 0L && out(5L)._6 === 0L) // stopword fails
+  }
+
+  test("dsirWeight: target-heavy features weigh above scale, off-target " +
+    "below, shingle-less docs zero out, and the coin is deterministic") {
+    import spark.implicits._
+    // bigrams of doc 1/2 (target) vs 3/4 (raw-only) are disjoint, so
+    // target-exclusive buckets get ratio >> 1 and raw-only buckets << 1
+    val docs = Seq(
+      (1L, "alpha beta alpha beta gamma", true),
+      (2L, "alpha beta gamma alpha", true),
+      (3L, "delta epsilon zeta delta epsilon", false),
+      (4L, "one", false)) // single token: zero bigram shingles
+      .toDF("doc_id", "text", "is_t")
+    val out = CorpusOps.dsirWeight(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("is_t"), buckets = 4096)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._2 > 1000000L, "target doc must weigh above the scale")
+    assert(out(3L)._2 < 1000000L, "raw-only doc must weigh below")
+    assert(out(4L) === ((0L, 0L, 0L)))
+    // deterministic: a second run reproduces the exact weights and coins
+    val again = CorpusOps.dsirWeight(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("is_t"), buckets = 4096)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again === out)
+  }
 }
