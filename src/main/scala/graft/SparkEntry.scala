@@ -5296,6 +5296,13 @@ object SparkEntry {
     "q217_dsir_weight" -> ((s, dir) =>
       text.CorpusOps.dsirWeight(t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "zh", buckets = 256)),
+
+    // Hard-negative mining: per query, the top-5 most-similar vectors
+    // with a DIFFERENT label — contrastive-training data prep on the
+    // q19 exact-cosine arithmetic, hash-checked.
+    "q221_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 10, k = 5)),
   )
 
   // -------------------------------------------------------------- oracle --
@@ -9345,6 +9352,29 @@ object SparkEntry {
          |        < COALESCE(s.sw // s.n_shingles, 0)
          |    THEN 1 ELSE 0 END AS BIGINT) AS sampled
          |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // Hard negatives: the q19 brute-force cosine chain with a label
+    // inequality on the pair (which also drops self-pairs), same
+    // deterministic (cosine DESC, id ASC) rank.
+    "q221_hard_negatives" -> (EMB_CTE +
+      """l AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |      FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+        |      AS cosine
+        |  FROM n q JOIN l ql ON q.vec_id = ql.vec_id,
+        |       n c JOIN l cl ON c.vec_id = cl.vec_id
+        |  WHERE q.vec_id < 10 AND cl.label <> ql.label),
+        |r AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM p)
+        |SELECT query_id, vec_id, cosine, rank FROM r
+        |WHERE rank <= 5""".stripMargin),
   )
 
   private lazy val MM_FEATURES_SQL: String =

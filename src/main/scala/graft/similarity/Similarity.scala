@@ -135,6 +135,33 @@ object Similarity {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** Hard-negative mining for contrastive/metric training data: for each
+    * query vector, the top-k most-similar corpus vectors whose LABEL
+    * differs — the "hardest" negatives, the pairs that teach a metric
+    * model the most (the standard in-batch-negatives upgrade every
+    * embedding-training pipeline ships). Same exact quantized-cosine
+    * arithmetic and bounded partition-local top-k as [[bruteForceTopK]];
+    * the label inequality also excludes the query itself for free. The
+    * queries ride one broadcast (bounded query set — the q19 contract);
+    * at 100 TB the same scoring runs per IVF probe list instead of the
+    * full corpus, exactly like q32 gates q19. */
+  def hardNegatives(emb: DataFrame, idCol: String, embCol: String,
+                    labelCol: String,
+                    queryPred: Column, k: Int): DataFrame = {
+    val base = emb.select(col(idCol), col(labelCol).cast("long").as("__lab"),
+        quantize(col(embCol)).as("__v"))
+      .withColumn("__n", intDot(col("__v"), col("__v")))
+    val q = base.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__lab").as("__qlab"),
+        col("__v").as("__qv"), col("__n").as("__qn"))
+    val scored = base.crossJoin(broadcast(q))
+      .where(col("__lab") =!= col("__qlab"))
+      .select(col("query_id"), col(idCol),
+        cosineQ(intDot(col("__qv"), col("__v")), col("__qn"), col("__n"))
+          .as("cosine"))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** Deterministic Rademacher (±1) projection matrix for
     * Johnson-Lindenstrauss dimensionality reduction: entry (j, i) is the
     * parity of one SplitMix64-style mix of the flat index — fixed

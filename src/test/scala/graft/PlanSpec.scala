@@ -149,7 +149,9 @@ class PlanSpec extends SparkSpec {
     * the same 1-ROW aggregate broadcast; q217's (R, T) feature-totals
     * attach onto the bucket table is the same 1-ROW shape; q219's
     * whole OUTPUT is three crossed 1-ROW count aggregates — constant ×
-    * constant, never data × data). */
+    * constant, never data × data; q221 is the label-filtered member of
+    * the brute-force cosine family — same corpus × broadcast-queries
+    * product as q19). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
       "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
@@ -161,7 +163,8 @@ class PlanSpec extends SparkSpec {
       "q166_cohens_kappa", "q172_benford", "q178_negative_sample",
       "q179_ann_recall", "q180_ks_test", "q182_cramers_v",
       "q183_quantile_map", "q185_split_gini", "q199_cms_native_agg",
-      "q214_affinity_filter", "q217_dsir_weight", "q219_lsh_recall")
+      "q214_affinity_filter", "q217_dsir_weight", "q219_lsh_recall",
+      "q221_hard_negatives")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

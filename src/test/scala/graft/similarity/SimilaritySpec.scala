@@ -45,6 +45,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got === naiveTopK(queries, corpus, 5))
   }
 
+  test("hardNegatives: never returns the query's own label, excludes " +
+    "self, and ranks exactly like the label-filtered brute force") {
+    import spark.implicits._
+    val corpus = vecs(50, seed = 7L)
+    val labeled = corpus.map { case (id, v) => (id, v, (id % 5L).toInt) }
+    val df = labeled.toDF("vec_id", "embedding", "label")
+    val rows = Similarity.hardNegatives(df, "vec_id", "embedding",
+      "label", org.apache.spark.sql.functions.col("vec_id") < 3, k = 4)
+      .collect()
+    assert(rows.length === 12)
+    rows.foreach { r =>
+      val (qid, cid) = (r.getLong(0), r.getLong(1))
+      assert(qid % 5L !== cid % 5L, s"same-label pair ($qid, $cid)")
+      assert(qid !== cid)
+    }
+    // parity with the naive label-filtered ranking
+    val naive = (for (q <- labeled.take(3)) yield {
+      val cands = labeled.filter(c => c._3 != q._3)
+        .map(c => (c._1, c._2))
+      naiveTopK(Seq((q._1, q._2)), cands, 4)
+    }).flatten.toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === naive)
+  }
+
   test("bruteForceTopK returns exactly k ranked rows per query, rank 1 = self") {
     val corpus = vecs(40, seed = 2L)
     val queries = corpus.take(3)
