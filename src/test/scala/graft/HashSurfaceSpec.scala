@@ -111,6 +111,7 @@ class HashSurfaceSpec extends SparkSpec {
     "q208_delay_survival" -> Set("p_gt60s", "p_gt120s", "p_gt300s", "p_gt600s"),
     "q209_embedding_separation" -> Set("overlap_ratio"),
     "q20_ann_lsh" -> Set("cosine"),
+    "q221_hard_negatives" -> Set("cosine"),
     "q22_quality" -> Set("ttr", "avg_token_len", "stopword_ratio", "quality_score"),
     "q23_token_stats" -> Set("chars_per_token"),
     "q30_weather_attach" -> Set("temperature"),

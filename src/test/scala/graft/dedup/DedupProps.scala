@@ -238,4 +238,40 @@ object DedupProps extends Properties("Dedup") {
         .toSet
       got == want
     }
+
+  property("canonicalDedup: docs cluster IFF their token SETS are equal; " +
+    "label = min id, size = group size, exactly one canonical each") =
+    forAll(genCorpus) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.canonicalDedup(docs, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val bySet = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> t.split(" ").filter(_.nonEmpty).toSet }
+        .groupBy(_._2).values.map(_.map(_._1))
+      val want = bySet.flatMap { ids =>
+        val label = ids.min
+        ids.map(id =>
+          id -> ((label, ids.size.toLong, if (id == label) 1L else 0L)))
+      }.toMap
+      got == want
+    }
+
+  property("recallAudit counts = |truth|, |candidates|, |intersection| " +
+    "for arbitrary pair sets") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(7L, 12L))),
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(7L, 12L)))) {
+      (tp, cp) =>
+        import spark.implicits._
+        val truth = tp.distinct
+        val cand = cp.distinct
+        val r = Dedup.recallAudit(truth.toDF("id_a", "id_b"),
+          cand.toDF("id_a", "id_b")).collect().head
+        (r.getLong(0), r.getLong(1), r.getLong(2)) ==
+          ((truth.size.toLong, cand.size.toLong,
+            truth.toSet.intersect(cand.toSet).size.toLong))
+    }
 }

@@ -183,4 +183,77 @@ object CorpusOpsProps extends Properties("CorpusOps") {
         diff >= 0 && diff < 2 * na * nb
       }
     }
+
+  private def polyHash(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 31L + c.toLong) % 1000000007L)
+
+  property("gopherRules == the naive per-document reference for any " +
+    "corpus and any integer thresholds") =
+    forAll(genCorpus, Gen.chooseNum(1L, 6L), Gen.chooseNum(6L, 40L),
+      Gen.chooseNum(1L, 4L), Gen.chooseNum(4L, 9L)) {
+      (texts, minTok, maxTok, minLen, maxLen) =>
+        import spark.implicits._
+        val stop = Seq("alpha", "beta")
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = CorpusOps.gopherRules(docs, "doc_id", "text", stop,
+            minTok, maxTok, minLen, maxLen, minStop = 1L,
+            maxTopShareNum = 1L, maxTopShareDen = 2L)
+          .collect().map(r => r.getLong(0) -> (1 to 9).map(r.getLong)).toMap
+        val want = texts.zipWithIndex.map { case (t, i) =>
+          val tk = t.split(" ").filter(_.nonEmpty)
+          val n = tk.length.toLong
+          val sumLen = tk.map(_.length.toLong).sum
+          val nStop = tk.count(stop.contains).toLong
+          val maxTf = if (tk.isEmpty) 0L
+            else tk.groupBy(identity).values.map(_.length).max.toLong
+          val rW = n >= minTok && n <= maxTok
+          val rL = sumLen >= minLen * n && sumLen <= maxLen * n && n > 0
+          val rS = nStop >= 1L
+          val rR = maxTf * 2L <= n
+          def b(x: Boolean) = if (x) 1L else 0L
+          i.toLong -> Vector(n, sumLen, nStop, maxTf,
+            b(rW), b(rL), b(rS), b(rR), b(rW && rL && rS && rR))
+        }.toMap
+        got == want
+    }
+
+  property("dsirWeight == the naive BigInt likelihood-ratio reference: " +
+    "weights, shingle counts, and the mixed coin all reproduce") =
+    forAll(genCorpus, Gen.chooseNum(8, 64)) { (texts, buckets) =>
+      import spark.implicits._
+      // mark every other doc as target; degenerate all-target/none-target
+      // corpora are exercised when texts.size == 1
+      val rows = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, i % 2 == 0) }
+      val docs = rows.toDF("doc_id", "text", "is_t")
+      val got = CorpusOps.dsirWeight(docs, "doc_id", "text",
+          org.apache.spark.sql.functions.col("is_t"), buckets)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      def shingles(t: String): Set[String] = {
+        val tk = t.split(" ").filter(_.nonEmpty)
+        tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+      }
+      val feats = rows.flatMap { case (id, t, tgt) =>
+        shingles(t).toSeq.map(s => (id, tgt, polyHash(s) % buckets)) }
+      val rF = feats.groupBy(_._3).map { case (f, xs) => f -> xs.size.toLong }
+      val tF = feats.groupBy(_._3)
+        .map { case (f, xs) => f -> xs.count(_._2).toLong }
+      val (rTot, tTot) = (rF.values.sum, tF.values.sum)
+      val w = rF.keys.map { f =>
+        f -> (BigInt(tF(f) + 1) * BigInt(rTot + buckets) * 1000000 /
+          (BigInt(rF(f) + 1) * BigInt(tTot + buckets)))
+      }.toMap
+      val want = rows.map { case (id, t, _) =>
+        val sh = shingles(t)
+        val wp = if (sh.isEmpty) 0L
+          else (sh.toSeq.map(s => w(polyHash(s) % buckets)).sum /
+            sh.size).toLong
+        val coin = polyHash(s"dsir:$id") * 48271L % 1000000007L % 2000000L
+        id -> ((sh.size.toLong, wp, if (coin < wp) 1L else 0L))
+      }.toMap
+      got == want
+    }
 }
