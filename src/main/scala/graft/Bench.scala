@@ -152,6 +152,12 @@ object Bench {
       }
     }
     val medians = names.map(n => n -> median(times(n)))
+    // cpus comes straight from the environment: a non-numeric value
+    // (SPARK_GRAFT_CPUS='*' is a plausible mistake — local[*] is a valid
+    // master) must render as a quoted JSON string, not break both lines
+    val cpusJson =
+      if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+      else "\"" + esc(cpus) + "\""
     val qs = medians.map { case (k, v) => s"\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, e) =>
@@ -170,7 +176,7 @@ object Bench {
         finally src.close()
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$nRuns,"cpus":$cpus,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
     // The full line above carries the whole per-query map (~7 KB for 200+
     // queries); a fixed-size log-tail capture truncates its head and loses
     // the headline total. This LAST line is a complete, self-describing
@@ -180,7 +186,7 @@ object Bench {
     val slowest = medians.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries_n":${names.size},"errors_n":${errors.size},"runs":$nRuns,"cpus":$cpus,"slowest":$slowest,"comparability":$comparability,"sf":"${esc(sfDir)}","note":"digest; full per-query map on the preceding line"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries_n":${names.size},"errors_n":${errors.size},"runs":$nRuns,"cpus":$cpusJson,"slowest":$slowest,"comparability":$comparability,"sf":"${esc(sfDir)}","note":"digest; full per-query map on the preceding line"}""")
     spark.stop()
   }
 }

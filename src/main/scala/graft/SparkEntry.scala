@@ -730,6 +730,33 @@ object SparkEntry {
     "list_distinct(list_transform(range(1, len(tk) - 1), " +
       "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
 
+  /** Shared τ=0.4 exact-Jaccard ground-truth spelling: the all-pairs
+    * bigram-Jaccard join over relation `rel` (doc_id, sg) as CTEs `tp`
+    * (scored pairs) and `tpf` (the τ-filtered truth set) — ONE
+    * definition for its three consumers (q130 reports it, q219 audits
+    * against it, q220 attributes it), mirroring the Spark side's
+    * truthPairCache sharing so a threshold or tokenization tweak can
+    * never drift one oracle copy apart from the others. */
+  private def truthPairCtes(rel: String): String =
+    s"""tp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+       |    CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))
+       |      AS DOUBLE) AS jaccard
+       |  FROM $rel a JOIN $rel b ON a.doc_id < b.doc_id),
+       |tpf AS (SELECT id_a, id_b, jaccard FROM tp WHERE jaccard >= 0.4),
+       |""".stripMargin
+
+  /** The (doc_id, non-empty distinct-bigram list) staging the truth
+    * pairs are scored over — q130/q220's opening chain. */
+  private val TRUTH_BASE_CTES: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $BIGRAM_SQL AS sg FROM toks),
+       |s2 AS (SELECT doc_id, sg FROM sh WHERE len(sg) > 0),
+       |""".stripMargin
+
   /** The poly-MinHash affine coefficients as a DuckDB VALUES list — the
     * same [[graft.expressions.SignatureKernels.polyCoeffs]] constants the
     * Spark kernel uses (operator constants are part of the definition, so
@@ -2640,9 +2667,30 @@ object SparkEntry {
     // Candidate-generation recall/precision audit: the banded poly-LSH
     // candidate set (q58's artifact) measured against the exact τ=0.4
     // PPJoin ground truth (q130's artifact) — integer counts only, so
-    // the audit is itself on the hard hash gate.
-    "q219_lsh_recall" -> ((s, dir) =>
-      Dedup.recallAudit(truthPairs(s, dir), polyCands(s, dir))),
+    // the audit is itself on the hard hash gate. The truth side is
+    // first mapped through the candidate generator's exact-dup
+    // REPRESENTATIVES (min id per text hash): the generator collapses
+    // identical texts before banding (those pairs are the exact-dedup
+    // rung's job), so comparing against uncollapsed truth would count
+    // structurally-unreachable pairs as misses and understate recall
+    // on any corpus with exact duplicates.
+    "q219_lsh_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ids = docs.select(col("doc_id"),
+        sha2(col("text"), 256).as("__h"))
+      val rep = ids.groupBy("__h").agg(min(col("doc_id")).as("rep"))
+      val dmap = ids.join(rep, "__h").select(col("doc_id"), col("rep"))
+      val collapsed = truthPairs(s, dir)
+        .join(dmap.select(col("doc_id").as("id_a"), col("rep").as("ra")),
+          "id_a")
+        .join(dmap.select(col("doc_id").as("id_b"), col("rep").as("rb")),
+          "id_b")
+        .where(col("ra") =!= col("rb"))
+        .select(least(col("ra"), col("rb")).as("id_a"),
+          greatest(col("ra"), col("rb")).as("id_b"))
+        .distinct()
+      Dedup.recallAudit(collapsed, polyCands(s, dir))
+    }),
 
     // Cross-source duplication matrix over the confirmed τ=0.4 pairs:
     // which source pairs share verified near-duplicate content, counted
@@ -5488,6 +5536,16 @@ object SparkEntry {
     """assign AS (SELECT vec_id, cid FROM af),
       |""".stripMargin
 
+  /** The assigned-centroid exact cosine-key attach (`sck`: vec_id, cid,
+    * ckey) — the SQL mirror of Similarity.assignedWithKey, shared by
+    * the q213/q215 oracles so the assigned-key derivation has ONE
+    * spelling per engine. Consumes IVF_TRAIN_CTES' `assign` and `kf`. */
+  private val SCK_CTE: String =
+    """sck AS (
+      |  SELECT a.vec_id, a.cid, k.ckey
+      |  FROM assign a JOIN kf k ON a.vec_id = k.vec_id AND a.cid = k.cid),
+      |""".stripMargin
+
   // The q158 tf-idf staging, shared VERBATIM by the main oracle and the
   // r10 bisection diagnostics (q158a/b/c) so the diagnostic oracles can
   // never drift from the surface they bisect. Ends with `p` (pairs
@@ -7572,61 +7630,56 @@ object SparkEntry {
     // deliberately the NAIVE all-pairs spelling (no prefix filter, no
     // blocking): equality with the operator's prefix-filtered plan is
     // exactly the completeness claim under test.
-    "q130_prefix_jaccard" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, $BIGRAM_SQL AS sg FROM toks),
-         |s2 AS (SELECT doc_id, sg FROM sh WHERE len(sg) > 0),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
-         |    CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))
-         |      AS DOUBLE) AS jaccard
-         |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.4""".stripMargin,
+    "q130_prefix_jaccard" -> (TRUTH_BASE_CTES + truthPairCtes("s2") +
+      """res AS (SELECT id_a, id_b, jaccard FROM tpf)
+        |SELECT id_a, id_b, jaccard FROM res""".stripMargin),
 
     // Recall/precision audit of the banded poly-LSH candidates against
-    // the exact τ=0.4 truth pairs — the same polyCandCtes chain as
-    // q58 plus the q130 all-pairs truth, reduced to one row of counts.
+    // the exact τ=0.4 truth pairs — the same polyCandCtes chain as q58
+    // plus the SHARED truth-pair spelling, reduced to one row of
+    // counts. The truth is first COLLAPSED through the candidate
+    // generator's exact-dup representatives (min id per sha256(text) —
+    // the q42 spelling): the generator never emits a pair involving a
+    // non-representative id (identical texts are the exact-dedup rung's
+    // job), so an uncollapsed truth would count those pairs as false
+    // misses and systematically understate recall on any corpus with
+    // exact duplicates.
     "q219_lsh_recall" -> (polyCandCtes(64, 16, 200) +
-      """tp AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
-        |    CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))
-        |      AS DOUBLE) >= 0.4),
+      truthPairCtes("shf") +
+      """reps AS (
+        |  SELECT sha256(text) AS h, min(doc_id) AS rep
+        |  FROM documents GROUP BY sha256(text)),
+        |dmap AS (
+        |  SELECT d.doc_id, r.rep FROM documents d
+        |  JOIN reps r ON sha256(d.text) = r.h),
+        |ctp AS (
+        |  SELECT DISTINCT least(ma.rep, mb.rep) AS id_a,
+        |    greatest(ma.rep, mb.rep) AS id_b
+        |  FROM tpf t
+        |  JOIN dmap ma ON t.id_a = ma.doc_id
+        |  JOIN dmap mb ON t.id_b = mb.doc_id
+        |  WHERE ma.rep <> mb.rep),
         |hit AS (
-        |  SELECT t.id_a FROM tp t JOIN cand c
+        |  SELECT t.id_a FROM ctp t JOIN cand c
         |    ON t.id_a = c.id_a AND t.id_b = c.id_b)
         |SELECT
-        |  CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth,
+        |  CAST((SELECT count(*) FROM ctp) AS BIGINT) AS n_truth,
         |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit""".stripMargin),
 
-    // Cross-source duplication matrix over the confirmed τ=0.4 pairs:
-    // sources attach per endpoint, unordered-normalized, counted per
-    // cell with the intra-source diagonal kept.
-    "q220_source_overlap" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, $BIGRAM_SQL AS sg FROM toks),
-         |s2 AS (SELECT doc_id, sg FROM sh WHERE len(sg) > 0),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
-         |    CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))
-         |      AS DOUBLE) >= 0.4),
-         |x AS (
-         |  SELECT least(sa.source, sb.source) AS source_a,
-         |    greatest(sa.source, sb.source) AS source_b
-         |  FROM p
-         |  JOIN documents sa ON p.id_a = sa.doc_id
-         |  JOIN documents sb ON p.id_b = sb.doc_id)
-         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM x GROUP BY source_a, source_b""".stripMargin,
+    // Cross-source duplication matrix over the confirmed τ=0.4 pairs
+    // (the SHARED truth-pair spelling): sources attach per endpoint,
+    // unordered-normalized, counted per cell with the intra-source
+    // diagonal kept.
+    "q220_source_overlap" -> (TRUTH_BASE_CTES + truthPairCtes("s2") +
+      """x AS (
+        |  SELECT least(sa.source, sb.source) AS source_a,
+        |    greatest(sa.source, sb.source) AS source_b
+        |  FROM tpf p
+        |  JOIN documents sa ON p.id_a = sa.doc_id
+        |  JOIN documents sb ON p.id_b = sb.doc_id)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM x GROUP BY source_a, source_b""".stripMargin),
 
     // Bag-of-words canonical dedup: sorted distinct token list as the
     // canonical key (lowercase ASCII words — binary sort order agrees
@@ -9207,11 +9260,8 @@ object SparkEntry {
     // priority order (assigned-centroid ckey ASC NULLS FIRST, vec_id
     // ASC) and the cross-multiplied HUGEINT epsilon gate — cos ≥ 3/10
     // ⟺ dot > 0 ∧ dot²·100 ≥ nrm_x·nrm_y·9. Integer surface only.
-    "q213_semdedup" -> (EMB_CTE + IVF_TRAIN_CTES +
-      """sck AS (
-        |  SELECT a.vec_id, a.cid, k.ckey
-        |  FROM assign a JOIN kf k ON a.vec_id = k.vec_id AND a.cid = k.cid),
-        |pd AS (
+    "q213_semdedup" -> (EMB_CTE + IVF_TRAIN_CTES + SCK_CTE +
+      """pd AS (
         |  SELECT x.vec_id AS xid,
         |    CAST(list_sum(list_transform(range(1, len(nx.v)+1),
         |      i -> nx.v[i]*ny.v[i])) AS BIGINT) AS dot,
@@ -9235,11 +9285,8 @@ object SparkEntry {
     // Prototype pruning: same trained centroids and exact-key
     // assignment; hardest-first rank (ckey ASC NULLS FIRST, id ASC)
     // within the cluster, keep fraction 1/2 as rnk·2 ≤ n_cluster·1.
-    "q215_prototype_pruning" -> (EMB_CTE + IVF_TRAIN_CTES +
-      """sck AS (
-        |  SELECT a.vec_id, a.cid, k.ckey
-        |  FROM assign a JOIN kf k ON a.vec_id = k.vec_id AND a.cid = k.cid),
-        |r AS (
+    "q215_prototype_pruning" -> (EMB_CTE + IVF_TRAIN_CTES + SCK_CTE +
+      """r AS (
         |  SELECT vec_id, cid,
         |    CAST(row_number() OVER (PARTITION BY cid
         |      ORDER BY ckey ASC NULLS FIRST, vec_id ASC) AS BIGINT) AS rnk,
@@ -9357,8 +9404,7 @@ object SparkEntry {
     // inequality on the pair (which also drops self-pairs), same
     // deterministic (cosine DESC, id ASC) rank.
     "q221_hard_negatives" -> (EMB_CTE +
-      """l AS (SELECT vec_id, CAST(label AS BIGINT) AS label
-        |      FROM embeddings),
+      """l AS (SELECT vec_id, label FROM embeddings),
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),

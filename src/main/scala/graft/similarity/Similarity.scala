@@ -144,11 +144,14 @@ object Similarity {
     * the label inequality also excludes the query itself for free. The
     * queries ride one broadcast (bounded query set — the q19 contract);
     * at 100 TB the same scoring runs per IVF probe list instead of the
-    * full corpus, exactly like q32 gates q19. */
+    * full corpus, exactly like q32 gates q19. Labels are compared
+    * AS-IS (string class names work — no lossy numeric cast); rows with
+    * a NULL label are conservatively excluded from both sides, since an
+    * unknown label cannot be certified a negative. */
   def hardNegatives(emb: DataFrame, idCol: String, embCol: String,
                     labelCol: String,
                     queryPred: Column, k: Int): DataFrame = {
-    val base = emb.select(col(idCol), col(labelCol).cast("long").as("__lab"),
+    val base = emb.select(col(idCol), col(labelCol).as("__lab"),
         quantize(col(embCol)).as("__v"))
       .withColumn("__n", intDot(col("__v"), col("__v")))
     val q = base.where(queryPred)
@@ -445,6 +448,18 @@ object Similarity {
       .withColumn("cid", nearestCid)
   }
 
+  /** [[assignWith]] plus `__ck` = the exact cosine-key to the ASSIGNED
+    * centroid (1-based element_at over the key array) — the shared
+    * prologue of [[semDedup]] and [[prototypePruning]]; one definition
+    * so a fix to the assigned-key derivation can never reach one
+    * operator and miss the other (their oracles share the sck CTE for
+    * the same reason). */
+  private def assignedWithKey(corpus: DataFrame, idCol: String,
+                              embCol: String,
+                              cents: Seq[Seq[Long]]): DataFrame =
+    assignWith(corpus, idCol, embCol, cents)
+      .withColumn("__ck", element_at(col("__key"), col("cid").cast("int")))
+
   /** DIAGNOSTIC (r10 driver-divergence bisection, VERDICT r9 item 1):
     * the per-vector final assignment — the ultimate localizer between
     * "training/assignment diverged" and "the inertia readout diverged".
@@ -519,9 +534,14 @@ object Similarity {
       : DataFrame = {
     require(epsNum > 0 && epsDen > 0 && epsNum < epsDen,
       s"semDedup needs 0 < eps < 1 as a ratio, got $epsNum/$epsDen")
-    val a = assignWith(corpus, idCol, embCol, cents)
-      .withColumn("__ck", element_at(col("__key"), col("cid").cast("int")))
+    // localCheckpoint: this assignment frame (k intDot products +
+    // exactCosKey per vector) feeds BOTH pair sides and the final keep
+    // join — without materialization the per-vector assignment subtree
+    // would run three times per query (the prefixJaccardPairs shared-
+    // stage discipline; blocks are reclaimed by ContextCleaner on GC)
+    val a = assignedWithKey(corpus, idCol, embCol, cents)
       .select(col(idCol), col("cv"), col("cn"), col("cid"), col("__ck"))
+      .localCheckpoint(eager = false)
     val x = a.select(col(idCol).as("xid"), col("cv").as("xv"),
       col("cn").as("xn"), col("cid"), col("__ck").as("xck"))
     val y = a.select(col(idCol).as("yid"), col("cv").as("yv"),
@@ -574,8 +594,7 @@ object Similarity {
     require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
       s"prototypePruning needs 0 <= keep <= 1 as a ratio, " +
         s"got $keepNum/$keepDen")
-    val a = assignWith(corpus, idCol, embCol, cents)
-      .withColumn("__ck", element_at(col("__key"), col("cid").cast("int")))
+    val a = assignedWithKey(corpus, idCol, embCol, cents)
     val byHardness = Window.partitionBy("cid")
       .orderBy(col("__ck").asc_nulls_first, col(idCol).asc)
     val cluster = Window.partitionBy("cid")
