@@ -5351,6 +5351,49 @@ object SparkEntry {
     "q221_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
         "embedding", "label", col("vec_id") < 10, k = 5)),
+
+    // Label-aware retrieval eval (MRR, hits@5, first relevant rank)
+    // over the exact cosine ranking — the embedding-quality readout,
+    // spelled without a corpus-sized window (bounded top-k + aggregate
+    // rank identity); rr is the surface's one mirrored float divide.
+    "q222_knn_eval" -> ((s, dir) =>
+      Similarity.knnLabelEval(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 10, k = 5)),
+
+    // kNN label propagation: majority label of the 5 exact-cosine
+    // nearest neighbors — semi-supervised labeling over the q19
+    // ranking arithmetic; all-int64 surface (prediction + votes).
+    "q224_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 10, k = 5)),
+
+    // Cluster–label purity over the memoized IVF training (the
+    // q32/q149/q213/q215 artifact): per-cluster majority label and
+    // integer-ppm purity — the data-map readout; all-int64 surface.
+    "q223_cluster_purity" -> ((s, dir) =>
+      Similarity.clusterPurity(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", ivfTrained(s, dir, 16, 2))),
+
+    // Per-source trigram diversity (distinct-n / Self-BLEU family):
+    // occurrences vs corpus-wide distinct trigrams as integer ppm —
+    // the template/boilerplate detector; all-int64 surface.
+    "q225_ngram_diversity" -> ((s, dir) =>
+      text.CorpusOps.ngramDiversity(t(s, dir, "documents"), "doc_id",
+        "text", "source", n = 3)),
+
+    // Data-constrained mixing planner (Muennighoff et al. 2023): equal
+    // per-source token targets under a repeat cap R*=4 — epoch counts,
+    // planned tokens, shortfall; pure integer arithmetic end-to-end.
+    "q226_repeat_plan" -> ((s, dir) =>
+      text.CorpusOps.repeatPlan(t(s, dir, "documents"), "text", "source",
+        budgetTokens = 2000000L, maxEpochs = 4L)),
+
+    // Tokenizer fertility by language: tokens per million chars as
+    // integer floor division over the table's own n_chars inventory —
+    // the multilingual token-budget balancer; all-int64 surface.
+    "q227_tokenizer_fertility" -> ((s, dir) =>
+      text.CorpusOps.tokenizerFertility(t(s, dir, "documents"), "text",
+        "lang", "n_chars")),
   )
 
   // -------------------------------------------------------------- oracle --
@@ -9421,6 +9464,146 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, vec_id, cosine, rank FROM r
         |WHERE rank <= 5""".stripMargin),
+
+    // kNN retrieval eval: the oracle ranks ALL candidates per query
+    // (window spelling — equivalent to the Spark side's aggregate rank
+    // identity over the same total order), then reduces to the three
+    // metrics; rr mirrors the Spark side's 1.0/rank double divide.
+    "q222_knn_eval" -> (EMB_CTE +
+      """l AS (SELECT vec_id, label FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    ql.label AS qlab, cl.label AS clab,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+        |      AS cosine
+        |  FROM n q JOIN l ql ON q.vec_id = ql.vec_id,
+        |       n c JOIN l cl ON c.vec_id = cl.vec_id
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, qlab, clab,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM p)
+        |SELECT query_id,
+        |  CAST(min(CASE WHEN clab = qlab THEN rank END) AS BIGINT)
+        |    AS first_rel_rank,
+        |  CAST(sum(CASE WHEN clab = qlab AND rank <= 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits_at_5,
+        |  CAST(1.0 AS DOUBLE) /
+        |    CAST(min(CASE WHEN clab = qlab THEN rank END) AS DOUBLE) AS rr
+        |FROM r GROUP BY query_id""".stripMargin),
+
+    // kNN classification: the oracle ranks all non-self candidates per
+    // query (window spelling of the same total order), takes the top-5
+    // label votes, and picks the (votes DESC, label ASC) majority —
+    // integer votes, so the majority can never drift.
+    "q224_knn_classify" -> (EMB_CTE +
+      """l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+        |       FROM embeddings WHERE label IS NOT NULL),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, cl.lab AS clab,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+        |      AS cosine
+        |  FROM n q, n c JOIN l cl ON c.vec_id = cl.vec_id
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, clab,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM p),
+        |v AS (
+        |  SELECT query_id, clab, count(*) AS votes
+        |  FROM r WHERE rank <= 5 GROUP BY query_id, clab),
+        |m AS (
+        |  SELECT query_id, clab, votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY votes DESC, clab ASC) AS rn
+        |  FROM v)
+        |SELECT query_id, clab AS pred_label, votes
+        |FROM m WHERE rn = 1""".stripMargin),
+
+    // Cluster purity: label contingency over the SAME mirrored IVF
+    // training as q32/q149/q213/q215 (`assign`), majority by
+    // (n_label DESC, label ASC), purity as BIGINT floor-division ppm.
+    "q223_cluster_purity" -> (EMB_CTE + IVF_TRAIN_CTES +
+      """lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lb
+        |        FROM embeddings),
+        |cont AS (
+        |  SELECT a.cid, l.lb, count(*) AS n_label
+        |  FROM assign a JOIN lab l USING (vec_id)
+        |  GROUP BY a.cid, l.lb),
+        |tot AS (
+        |  SELECT cid, CAST(sum(n_label) AS BIGINT) AS n_assigned
+        |  FROM cont GROUP BY cid),
+        |maj AS (
+        |  SELECT cid, lb, n_label,
+        |    row_number() OVER (PARTITION BY cid
+        |                       ORDER BY n_label DESC, lb ASC) AS rn
+        |  FROM cont WHERE lb IS NOT NULL)
+        |SELECT t.cid, t.n_assigned, m.lb AS majority_label,
+        |  m.n_label AS n_majority,
+        |  (m.n_label * 1000000) // t.n_assigned AS purity_ppm
+        |FROM tot t LEFT JOIN maj m ON t.cid = m.cid AND m.rn = 1""".stripMargin),
+
+    // Trigram diversity per source: positional (non-distinct) trigrams,
+    // the q158 staging's term spelling; ppm floor division on
+    // non-negative BIGINTs mirrors Spark's `div`.
+    "q225_ngram_diversity" ->
+      s"""WITH toks AS (SELECT doc_id, source, $TOKENS_SQL AS tk
+         |             FROM documents),
+         |tg AS (
+         |  SELECT source,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS term
+         |  FROM toks),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |    CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
+         |  FROM tg GROUP BY source)
+         |SELECT d.source,
+         |  COALESCE(a.n_ngrams, 0) AS n_ngrams,
+         |  COALESCE(a.n_distinct, 0) AS n_distinct,
+         |  CASE WHEN COALESCE(a.n_ngrams, 0) > 0
+         |       THEN (a.n_distinct * 1000000) // a.n_ngrams
+         |       ELSE 0 END AS diversity_ppm
+         |FROM (SELECT DISTINCT source FROM documents) d
+         |LEFT JOIN agg a ON d.source = a.source""".stripMargin,
+
+    // Repeat planner: equal-share targets, cap R*=4, positive-integer
+    // ceiling identity (a+b-1)//b — pure BIGINT arithmetic throughout.
+    "q226_repeat_plan" ->
+      s"""WITH inv AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($TOKENS_SQL)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (
+         |  SELECT *, CAST(2000000 // (SELECT count(*) FROM inv) AS BIGINT)
+         |    AS target_tokens FROM inv),
+         |p AS (
+         |  SELECT *, least(target_tokens, n_tokens * 4) AS planned_tokens
+         |  FROM t)
+         |SELECT source, n_docs, n_tokens, target_tokens, planned_tokens,
+         |  CASE WHEN n_tokens > 0
+         |       THEN (planned_tokens + n_tokens - 1) // n_tokens
+         |       ELSE 0 END AS n_epochs,
+         |  target_tokens - planned_tokens AS shortfall
+         |FROM p""".stripMargin,
+
+    // Tokenizer fertility: per-lang token/char inventories (the table's
+    // n_chars column, engine-neutral), BIGINT floor-division rate.
+    "q227_tokenizer_fertility" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($TOKENS_SQL)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CASE WHEN CAST(sum(n_chars) AS BIGINT) > 0
+         |       THEN (CAST(sum(len($TOKENS_SQL)) AS BIGINT) * 1000000)
+         |              // CAST(sum(n_chars) AS BIGINT)
+         |       ELSE 0 END AS tokens_per_mchar
+         |FROM documents GROUP BY lang""".stripMargin,
   )
 
   private lazy val MM_FEATURES_SQL: String =

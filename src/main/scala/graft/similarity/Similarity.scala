@@ -165,6 +165,134 @@ object Similarity {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** Label-aware retrieval evaluation over the exact cosine ranking —
+    * the embedding-quality readout (MRR, hits@k) every retrieval/
+    * metric-learning pipeline reports: for each query vector, the rank
+    * of the FIRST same-label neighbor (`first_rel_rank`), the number of
+    * same-label neighbors in the top k (`hits_at_k`), and the
+    * reciprocal rank (`rr` = 1/first_rel_rank — the one mirrored float
+    * divide on the surface; everything else is integer). The query's
+    * own row is excluded; a query with no same-label neighbor anywhere
+    * surfaces NULL rank/rr and 0 hits.
+    *
+    * Spelled without a corpus-sized window: hits@k rides the bounded
+    * partition-local [[topKPerQuery]]; first_rel_rank is the aggregate
+    * identity rank(best) = 1 + |{candidates strictly before it}| over
+    * the total (cosine DESC, id ASC) order — the best same-label
+    * neighbor comes from a k=1 top-k on the label-filtered pairs, and
+    * the strictly-before count is one map-side-combinable aggregate.
+    * The scored pair frame is localCheckpointed once and feeds all
+    * three readouts. Queries are a bounded broadcast (the q19/q221
+    * contract). */
+  def knnLabelEval(emb: DataFrame, idCol: String, embCol: String,
+                   labelCol: String,
+                   queryPred: Column, k: Int): DataFrame = {
+    val base = emb.select(col(idCol), col(labelCol).as("__lab"),
+        quantize(col(embCol)).as("__v"))
+      .withColumn("__n", intDot(col("__v"), col("__v")))
+    val q = base.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__lab").as("__qlab"),
+        col("__v").as("__qv"), col("__n").as("__qn"))
+    val scored = base.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col("__qlab"), col("__lab"),
+        cosineQ(intDot(col("__qv"), col("__v")), col("__qn"), col("__n"))
+          .as("cosine"))
+      .localCheckpoint(eager = false)
+    val hits = topKPerQuery(scored, idCol, k)
+      .groupBy("query_id")
+      .agg(sum(when(col("__lab") === col("__qlab"), 1L).otherwise(0L))
+        .as(s"hits_at_$k"))
+    val bestRel =
+      topKPerQuery(scored.where(col("__lab") === col("__qlab")), idCol, 1)
+        .select(col("query_id"), col(idCol).as("__rid"),
+          col("cosine").as("__bcos"))
+    val firstRel = scored.join(bestRel, Seq("query_id"))
+      .groupBy("query_id")
+      .agg((sum(when(col("cosine") > col("__bcos") ||
+          (col("cosine") === col("__bcos") && col(idCol) < col("__rid")),
+          1L).otherwise(0L)) + 1L).as("first_rel_rank"))
+    q.select(col("query_id"))
+      .join(firstRel, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rel_rank"),
+        coalesce(col(s"hits_at_$k"), lit(0L)).as(s"hits_at_$k"),
+        (lit(1.0) / col("first_rel_rank").cast("double")).as("rr"))
+  }
+
+  /** kNN label propagation — the standard semi-supervised labeling /
+    * weak-supervision pass of an embedding pipeline: each query vector is
+    * assigned the MAJORITY label of its k nearest neighbors under the
+    * exact quantized cosine (self excluded), ties broken by smallest
+    * label. Output surface is all-int64 (`query_id, pred_label, votes`);
+    * the cosine only drives the neighbor ORDER, which both engines
+    * compute with the identical mirrored float ops (the q19/q222
+    * ranking discipline). Candidates with a NULL label are excluded —
+    * an unknown label cannot vote. Scale shape: same broadcast-queries +
+    * partition-local bounded top-k as [[bruteForceTopK]], then a ≤k-row
+    * per-query majority aggregate; at 100 TB the scoring runs per IVF
+    * probe list (the q32 gate) instead of the full corpus. */
+  def knnClassify(emb: DataFrame, idCol: String, embCol: String,
+                  labelCol: String,
+                  queryPred: Column, k: Int): DataFrame = {
+    val base = emb.select(col(idCol), col(labelCol).cast("long").as("__lab"),
+        quantize(col(embCol)).as("__v"))
+      .withColumn("__n", intDot(col("__v"), col("__v")))
+    val q = base.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__v").as("__qv"),
+        col("__n").as("__qn"))
+    val scored = base.where(col("__lab").isNotNull)
+      .crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col("__lab"),
+        cosineQ(intDot(col("__qv"), col("__v")), col("__qn"), col("__n"))
+          .as("cosine"))
+    val votes = topKPerQuery(scored, idCol, k)
+      .groupBy(col("query_id"), col("__lab"))
+      .agg(count(lit(1)).as("votes"))
+    // majority via struct-max (votes desc, label asc) — an aggregate,
+    // not a per-query window: the vote frame is ≤ k rows per query but
+    // the aggregate spelling keeps the reduction map-side-combinable
+    val m = votes.groupBy("query_id")
+      .agg(max(struct(col("votes"), (-col("__lab")).as("negLab")))
+        .as("__m"))
+    m.select(col("query_id"), (-col("__m.negLab")).as("pred_label"),
+      col("__m.votes").as("votes"))
+  }
+
+  /** Cluster–label agreement (purity) over the SAME trained coarse
+    * quantizer as [[ivfTopK]]/[[semDedup]]/[[prototypePruning]] — the
+    * data-map readout that tells a curation pipeline whether its
+    * embedding clusters track the label taxonomy (high purity: clusters
+    * can stand in for labels when sampling; low: they carve something
+    * orthogonal). Per cluster: size, the majority label (ties to the
+    * smallest label), its count, and purity as integer ppm
+    * (`n_majority·10⁶ div n_assigned` — floor division, mirrored as
+    * DuckDB `//`; both operands positive so truncation ≡ floor). The
+    * whole surface is int64 — nothing for any float rule to drift on.
+    * Vectors with a NULL label are counted in `n_assigned` but vote for
+    * no label; an all-NULL cluster surfaces a NULL majority. Scale
+    * shape: two map-side-combinable hash aggregates over the (cid,
+    * label) contingency — no window, no per-cluster collect. */
+  def clusterPurity(emb: DataFrame, idCol: String, embCol: String,
+                    labelCol: String, cents: Seq[Seq[Long]]): DataFrame = {
+    val a = ivfAssignments(emb, idCol, embCol, cents)
+    val lab = emb.select(col(idCol), col(labelCol).cast("long").as("__lab"))
+    val cont = a.join(lab, Seq(idCol))
+      .groupBy(col("cid"), col("__lab"))
+      .agg(count(lit(1)).as("n_label"))
+    cont.groupBy("cid")
+      .agg(sum(col("n_label")).as("n_assigned"),
+        max(when(col("__lab").isNotNull,
+          struct(col("n_label"), (-col("__lab")).as("negLab"))))
+          .as("__m"))
+      .select(col("cid"), col("n_assigned"),
+        (-col("__m.negLab")).as("majority_label"),
+        col("__m.n_label").as("n_majority"))
+      .withColumn("purity_ppm",
+        expr("(n_majority * 1000000) div n_assigned"))
+  }
+
   /** Deterministic Rademacher (±1) projection matrix for
     * Johnson-Lindenstrauss dimensionality reduction: entry (j, i) is the
     * parity of one SplitMix64-style mix of the flat index — fixed

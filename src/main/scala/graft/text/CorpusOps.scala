@@ -1041,4 +1041,100 @@ object CorpusOps {
           1000000007L % (2L * scale) <
           col("weight_ppm")).cast("long"))
   }
+
+  /** Per-group n-gram diversity — the corpus-level repetitiveness
+    * readout (the Self-BLEU / distinct-n family's scalable member): for
+    * each group (source, lang, shard), total positional n-gram
+    * OCCURRENCES, corpus-wide DISTINCT n-grams, and their ratio as
+    * integer ppm. A low ratio marks a template-heavy or boilerplate
+    * source (the signal distillation/curation pipelines use to
+    * down-weight crawls); [[dupSpans]] is the per-document dual. All
+    * columns int64 (ppm floor division mirrors DuckDB `//`, both
+    * operands non-negative); a group with no n-grams (every doc shorter
+    * than n) keeps its row with zeros. Scale shape: one explode, one
+    * (group, term) hash aggregate (map-side combined — the classic
+    * two-stage distinct count, no windows), one group rollup. */
+  def ngramDiversity(docs: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val occ = docs.select(col(groupCol).as("grp"),
+        explode(TextAnalysis.posNgrams(
+          TextAnalysis.tokens(col(textCol)), n)).as("term"))
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("occ"))
+    val agg = occ.groupBy("grp")
+      .agg(sum(col("occ")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct"))
+    docs.select(col(groupCol).as("grp")).distinct()
+      .join(agg, Seq("grp"), "left")
+      .select(col("grp").as(groupCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .withColumn("diversity_ppm",
+        when(col("n_ngrams") > 0L,
+          expr("(n_distinct * 1000000) div n_ngrams")).otherwise(0L))
+  }
+
+  /** Data-constrained mixing planner (Muennighoff et al. 2023,
+    * "Scaling data-constrained language models", arXiv:2305.16264): given
+    * a token budget and an equal per-source target share, how many
+    * EPOCHS (repeats) of each source fill its share, under a repeat cap
+    * beyond which the paper shows returns decay (R* ≈ 4)? Per source:
+    * token inventory, the equal-share target (`budget div n_sources`),
+    * the planned tokens (`min(target, cap·inventory)`), the epoch count
+    * (`ceil(planned / inventory)` spelled as the positive-integer
+    * identity `(a + b - 1) div b`), and the shortfall the cap leaves
+    * unfilled. Every column is int64 arithmetic on counts — the planner
+    * is a pure integer readout, trivially hash-checkable. A source with
+    * ZERO tokens plans zero epochs and surfaces its full target as
+    * shortfall. Scale shape: one map-side-combined per-source aggregate
+    * over token counts ([[TextAnalysis.tokens]] sizes, no explode —
+    * `size()` of the token array), then constant arithmetic. */
+  def repeatPlan(docs: DataFrame, textCol: String, sourceCol: String,
+                 budgetTokens: Long, maxEpochs: Long): DataFrame = {
+    require(budgetTokens >= 0 && maxEpochs >= 1,
+      s"need budgetTokens >= 0 and maxEpochs >= 1, " +
+        s"got $budgetTokens/$maxEpochs")
+    val inv = docs.select(col(sourceCol).as("source"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__tk"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"))
+    val nSources = inv.agg(count(lit(1)).as("__ns"))
+    val withTarget = inv.crossJoin(broadcast(nSources))
+      .withColumn("target_tokens", expr(s"${budgetTokens}L div __ns"))
+    withTarget
+      .withColumn("planned_tokens",
+        least(col("target_tokens"), col("n_tokens") * maxEpochs))
+      .withColumn("n_epochs",
+        when(col("n_tokens") > 0L,
+          expr("(planned_tokens + n_tokens - 1) div n_tokens"))
+          .otherwise(0L))
+      .withColumn("shortfall",
+        col("target_tokens") - col("planned_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("planned_tokens"), col("n_epochs"),
+        col("shortfall"))
+  }
+
+  /** Tokenizer fertility by language — tokens produced per character of
+    * raw text, the standard multilingual-tokenizer efficiency readout
+    * (a language with high chars-per-token pays more sequence length for
+    * the same text; pipelines use the ratio to balance per-language
+    * token budgets). Per language: documents, whitespace tokens, chars
+    * (the table's own `n_chars` inventory column — no engine-specific
+    * string-length semantics on the hashed surface), and tokens per
+    * MILLION chars as integer floor division. All int64; a language with
+    * zero chars surfaces a zero rate. Scale shape: one map-side-combined
+    * aggregate, no explode ([[TextAnalysis.tokens]] sizes via `size()`). */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+                         langCol: String, charsCol: String): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__tk"),
+        col(charsCol).cast("long").as("__ch"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"),
+        sum(col("__ch")).as("n_chars"))
+      .withColumn("tokens_per_mchar",
+        when(col("n_chars") > 0L,
+          expr("(n_tokens * 1000000) div n_chars")).otherwise(0L))
 }

@@ -112,6 +112,10 @@ class HashSurfaceSpec extends SparkSpec {
     "q209_embedding_separation" -> Set("overlap_ratio"),
     "q20_ann_lsh" -> Set("cosine"),
     "q221_hard_negatives" -> Set("cosine"),
+    // rr = 1.0 / first_rel_rank — rank is a <2^53 integer, so the one
+    // divide is mirrored exactly (CAST(1.0 AS DOUBLE)/CAST(rank AS
+    // DOUBLE) on the oracle side)
+    "q222_knn_eval" -> Set("rr"),
     "q22_quality" -> Set("ttr", "avg_token_len", "stopword_ratio", "quality_score"),
     "q23_token_stats" -> Set("chars_per_token"),
     "q30_weather_attach" -> Set("temperature"),

@@ -151,7 +151,10 @@ class PlanSpec extends SparkSpec {
     * whole OUTPUT is three crossed 1-ROW count aggregates — constant ×
     * constant, never data × data; q221 is the label-filtered member of
     * the brute-force cosine family — same corpus × broadcast-queries
-    * product as q19). */
+    * product as q19; q222/q224 are the eval/classify members of the
+    * same family (corpus × broadcast-queries scoring); q226's
+    * source-count attach onto the per-source inventory is the q60
+    * 1-ROW scalar shape). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
       "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
@@ -164,7 +167,8 @@ class PlanSpec extends SparkSpec {
       "q179_ann_recall", "q180_ks_test", "q182_cramers_v",
       "q183_quantile_map", "q185_split_gini", "q199_cms_native_agg",
       "q214_affinity_filter", "q217_dsir_weight", "q219_lsh_recall",
-      "q221_hard_negatives")
+      "q221_hard_negatives", "q222_knn_eval", "q224_knn_classify",
+      "q226_repeat_plan")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

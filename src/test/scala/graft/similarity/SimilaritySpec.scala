@@ -69,6 +69,104 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === naive)
   }
 
+  test("knnLabelEval matches the naive full-ranking metrics, and a " +
+    "query with no same-label neighbor surfaces NULL rank and 0 hits") {
+    import spark.implicits._
+    val corpus = vecs(40, seed = 11L)
+    // id 0 gets a unique label (no relevant neighbor anywhere); the rest
+    // split into two classes
+    def lab(id: Long): Int = if (id == 0L) 99 else (id % 2L).toInt
+    val df = corpus.map { case (id, v) => (id, v, lab(id)) }
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.knnLabelEval(df, "vec_id", "embedding", "label",
+        org.apache.spark.sql.functions.col("vec_id") < 3, k = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === 3)
+    assert(rows(0L).isNullAt(1) && rows(0L).getLong(2) === 0L &&
+      rows(0L).isNullAt(3))
+    // naive reference: full exact ranking per query
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    for (qid <- Seq(1L, 2L)) {
+      val qv = quant(corpus(qid.toInt)._2)
+      val qn = math.sqrt(qv.map(x => x * x).sum.toDouble)
+      val ranked = corpus.filter(_._1 != qid).map { case (cid, cv) =>
+        val c = quant(cv)
+        val dot = qv.zip(c).map { case (a, b) => a * b }.sum
+        (cid, dot / (qn * math.sqrt(c.map(x => x * x).sum.toDouble)))
+      }.sortBy { case (cid, cos) => (-cos, cid) }
+      val firstRel = ranked.indexWhere(p => lab(p._1) == lab(qid)) + 1
+      val hits = ranked.take(5).count(p => lab(p._1) == lab(qid))
+      assert(rows(qid).getLong(1) === firstRel.toLong)
+      assert(rows(qid).getLong(2) === hits.toLong)
+      assert(rows(qid).getDouble(3) === 1.0 / firstRel)
+    }
+  }
+
+  test("knnClassify: majority of the naive top-k labels, ties to the " +
+    "smallest label, NULL-label candidates never vote") {
+    import spark.implicits._
+    val corpus = vecs(40, seed = 13L)
+    def lab(id: Long): java.lang.Integer =
+      if (id == 5L) null else Integer.valueOf((id % 3L).toInt)
+    val df = corpus.map { case (id, v) => (id, v, lab(id)) }
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.knnClassify(df, "vec_id", "embedding", "label",
+        org.apache.spark.sql.functions.col("vec_id") < 4, k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rows.size === 4)
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    for (qid <- 0L until 4L) {
+      val q = quant(corpus(qid.toInt)._2)
+      val qn = math.sqrt(q.map(x => x * x).sum.toDouble)
+      val top = corpus.filter(c => c._1 != qid && lab(c._1) != null)
+        .map { case (cid, cv) =>
+          val c = quant(cv)
+          val dot = q.zip(c).map { case (a, b) => a * b }.sum
+          (cid, dot / (qn * math.sqrt(c.map(x => x * x).sum.toDouble)))
+        }.sortBy { case (cid, cos) => (-cos, cid) }.take(5)
+      val expected = top.groupBy(p => lab(p._1).toLong)
+        .map { case (l, g) => (l, g.size.toLong) }.toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      assert(rows(qid) === ((expected._1, expected._2)), s"query $qid")
+    }
+  }
+
+  test("clusterPurity: hand-checked contingency over the shared " +
+    "assignment — sizes, majority with smallest-label ties, floor ppm") {
+    import spark.implicits._
+    val corpus = vecs(30, seed = 17L)
+    val df = corpus.map { case (id, v) => (id, v, (id % 2L).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val cents = corpus.take(4).map(_._2.map(x =>
+      math.round(x.toDouble * Similarity.Scale)))
+    val out = Similarity.clusterPurity(df, "vec_id", "embedding", "label",
+        cents)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent contingency from the op's own assignment surface (the
+    // assignment itself is pinned by SimilarityProps/q149a)
+    val assign = Similarity.ivfAssignments(df, "vec_id", "embedding",
+        cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = assign.groupBy(_._2)
+    assert(out.keySet === byCluster.keySet)
+    for ((cid, members) <- byCluster) {
+      val labels = members.map { case (id, _) => id % 2L }
+      val (majLab, majN) = labels.groupBy(identity)
+        .map { case (l, g) => (l, g.size.toLong) }.toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      assert(out(cid) === ((labels.size.toLong, majLab, majN,
+        majN * 1000000L / labels.size)), s"cluster $cid")
+    }
+    // purity is 1.0 exactly when the cluster is single-label
+    out.values.foreach { case (n, _, nm, ppm) =>
+      assert((ppm == 1000000L) === (n == nm))
+    }
+  }
+
   test("bruteForceTopK returns exactly k ranked rows per query, rank 1 = self") {
     val corpus = vecs(40, seed = 2L)
     val queries = corpus.take(3)

@@ -511,4 +511,66 @@ class CorpusOpsSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(again === out)
   }
+
+  test("ngramDiversity: hand-computed occurrence/distinct counts, floor " +
+    "ppm, and the zero-ngram group keeps a zero row") {
+    import spark.implicits._
+    val docs = Seq(
+      // src a: trigrams (a b c), (b c a), (c a b), (a b c) — 4 occ, 3 distinct
+      (1L, "a b c a b c", "a"),
+      // src b: one trigram
+      (2L, "x y z", "b"),
+      // src c: both docs shorter than 3 tokens — zero trigrams
+      (3L, "p q", "c"),
+      (4L, "", "c"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.ngramDiversity(docs, "doc_id", "text", "source", 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      "a" -> ((4L, 3L, 750000L)),
+      "b" -> ((1L, 1L, 1000000L)),
+      "c" -> ((0L, 0L, 0L))))
+  }
+
+  test("repeatPlan: equal-share targets, ceiling epochs, the repeat cap " +
+    "binding on a tiny source, and the zero-token source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t t t t t t t t t t", "big"),  // 10 tokens
+      (2L, "t t", "small"),                // 2 tokens -> cap binds
+      (3L, "", "empty"))                   // 0 tokens
+      .toDF("doc_id", "text", "source")
+    // budget 30, 3 sources -> target 10 each; cap 4 epochs
+    val out = CorpusOps.repeatPlan(docs, "text", "source",
+        budgetTokens = 30L, maxEpochs = 4L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out === Map(
+      // big: 10 tokens, planned min(10, 40)=10, epochs ceil(10/10)=1
+      "big" -> ((1L, 10L, 10L, 10L, 1L, 0L)),
+      // small: planned min(10, 8)=8, epochs ceil(8/2)=4, shortfall 2
+      "small" -> ((1L, 2L, 10L, 8L, 4L, 2L)),
+      // empty: planned min(10, 0)=0, epochs 0, shortfall 10
+      "empty" -> ((1L, 0L, 10L, 0L, 0L, 10L))))
+  }
+
+  test("tokenizerFertility: per-lang inventories, floor-ppm rate, and " +
+    "the zero-char guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three", "en", 13L),
+      (2L, "four five", "en", 9L),
+      (3L, "uno", "es", 3L),
+      (4L, "", "zz", 0L)) // zero chars AND zero tokens
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = CorpusOps.tokenizerFertility(docs, "text", "lang", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      "en" -> ((2L, 5L, 22L, 5L * 1000000L / 22L)),
+      "es" -> ((1L, 1L, 3L, 333333L)),
+      "zz" -> ((1L, 0L, 0L, 0L))))
+  }
 }
