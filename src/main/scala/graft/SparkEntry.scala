@@ -5394,6 +5394,23 @@ object SparkEntry {
     "q227_tokenizer_fertility" -> ((s, dir) =>
       text.CorpusOps.tokenizerFertility(t(s, dir, "documents"), "text",
         "lang", "n_chars")),
+
+    // Cluster-balanced deterministic sampling: a fixed 20-row quota per
+    // IVF cluster (shared q32/q149 training), ordered by the content-
+    // hash coin — diversity-preserving downsampling; all-int64 surface,
+    // ranked by the partition-local bounded top-k, never a raw-corpus
+    // window on the 16-value cid.
+    "q228_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(t(s, dir, "embeddings"), "vec_id",
+        "embedding", ivfTrained(s, dir, 16, 2), quota = 20)),
+
+    // Triplet-margin audit: best positive vs hardest negative per query,
+    // ordered and compared by the exact integer cosine key (shared query
+    // norm cancels) — the contrastive-data quality readout; int64 ids +
+    // a 0/1 margin flag, no float anywhere.
+    "q229_triplet_margin" -> ((s, dir) =>
+      Similarity.tripletMargin(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 10)),
   )
 
   // -------------------------------------------------------------- oracle --
@@ -9592,6 +9609,60 @@ object SparkEntry {
          |       ELSE 0 END AS n_epochs,
          |  target_tokens - planned_tokens AS shortfall
          |FROM p""".stripMargin,
+
+    // Cluster-balanced sample: the mirrored IVF assignment (`assign`),
+    // the charPolyHash coin over 'cbs:' || id, and a per-cluster rank —
+    // the oracle's window spelling of the same (coin ASC, id ASC) total
+    // order the Spark side ranks with its bounded top-k.
+    "q228_cluster_sample" -> (EMB_CTE + IVF_TRAIN_CTES +
+      s"""cs AS (SELECT vec_id, 'cbs:' || CAST(vec_id AS VARCHAR) AS s
+         |       FROM embeddings),
+         |coin AS (SELECT vec_id, ${charPolySql("s")} AS coin FROM cs),
+         |r AS (
+         |  SELECT a.cid, a.vec_id, c.coin,
+         |    row_number() OVER (PARTITION BY a.cid
+         |                       ORDER BY c.coin ASC, a.vec_id ASC) AS rank
+         |  FROM assign a JOIN coin c USING (vec_id))
+         |SELECT cid, vec_id, coin, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 20""".stripMargin),
+
+    // Triplet margin: the oracle ranks each label-split half by the
+    // SAME HUGEINT cosine key the IVF oracles use (cosKeySql — query
+    // norm shared, so the key order is the cosine order), then compares
+    // the two keys; every arithmetic step is integer.
+    "q229_triplet_margin" -> (EMB_CTE +
+      s"""l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+         |      FROM embeddings WHERE label IS NOT NULL),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ql.lab AS qlab, cl.lab AS clab,
+         |    CAST(list_sum(list_transform(range(1, len(q.v)+1),
+         |      i -> q.v[i]*c.v[i])) AS BIGINT) AS dot,
+         |    c.nrm AS cnrm
+         |  FROM n q JOIN l ql ON q.vec_id = ql.vec_id,
+         |       n c JOIN l cl ON c.vec_id = cl.vec_id
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |k AS (
+         |  SELECT query_id, vec_id, qlab, clab,
+         |    ${cosKeySql("dot", "cnrm")} AS ckey
+         |  FROM p),
+         |pos AS (
+         |  SELECT query_id, vec_id AS pos_id, ckey AS pkey FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ckey DESC NULLS LAST, vec_id ASC) AS rn
+         |    FROM k WHERE clab = qlab) WHERE rn = 1),
+         |neg AS (
+         |  SELECT query_id, vec_id AS neg_id, ckey AS nkey FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ckey DESC NULLS LAST, vec_id ASC) AS rn
+         |    FROM k WHERE clab <> qlab) WHERE rn = 1)
+         |SELECT q2.vec_id AS query_id, pos.pos_id, neg.neg_id,
+         |  CASE WHEN pos.pkey > neg.nkey THEN CAST(1 AS BIGINT)
+         |       WHEN pos.pkey <= neg.nkey THEN CAST(0 AS BIGINT)
+         |       ELSE NULL END AS margin_positive
+         |FROM (SELECT vec_id FROM l WHERE vec_id < 10) q2
+         |LEFT JOIN pos ON q2.vec_id = pos.query_id
+         |LEFT JOIN neg ON q2.vec_id = neg.query_id""".stripMargin),
 
     // Tokenizer fertility: per-lang token/char inventories (the table's
     // n_chars column, engine-neutral), BIGINT floor-division rate.

@@ -103,6 +103,49 @@ object TextKernels {
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
   }
 
+  /** Positional (non-distinct) n-gram row kernel over a TOKEN ARRAY:
+    * every window of n consecutive tokens joined with a single space,
+    * in positional order, duplicates preserved — exactly the
+    * `filter(fold of zip_with+concat, notNull)` HOF spelling
+    * ([[graft.text.TextAnalysis.posNgramsHof]]): a null token nulls its
+    * window's concat and the filter drops it; incomplete tail windows
+    * null out the same way. This is the term generator of the tf-idf
+    * staging (q60/q86/q158) and the diversity readout (q225) — the HOF
+    * fold runs interpreted per row AND materializes n-1 intermediate
+    * arrays; this is one fused byte-copy loop. */
+  def posNgramsAll(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val nOut = if (m >= n) m - n + 1 else 0
+    val out = new java.util.ArrayList[AnyRef](nOut)
+    var i = 0
+    while (i + n <= m) {
+      var len = n - 1 // separators
+      var j = 0
+      var hasNull = false
+      while (j < n) {
+        if (arr.isNullAt(i + j)) hasNull = true
+        else len += arr.getUTF8String(i + j).numBytes()
+        j += 1
+      }
+      if (!hasNull) {
+        val bytes = new Array[Byte](len)
+        var pos = 0
+        j = 0
+        while (j < n) {
+          if (j > 0) { bytes(pos) = 0x20.toByte; pos += 1 }
+          val t = arr.getUTF8String(i + j)
+          val tb = t.numBytes()
+          var b = 0
+          while (b < tb) { bytes(pos) = t.getByte(b); pos += 1; b += 1 }
+          j += 1
+        }
+        out.add(UTF8String.fromBytes(bytes))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+
   /** Order-sensitive token fingerprint row kernel:
     * h = (h*131 + charPolyHash(token)) mod 1e9+7 over the token array; a
     * null token contributes its transform's NULL, which the HOF
@@ -256,6 +299,9 @@ object TextKernels {
   def ngramShinglesOf(tk: Column, n: Int): Column =
     Bridge.column(NgramShinglesOf(Bridge.expression(tk), n))
 
+  def posNgramsOf(tk: Column, n: Int): Column =
+    Bridge.column(PosNgramsOf(Bridge.expression(tk), n))
+
   def charPolyHashOf(text: Column): Column =
     Bridge.column(CharPolyHash(Bridge.expression(text)))
 
@@ -335,6 +381,24 @@ case class NgramShinglesOf(child: Expression, n: Int)
       s"${ev.value} = graft.expressions.TextKernels.shingles($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): NgramShinglesOf =
+    copy(child = newChild)
+}
+
+/** Positional (non-distinct) n-grams of a token-array column. */
+case class PosNgramsOf(child: Expression, n: Int)
+    extends SignatureExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_pos_ngrams"
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.posNgramsAll(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextKernels.posNgramsAll($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): PosNgramsOf =
     copy(child = newChild)
 }
 

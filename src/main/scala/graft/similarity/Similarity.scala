@@ -293,6 +293,87 @@ object Similarity {
         expr("(n_majority * 1000000) div n_assigned"))
   }
 
+  /** Triplet-margin audit for contrastive training data: per query, the
+    * single BEST positive (most-similar same-label vector) and BEST
+    * negative (most-similar other-label vector — the hardest one, as in
+    * [[hardNegatives]]), and whether the triplet is correctly ordered
+    * (`margin_positive` = 1 iff cos(q, pos) > cos(q, neg)) — the
+    * fraction of margin-violating triplets is the metric-quality readout
+    * every embedding-training pipeline tracks before fitting.
+    *
+    * Exactness: the per-query ranking AND the cross-side margin compare
+    * both use the integer [[exactCosKey]] (sign·dot²·10⁹/cnrm — the
+    * query norm is shared by both sides of every comparison, so it
+    * cancels and the key's total order IS the cosine order). No float
+    * exists anywhere: the surface is int64 ids + a 0/1 flag, NULL when a
+    * side is missing (a unique-label query has no positive) or keyless
+    * (zero-norm candidates). Queries and candidates with NULL labels are
+    * excluded — an unknown label defines neither side.
+    *
+    * Scale shape: one broadcast-queries scoring pass localCheckpointed
+    * once, two bounded k=1 top-k reductions over its label-split halves,
+    * then a bounded per-query join — the [[knnLabelEval]] discipline. */
+  def tripletMargin(emb: DataFrame, idCol: String, embCol: String,
+                    labelCol: String, queryPred: Column): DataFrame = {
+    val base = emb.select(col(idCol), col(labelCol).cast("long").as("__lab"),
+        quantize(col(embCol)).as("__v"))
+      .withColumn("__n", intDot(col("__v"), col("__v")))
+      .where(col("__lab").isNotNull)
+    val q = base.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__lab").as("__qlab"),
+        col("__v").as("__qv"))
+    val scored = base.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col("__lab"), col("__qlab"),
+        exactCosKey(intDot(col("__qv"), col("__v")), col("__n"))
+          .as("__key"))
+      .localCheckpoint(eager = false)
+    def best(half: DataFrame, idOut: String, keyOut: String): DataFrame =
+      topKPerQueryOrdered(half, idCol, 1,
+          Seq(col("__key").desc_nulls_last, col(idCol).asc))
+        .select(col("query_id"), col(idCol).as(idOut),
+          col("__key").as(keyOut))
+    val pos = best(scored.where(col("__lab") === col("__qlab")),
+      "pos_id", "__pkey")
+    val neg = best(scored.where(col("__lab") =!= col("__qlab")),
+      "neg_id", "__nkey")
+    q.select(col("query_id"))
+      .join(pos, Seq("query_id"), "left")
+      .join(neg, Seq("query_id"), "left")
+      .select(col("query_id"), col("pos_id"), col("neg_id"),
+        when(col("__pkey") > col("__nkey"), 1L)
+          .when(col("__pkey") <= col("__nkey"), 0L)
+          .otherwise(lit(null).cast("long")).as("margin_positive"))
+  }
+
+  /** Cluster-balanced deterministic sampling — the diversity-preserving
+    * subset selection of a curation pipeline (sample a fixed QUOTA from
+    * every embedding cluster instead of uniformly, so rare modes survive
+    * the downsample; the cluster-sampling step of data-map/DoReMi-style
+    * recipes): assign with the SAME trained coarse quantizer as
+    * [[ivfTopK]]/[[semDedup]], order each cluster by the deterministic
+    * content-hash coin (the q100/q124 sampling discipline — never a
+    * float random), keep the first `quota`. Surface is all-int64
+    * (cid, id, coin, rank).
+    *
+    * Scale shape: the per-cluster rank rides [[topKPerQueryOrdered]]'s
+    * partition-local bounded top-k (each partition forwards ≤ quota rows
+    * per cluster before anything shuffles) — NOT a window over the raw
+    * corpus partitioned by the bounded-cardinality cid, which would
+    * funnel a corpus slice through one task. */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, embCol: String,
+                            cents: Seq[Seq[Long]], quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val coin = graft.text.TextAnalysis.charPolyHash(
+      concat(lit("cbs:"), col(idCol).cast("string")))
+    val scored = ivfAssignments(emb, idCol, embCol, cents)
+      .select(col("cid").as("query_id"), col(idCol), coin.as("coin"))
+    topKPerQueryOrdered(scored, idCol, quota,
+        Seq(col("coin").asc, col(idCol).asc))
+      .select(col("query_id").as("cid"), col(idCol), col("coin"),
+        col("rank"))
+  }
+
   /** Deterministic Rademacher (±1) projection matrix for
     * Johnson-Lindenstrauss dimensionality reduction: entry (j, i) is the
     * parity of one SplitMix64-style mix of the flat index — fixed

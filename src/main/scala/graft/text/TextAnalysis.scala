@@ -48,15 +48,28 @@ object TextAnalysis {
     * of times per row. zip_with pads the shorter side with NULL, `concat`
     * propagates it, and the filter drops the incomplete tail shingles. */
   private[graft] def ngramShinglesHof(tk: Column, n: Int): Column =
-    array_distinct(posNgrams(tk, n))
+    array_distinct(posNgramsHof(tk, n))
 
   /** POSITIONAL word n-grams: element i (0-based) is the n-gram starting
     * at token i, duplicates KEPT — the span grain for exact-substring
     * duplication (q137), where [[ngramShingles]]' set semantics would
-    * erase the run structure. Same fold-of-zip_with shape as
-    * [[ngramShinglesHof]] (its distinct reduction): `tk` is evaluated a
-    * constant n times per row, never once per element. */
+    * erase the run structure, and the term generator of the tf-idf
+    * staging (q60/q86/q158) and diversity readout (q225). Evaluated by
+    * the native codegen kernel [[graft.expressions.PosNgramsOf]] — the
+    * HOF fold below ran interpreted per row and materialized n−1
+    * intermediate arrays on the hottest corpus pass. Value-identical to
+    * [[posNgramsHof]] (TextKernelsSpec parity). */
   def posNgrams(tk: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    graft.expressions.TextKernels.posNgramsOf(tk, n)
+  }
+
+  /** The replaced HOF spelling of [[posNgrams]], kept as the executable
+    * specification the kernel is parity-tested against. Same
+    * fold-of-zip_with shape as [[ngramShinglesHof]] (its distinct
+    * reduction): `tk` is evaluated a constant n times per row, never
+    * once per element. */
+  private[graft] def posNgramsHof(tk: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")
     val joined = (1 until n).foldLeft(tk) { (acc, j) =>
       zip_with(acc, slice(tk, lit(j + 1), greatest(size(tk) - j, lit(0))),

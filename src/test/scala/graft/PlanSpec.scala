@@ -151,10 +151,10 @@ class PlanSpec extends SparkSpec {
     * whole OUTPUT is three crossed 1-ROW count aggregates — constant ×
     * constant, never data × data; q221 is the label-filtered member of
     * the brute-force cosine family — same corpus × broadcast-queries
-    * product as q19; q222/q224 are the eval/classify members of the
-    * same family (corpus × broadcast-queries scoring); q226's
-    * source-count attach onto the per-source inventory is the q60
-    * 1-ROW scalar shape). */
+    * product as q19; q222/q224/q229 are the eval/classify/margin
+    * members of the same family (corpus × broadcast-queries scoring);
+    * q226's source-count attach onto the per-source inventory is the
+    * q60 1-ROW scalar shape). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
       "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
@@ -168,7 +168,7 @@ class PlanSpec extends SparkSpec {
       "q183_quantile_map", "q185_split_gini", "q199_cms_native_agg",
       "q214_affinity_filter", "q217_dsir_weight", "q219_lsh_recall",
       "q221_hard_negatives", "q222_knn_eval", "q224_knn_classify",
-      "q226_repeat_plan")
+      "q226_repeat_plan", "q229_triplet_margin")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

@@ -46,6 +46,29 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("positional n-gram kernel == zip_with/concat/filter HOF for " +
+    "n=1..4 — every window, positional order, duplicates KEPT, and " +
+    "null-token windows dropped like the HOF's null-poisoned concats") {
+    for (n <- 1 to 4) {
+      val got = texts.select(
+        TextAnalysis.posNgrams(TextAnalysis.tokens(col("text")), n)
+          .as("native"),
+        TextAnalysis.posNgramsHof(TextAnalysis.tokensHof(col("text")), n)
+          .as("hof")).collect()
+      got.foreach(r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n"))
+    }
+    // a null TOKEN inside the array (tokens() can't produce one, but the
+    // kernel's contract is the HOF's): its windows drop, others survive
+    val arr = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b', 'c') AS tk")
+    val r = arr.select(
+      TextAnalysis.posNgrams(col("tk"), 2).as("native"),
+      TextAnalysis.posNgramsHof(col("tk"), 2).as("hof")).head()
+    assert(r.getSeq[String](0) === Seq("b c"))
+    assert(r.getSeq[String](0) === r.getSeq[String](1))
+  }
+
   test("charPolyHash and tokenFingerprint kernels == HOF folds; null " +
     "input → NULL") {
     val got = texts.select(

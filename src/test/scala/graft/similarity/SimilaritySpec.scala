@@ -167,6 +167,77 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tripletMargin: picks the naive best positive and hardest " +
+    "negative, compares them like the float cosine would, and a " +
+    "unique-label query surfaces NULL positive and NULL margin") {
+    import spark.implicits._
+    val corpus = vecs(40, seed = 29L)
+    // id 0: unique label (no positive anywhere); others split in two
+    def lab(id: Long): Int = if (id == 0L) 99 else (id % 2L).toInt
+    val df = corpus.map { case (id, v) => (id, v, lab(id)) }
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.tripletMargin(df, "vec_id", "embedding",
+        "label", org.apache.spark.sql.functions.col("vec_id") < 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === 3)
+    assert(rows(0L).isNullAt(1) && !rows(0L).isNullAt(2) &&
+      rows(0L).isNullAt(3))
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    for (qid <- Seq(1L, 2L)) {
+      val q = quant(corpus(qid.toInt)._2)
+      val qn = math.sqrt(q.map(x => x * x).sum.toDouble)
+      def ranked(pred: Long => Boolean): Seq[(Long, Double)] =
+        corpus.filter(c => c._1 != qid && pred(c._1)).map { case (cid, cv) =>
+          val c = quant(cv)
+          val dot = q.zip(c).map { case (a, b) => a * b }.sum
+          (cid, dot / (qn * math.sqrt(c.map(x => x * x).sum.toDouble)))
+        }.sortBy { case (cid, cos) => (-cos, cid) }
+      val bestPos = ranked(id => lab(id) == lab(qid)).head
+      val bestNeg = ranked(id => lab(id) != lab(qid)).head
+      assert(rows(qid).getLong(1) === bestPos._1, s"pos of $qid")
+      assert(rows(qid).getLong(2) === bestNeg._1, s"neg of $qid")
+      assert(rows(qid).getLong(3) ===
+        (if (bestPos._2 > bestNeg._2) 1L else 0L), s"margin of $qid")
+    }
+  }
+
+  test("clusterBalancedSample: ranks by the content-hash coin within " +
+    "each assigned cluster, honors the quota, and is deterministic") {
+    import spark.implicits._
+    val corpus = vecs(60, seed = 23L)
+    val df = toDF(corpus)
+    val cents = corpus.take(4).map(_._2.map(x =>
+      math.round(x.toDouble * Similarity.Scale)))
+    val out = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+        cents, quota = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val assign = Similarity.ivfAssignments(df, "vec_id", "embedding",
+        cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def coin(id: Long): Long = {
+      var h = 0L
+      s"cbs:$id".codePoints().toArray.foreach { c =>
+        h = (h * 31L + c) % 1000000007L
+      }
+      h
+    }
+    // per cluster: the op's survivors are exactly the quota smallest
+    // (coin, id) members, ranked 1..min(quota, size)
+    val byCluster = assign.toSeq.groupBy(_._2)
+    assert(out.groupBy(_._1).keySet.subsetOf(byCluster.keySet))
+    for ((cid, members) <- byCluster) {
+      val expect = members.map(_._1).sortBy(id => (coin(id), id)).take(3)
+        .zipWithIndex.map { case (id, i) =>
+          (cid, id, coin(id), i + 1L) }
+      assert(out.filter(_._1 == cid).sortBy(_._4).toSeq === expect,
+        s"cluster $cid")
+    }
+    // quota respected everywhere
+    assert(out.groupBy(_._1).values.forall(_.length <= 3))
+  }
+
   test("bruteForceTopK returns exactly k ranked rows per query, rank 1 = self") {
     val corpus = vecs(40, seed = 2L)
     val queries = corpus.take(3)
