@@ -189,6 +189,36 @@ object SparkEntry {
         minShared = 3L)
     }
 
+  /** The q162 per-document bigram-LM fluency frame (doc_id, n_bigrams,
+    * fluency), shared by q162 and q231's rank-bucketing readout — code
+    * reuse, not a memoized artifact: the frame is two hash aggregates
+    * and two key joins, cheap enough to re-plan per consumer. The
+    * fluency double is the q162 oracle's op-for-op mirrored divide
+    * chain, so its ORDER (q231's bucketing key) is engine-stable. */
+  private def lmFluencyFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = docs.select(col("doc_id"), posexplode(
+        TextAnalysis.posNgrams(TextAnalysis.tokens(col("text")), 2)))
+      .select(col("doc_id"), col("pos"), col("col").as("bigram"),
+        substring_index(col("col"), " ", 1).as("prefix"))
+    val bs = grams.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+    val ps = grams.groupBy("prefix").agg(count(lit(1)).as("n_a"))
+    val scored = grams.join(bs, "bigram").join(ps, "prefix")
+      .select(col("doc_id"), col("pos"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("r"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("r"))))
+        .as("rs"))
+      .select(col("doc_id"), size(col("rs")).cast("long").as("n_bigrams"),
+        (aggregate(col("rs"), lit(0.0),
+          (acc, x) => acc + x.getField("r")) /
+          size(col("rs")).cast("double")).as("fluency"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("fluency"))
+  }
+
   /** Drop the memoized marts/clusters/candidates AND their persisted
     * blocks — for harnesses (Bench) that need each measurement pass to
     * start cache-cold. A bare `spark.catalog.clearCache()` would drop
@@ -5104,29 +5134,7 @@ object SparkEntry {
     // both engines. Stats are two map-side-combined aggregates; the
     // per-doc list is document-length-bounded (the q49 chunking bound
     // at corpus scale).
-    "q162_lm_fluency" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val grams = docs.select(col("doc_id"), posexplode(
-          TextAnalysis.posNgrams(TextAnalysis.tokens(col("text")), 2)))
-        .select(col("doc_id"), col("pos"), col("col").as("bigram"),
-          substring_index(col("col"), " ", 1).as("prefix"))
-      val bs = grams.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
-      val ps = grams.groupBy("prefix").agg(count(lit(1)).as("n_a"))
-      val scored = grams.join(bs, "bigram").join(ps, "prefix")
-        .select(col("doc_id"), col("pos"),
-          (col("n_ab").cast("double") / col("n_a").cast("double")).as("r"))
-      val perDoc = scored.groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("pos"), col("r"))))
-          .as("rs"))
-        .select(col("doc_id"), size(col("rs")).cast("long").as("n_bigrams"),
-          (aggregate(col("rs"), lit(0.0),
-            (acc, x) => acc + x.getField("r")) /
-            size(col("rs")).cast("double")).as("fluency"))
-      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          col("fluency"))
-    }),
+    "q162_lm_fluency" -> ((s, dir) => lmFluencyFrame(s, dir)),
 
     // Trailing exponentially-weighted moving average per user — the
     // recency-weighted member of the smoothing family (q153 is the
@@ -5411,6 +5419,30 @@ object SparkEntry {
     "q229_triplet_margin" -> ((s, dir) =>
       Similarity.tripletMargin(t(s, dir, "embeddings"), "vec_id",
         "embedding", "label", col("vec_id") < 10)),
+
+    // Code-switch detector: language-ID the head and tail halves of each
+    // token stream with the q21 marker scorer, flag disagreement —
+    // mixed-language pages; integer counts + fixed tie order, no
+    // explode, no shuffle.
+    "q230_code_switch" -> ((s, dir) =>
+      text.CorpusOps.codeSwitch(t(s, dir, "documents"), "doc_id",
+        "text")),
+
+    // CCNet-style perplexity buckets: rank the corpus by the q162
+    // bigram-LM fluency (two-pass global rank, no one-task window) and
+    // cut into head/middle/tail terciles by the integer identity
+    // (rank−1)·3 div n — the quality-stratification stage of a curation
+    // pipeline. Surface: doc_id, n_bigrams, rank, bucket — all int64
+    // (the fluency double drives only the ORDER, mirrored op-for-op).
+    "q231_perplexity_buckets" -> ((s, dir) => {
+      val f = lmFluencyFrame(s, dir)
+      val ranked = graft.operators.Rank.globalRank(f,
+        Seq(col("fluency").desc_nulls_last, col("doc_id").asc), "rank")
+      ranked.crossJoin(broadcast(f.agg(count(lit(1)).as("__n"))))
+        .select(col("doc_id"), col("n_bigrams"),
+          col("rank").cast("long").as("rank"),
+          expr("((rank - 1) * 3) div __n").as("bucket"))
+    }),
   )
 
   // -------------------------------------------------------------- oracle --
@@ -5605,6 +5637,34 @@ object SparkEntry {
       |  SELECT a.vec_id, a.cid, k.ckey
       |  FROM assign a JOIN kf k ON a.vec_id = k.vec_id AND a.cid = k.cid),
       |""".stripMargin
+
+  // The q162 bigram-LM fluency staging, shared VERBATIM by q162 and the
+  // q231 bucket readout so the two oracles can never drift. Ends with
+  // `flu` (doc_id, n_bigrams, fluency). Lazy: references TOKENS_SQL,
+  // declared further down (the DUP_CLUSTERS_SQL lesson).
+  private lazy val LM_FLUENCY_CTES: String =
+    s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    tk[i] || ' ' || tk[i+1] AS bigram, tk[i] AS prefix
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+       |        FROM toks)),
+       |bs AS (SELECT bigram, count(*) AS n_ab FROM g GROUP BY bigram),
+       |ps AS (SELECT prefix, count(*) AS n_a FROM g GROUP BY prefix),
+       |scored AS (
+       |  SELECT doc_id, pos,
+       |    CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS r
+       |  FROM g JOIN bs USING (bigram) JOIN ps USING (prefix)),
+       |per_doc AS (
+       |  SELECT doc_id, list(r ORDER BY pos) AS l
+       |  FROM scored GROUP BY doc_id),
+       |flu AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(CAST(len(l) AS BIGINT), 0) AS n_bigrams,
+       |    list_reduce(list_prepend(0.0, l), (a, b) -> a + b)
+       |      / CAST(len(l) AS DOUBLE) AS fluency
+       |  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id),
+       |""".stripMargin
 
   // The q158 tf-idf staging, shared VERBATIM by the main oracle and the
   // r10 bisection diagnostics (q158a/b/c) so the diagnostic oracles can
@@ -9187,27 +9247,23 @@ object SparkEntry {
     // list(r ORDER BY pos) + list_reduce from 0.0 ≡ Spark's
     // sort_array + aggregate, so every intermediate double rounds
     // identically.
-    "q162_lm_fluency" ->
-      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
-         |g AS (
-         |  SELECT doc_id, i - 1 AS pos,
-         |    tk[i] || ' ' || tk[i+1] AS bigram, tk[i] AS prefix
-         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
-         |        FROM toks)),
-         |bs AS (SELECT bigram, count(*) AS n_ab FROM g GROUP BY bigram),
-         |ps AS (SELECT prefix, count(*) AS n_a FROM g GROUP BY prefix),
-         |scored AS (
-         |  SELECT doc_id, pos,
-         |    CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS r
-         |  FROM g JOIN bs USING (bigram) JOIN ps USING (prefix)),
-         |per_doc AS (
-         |  SELECT doc_id, list(r ORDER BY pos) AS l
-         |  FROM scored GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  COALESCE(CAST(len(l) AS BIGINT), 0) AS n_bigrams,
-         |  list_reduce(list_prepend(0.0, l), (a, b) -> a + b)
-         |    / CAST(len(l) AS DOUBLE) AS fluency
-         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
+    "q162_lm_fluency" -> (LM_FLUENCY_CTES +
+      """sel AS (SELECT doc_id, n_bigrams, fluency FROM flu)
+        |SELECT doc_id, n_bigrams, fluency FROM sel""".stripMargin),
+
+    // Perplexity buckets: the SAME fluency CTEs as q162 (one spelling
+    // per engine), a corpus-total rank over (fluency DESC NULLS LAST,
+    // doc_id), and the integer tercile identity.
+    "q231_perplexity_buckets" -> (LM_FLUENCY_CTES +
+      """r AS (
+        |  SELECT doc_id, n_bigrams,
+        |    row_number() OVER (ORDER BY fluency DESC NULLS LAST,
+        |                       doc_id ASC) AS rank,
+        |    (SELECT count(*) FROM documents) AS n
+        |  FROM flu)
+        |SELECT doc_id, n_bigrams, CAST(rank AS BIGINT) AS rank,
+        |  ((rank - 1) * 3) // n AS bucket
+        |FROM r""".stripMargin),
 
     // Mirrors q161: the identical dyadic-weight lag chain, summed in the
     // identical left-associative order; a NULL lag (short history)
@@ -9663,6 +9719,49 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM l WHERE vec_id < 10) q2
          |LEFT JOIN pos ON q2.vec_id = pos.query_id
          |LEFT JOIN neg ON q2.vec_id = neg.query_id""".stripMargin),
+
+    // Code-switch: the q21 marker scorer applied to the head/tail halves
+    // of the token array (range-slice spelling of Spark's slice), with
+    // the q21 CASE tie order per half — integer counts, string labels,
+    // boolean flag.
+    "q230_code_switch" -> {
+      def scoreSql(half: String, lang: String, words: Seq[String]) =
+        s"len(list_filter($half, t -> t IN " +
+          words.map(w => s"'$w'").mkString("(", ",", ")") + s")) AS ${lang}"
+      def halfScores(half: String) = graft.text.TextAnalysis.LangMarkers
+        .map { case (l, ws) => scoreSql(half, l, ws) }.mkString(",\n|    ")
+      def caseSql(p: String) = {
+        val langs = graft.text.TextAnalysis.LangMarkers.map(_._1)
+        langs.map { l =>
+          val geAll = langs.filter(_ != l)
+            .map(o => s"$p.$l >= $p.$o").mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString("CASE\n|      ", "\n|      ", "\n|      ELSE 'und' END")
+      }
+      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |halves AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    list_transform(range(1, len(tk) // 2 + 1), i -> tk[i]) AS hd,
+         |    list_transform(range(len(tk) // 2 + 1, len(tk) + 1),
+         |      i -> tk[i]) AS tl
+         |  FROM toks),
+         |h AS (
+         |  SELECT doc_id, n_tokens,
+         |    ${halfScores("hd")}
+         |  FROM halves),
+         |t2 AS (
+         |  SELECT doc_id,
+         |    ${halfScores("tl")}
+         |  FROM halves),
+         |pr AS (
+         |  SELECT h.doc_id, h.n_tokens,
+         |    ${caseSql("h")} AS lang_head,
+         |    ${caseSql("t2")} AS lang_tail
+         |  FROM h JOIN t2 ON h.doc_id = t2.doc_id)
+         |SELECT doc_id, n_tokens, lang_head, lang_tail,
+         |  (lang_head <> lang_tail) AS is_mixed
+         |FROM pr""".stripMargin
+    },
 
     // Tokenizer fertility: per-lang token/char inventories (the table's
     // n_chars column, engine-neutral), BIGINT floor-division rate.

@@ -1116,6 +1116,37 @@ object CorpusOps {
         col("shortfall"))
   }
 
+  /** Code-switch / language-consistency detector: language-ID the FIRST
+    * half and SECOND half of each document's token stream independently
+    * (the same marker-word scorer as the corpus language-ID pass) and
+    * flag documents whose halves disagree — mixed-language pages are a
+    * known quality hazard for monolingual training slices, and the
+    * half-split is the cheapest detector that needs no per-segment
+    * model. Deterministic end-to-end: integer marker counts, the
+    * language-ID pass's fixed tie order, and a boolean flag; an
+    * empty or sub-2-token doc scores 0 everywhere and both halves
+    * resolve to the tie-order head — never mixed. Scale shape: one
+    * projection, no explode, no join, no shuffle. */
+  def codeSwitch(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val bound = docs.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .withColumn("__m", size(col("__tk")).cast("long"))
+    def predict(half: org.apache.spark.sql.Column) =
+      TextAnalysis.predictedLang(TextAnalysis.langScores(half))
+    bound
+      // `div`, not `/`: Column./ on longs is a DOUBLE divide
+      .withColumn("__head",
+        slice(col("__tk"), lit(1), expr("CAST(__m div 2 AS INT)")))
+      .withColumn("__tail",
+        slice(col("__tk"), expr("CAST(__m div 2 + 1 AS INT)"),
+          expr("CAST(__m - __m div 2 AS INT)")))
+      .select(col(idCol), col("__m").as("n_tokens"),
+        predict(col("__head")).as("lang_head"),
+        predict(col("__tail")).as("lang_tail"))
+      .withColumn("is_mixed", col("lang_head") =!= col("lang_tail"))
+  }
+
   /** Tokenizer fertility by language — tokens produced per character of
     * raw text, the standard multilingual-tokenizer efficiency readout
     * (a language with high chars-per-token pays more sequence length for

@@ -556,6 +556,30 @@ class CorpusOpsSpec extends SparkSpec {
       "empty" -> ((1L, 0L, 10L, 0L, 0L, 10L))))
   }
 
+  test("codeSwitch: disagreeing halves flag mixed, agreeing and empty " +
+    "docs do not, and the odd-length split gives the tail the extra " +
+    "token") {
+    import spark.implicits._
+    val docs = Seq(
+      // head 'the a of' -> en; tail 'join query group' -> zh
+      (1L, "the a of join query group"),
+      (2L, "the a the a"),   // en / en — consistent
+      (3L, ""),              // both halves empty -> tie-order 'en'
+      // 5 tokens: head = first 2 ('the a' -> en), tail = last 3
+      // ('join query group' -> zh) — the extra token goes to the tail
+      (4L, "the a join query group"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.codeSwitch(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    assert(out === Map(
+      1L -> ((6L, "en", "zh", true)),
+      2L -> ((4L, "en", "en", false)),
+      3L -> ((0L, "en", "en", false)),
+      4L -> ((5L, "en", "zh", true))))
+  }
+
   test("tokenizerFertility: per-lang inventories, floor-ppm rate, and " +
     "the zero-char guard") {
     import spark.implicits._
