@@ -5428,6 +5428,13 @@ object SparkEntry {
       text.CorpusOps.codeSwitch(t(s, dir, "documents"), "doc_id",
         "text")),
 
+    // Matryoshka truncation audit: top-5 under the 16-dim prefix vs the
+    // full 64-dim exact ranking — integer overlap count per query, the
+    // storage-tiering readout; same quantized arithmetic both rankings.
+    "q232_matryoshka_recall" -> ((s, dir) =>
+      Similarity.truncationRecall(t(s, dir, "embeddings"), "vec_id",
+        "embedding", col("vec_id") < 10, k = 5, prefixDim = 16)),
+
     // CCNet-style perplexity buckets: rank the corpus by the q162
     // bigram-LM fluency (two-pass global rank, no one-task window) and
     // cut into head/middle/tail terciles by the integer identity
@@ -9719,6 +9726,48 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM l WHERE vec_id < 10) q2
          |LEFT JOIN pos ON q2.vec_id = pos.query_id
          |LEFT JOIN neg ON q2.vec_id = neg.query_id""".stripMargin),
+
+    // Matryoshka recall: both rankings re-derived from the same
+    // quantized lists (prefix = v[1..16]), the q19 window spelling for
+    // each, then an equi-join overlap count — integer surface.
+    "q232_matryoshka_recall" -> (EMB_CTE +
+      """pp AS (
+        |  SELECT vec_id, v, nrm,
+        |    CAST(list_sum(list_transform(range(1, 17), i -> v[i]*v[i]))
+        |      AS BIGINT) AS pnrm
+        |  FROM n),
+        |pr AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+        |      AS cosine,
+        |    CAST(CAST(list_sum(list_transform(range(1, 17),
+        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.pnrm AS DOUBLE)) * sqrt(CAST(c.pnrm AS DOUBLE)))
+        |      AS pcos
+        |  FROM pp q, pp c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |fr AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+        |    FROM pr) WHERE rn <= 5),
+        |tr AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY pcos DESC, vec_id ASC) AS rn
+        |    FROM pr) WHERE rn <= 5),
+        |ov AS (
+        |  SELECT f.query_id, count(*) AS n_kept
+        |  FROM fr f JOIN tr t
+        |    ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+        |  GROUP BY f.query_id)
+        |SELECT q2.vec_id AS query_id,
+        |  CAST(COALESCE(ov.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(5 AS BIGINT) AS k
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q2
+        |LEFT JOIN ov ON q2.vec_id = ov.query_id""".stripMargin),
 
     // Code-switch: the q21 marker scorer applied to the head/tail halves
     // of the token array (range-slice spelling of Spark's slice), with

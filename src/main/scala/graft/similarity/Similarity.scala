@@ -346,6 +346,56 @@ object Similarity {
           .otherwise(lit(null).cast("long")).as("margin_positive"))
   }
 
+  /** Matryoshka / dimension-truncation retrieval audit: per query, how
+    * many of the exact top-k under the FULL embedding survive in the
+    * top-k computed from only the first `prefixDim` components — the
+    * readout that tells a pipeline whether truncated (cheaper) vectors
+    * can serve retrieval, the question Matryoshka-style training
+    * (Kusupati et al. 2022, arXiv:2205.13147) answers by construction
+    * and every storage-tiering decision asks of ordinary embeddings.
+    * Same exact quantized-integer arithmetic on both rankings (the
+    * truncated ranking is just [[intDot]] over the sliced prefix), same
+    * (cosine DESC, id ASC) tie order; the overlap count is an int64 —
+    * nothing floats on the surface. Scale shape: two broadcast-queries
+    * scoring passes over one corpus scan each, two bounded top-k
+    * reductions, one ≤k×k-per-query semi-join — the [[knnLabelEval]]
+    * discipline. */
+  def truncationRecall(emb: DataFrame, idCol: String, embCol: String,
+                       queryPred: Column, k: Int, prefixDim: Int)
+      : DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    val base = emb.select(col(idCol), quantize(col(embCol)).as("__v"))
+      .withColumn("__p", slice(col("__v"), 1, prefixDim))
+      .withColumn("__n", intDot(col("__v"), col("__v")))
+      .withColumn("__pn", intDot(col("__p"), col("__p")))
+    val q = base.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__v").as("__qv"),
+        col("__p").as("__qp"), col("__n").as("__qn"),
+        col("__pn").as("__qpn"))
+    val scored = base.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosineQ(intDot(col("__qv"), col("__v")), col("__qn"), col("__n"))
+          .as("cosine"),
+        cosineQ(intDot(col("__qp"), col("__p")), col("__qpn"), col("__pn"))
+          .as("__pcos"))
+      .localCheckpoint(eager = false)
+    val full = topKPerQuery(scored, idCol, k)
+      .select(col("query_id"), col(idCol))
+    val trunc = topKPerQueryOrdered(
+        scored.select(col("query_id"), col(idCol),
+          col("__pcos").as("cosine")), idCol, k,
+        Seq(col("cosine").desc, col(idCol).asc))
+      .select(col("query_id"), col(idCol))
+    q.select(col("query_id"))
+      .join(full.join(trunc, Seq("query_id", idCol), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_kept")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        lit(k.toLong).as("k"))
+  }
+
   /** Cluster-balanced deterministic sampling — the diversity-preserving
     * subset selection of a curation pipeline (sample a fixed QUOTA from
     * every embedding cluster instead of uniformly, so rare modes survive

@@ -170,7 +170,7 @@ class PlanSpec extends SparkSpec {
       "q214_affinity_filter", "q217_dsir_weight", "q219_lsh_recall",
       "q221_hard_negatives", "q222_knn_eval", "q224_knn_classify",
       "q226_repeat_plan", "q229_triplet_margin",
-      "q231_perplexity_buckets")
+      "q231_perplexity_buckets", "q232_matryoshka_recall")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

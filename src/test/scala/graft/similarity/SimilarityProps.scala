@@ -93,6 +93,63 @@ object SimilarityProps extends Properties("Similarity") {
       Some(BigInt(dot).sign * mag)
     }
 
+  property("truncationRecall: n_kept is within [0, k] everywhere, and " +
+    "prefixDim = dim makes the two rankings identical (n_kept = k " +
+    "whenever the corpus has k non-self candidates)") =
+    forAll(genClustered) { rows =>
+      import spark.implicits._
+      val corpus = rows.toDF("vec_id", "embedding")
+      val pred = org.apache.spark.sql.functions.col("vec_id") < 4
+      val k = 3
+      val partial = Similarity.truncationRecall(corpus, "vec_id",
+          "embedding", pred, k, prefixDim = 2)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val full = Similarity.truncationRecall(corpus, "vec_id",
+          "embedding", pred, k, prefixDim = dim)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val enough = rows.size - 1 >= k
+      partial.forall { case (n, kk) => kk == k && n >= 0 && n <= k } &&
+        full.forall { case (n, _) => !enough || n == k }
+    }
+
+  property("tripletMargin: pos shares the query's label, neg does not, " +
+    "and the flag agrees with the naive double-cosine comparison") =
+    forAll(genClustered) { rows =>
+      import spark.implicits._
+      def lab(id: Long): Int = (id % 2L).toInt
+      val df = rows.map { case (id, v) => (id, v, lab(id)) }
+        .toDF("vec_id", "embedding", "label")
+      val out = Similarity.tripletMargin(df, "vec_id", "embedding",
+          "label", org.apache.spark.sql.functions.col("vec_id") < 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3))))
+      def quant(v: Seq[Float]): Seq[Long] =
+        v.map(x => math.round(x.toDouble * Similarity.Scale))
+      val byId = rows.toMap
+      out.forall { case (qid, pid, nid, flag) =>
+        val q = quant(byId(qid))
+        def dotNorm(cid: Long): (BigInt, BigInt) = {
+          val c = quant(byId(cid))
+          (BigInt(q.zip(c).map { case (a, b) => a * b }.sum),
+            BigInt(c.map(x => x * x).sum))
+        }
+        val (dp, np2) = dotNorm(pid)
+        val (dn, nn2) = dotNorm(nid)
+        // exact rational compare of dp/sqrt(np2) vs dn/sqrt(nn2) — the
+        // same arithmetic the op's integer key implements (shared query
+        // norm cancels); sign cases first, squares cross-multiplied
+        val posGreater =
+          if (np2 == 0 || nn2 == 0) flag == null // keyless side -> NULL
+          else if (dp >= 0 && dn < 0) true
+          else if (dp < 0 && dn >= 0) false
+          else if (dp >= 0) dp * dp * nn2 > dn * dn * np2
+          else dp * dp * nn2 < dn * dn * np2
+        lab(pid) == lab(qid) && lab(nid) != lab(qid) &&
+          (if (np2 == 0 || nn2 == 0) flag == null
+           else flag != null && (flag == 1L) == posGreater)
+      }
+    }
+
   property("exactCosKey == floor(dot^2 * 1e9 / cnrm) with sign, " +
     "computed in arbitrary precision (NULL iff cnrm = 0)") =
     forAll(Gen.listOfN(40, genDotCnrm)) { pairs =>

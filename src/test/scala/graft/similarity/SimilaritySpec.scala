@@ -202,6 +202,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("truncationRecall: overlap of the naive full-dim and prefix-dim " +
+    "top-k rankings, k clamped by corpus size, zero-overlap possible") {
+    import spark.implicits._
+    val corpus = vecs(30, seed = 31L)
+    val df = toDF(corpus)
+    val rows = Similarity.truncationRecall(df, "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("vec_id") < 3, k = 4,
+        prefixDim = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rows.size === 3)
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    for (qid <- 0L until 3L) {
+      def topIds(dims: Int): Set[Long] = {
+        val q = quant(corpus(qid.toInt)._2).take(dims)
+        val qn = math.sqrt(q.map(x => x * x).sum.toDouble)
+        corpus.filter(_._1 != qid).map { case (cid, cv) =>
+          val c = quant(cv).take(dims)
+          val dot = q.zip(c).map { case (a, b) => a * b }.sum
+          (cid, dot / (qn * math.sqrt(c.map(x => x * x).sum.toDouble)))
+        }.sortBy { case (cid, cos) => (-cos, cid) }.take(4).map(_._1).toSet
+      }
+      val expect = (topIds(dim) intersect topIds(2)).size.toLong
+      assert(rows(qid) === ((expect, 4L)), s"query $qid")
+    }
+  }
+
   test("clusterBalancedSample: ranks by the content-hash coin within " +
     "each assigned cluster, honors the quota, and is deterministic") {
     import spark.implicits._
