@@ -5428,6 +5428,14 @@ object SparkEntry {
       text.CorpusOps.codeSwitch(t(s, dir, "documents"), "doc_id",
         "text")),
 
+    // Duplicate-span SCRUB: the q137 detector turned into the transform
+    // a user materializes — tokens covered by any cross-document dup
+    // trigram removed, cleaned text + removal accounting; per-DOCUMENT
+    // windowed-max coverage, string reassembly with exact token joins.
+    "q233_dedup_scrub" -> ((s, dir) =>
+      text.CorpusOps.dedupScrub(t(s, dir, "documents"), "doc_id",
+        "text", n = 3)),
+
     // Matryoshka truncation audit: top-5 under the 16-dim prefix vs the
     // full 64-dim exact ranking — integer overlap count per query, the
     // storage-tiering readout; same quantized arithmetic both rankings.
@@ -9726,6 +9734,46 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM l WHERE vec_id < 10) q2
          |LEFT JOIN pos ON q2.vec_id = pos.query_id
          |LEFT JOIN neg ON q2.vec_id = neg.query_id""".stripMargin),
+
+    // Dedup scrub: the q137 shingle spelling, dup starts, a dense
+    // per-token windowed max (ROWS n-1 PRECEDING ≡ positions — the
+    // token series is dense), ordered string_agg reassembly of the
+    // uncovered tokens.
+    "q233_dedup_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+         |ps AS (
+         |  SELECT doc_id, unnest(range(1, len(tk) - 1)) - 1 AS pos,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+         |  FROM toks),
+         |d AS (
+         |  SELECT shingle FROM ps GROUP BY shingle
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |st AS (
+         |  SELECT ps.doc_id, ps.pos, 1 AS flag
+         |  FROM ps JOIN d USING (shingle)),
+         |tp AS (
+         |  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+         |        FROM toks)),
+         |cov AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok,
+         |    max(COALESCE(st.flag, 0)) OVER (
+         |      PARTITION BY tp.doc_id ORDER BY tp.pos
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+         |  FROM tp LEFT JOIN st ON tp.doc_id = st.doc_id
+         |    AND tp.pos = st.pos),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(covered) AS BIGINT) AS n_removed,
+         |    string_agg(CASE WHEN covered = 0 THEN tok END, ' '
+         |      ORDER BY pos) AS clean_text
+         |  FROM cov GROUP BY doc_id)
+         |SELECT d2.doc_id,
+         |  COALESCE(a.n_tokens, 0) AS n_tokens,
+         |  COALESCE(a.n_removed, 0) AS n_removed,
+         |  COALESCE(a.clean_text, '') AS clean_text
+         |FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id""".stripMargin,
 
     // Matryoshka recall: both rankings re-derived from the same
     // quantized lists (prefix = v[1..16]), the q19 window spelling for

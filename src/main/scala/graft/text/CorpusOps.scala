@@ -1116,6 +1116,60 @@ object CorpusOps {
         col("shortfall"))
   }
 
+  /** Exact duplicate-span REMOVAL — the transform counterpart of
+    * [[dupSpans]]'s detector (Lee et al. 2021, "Deduplicating training
+    * data makes language models better", arXiv:2107.06499 — the
+    * substring-level dedup their suffix-array pass performs, at the
+    * word-n-gram grain this engine's relational spelling supports): a
+    * token is scrubbed iff ANY cross-document duplicate n-gram window
+    * covers it, and the output is the CLEANED text plus removal
+    * accounting — what a user materializes, where [[dupSpans]] only
+    * reports shares.
+    *
+    * Coverage is the windowed maximum of the duplicate-start flag over
+    * the last n positions of each document's DENSE token series (ROWS
+    * frame ≡ position frame because every position is present) — a
+    * per-DOCUMENT window, fine-grained keys that multiply with the
+    * corpus, never a bounded-dimension partition. Reassembly is the
+    * q162 sort_array(collect_list(struct(pos, ·))) discipline: per-doc
+    * state bounded by the document length. All-integer flags, one
+    * string surface (the cleaned text — exact token join, no float). */
+  def dedupScrub(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"span grain must be >= 1, got $n")
+    val toks = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val pos = toks.select(col(idCol),
+      posexplode(TextAnalysis.posNgrams(col("__tk"), n))
+        .as(Seq("pos", "shingle")))
+    val dup = pos.groupBy("shingle")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= 2L)
+      .select(col("shingle"), lit(1L).as("__st"))
+    val starts = pos.join(dup, Seq("shingle"))
+      .select(col(idCol), col("pos"), col("__st"))
+    val tokpos = toks.select(col(idCol),
+      posexplode(col("__tk")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(n - 1), 0)
+    val cov = tokpos.join(starts, Seq(idCol, "pos"), "left")
+      .withColumn("covered",
+        max(coalesce(col("__st"), lit(0L))).over(w))
+    val agg = cov.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("covered")).as("n_removed"),
+        concat_ws(" ", transform(sort_array(collect_list(
+            when(col("covered") === 0L,
+              struct(col("pos"), col("tok"))))),
+          s => s.getField("tok"))).as("clean_text"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Code-switch / language-consistency detector: language-ID the FIRST
     * half and SECOND half of each document's token stream independently
     * (the same marker-word scorer as the corpus language-ID pass) and

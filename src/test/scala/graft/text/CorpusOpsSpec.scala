@@ -556,6 +556,29 @@ class CorpusOpsSpec extends SparkSpec {
       "empty" -> ((1L, 0L, 10L, 0L, 0L, 10L))))
   }
 
+  test("dedupScrub: removes exactly the tokens covered by cross-doc " +
+    "dup trigrams, keeps within-doc repetition, and reassembles order") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1 and 2 share the trigram 'x y z' -> those 3 tokens scrub
+      // from both; surrounding tokens survive
+      (1L, "a x y z b"),
+      (2L, "x y z c"),
+      // doc 3 repeats a trigram WITHIN itself only (1 distinct doc) ->
+      // nothing scrubs
+      (3L, "p q r p q r"),
+      (4L, "")) // empty doc -> zero rows, empty text
+      .toDF("doc_id", "text")
+    val out = CorpusOps.dedupScrub(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out === Map(
+      1L -> ((5L, 3L, "a b")),
+      2L -> ((4L, 3L, "c")),
+      3L -> ((6L, 0L, "p q r p q r")),
+      4L -> ((0L, 0L, ""))))
+  }
+
   test("codeSwitch: disagreeing halves flag mixed, agreeing and empty " +
     "docs do not, and the odd-length split gives the tail the extra " +
     "token") {
