@@ -5428,6 +5428,13 @@ object SparkEntry {
       text.CorpusOps.codeSwitch(t(s, dir, "documents"), "doc_id",
         "text")),
 
+    // Balanced shard planner: token-mass-even output sharding via the
+    // two-pass size-desc rank and a snake round-robin deal — the
+    // write-side step of a corpus materialization; all-int64 surface.
+    "q234_shard_plan" -> ((s, dir) =>
+      text.CorpusOps.shardPlan(t(s, dir, "documents"), "doc_id", "text",
+        nShards = 8)),
+
     // Duplicate-span SCRUB: the q137 detector turned into the transform
     // a user materializes — tokens covered by any cross-document dup
     // trigram removed, cleaned text + removal accounting; per-DOCUMENT
@@ -9734,6 +9741,22 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM l WHERE vec_id < 10) q2
          |LEFT JOIN pos ON q2.vec_id = pos.query_id
          |LEFT JOIN neg ON q2.vec_id = neg.query_id""".stripMargin),
+
+    // Shard plan: the window spelling of the same size-desc rank and
+    // the identical snake-deal CASE arithmetic — pure integers.
+    "q234_shard_plan" ->
+      s"""WITH sz AS (
+         |  SELECT doc_id, CAST(len($TOKENS_SQL) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC)
+         |      AS rank
+         |  FROM sz)
+         |SELECT doc_id, n_tokens, CAST(rank AS BIGINT) AS rank,
+         |  CASE WHEN (rank - 1) % 16 < 8 THEN (rank - 1) % 16
+         |       ELSE 16 - 1 - ((rank - 1) % 16) END AS shard
+         |FROM r""".stripMargin,
 
     // Dedup scrub: the q137 shingle spelling, dup starts, a dense
     // per-token windowed max (ROWS n-1 PRECEDING ≡ positions — the

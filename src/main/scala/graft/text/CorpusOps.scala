@@ -1201,6 +1201,31 @@ object CorpusOps {
       .withColumn("is_mixed", col("lang_head") =!= col("lang_tail"))
   }
 
+  /** Balanced shard planner — assign every document to one of `nShards`
+    * output shards so the per-shard TOKEN mass is even (the write-side
+    * step of any corpus materialization: unbalanced shards straggle the
+    * next job's longest task): rank documents by token count descending
+    * (two-pass global rank — no one-task window) and deal them in a
+    * SNAKE (boustrophedon) round-robin, the deterministic spelling of
+    * longest-processing-time-first scheduling — rounds of 2k ranks deal
+    * 0..k−1 then k−1..0, so every shard sees one large+one small per
+    * round and the max/min shard-mass gap is bounded by one document.
+    * All int64, fully hash-checkable; ties rank by id. */
+  def shardPlan(docs: DataFrame, idCol: String, textCol: String,
+                nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val sizes = docs.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val ranked = graft.operators.Rank.globalRank(sizes,
+      Seq(col("n_tokens").desc, col(idCol).asc), "rank")
+    val k2 = 2L * nShards
+    ranked.select(col(idCol), col("n_tokens"),
+      col("rank").cast("long").as("rank"),
+      expr(s"CASE WHEN (rank - 1) % $k2 < $nShards " +
+        s"THEN (rank - 1) % $k2 " +
+        s"ELSE $k2 - 1 - ((rank - 1) % $k2) END").as("shard"))
+  }
+
   /** Tokenizer fertility by language — tokens produced per character of
     * raw text, the standard multilingual-tokenizer efficiency readout
     * (a language with high chars-per-token pays more sequence length for

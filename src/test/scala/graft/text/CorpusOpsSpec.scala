@@ -556,6 +556,30 @@ class CorpusOpsSpec extends SparkSpec {
       "empty" -> ((1L, 0L, 10L, 0L, 0L, 10L))))
   }
 
+  test("shardPlan: snake deal over the size-desc rank — per-shard token " +
+    "mass is within one document of even, every shard non-empty, " +
+    "deterministic") {
+    import spark.implicits._
+    // 16 docs with sizes 16..1 -> ranks 1..16, shards snake 0..3,3..0:
+    // every shard gets exactly 17+17 = 34 tokens on the first two rounds
+    val docs = (1L to 16L).map(i =>
+      (i, Seq.fill(17 - i.toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.shardPlan(docs, "doc_id", "text", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.length === 16)
+    // rank = 17 - size ordering: doc 1 (16 tokens) ranks 1
+    assert(out.find(_._1 == 1L).get._3 === 1L)
+    val byShard = out.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    assert(byShard.keySet === Set(0L, 1L, 2L, 3L))
+    // sizes 16..1 snake-dealt: every shard sums to exactly 34
+    assert(byShard.values.toSet === Set(34L))
+    val again = CorpusOps.shardPlan(docs, "doc_id", "text", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again === out.map(r => (r._1, r._4)).toSet)
+  }
+
   test("dedupScrub: removes exactly the tokens covered by cross-doc " +
     "dup trigrams, keeps within-doc repetition, and reassembles order") {
     import spark.implicits._
