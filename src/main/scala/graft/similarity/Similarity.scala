@@ -27,8 +27,17 @@ object Similarity {
 
   val Scale = 100000.0
 
-  /** Scalar quantization: array<float> → array<long> of round(x*1e5). */
+  /** Scalar quantization: array<float> → array<long> of round(x*1e5).
+    * Evaluated by the native codegen kernel
+    * [[graft.expressions.QuantizeEmbedding]] — the `transform` HOF it
+    * replaces ran interpreted upstream of every intDot; value-identical
+    * ([[quantizeHof]] is the executable spec, TextKernelsSpec parity). */
   def quantize(emb: Column): Column =
+    graft.expressions.QuantizeEmbedding.quantizeOf(emb)
+
+  /** The replaced HOF spelling of [[quantize]], kept as the executable
+    * specification the kernel is parity-tested against. */
+  private[graft] def quantizeHof(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(Scale)).cast("long"))
 
   /** Exact integer dot product of two quantized vectors — a native
