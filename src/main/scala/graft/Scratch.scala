@@ -28,6 +28,7 @@ object Scratch {
       multiFile(spark, args(1), args(2)); spark.stop(); return
     }
     if (args(0) == "q130phases") { q130Phases(spark, args(1)); spark.stop(); return }
+    if (args(0) == "hofab") { hofAb(spark, args(1)); spark.stop(); return }
     val df = SparkEntry.queries(args(0))(spark, args(1))
     df.explain("formatted")
     val t0 = System.nanoTime()
@@ -122,6 +123,46 @@ object Scratch {
     for (q <- probes;
          (label, dir) <- Seq("x1" -> sfDir, s"x$factor" -> big))
       println(f"PROBE $q%-22s $label%-4s ${probeWall(spark, q, dir)}%8.2f s")
+  }
+
+  /** Kernel-vs-HOF A/B micro-probe (backs the README's codegen-kernel
+    * claims with MEASURED numbers instead of "HOFs are interpreted"
+    * folklore): times the isolated expression over the given sfDir's
+    * full documents/embeddings tables — posNgrams (the tf-idf staging's
+    * term generator) and quantize (the similarity family's entry cast) —
+    * in both spellings, min of 2 cache-cold full materializations each,
+    * interleaved A/B/A/B so a contention drift hits both arms. Counts
+    * are asserted equal so the arms provably do the same work. */
+  private def hofAb(spark: SparkSession, sfDir: String): Unit = {
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def wall(df: => DataFrame): (Double, Long) = {
+      var rows = 0L
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        rows = df.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (t, rows)
+    }
+    def ab(name: String, kernel: => DataFrame, hof: => DataFrame): Unit = {
+      val (k1, nk1) = wall(kernel); val (h1, nh1) = wall(hof)
+      val (k2, _) = wall(kernel); val (h2, _) = wall(hof)
+      require(nk1 == nh1, s"$name arms disagree: $nk1 vs $nh1")
+      println(f"HOFAB $name%-12s kernel ${math.min(k1, k2)}%6.2f s   " +
+        f"hof ${math.min(h1, h2)}%6.2f s   rows $nk1")
+    }
+    ab("posNgrams",
+      docs.select(explode(TextAnalysis.posNgrams(
+        TextAnalysis.tokens(col("text")), 3)).as("t")),
+      docs.select(explode(TextAnalysis.posNgramsHof(
+        TextAnalysis.tokensHof(col("text")), 3)).as("t")))
+    ab("quantize",
+      emb.select(explode(graft.similarity.Similarity.quantize(
+        col("embedding"))).as("q")).where(col("q").isNotNull),
+      emb.select(explode(graft.similarity.Similarity.quantizeHof(
+        col("embedding"))).as("q")).where(col("q").isNotNull))
   }
 
   /** The ONE probe measurement protocol (scaleprobe and depthprobe must
