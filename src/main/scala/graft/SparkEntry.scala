@@ -5428,6 +5428,14 @@ object SparkEntry {
       text.CorpusOps.codeSwitch(t(s, dir, "documents"), "doc_id",
         "text")),
 
+    // t-closeness audit: per-source language distribution vs the global
+    // one, categorical EMD (= total variation) cross-multiplied in
+    // DECIMAL(38,0), integer-ppm surface, verdict at t = 1/5 — the
+    // distributional member of the privacy family (q148/q191).
+    "q235_t_closeness" -> ((s, dir) =>
+      text.CorpusOps.tCloseness(t(s, dir, "documents"), "source", "lang",
+        tNum = 1L, tDen = 5L)),
+
     // Balanced shard planner: token-mass-even output sharding via the
     // two-pass size-desc rank and a snake round-robin deal — the
     // write-side step of a corpus materialization; all-int64 surface.
@@ -9741,6 +9749,38 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM l WHERE vec_id < 10) q2
          |LEFT JOIN pos ON q2.vec_id = pos.query_id
          |LEFT JOIN neg ON q2.vec_id = neg.query_id""".stripMargin),
+
+    // t-closeness: the same cross-multiplied HUGEINT terms over the
+    // full class x value grid, floor-divided to ppm — pure integers.
+    "q235_t_closeness" ->
+      """WITH counts AS (
+        |  SELECT source AS cls, lang AS v, count(*) AS n_cv
+        |  FROM documents GROUP BY source, lang),
+        |per_class AS (
+        |  SELECT cls, CAST(sum(n_cv) AS BIGINT) AS n_c
+        |  FROM counts GROUP BY cls),
+        |per_val AS (
+        |  SELECT v, CAST(sum(n_cv) AS BIGINT) AS n_v
+        |  FROM counts GROUP BY v),
+        |tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS N FROM per_val),
+        |grid AS (
+        |  SELECT pc.cls, pc.n_c, t.N,
+        |    abs(CAST(COALESCE(c.n_cv, 0) AS HUGEINT) * t.N
+        |        - CAST(pv.n_v AS HUGEINT) * pc.n_c) AS term
+        |  FROM per_class pc CROSS JOIN per_val pv
+        |  LEFT JOIN counts c ON pc.cls = c.cls AND pv.v = c.v
+        |  CROSS JOIN tot t),
+        |agg AS (
+        |  SELECT cls, any_value(n_c) AS n_rows, any_value(N) AS N2,
+        |    sum(term) AS num
+        |  FROM grid GROUP BY cls)
+        |SELECT cls AS source, n_rows,
+        |  CAST((num * 1000000) //
+        |    (CAST(n_rows AS HUGEINT) * N2 * 2) AS BIGINT) AS tv_ppm,
+        |  CAST(CASE WHEN num * 5 >
+        |    CAST(n_rows AS HUGEINT) * N2 * 2 * 1
+        |    THEN 1 ELSE 0 END AS BIGINT) AS violates
+        |FROM agg""".stripMargin,
 
     // Shard plan: the window spelling of the same size-desc rank and
     // the identical snake-deal CASE arithmetic — pure integers.

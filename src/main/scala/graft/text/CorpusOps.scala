@@ -1201,6 +1201,51 @@ object CorpusOps {
       .withColumn("is_mixed", col("lang_head") =!= col("lang_tail"))
   }
 
+  /** t-closeness audit (Li et al. 2007, ICDE — the distributional
+    * member of the privacy family next to k-anonymity and l-diversity):
+    * for each quasi-identifier class, the distance between the class's
+    * sensitive-attribute distribution and the GLOBAL one — for a
+    * categorical attribute the paper's EMD reduces to total variation,
+    * TV = ½·Σ_v |p_c(v) − p(v)|. Spelled exactly: the per-value term is
+    * |n_cv·N − n_v·n_c| cross-multiplied in DECIMAL(38,0) (never a
+    * float probability), summed over the FULL value domain (absent
+    * (class, value) pairs contribute n_v·n_c — the bounded class×value
+    * grid is built by crossing two aggregate frames, constant ×
+    * constant), and surfaced as integer ppm
+    * `(Σterms·10⁶) div (2·n_c·N)` — exact floor division, value ≤ 10⁶
+    * so the BIGINT cast is lossless at any corpus size. `violates` is
+    * the audit verdict against the caller's threshold, cross-multiplied
+    * (tv > t ⟺ Σterms·tDen > 2·n_c·N·tNum). */
+  def tCloseness(docs: DataFrame, classCol: String, valueCol: String,
+                 tNum: Long, tDen: Long): DataFrame = {
+    require(tNum >= 0 && tDen > 0, s"need t >= 0 as a ratio, $tNum/$tDen")
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val counts = docs.groupBy(col(classCol).as("cls"),
+        col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n_cv"))
+    val perClass = counts.groupBy("cls").agg(sum(col("n_cv")).as("n_c"))
+    val perVal = counts.groupBy("v").agg(sum(col("n_cv")).as("n_v"))
+    val total = perVal.agg(sum(col("n_v")).as("__N"))
+    val grid = perClass.crossJoin(broadcast(perVal))
+      .join(counts, Seq("cls", "v"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cls"), col("n_c"), col("__N"),
+        abs(d38(coalesce(col("n_cv"), lit(0L))) * d38(col("__N")) -
+          d38(col("n_v")) * d38(col("n_c"))).as("__term"))
+    grid.groupBy("cls")
+      .agg(first(col("n_c")).as("n_rows"), first(col("__N")).as("__N2"),
+        sum(col("__term")).as("__num"))
+      .select(col("cls").as(classCol), col("n_rows"),
+        // div (IntegralDivide), never `/`: decimal `/` then a (38,0)
+        // cast would round HALF_UP where DuckDB's `//` floors
+        call_function("div", col("__num") * lit(1000000L),
+          d38(col("n_rows")) * col("__N2") * lit(2L))
+          .cast("long").as("tv_ppm"),
+        (col("__num") * lit(tDen) >
+          d38(col("n_rows")) * col("__N2") * lit(2L * tNum))
+          .cast("long").as("violates"))
+  }
+
   /** Balanced shard planner — assign every document to one of `nShards`
     * output shards so the per-shard TOKEN mass is even (the write-side
     * step of any corpus materialization: unbalanced shards straggle the

@@ -155,7 +155,9 @@ class PlanSpec extends SparkSpec {
     * members of the same family (corpus × broadcast-queries scoring);
     * q226's source-count attach onto the per-source inventory is the
     * q60 1-ROW scalar shape, as is q231's corpus-count attach onto the
-    * ranked fluency frame). */
+    * ranked fluency frame; q235's class×value grid crosses two
+    * bounded AGGREGATE frames plus a 1-ROW total — the q219
+    * constant × constant shape). */
   private val declaredBruteForce =
     Set("q19_cosine_topk", "q55_hof_dot_rewrite", "q60_tfidf", "q86_bm25",
       "q88_heavy_hitters", "q89_hybrid_rrf", "q114_token_rarity",
@@ -170,7 +172,8 @@ class PlanSpec extends SparkSpec {
       "q214_affinity_filter", "q217_dsir_weight", "q219_lsh_recall",
       "q221_hard_negatives", "q222_knn_eval", "q224_knn_classify",
       "q226_repeat_plan", "q229_triplet_margin",
-      "q231_perplexity_buckets", "q232_matryoshka_recall")
+      "q231_perplexity_buckets", "q232_matryoshka_recall",
+      "q235_t_closeness")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

@@ -556,6 +556,27 @@ class CorpusOpsSpec extends SparkSpec {
       "empty" -> ((1L, 0L, 10L, 0L, 0L, 10L))))
   }
 
+  test("tCloseness: hand-computed total variation in exact ppm — an " +
+    "all-global-distribution class scores 0, a single-value class " +
+    "scores 1 - p(v), and the threshold verdict cross-multiplies") {
+    import spark.implicits._
+    // global: 8 en, 4 de (N = 12); class A mirrors it exactly (4/2),
+    // class B is all-en (4/0)
+    val docs = (Seq.fill(4)("en") ++ Seq.fill(2)("de")).map(("A", _)) ++
+      (Seq.fill(4)("en")).map(("B", _)) ++ Seq(("C", "de"), ("C", "de"))
+    val df = docs.zipWithIndex.map { case ((s, l), i) => (i.toLong, s, l) }
+      .toDF("doc_id", "source", "lang")
+    val out = CorpusOps.tCloseness(df, "source", "lang", 1L, 5L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // A: p_c = (4/6, 2/6) == global (8/12, 4/12) -> TV 0, no violation
+    assert(out("A") === ((6L, 0L, 0L)))
+    // B: all-en -> TV = 1 - p(en) = 1 - 8/12 = 1/3 -> 333333 ppm > 1/5
+    assert(out("B") === ((4L, 333333L, 1L)))
+    // C: all-de -> TV = 1 - p(de) = 1 - 4/12 = 2/3 -> 666666 ppm > 1/5
+    assert(out("C") === ((2L, 666666L, 1L)))
+  }
+
   test("shardPlan: snake deal over the size-desc rank — per-shard token " +
     "mass is within one document of even, every shard non-empty, " +
     "deterministic") {
