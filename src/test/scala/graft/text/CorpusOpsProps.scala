@@ -256,4 +256,112 @@ object CorpusOpsProps extends Properties("CorpusOps") {
       }.toMap
       got == want
     }
+
+  property("ngramDiversity invariants: n_distinct <= n_ngrams, ppm in " +
+    "[0, 1e6], totals == the naive per-source n-gram counts, zero-gram " +
+    "sources keep a zero row") =
+    forAll(genCorpus, Gen.chooseNum(1, 4)) { (texts, n) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, s"s${i % 3}") }
+      val out = CorpusOps.ngramDiversity(
+          docs.toDF("doc_id", "text", "source"), "doc_id", "text",
+          "source", n)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      def grams(t: String): Seq[String] = {
+        val tk = t.split(" ").filter(_.nonEmpty)
+        (0 to tk.length - n).map(i => tk.slice(i, i + n).mkString(" "))
+      }
+      val bySrc = docs.groupBy(_._3)
+      out.keySet == bySrc.keySet && bySrc.forall { case (s, ds) =>
+        val all = ds.flatMap(d => grams(d._2))
+        val (tot, dst, ppm) = out(s)
+        tot == all.size && dst == all.distinct.size &&
+          ppm >= 0 && ppm <= 1000000L &&
+          ppm == (if (tot == 0) 0L else dst * 1000000L / tot)
+      }
+    }
+
+  property("repeatPlan invariants: planned <= target, epochs <= cap, " +
+    "epochs == exact ceiling, shortfall = target - planned, and the " +
+    "targets are the equal budget share") =
+    forAll(genCorpus, Gen.chooseNum(0L, 500L), Gen.chooseNum(1L, 5L)) {
+      (texts, budget, cap) =>
+        import spark.implicits._
+        val docs = texts.zipWithIndex.map { case (t, i) =>
+          (i.toLong, t, s"s${i % 3}") }
+        val out = CorpusOps.repeatPlan(
+            docs.toDF("doc_id", "text", "source"), "text", "source",
+            budget, cap)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+              r.getLong(5), r.getLong(6)))).toMap
+        val nSources = docs.map(_._3).distinct.size
+        out.size == nSources && out.values.forall {
+          case (nDocs, nTok, target, planned, epochs, shortfall) =>
+            target == budget / nSources &&
+              planned == math.min(target, nTok * cap) &&
+              epochs == (if (nTok == 0) 0L
+                         else (planned + nTok - 1) / nTok) &&
+              epochs <= cap && shortfall == target - planned &&
+              nDocs > 0
+        }
+    }
+
+  property("dedupScrub invariants: n_removed <= n_tokens, the cleaned " +
+    "text has exactly n_tokens - n_removed tokens all drawn from the " +
+    "original, and a corpus of UNIQUE-vocab docs is never scrubbed") =
+    forAll(genCorpus, Gen.chooseNum(2, 4)) { (texts, n) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = CorpusOps.dedupScrub(docs, "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3)))
+      val ok = out.forall { case (id, nt, nr, clean) =>
+        val kept = clean.split(" ").filter(_.nonEmpty)
+        val orig = texts(id.toInt).split(" ").filter(_.nonEmpty)
+        nr >= 0 && nr <= nt && nt == orig.length &&
+          kept.length == nt - nr && kept.forall(orig.contains)
+      }
+      // disjoint-vocabulary corpus: tag every token with its doc id —
+      // no shingle can repeat across docs, so nothing scrubs
+      val tagged = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.split(" ").filter(_.nonEmpty)
+          .map(w => s"${w}_$i").mkString(" ")) }
+      val none = CorpusOps.dedupScrub(
+          tagged.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().forall(_.getLong(2) == 0L)
+      ok && none
+    }
+
+  property("tCloseness invariants: ppm in [0, 1e6], a single-class " +
+    "corpus scores 0, and the verdict is exactly ppm-consistent at the " +
+    "cross-multiplied threshold") =
+    forAll(genCorpus, Gen.chooseNum(1L, 4L)) { (texts, tNum) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, s"c${i % 3}", vocab(t.length % vocab.size)) }
+      val df = docs.toDF("doc_id", "source", "lang")
+      val out = CorpusOps.tCloseness(df, "source", "lang", tNum, 5L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val inRange = out.forall { case (_, nRows, ppm, v) =>
+        // ppm floors the exact ratio, so the exact-arithmetic verdict
+        // is only unconstrained within one ppm unit of the cut: strictly
+        // above it must flag, a full unit below it must not
+        val mustFlag = ppm * 5L > tNum * 1000000L
+        val mustPass = (ppm + 1L) * 5L <= tNum * 1000000L
+        ppm >= 0 && ppm <= 1000000L && nRows > 0 &&
+          (!mustFlag || v == 1L) && (!mustPass || v == 0L)
+      }
+      val single = CorpusOps.tCloseness(
+          df.withColumn("source",
+            org.apache.spark.sql.functions.lit("only")),
+          "source", "lang", tNum, 5L)
+        .collect()
+      inRange && single.length == 1 && single.head.getLong(2) == 0L &&
+        single.head.getLong(3) == 0L
+    }
 }
