@@ -5428,6 +5428,13 @@ object SparkEntry {
       text.CorpusOps.codeSwitch(t(s, dir, "documents"), "doc_id",
         "text")),
 
+    // Label-noise audit: kNN-majority vs own label per query (confident-
+    // learning disagreement core) — candidate-mislabel flags over the
+    // q224 machinery; all-int64 surface, 50 queries at gate scale.
+    "q236_label_noise" -> ((s, dir) =>
+      Similarity.labelNoiseAudit(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 50, k = 5)),
+
     // t-closeness audit: per-source language distribution vs the global
     // one, categorical EMD (= total variation) cross-multiplied in
     // DECIMAL(38,0), integer-ppm surface, verdict at t = 1/5 — the
@@ -9749,6 +9756,39 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM l WHERE vec_id < 10) q2
          |LEFT JOIN pos ON q2.vec_id = pos.query_id
          |LEFT JOIN neg ON q2.vec_id = neg.query_id""".stripMargin),
+
+    // Label noise: the q224 majority spelling at 50 queries, joined to
+    // the point's own label — integer flags.
+    "q236_label_noise" -> (EMB_CTE +
+      """l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+        |       FROM embeddings WHERE label IS NOT NULL),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, cl.lab AS clab,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+        |      AS cosine
+        |  FROM n q, n c JOIN l cl ON c.vec_id = cl.vec_id
+        |  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, clab,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM p),
+        |v AS (
+        |  SELECT query_id, clab, count(*) AS votes
+        |  FROM r WHERE rank <= 5 GROUP BY query_id, clab),
+        |m AS (
+        |  SELECT query_id, clab, votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY votes DESC, clab ASC) AS rn
+        |  FROM v)
+        |SELECT m.query_id, ol.lab AS own_label, m.clab AS pred_label,
+        |  m.votes,
+        |  CAST(CASE WHEN m.clab <> ol.lab THEN 1 ELSE 0 END AS BIGINT)
+        |    AS suspect
+        |FROM m JOIN l ol ON m.query_id = ol.vec_id
+        |WHERE m.rn = 1""".stripMargin),
 
     // t-closeness: the same cross-multiplied HUGEINT terms over the
     // full class x value grid, floor-divided to ppm — pure integers.

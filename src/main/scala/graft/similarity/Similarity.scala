@@ -269,6 +269,28 @@ object Similarity {
       col("__m.votes").as("votes"))
   }
 
+  /** Label-noise audit (the kNN-disagreement core of confident
+    * learning, Northcutt et al. 2021, arXiv:1911.00068 §"pruning by
+    * noise rate" simplified to its relational essence): for each
+    * labeled query vector, the [[knnClassify]] neighborhood majority
+    * next to the point's OWN label — a disagreement (`suspect` = 1)
+    * marks a candidate mislabel for human review or down-weighting, the
+    * standard pre-training label-QA pass. All-int64 surface; same
+    * broadcast-queries bounded-top-k shape as the rest of the family. */
+  def labelNoiseAudit(emb: DataFrame, idCol: String, embCol: String,
+                      labelCol: String,
+                      queryPred: Column, k: Int): DataFrame = {
+    val pred = knnClassify(emb, idCol, embCol, labelCol, queryPred, k)
+    val own = emb.where(col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("own_label"))
+    pred.join(own, Seq("query_id"))
+      .select(col("query_id"), col("own_label"), col("pred_label"),
+        col("votes"),
+        (col("pred_label") =!= col("own_label")).cast("long")
+          .as("suspect"))
+  }
+
   /** Cluster–label agreement (purity) over the SAME trained coarse
     * quantizer as [[ivfTopK]]/[[semDedup]]/[[prototypePruning]] — the
     * data-map readout that tells a curation pipeline whether its

@@ -173,7 +173,7 @@ class PlanSpec extends SparkSpec {
       "q221_hard_negatives", "q222_knn_eval", "q224_knn_classify",
       "q226_repeat_plan", "q229_triplet_margin",
       "q231_perplexity_buckets", "q232_matryoshka_recall",
-      "q235_t_closeness")
+      "q235_t_closeness", "q236_label_noise")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

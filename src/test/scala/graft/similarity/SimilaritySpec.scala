@@ -134,6 +134,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("labelNoiseAudit: suspect flags exactly the knnClassify " +
+    "disagreements with the point's own label") {
+    import spark.implicits._
+    val corpus = vecs(40, seed = 37L)
+    val df = corpus.map { case (id, v) => (id, v, (id % 3L).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val pred = org.apache.spark.sql.functions.col("vec_id") < 6
+    val audit = Similarity.labelNoiseAudit(df, "vec_id", "embedding",
+        "label", pred, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val knn = Similarity.knnClassify(df, "vec_id", "embedding", "label",
+        pred, k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(audit.keySet === knn.keySet)
+    audit.foreach { case (qid, (own, p, votes, suspect)) =>
+      assert(own === qid % 3L)
+      assert((p, votes) === knn(qid))
+      assert(suspect === (if (p != own) 1L else 0L))
+    }
+  }
+
   test("clusterPurity: hand-checked contingency over the shared " +
     "assignment — sizes, majority with smallest-label ties, floor ppm") {
     import spark.implicits._
