@@ -40,10 +40,17 @@ object Bench {
     * core count (the r9 local[4] phantom regression) surfaces as a
     * shuffle-heavy outlier cluster plus the `cpus` field.
     *
-    * Reference format (`tools/bench_reference.txt`): one `<query> <sec>`
-    * per line, `#` comments — regenerate from the latest recorded medians
-    * when the baseline moves. Pure function of (medians, reference lines)
-    * so BenchSpec can pin the classification. */
+    * Reference format (`tools/bench_reference.txt`): one
+    * `<query> <sec> [<rel_mad>]` per line, `#` comments — regenerate
+    * from the latest recorded medians when the baseline moves. The
+    * optional third column (VERDICT r11 item 5) is the query's RELATIVE
+    * MAD across the recorded passes (median |xᵢ−med| / med): queries
+    * with a recorded wide IO band (q130-class) get a proportionally
+    * wider outlier tolerance — `max(1.6, 1 + 6·rel_mad)` per side —
+    * instead of the one global 1.6×, so the flag threshold is
+    * data-driven per query; two-column references keep the global
+    * 1.6×. Pure function of (medians, reference lines) so BenchSpec can
+    * pin the classification. */
   def comparabilityJson(medians: Seq[(String, Double)],
                         refLines: Iterator[String],
                         refLabel: String,
@@ -69,10 +76,20 @@ object Bench {
       return s"""{"reference":"${esc(refLabel)}","scale":null,""" +
         s""""skipped":"reference recorded at ${esc(refSf.get)}, """ +
         s"""this run is ${esc(sfDir)} - ratios would not be comparable"}"""
-    val ref = lines
+    val parsed = lines
       .filter(l => !l.startsWith("#"))
-      .map { l => val parts = l.split("\\s+"); parts(0) -> parts(1).toDouble }
+      .map { l =>
+        val parts = l.split("\\s+")
+        val relMad = if (parts.length >= 3) parts(2).toDouble else 0.0
+        parts(0) -> ((parts(1).toDouble, relMad))
+      }
       .toMap
+    val ref = parsed.map { case (n, (m, _)) => n -> m }
+    // per-query tolerance: the global 1.6 floor, widened for queries
+    // whose recorded passes already spread (6 relative MADs ≈ a
+    // generous normal-theory band; a tight query keeps the 1.6)
+    def tol(n: String): Double =
+      math.max(1.6, 1.0 + 6.0 * parsed.get(n).map(_._2).getOrElse(0.0))
     val cur = medians.toMap
     val ratios = medians.collect {
       case (n, c) if ref.get(n).exists(_ > 0) && c > 0 => n -> (c / ref(n))
@@ -81,7 +98,7 @@ object Bench {
     else {
       val scale = median(ratios.map(_._2).toList)
       val outliers = ratios.filter { case (n, r) =>
-        (r > scale * 1.6 || r < scale / 1.6) &&
+        (r > scale * tol(n) || r < scale / tol(n)) &&
           math.max(cur(n), ref(n)) > 0.5
       }
       // bounded output: list only the WORST deviations (by log-distance
@@ -152,6 +169,14 @@ object Bench {
       }
     }
     val medians = names.map(n => n -> median(times(n)))
+    // per-query RELATIVE MAD across this run's passes — the dispersion
+    // regen_bench_reference.py records as the reference's third column
+    // so the comparability tolerance is data-driven per query
+    val spreads = names.map { n =>
+      val med = median(times(n))
+      n -> (if (times(n).size < 2 || med <= 0) 0.0
+            else median(times(n).map(x => math.abs(x - med))) / med)
+    }
     // cpus comes straight from the environment: a non-numeric value
     // (SPARK_GRAFT_CPUS='*' is a plausible mistake — local[*] is a valid
     // master) must render as a quoted JSON string, not break both lines
@@ -160,6 +185,8 @@ object Bench {
       else "\"" + esc(cpus) + "\""
     val qs = medians.map { case (k, v) => s"\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
+    val spreadJson = spreads.map { case (k, v) =>
+      s"\"" + esc(k) + "\":" + fmt(v, 4) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, e) =>
       s"\"" + esc(k) + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
@@ -176,7 +203,7 @@ object Bench {
         finally src.close()
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
     // The full line above carries the whole per-query map (~7 KB for 200+
     // queries); a fixed-size log-tail capture truncates its head and loses
     // the headline total. This LAST line is a complete, self-describing

@@ -739,9 +739,7 @@ object SparkEntry {
        |  SELECT doc_id, text, lang, source, n_chars, $TOKENS_SQL AS tk
        |  FROM documents),
        |sh AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, len(tk) - 1),
-       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg
+       |  SELECT doc_id, $TRIGRAM_SQL AS sg
        |  FROM toks),
        |ev AS (
        |  SELECT DISTINCT unnest(sg) AS shingle FROM sh WHERE doc_id % 10 = 0),
@@ -754,11 +752,29 @@ object SparkEntry {
        |WHERE doc_id % 10 <> 0
        |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
 
-  private val BIGRAM_SQL =
-    "list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))"
-  private val TRIGRAM_SQL =
-    "list_distinct(list_transform(range(1, len(tk) - 1), " +
-      "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
+  /** Positional (non-distinct) word bigrams/trigrams over a bound token
+    * list `tk` — the ONE spelling of the n-gram transform every oracle
+    * composes (VERDICT r11 item 6: repeated CTE text invites a
+    * half-updated tokenization tweak; a named builder cannot drift). */
+  private val POS_BIGRAM_SQL =
+    "list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])"
+  private val POS_TRIGRAM_SQL =
+    "list_transform(range(1, len(tk) - 1), " +
+      "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])"
+  private val BIGRAM_SQL = s"list_distinct($POS_BIGRAM_SQL)"
+  private val TRIGRAM_SQL = s"list_distinct($POS_TRIGRAM_SQL)"
+
+  /** toks + the positional-trigram posting `ps` (doc_id, pos, shingle)
+    * — the staging q137 (dup-span detector) and q233 (scrub transform)
+    * share, factored so the two oracles can never tokenize apart. Lazy:
+    * references TOKENS_SQL, declared further down. */
+  private lazy val POS_TRI_PS_CTES: String =
+    s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
+       |ps AS (
+       |  SELECT doc_id, unnest(range(1, len(tk) - 1)) - 1 AS pos,
+       |    unnest($POS_TRIGRAM_SQL) AS shingle
+       |  FROM toks),
+       |""".stripMargin
 
   /** Shared τ=0.4 exact-Jaccard ground-truth spelling: the all-pairs
     * bigram-Jaccard join over relation `rel` (doc_id, sg) as CTEs `tp`
@@ -1486,22 +1502,45 @@ object SparkEntry {
     // OPTIMIZE planner, never over data rows; the data movement it
     // plans is the bin-grouped rewrite, one shuffle keyed by bin.
     "q136_compaction_plan" -> ((s, dir) => {
-      val target = 500L // rows per output file (bytes in production)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("day_epoch"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)
-      t(s, dir, "events")
+      val files = t(s, dir, "events")
         .groupBy(col("event_type"),
           unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
         .agg(count(lit(1)).as("n_rows"))
-        .withColumn("__cum", sum(col("n_rows")).over(w))
-        .withColumn("bin", expr(s"(__cum - n_rows) DIV ${target}L"))
+      // rows per output file (bytes in production); the plan arithmetic
+      // is Compaction.plan — ONE spelling shared with the q241 executor
+      graft.operators.Compaction.plan(files, "event_type", "day_epoch",
+          targetRows = 500L)
         .withColumn("n_bin_rows",
           sum(col("n_rows")).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("event_type"), col("bin"))))
         .select(col("event_type"), col("day_epoch"), col("n_rows"),
           col("bin"), col("n_bin_rows"))
+    }),
+
+    // Compaction EXECUTED (the q136 plan's rewrite, VERDICT r11 item 3):
+    // events rewrite into one parquet file per (event_type, bin) under a
+    // manifest commit (the GTFS-RT connector's crash-safe protocol), and
+    // the read-back — through the manifest, like any reader — reports
+    // per-bin rows, physical file count, and the covered day range. The
+    // oracle recomputes the PLAN arithmetic only, so the hash match
+    // proves the executed layout delivers exactly the planned bins: all
+    // rows present, one file per bin, contiguous day coverage.
+    "q241_compaction_exec" -> ((s, dir) => {
+      val out = s"target/compact_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(out), true) // fresh run
+      val ev = t(s, dir, "events").select(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+        col("event_id"), col("user_id"), col("value"))
+      graft.operators.Compaction.execute(ev, "event_type", "day_epoch",
+        targetRows = 500L, outDir = out, runId = "q241")
+      graft.operators.Compaction.readCompacted(s, out)
+        .groupBy(col("event_type"), col("bin").cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("_metadata.file_path")).as("n_files"),
+          min(col("day_epoch")).as("min_day_epoch"),
+          max(col("day_epoch")).as("max_day_epoch"))
     }),
 
     // One-pass dataset profiler — the data-quality summary every
@@ -5475,10 +5514,65 @@ object SparkEntry {
       val f = lmFluencyFrame(s, dir)
       val ranked = graft.operators.Rank.globalRank(f,
         Seq(col("fluency").desc_nulls_last, col("doc_id").asc), "rank")
-      ranked.crossJoin(broadcast(f.agg(count(lit(1)).as("__n"))))
+      // corpus count straight off the documents table — lmFluencyFrame
+      // left-joins FROM documents, so the row counts are provably equal
+      // and counting the frame would re-run its bigram explode + joins
+      ranked.crossJoin(broadcast(
+          t(s, dir, "documents").agg(count(lit(1)).as("__n"))))
         .select(col("doc_id"), col("n_bigrams"),
           col("rank").cast("long").as("rank"),
           expr("((rank - 1) * 3) div __n").as("bucket"))
+    }),
+
+    // Char-grain duplicate spans — q137's detector at the grain Lee et
+    // al. 2021 actually deduplicates (character substrings, k=12
+    // codepoints), windows hashed by the O(n) rolling kernel so the
+    // posting explode ships int64s, not k-char strings. max_run + 11
+    // lower-bounds the longest cross-document duplicated substring.
+    "q237_char_dup_spans" -> ((s, dir) =>
+      text.CorpusOps.charDupSpans(t(s, dir, "documents"), "doc_id",
+        "text", k = 12)),
+
+    // IVF-GATED kNN retrieval eval — the q222 readout composed over the
+    // q32 probe-list gate (shared memoized training, nProbe=4): MRR /
+    // hits@5 / first-relevant rank against the candidates in each
+    // query's probed lists — the scale path registered as a green row
+    // instead of scaladoc prose. Ranks are within-gate ranks, the
+    // number a production retrieval system observes.
+    "q238_knn_eval_gated" -> ((s, dir) =>
+      Similarity.knnLabelEvalGated(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 10, k = 5,
+        cents = ivfTrained(s, dir, 16, 2), nProbe = 4)),
+
+    // IVF-GATED label-noise audit — q236's confident-learning
+    // disagreement flags with the kNN majority drawn from the probed
+    // lists only (the q32 gate applied to the q224 majority); 50
+    // queries, all-int64 surface.
+    "q239_label_noise_gated" -> ((s, dir) =>
+      Similarity.labelNoiseAuditGated(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 50, k = 5,
+        cents = ivfTrained(s, dir, 16, 2), nProbe = 4)),
+
+    // The gate's recall delta, pinned (the q179 audit pattern applied
+    // to the IVF gate): recall@5 of the q32 probe-list ranking against
+    // the q19 exact brute-force ranking, per query — the measured cost
+    // of running the retrieval-eval family gated. Both sides are
+    // deterministic integer arithmetic, so the delta itself
+    // hash-checks.
+    "q240_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id",
+        "embedding", k = 5).select("query_id", "vec_id")
+      val gated = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, kmeansIters = 2,
+        trainedCents = Some(ivfTrained(s, dir, 16, 2)))
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(gated, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("query_id"), lit(5L).as("k"), col("hits"),
+          (col("hits").cast("double") / lit(5.0)).as("recall"))
     }),
   )
 
@@ -5665,6 +5759,48 @@ object SparkEntry {
     """assign AS (SELECT vec_id, cid FROM af),
       |""".stripMargin
 
+  /** The q32 probe-list gate as shared CTE text: each query's `nProbe`
+    * nearest centroids under the exact-key order (ckey DESC NULLS LAST,
+    * cid ASC — [[graft.similarity.Similarity]]'s probeListCol verbatim)
+    * and the gated candidate set. Consumes IVF_TRAIN_CTES' `kf` and
+    * `assign`; produces `probe` (query_id, cid) and `cand` (query_id,
+    * vec_id). One spelling shared by q32 and the gated retrieval-eval
+    * family (q238/q239/q240) so the gate can never drift between its
+    * consumers. `excludeSelf` drops the query's own row (the labeled
+    * kNN contract); q32/q240 keep self on both sides. */
+  private def ivfGateCtes(queryPredSql: String, nProbe: Int,
+                          excludeSelf: Boolean): String = {
+    val selfFilter = if (excludeSelf) "\n  WHERE a.vec_id <> p.query_id" else ""
+    s"""probe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ckey DESC NULLS LAST, cid ASC) AS rn
+       |    FROM kf WHERE $queryPredSql)
+       |  WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id FROM probe p JOIN assign a ON p.cid = a.cid$selfFilter),
+       |""".stripMargin
+  }
+
+  /** q136's sequential bin plan (per-(event_type, day) "file" rows →
+    * cumulative-DIV-500 bins) — shared by the q136 plan readout and the
+    * q241 executed-compaction audit so the two oracles can never pack
+    * apart. Ends with `b` (event_type, day_epoch, n_rows, bin). */
+  private val COMPACT_PLAN_CTES: String =
+    """WITH f AS (
+      |  SELECT event_type,
+      |    FLOOR(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
+      |    count(*) AS n_rows
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT event_type, day_epoch, n_rows,
+      |    CAST((sum(n_rows) OVER (PARTITION BY event_type
+      |       ORDER BY day_epoch
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       - n_rows) // 500 AS BIGINT) AS bin
+      |  FROM f)
+      |""".stripMargin
+
   /** The assigned-centroid exact cosine-key attach (`sck`: vec_id, cid,
     * ckey) — the SQL mirror of Similarity.assignedWithKey, shared by
     * the q213/q215 oracles so the assigned-key derivation has ONE
@@ -5711,10 +5847,7 @@ object SparkEntry {
     s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
        |tf AS (
        |  SELECT doc_id AS id, term, count(*) AS tf
-       |  FROM (SELECT doc_id,
-       |          unnest(list_transform(range(1, len(tk) - 1),
-       |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-       |            AS term
+       |  FROM (SELECT doc_id, unnest($POS_TRIGRAM_SQL) AS term
        |        FROM toks)
        |  GROUP BY 1, 2),
        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -6070,23 +6203,24 @@ object SparkEntry {
         |  ON t.day = u.day AND t.user_id = u.user_id
         |  AND t.event_type = u.event_type""".stripMargin,
 
-    "q136_compaction_plan" ->
-      """WITH f AS (
-        |  SELECT event_type,
-        |    FLOOR(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
-        |    count(*) AS n_rows
-        |  FROM events GROUP BY 1, 2),
-        |b AS (
-        |  SELECT event_type, day_epoch, n_rows,
-        |    CAST((sum(n_rows) OVER (PARTITION BY event_type
-        |       ORDER BY day_epoch
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |       - n_rows) // 500 AS BIGINT) AS bin
-        |  FROM f)
-        |SELECT event_type, day_epoch, n_rows, bin,
+    "q136_compaction_plan" -> (COMPACT_PLAN_CTES +
+      """SELECT event_type, day_epoch, n_rows, bin,
         |  CAST(sum(n_rows) OVER (PARTITION BY event_type, bin) AS BIGINT)
         |    AS n_bin_rows
-        |FROM b""".stripMargin,
+        |FROM b""".stripMargin),
+
+    // The executed compaction must deliver exactly the PLAN: per
+    // (event_type, bin) the planned row total, ONE physical file, and
+    // the planned contiguous day range. The oracle never sees the
+    // files — n_files is the literal 1 the executor contracts — so a
+    // split bin, a lost row, or a day landing in the wrong bin all
+    // hash-mismatch.
+    "q241_compaction_exec" -> (COMPACT_PLAN_CTES +
+      """SELECT event_type, bin, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  min(day_epoch) AS min_day_epoch,
+        |  max(day_epoch) AS max_day_epoch
+        |FROM b GROUP BY event_type, bin""".stripMargin),
 
     "q105_profile" ->
       """WITH s AS (
@@ -7273,17 +7407,13 @@ object SparkEntry {
          |  SELECT doc_id, text, lang, source, n_chars, $TOKENS_SQL AS tk
          |  FROM s3 WHERE doc_id % 10 <> 0),
          |trsh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(tk) - 1),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg
+         |  SELECT doc_id, $TRIGRAM_SQL AS sg
          |  FROM tr),
          |evt AS (
          |  SELECT doc_id, $TOKENS_SQL AS tk FROM documents
          |  WHERE doc_id % 10 = 0),
          |ev AS (
-         |  SELECT DISTINCT unnest(
-         |    list_distinct(list_transform(range(1, len(tk) - 1),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+         |  SELECT DISTINCT unnest($TRIGRAM_SQL) AS shingle
          |  FROM evt),
          |bad AS (
          |  SELECT DISTINCT p.doc_id
@@ -7312,14 +7442,8 @@ object SparkEntry {
          |UNION ALL SELECT '6_sampled', count(*),
          |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) FROM s6""".stripMargin,
 
-    "q137_dup_spans" ->
-      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
-         |ps AS (
-         |  SELECT doc_id, unnest(range(1, len(tk) - 1)) - 1 AS pos,
-         |    unnest(list_transform(range(1, len(tk) - 1),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
-         |  FROM toks),
-         |d AS (
+    "q137_dup_spans" -> (POS_TRI_PS_CTES +
+      s"""d AS (
          |  SELECT shingle FROM ps GROUP BY shingle
          |  HAVING count(DISTINCT doc_id) >= 2),
          |fl AS (
@@ -7340,13 +7464,12 @@ object SparkEntry {
          |SELECT a.doc_id, a.n_shingles, a.n_dup,
          |  CAST(a.n_dup AS DOUBLE) / CAST(a.n_shingles AS DOUBLE) AS dup_share,
          |  CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run
-         |FROM agg a LEFT JOIN rl r USING (doc_id)""".stripMargin,
+         |FROM agg a LEFT JOIN rl r USING (doc_id)""".stripMargin),
 
     "q84_bpe_merge" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
          |bg AS (
-         |  SELECT unnest(list_transform(range(1, len(tk)),
-         |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  SELECT unnest($POS_BIGRAM_SQL) AS bg
          |  FROM toks),
          |cnt AS (SELECT bg, count(*) AS n FROM bg GROUP BY bg),
          |top AS (
@@ -7619,8 +7742,7 @@ object SparkEntry {
     "q61_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
          |bg AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  SELECT doc_id, unnest($POS_BIGRAM_SQL) AS bg
          |  FROM toks),
          |perbg AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg),
          |perdoc AS (
@@ -7768,9 +7890,7 @@ object SparkEntry {
       s"""WITH toks AS (
          |  SELECT doc_id, lang, source, $TOKENS_SQL AS tk FROM documents),
          |sh AS (
-         |  SELECT doc_id, lang, source,
-         |    list_distinct(list_transform(range(1, len(tk)),
-         |      i -> tk[i] || ' ' || tk[i+1])) AS sg
+         |  SELECT doc_id, lang, source, $BIGRAM_SQL AS sg
          |  FROM toks),
          |p AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -7877,15 +7997,8 @@ object SparkEntry {
          |FROM documents""".stripMargin,
 
     "q32_ivf_topk" -> (EMB_CTE + IVF_TRAIN_CTES +
-      """probe AS (
-        |  SELECT vec_id AS query_id, cid FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY ckey DESC NULLS LAST, cid ASC) AS rn
-        |    FROM kf WHERE vec_id < 10)
-        |  WHERE rn <= 4),
-        |cand AS (
-        |  SELECT p.query_id, a.vec_id FROM probe p JOIN assign a ON p.cid = a.cid),
-        |scored AS (
+      ivfGateCtes("vec_id < 10", 4, excludeSelf = false) +
+      """scored AS (
         |  SELECT c.query_id, c.vec_id,
         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
         |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
@@ -8156,13 +8269,11 @@ object SparkEntry {
          |  SELECT * FROM train WHERE doc_id IN (
          |    SELECT min(doc_id) FROM train GROUP BY sha256(text))),
          |evsh AS (
-         |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 1),
-         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+         |  SELECT DISTINCT unnest($TRIGRAM_SQL) AS shingle
          |  FROM toks WHERE doc_id % 10 = 0),
          |bad AS (
          |  SELECT DISTINCT p.doc_id
-         |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
-         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+         |  FROM (SELECT doc_id, unnest($TRIGRAM_SQL) AS shingle
          |        FROM dedup) p
          |  JOIN evsh ON p.shingle = evsh.shingle),
          |clean AS (
@@ -9666,9 +9777,7 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, source, $TOKENS_SQL AS tk
          |             FROM documents),
          |tg AS (
-         |  SELECT source,
-         |    unnest(list_transform(range(1, len(tk) - 1),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS term
+         |  SELECT source, unnest($POS_TRIGRAM_SQL) AS term
          |  FROM toks),
          |agg AS (
          |  SELECT source, CAST(count(*) AS BIGINT) AS n_ngrams,
@@ -9790,6 +9899,155 @@ object SparkEntry {
         |FROM m JOIN l ol ON m.query_id = ol.vec_id
         |WHERE m.rn = 1""".stripMargin),
 
+    // Char-grain dup spans: the q137 shape over 12-codepoint windows —
+    // grams via 1-based substr (codepoint semantics both engines), the
+    // SAME poly hash as the Spark kernel (the q197 winnowing mirror
+    // discipline: the oracle spells the per-substring derivation, the
+    // hash match proves the rolling kernel), then dup set / islands /
+    // share verbatim from q137.
+    "q237_char_dup_spans" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(range(1, length(text) - 10)) - 1 AS pos,
+         |    unnest(list_transform(range(1, length(text) - 10),
+         |      i -> substr(text, i, 12))) AS gram
+         |  FROM documents),
+         |h AS (SELECT doc_id, pos, ${charPolySql("gram")} AS shingle FROM g),
+         |d AS (
+         |  SELECT shingle FROM h GROUP BY shingle
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |fl AS (
+         |  SELECT h.doc_id, h.pos, d.shingle IS NOT NULL AS dup
+         |  FROM h LEFT JOIN d USING (shingle)),
+         |runs AS (
+         |  SELECT doc_id,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM fl WHERE dup),
+         |rl AS (
+         |  SELECT doc_id, max(cnt) AS max_run FROM (
+         |    SELECT doc_id, grp, count(*) AS cnt FROM runs
+         |    GROUP BY doc_id, grp) GROUP BY doc_id),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_shingles,
+         |    count(*) FILTER (dup) AS n_dup
+         |  FROM fl GROUP BY doc_id)
+         |SELECT a.doc_id, a.n_shingles, a.n_dup,
+         |  CAST(a.n_dup AS DOUBLE) / CAST(a.n_shingles AS DOUBLE) AS dup_share,
+         |  CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run
+         |FROM agg a LEFT JOIN rl r USING (doc_id)""".stripMargin,
+
+    // Gated kNN eval: the q222 readout over the q32 probe-list gate —
+    // the shared training CTEs + the shared gate CTEs, then the window
+    // rank WITHIN the gated candidate set; the left join from the query
+    // universe keeps gate-emptied queries visible as (NULL, 0, NULL).
+    "q238_knn_eval_gated" -> (EMB_CTE + IVF_TRAIN_CTES +
+      ivfGateCtes("vec_id < 10", 4, excludeSelf = true) +
+      """l AS (SELECT vec_id, label FROM embeddings),
+        |p2 AS (
+        |  SELECT cd.query_id, cd.vec_id, ql.label AS qlab, cl.label AS clab,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+        |      AS cosine
+        |  FROM cand cd
+        |  JOIN n q ON cd.query_id = q.vec_id
+        |  JOIN n c ON cd.vec_id = c.vec_id
+        |  JOIN l ql ON cd.query_id = ql.vec_id
+        |  JOIN l cl ON cd.vec_id = cl.vec_id),
+        |r AS (
+        |  SELECT query_id, qlab, clab,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM p2),
+        |agg AS (
+        |  SELECT query_id,
+        |    CAST(min(CASE WHEN clab = qlab THEN rank END) AS BIGINT)
+        |      AS first_rel_rank,
+        |    CAST(sum(CASE WHEN clab = qlab AND rank <= 5 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits_at_5
+        |  FROM r GROUP BY query_id)
+        |SELECT q2.vec_id AS query_id, a.first_rel_rank,
+        |  COALESCE(a.hits_at_5, 0) AS hits_at_5,
+        |  CAST(1.0 AS DOUBLE) / CAST(a.first_rel_rank AS DOUBLE) AS rr
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q2
+        |LEFT JOIN agg a ON q2.vec_id = a.query_id""".stripMargin),
+
+    // Gated label noise: the q236 majority spelling over the q32
+    // probe-list gate (50 queries) — the confident-learning audit as a
+    // production pipeline would actually run it.
+    "q239_label_noise_gated" -> (EMB_CTE + IVF_TRAIN_CTES +
+      ivfGateCtes("vec_id < 50", 4, excludeSelf = true) +
+      """l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+        |       FROM embeddings WHERE label IS NOT NULL),
+        |p2 AS (
+        |  SELECT cd.query_id, cd.vec_id, cl.lab AS clab,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+        |      AS cosine
+        |  FROM cand cd
+        |  JOIN n q ON cd.query_id = q.vec_id
+        |  JOIN n c ON cd.vec_id = c.vec_id
+        |  JOIN l cl ON cd.vec_id = cl.vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id, clab,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM p2),
+        |v AS (
+        |  SELECT query_id, clab, count(*) AS votes
+        |  FROM r WHERE rank <= 5 GROUP BY query_id, clab),
+        |m AS (
+        |  SELECT query_id, clab, votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY votes DESC, clab ASC) AS rn
+        |  FROM v)
+        |SELECT m.query_id, ol.lab AS own_label, m.clab AS pred_label,
+        |  m.votes,
+        |  CAST(CASE WHEN m.clab <> ol.lab THEN 1 ELSE 0 END AS BIGINT)
+        |    AS suspect
+        |FROM m JOIN l ol ON m.query_id = ol.vec_id
+        |WHERE m.rn = 1""".stripMargin),
+
+    // IVF-gate recall audit (the q179 shape): the q32 gated ranking's
+    // top-5 vs the q19 exact brute-force top-5, integer hits, /5.
+    "q240_ivf_recall" -> (EMB_CTE + IVF_TRAIN_CTES +
+      ivfGateCtes("vec_id < 10", 4, excludeSelf = false) +
+      """gs AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE)))
+        |      AS cosine
+        |  FROM cand c JOIN n q ON c.query_id = q.vec_id
+        |  JOIN n t ON c.vec_id = t.vec_id),
+        |gr AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM gs),
+        |g5 AS (SELECT query_id, vec_id FROM gr WHERE rank <= 5),
+        |bp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+        |      AS cosine
+        |  FROM n q, n c WHERE q.vec_id < 10),
+        |br AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM bp),
+        |b5 AS (SELECT query_id, vec_id FROM br WHERE rank <= 5),
+        |h AS (
+        |  SELECT b5.query_id, CAST(count(g5.vec_id) AS BIGINT) AS hits
+        |  FROM b5 LEFT JOIN g5
+        |    ON b5.query_id = g5.query_id AND b5.vec_id = g5.vec_id
+        |  GROUP BY b5.query_id)
+        |SELECT query_id, CAST(5 AS BIGINT) AS k, hits,
+        |  CAST(hits AS DOUBLE) / 5.0 AS recall
+        |FROM h""".stripMargin),
+
     // t-closeness: the same cross-multiplied HUGEINT terms over the
     // full class x value grid, floor-divided to ppm — pure integers.
     "q235_t_closeness" ->
@@ -9842,14 +10100,8 @@ object SparkEntry {
     // per-token windowed max (ROWS n-1 PRECEDING ≡ positions — the
     // token series is dense), ordered string_agg reassembly of the
     // uncovered tokens.
-    "q233_dedup_scrub" ->
-      s"""WITH toks AS (SELECT doc_id, $TOKENS_SQL AS tk FROM documents),
-         |ps AS (
-         |  SELECT doc_id, unnest(range(1, len(tk) - 1)) - 1 AS pos,
-         |    unnest(list_transform(range(1, len(tk) - 1),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
-         |  FROM toks),
-         |d AS (
+    "q233_dedup_scrub" -> (POS_TRI_PS_CTES +
+      s"""d AS (
          |  SELECT shingle FROM ps GROUP BY shingle
          |  HAVING count(DISTINCT doc_id) >= 2),
          |st AS (
@@ -9876,7 +10128,7 @@ object SparkEntry {
          |  COALESCE(a.n_tokens, 0) AS n_tokens,
          |  COALESCE(a.n_removed, 0) AS n_removed,
          |  COALESCE(a.clean_text, '') AS clean_text
-         |FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id""".stripMargin,
+         |FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id""".stripMargin),
 
     // Matryoshka recall: both rankings re-derived from the same
     // quantized lists (prefix = v[1..16]), the q19 window spelling for

@@ -86,10 +86,12 @@ object QuantizeEmbedding {
         .toDouble
     if (java.lang.Double.isNaN(r) ||
         r < Long.MinValue.toDouble || r > Long.MaxValue.toDouble)
-      throw new ArithmeticException(
-        s"graft_quantize overflow: component $d rounds to $r, outside " +
-          "BIGINT — embedding components must stay below ~9.2e13 on the " +
-          "1e5 quantization grid (ANSI CAST_OVERFLOW parity)")
+      // the SAME SparkArithmeticException (error class CAST_OVERFLOW) the
+      // replaced ANSI cast chain throws — callers matching on Spark error
+      // classes (or TRY-wrapped paths) behave identically to the HOF
+      // spelling. An embedding component would need |x| > ~9.2e13 on the
+      // 1e5 grid to get here, so a throw means corrupt input.
+      throw Bridge.castOverflowError(r, DoubleType, LongType)
     r.toLong
   }
 

@@ -231,15 +231,19 @@ object TextKernels {
     math.min(prev(m), inf).toLong
   }
 
-  /** [[WinnowFingerprints]] row kernel: rolling k-gram poly hash +
-    * monotonic-deque sliding minimum + distinct set, one pass over the
-    * codepoints. Value-identical to hashing each codepoint substring
-    * with [[SignatureKernels.polyHash]]. */
-  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+  /** Rolling codepoint k-gram poly hashes of `text`, positional: hs(i) =
+    * [[SignatureKernels.polyHash]] of the k-codepoint substring starting
+    * at position i (0-based), computed in ONE O(n) pass (drop the
+    * leaving codepoint's 31^(k-1) term, shift, add the entering one) —
+    * the shared front half of [[winnow]] and the char-grain dup-span
+    * family. Texts shorter than k codepoints yield an empty array. */
+  def charNgramHashes(text: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(rollingHashes(text, k))
+
+  private def rollingHashes(text: UTF8String, k: Int): Array[Long] = {
     val s = text.toString
-    // codepoints array
     val n = s.codePointCount(0, s.length)
-    if (n < k + w - 1) return new GenericArrayData(Array.empty[Long])
+    if (n < k) return Array.empty[Long]
     val cps = new Array[Int](n)
     var ci = 0
     var si = 0
@@ -253,7 +257,6 @@ object TextKernels {
     var t = 0
     while (t < k - 1) { pow = (pow * 31L) % Mod; t += 1 }
     val m = n - k + 1 // number of grams
-    // rolling hashes
     val hs = new Array[Long](m)
     var h = 0L
     var i = 0
@@ -266,13 +269,26 @@ object TextKernels {
       hs(i) = h
       i += 1
     }
+    hs
+  }
+
+  /** [[WinnowFingerprints]] row kernel: rolling k-gram poly hash +
+    * monotonic-deque sliding minimum + distinct set, one pass over the
+    * codepoints. Value-identical to hashing each codepoint substring
+    * with [[SignatureKernels.polyHash]]. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.codePointCount(0, s.length)
+    if (n < k + w - 1) return new GenericArrayData(Array.empty[Long])
+    val hs = rollingHashes(text, k)
+    val m = hs.length
     // sliding minimum over windows of w gram-hashes (indices in a
     // monotonic deque, front = current minimum)
     val selected = new java.util.HashSet[java.lang.Long]()
     val dq = new Array[Int](m)
     var head = 0
     var tail = 0 // exclusive
-    i = 0
+    var i = 0
     while (i < m) {
       while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
       dq(tail) = i; tail += 1
@@ -290,6 +306,9 @@ object TextKernels {
 
   def winnowOf(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))
+
+  def charNgramHashesOf(text: Column, k: Int): Column =
+    Bridge.column(CharNgramHashesOf(Bridge.expression(text), k))
 
   // ------------------------------------------------------- Column surface --
 
@@ -476,6 +495,35 @@ case class BpeMergeTokens(child: Expression, a: String, b: String)
 
   override protected def withNewChildInternal(newChild: Expression): BpeMergeTokens =
     copy(child = newChild)
+}
+
+/** Positional rolling codepoint k-gram poly hashes of a string column —
+  * element i is `graft_char_poly_hash(substring(text, i+1, k))`, all m =
+  * n−k+1 of them in ONE O(n) codegen pass instead of m O(k) substring
+  * hashes (and with no m×k-char gram materialization at all) — the char
+  * grain of the dup-span family's posting generator, where the word
+  * grain is [[PosNgramsOf]]. Short texts (< k codepoints) yield an
+  * empty array. */
+case class CharNgramHashesOf(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "char n-gram size must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_ngram_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.charNgramHashes(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.charNgramHashes($c, $k);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharNgramHashesOf = copy(child = newChild)
 }
 
 /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,

@@ -196,9 +196,7 @@ object Similarity {
   def knnLabelEval(emb: DataFrame, idCol: String, embCol: String,
                    labelCol: String,
                    queryPred: Column, k: Int): DataFrame = {
-    val base = emb.select(col(idCol), col(labelCol).as("__lab"),
-        quantize(col(embCol)).as("__v"))
-      .withColumn("__n", intDot(col("__v"), col("__v")))
+    val base = labeledBase(emb, idCol, embCol, labelCol, castLong = false)
     val q = base.where(queryPred)
       .select(col(idCol).as("query_id"), col("__lab").as("__qlab"),
         col("__v").as("__qv"), col("__n").as("__qn"))
@@ -208,6 +206,29 @@ object Similarity {
         cosineQ(intDot(col("__qv"), col("__v")), col("__qn"), col("__n"))
           .as("cosine"))
       .localCheckpoint(eager = false)
+    knnEvalReadout(q.select(col("query_id")), scored, idCol, k)
+  }
+
+  /** The (id, __lab, __v, __n) prologue every labeled-retrieval operator
+    * binds: label (optionally cast to int64 — the classify/noise family's
+    * all-int surface), quantized vector, squared norm. One definition so
+    * the exact and IVF-gated variants can never prepare apart. */
+  private def labeledBase(emb: DataFrame, idCol: String, embCol: String,
+                          labelCol: String, castLong: Boolean): DataFrame =
+    emb.select(col(idCol),
+        (if (castLong) col(labelCol).cast("long") else col(labelCol))
+          .as("__lab"),
+        quantize(col(embCol)).as("__v"))
+      .withColumn("__n", intDot(col("__v"), col("__v")))
+
+  /** [[knnLabelEval]]'s metric readout (hits@k via bounded top-k,
+    * first_rel_rank via the aggregate rank identity, rr) over a prepared
+    * scored-pair frame (query_id, idCol, __qlab, __lab, cosine) — shared
+    * by the exact and IVF-gated variants so the rank identity has ONE
+    * spelling. `qIds` is the query universe (one row per query_id);
+    * queries with no scored candidate surface (NULL, 0, NULL). */
+  private def knnEvalReadout(qIds: DataFrame, scored: DataFrame,
+                             idCol: String, k: Int): DataFrame = {
     val hits = topKPerQuery(scored, idCol, k)
       .groupBy("query_id")
       .agg(sum(when(col("__lab") === col("__qlab"), 1L).otherwise(0L))
@@ -221,12 +242,65 @@ object Similarity {
       .agg((sum(when(col("cosine") > col("__bcos") ||
           (col("cosine") === col("__bcos") && col(idCol) < col("__rid")),
           1L).otherwise(0L)) + 1L).as("first_rel_rank"))
-    q.select(col("query_id"))
+    qIds
       .join(firstRel, Seq("query_id"), "left")
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"), col("first_rel_rank"),
         coalesce(col(s"hits_at_$k"), lit(0L)).as(s"hits_at_$k"),
         (lit(1.0) / col("first_rel_rank").cast("double")).as("rr"))
+  }
+
+  /** IVF-gated labeled scoring pass — the 100 TB shape of the whole
+    * retrieval-eval family, registered instead of prose: each query
+    * probes its `nProbe` nearest inverted lists under the caller's
+    * trained coarse quantizer (EXACTLY the [[ivfTopK]] gate q32 proves)
+    * and scores only corpus vectors assigned to those lists, so the
+    * per-query candidate volume is ~nProbe/nCentroids of the corpus
+    * instead of all of it. Self is excluded; assignment, probe order,
+    * and cosine are the same exact integer arithmetic as [[ivfTopK]],
+    * so every gated readout stays hash-checkable. Input `base` is a
+    * [[labeledBase]] frame; output is (query_id, idCol, __qlab, __lab,
+    * cosine) — the [[knnEvalReadout]]/[[majorityVotes]] contract. */
+  private def ivfGatedScored(base: DataFrame, idCol: String,
+                             queryPred: Column, cents: Seq[Seq[Long]],
+                             nProbe: Int): DataFrame = {
+    require(nProbe > 0 && nProbe <= cents.size,
+      s"nProbe must be in [1, ${cents.size}], got $nProbe")
+    val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
+    val withKey = base.withColumn("__key", centKeys(cents, cNorms, col("__v")))
+    val c = withKey.withColumn("list_id", nearestCid)
+      .select(col(idCol), col("__lab"), col("__v"), col("__n"),
+        col("list_id"))
+    val q = withKey.where(queryPred)
+      .withColumn("__probe", probeListCol(cents.size, nProbe))
+      .select(col(idCol).as("query_id"), col("__lab").as("__qlab"),
+        col("__v").as("__qv"), col("__n").as("__qn"),
+        explode(col("__probe")).as("list_id"))
+    // each corpus vector lives in exactly ONE list and each query probes
+    // nProbe DISTINCT lists, so a (query, candidate) pair joins at most
+    // once — no dedup needed (the ivfTopK invariant)
+    c.join(broadcast(q), Seq("list_id"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col("__qlab"), col("__lab"),
+        cosineQ(intDot(col("__qv"), col("__v")), col("__qn"), col("__n"))
+          .as("cosine"))
+  }
+
+  /** [[knnLabelEval]] composed over the IVF probe-list gate — MRR,
+    * hits@k, and first-relevant rank computed against the candidates in
+    * each query's `nProbe` probed lists instead of the full corpus (the
+    * q32 gate applied to the q222 readout). Ranks are ranks WITHIN the
+    * gated candidate set — the number a production retrieval system
+    * actually observes; the recall delta the gate introduces vs the
+    * exact ranking is pinned separately (the q179/q240 audit). */
+  def knnLabelEvalGated(emb: DataFrame, idCol: String, embCol: String,
+                        labelCol: String, queryPred: Column, k: Int,
+                        cents: Seq[Seq[Long]], nProbe: Int): DataFrame = {
+    val base = labeledBase(emb, idCol, embCol, labelCol, castLong = false)
+    val scored = ivfGatedScored(base, idCol, queryPred, cents, nProbe)
+      .localCheckpoint(eager = false)
+    knnEvalReadout(base.where(queryPred).select(col(idCol).as("query_id")),
+      scored, idCol, k)
   }
 
   /** kNN label propagation — the standard semi-supervised labeling /
@@ -244,9 +318,7 @@ object Similarity {
   def knnClassify(emb: DataFrame, idCol: String, embCol: String,
                   labelCol: String,
                   queryPred: Column, k: Int): DataFrame = {
-    val base = emb.select(col(idCol), col(labelCol).cast("long").as("__lab"),
-        quantize(col(embCol)).as("__v"))
-      .withColumn("__n", intDot(col("__v"), col("__v")))
+    val base = labeledBase(emb, idCol, embCol, labelCol, castLong = true)
     val q = base.where(queryPred)
       .select(col(idCol).as("query_id"), col("__v").as("__qv"),
         col("__n").as("__qn"))
@@ -256,17 +328,42 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("__lab"),
         cosineQ(intDot(col("__qv"), col("__v")), col("__qn"), col("__n"))
           .as("cosine"))
+    majorityVotes(scored, idCol, k)
+  }
+
+  /** [[knnClassify]]'s k-neighbor majority over a prepared scored frame
+    * (query_id, idCol, __lab, cosine) — shared by the exact and
+    * IVF-gated variants. Majority via struct-max (votes desc, label
+    * asc) — an aggregate, not a per-query window: the vote frame is ≤ k
+    * rows per query but the aggregate spelling keeps the reduction
+    * map-side-combinable. */
+  private def majorityVotes(scored: DataFrame, idCol: String,
+                            k: Int): DataFrame = {
     val votes = topKPerQuery(scored, idCol, k)
       .groupBy(col("query_id"), col("__lab"))
       .agg(count(lit(1)).as("votes"))
-    // majority via struct-max (votes desc, label asc) — an aggregate,
-    // not a per-query window: the vote frame is ≤ k rows per query but
-    // the aggregate spelling keeps the reduction map-side-combinable
     val m = votes.groupBy("query_id")
       .agg(max(struct(col("votes"), (-col("__lab")).as("negLab")))
         .as("__m"))
     m.select(col("query_id"), (-col("__m.negLab")).as("pred_label"),
       col("__m.votes").as("votes"))
+  }
+
+  /** [[knnClassify]] composed over the IVF probe-list gate (the q32
+    * gate applied to the q224 majority): neighbors come from the
+    * query's `nProbe` probed lists only — the label-propagation shape
+    * that actually runs at 100 TB. NULL-label candidates are excluded
+    * AFTER gating (an unknown label cannot vote); Catalyst pushes the
+    * filter below the probe join, so no labeled-out row ever rides
+    * the shuffle. */
+  def knnClassifyGated(emb: DataFrame, idCol: String, embCol: String,
+                       labelCol: String, queryPred: Column, k: Int,
+                       cents: Seq[Seq[Long]], nProbe: Int): DataFrame = {
+    val base = labeledBase(emb, idCol, embCol, labelCol, castLong = true)
+    val scored = ivfGatedScored(base, idCol, queryPred, cents, nProbe)
+      .where(col("__lab").isNotNull)
+      .select(col("query_id"), col(idCol), col("__lab"), col("cosine"))
+    majorityVotes(scored, idCol, k)
   }
 
   /** Label-noise audit (the kNN-disagreement core of confident
@@ -279,8 +376,27 @@ object Similarity {
     * broadcast-queries bounded-top-k shape as the rest of the family. */
   def labelNoiseAudit(emb: DataFrame, idCol: String, embCol: String,
                       labelCol: String,
-                      queryPred: Column, k: Int): DataFrame = {
-    val pred = knnClassify(emb, idCol, embCol, labelCol, queryPred, k)
+                      queryPred: Column, k: Int): DataFrame =
+    noiseReadout(emb, idCol, labelCol,
+      knnClassify(emb, idCol, embCol, labelCol, queryPred, k))
+
+  /** [[labelNoiseAudit]] composed over the IVF probe-list gate — the
+    * disagreement audit a 100 TB pipeline actually runs: the kNN
+    * majority comes from [[knnClassifyGated]]'s probe-list neighbors
+    * instead of a full-corpus scan. Same all-int64 surface. */
+  def labelNoiseAuditGated(emb: DataFrame, idCol: String, embCol: String,
+                           labelCol: String, queryPred: Column, k: Int,
+                           cents: Seq[Seq[Long]], nProbe: Int): DataFrame =
+    noiseReadout(emb, idCol, labelCol,
+      knnClassifyGated(emb, idCol, embCol, labelCol, queryPred, k,
+        cents, nProbe))
+
+  /** The own-label disagreement join shared by the exact and gated
+    * noise audits: inner on query_id, so a query whose own label is
+    * NULL (nothing to audit) or whose neighborhood produced no majority
+    * drops out — the q236 contract. */
+  private def noiseReadout(emb: DataFrame, idCol: String, labelCol: String,
+                           pred: DataFrame): DataFrame = {
     val own = emb.where(col(labelCol).isNotNull)
       .select(col(idCol).as("query_id"),
         col(labelCol).cast("long").as("own_label"))

@@ -84,6 +84,38 @@ object GtfsRtWrite {
 
   def manifestName(sanitizedQid: String): String =
     s"commit-$sanitizedQid.manifest"
+
+  /** The manifest-publish step — ONE reader-visible rename, preceded by
+    * a hidden temp write + hsync (close() alone does not fsync on local
+    * or HDFS filesystems; without the explicit hsync a machine crash
+    * after the rename could surface a truncated manifest whose torn
+    * last line then fails reads loudly until repaired). Extracted so
+    * the connector's batch commit and the parquet compaction executor
+    * ([[graft.operators.Compaction]]) share one spelling of the
+    * crash-safety discipline. Callers must have ALREADY staged their
+    * data under hidden (underscore-prefixed) paths: everything before
+    * this rename must leave zero new files visible to readers. */
+  def publishManifest(fs: org.apache.hadoop.fs.FileSystem, target: Path,
+                      qid: String, relativePaths: Seq[String]): Unit = {
+    val manifest = new Path(target, manifestName(qid))
+    val tmpManifest = new Path(target, s"_manifest-tmp-$qid")
+    val out = fs.create(tmpManifest, true)
+    try {
+      out.write(relativePaths.sorted.map(p => s"$p\n").mkString
+        .getBytes("UTF-8"))
+      try out.hsync()
+      catch { case _: UnsupportedOperationException =>
+        // stream isn't Syncable (some FS wrappers): crash-durability
+        // reverts to the filesystem's own close semantics
+      }
+    } finally out.close()
+    if (!fs.rename(tmpManifest, manifest)) {
+      fs.delete(tmpManifest, false)
+      throw new java.io.IOException(
+        s"commit rename failed: $tmpManifest -> $manifest — no new " +
+          "files are visible to readers (the data dir stays hidden)")
+    }
+  }
 }
 
 final case class GtfsRtCommitMessage(files: Seq[String])
@@ -125,29 +157,11 @@ final class GtfsRtBatchWrite(path: String, queryId: String,
     if (!fs.rename(tempDir, dataDir))
       throw new java.io.IOException(
         s"commit rename failed: $tempDir -> $dataDir")
-    // the manifest publish is the ONE reader-visible step: write to an
-    // underscore-hidden temp name, hsync, single rename. close() alone
-    // does NOT fsync on local or HDFS filesystems — without the explicit
-    // hsync a machine crash after the rename could surface a truncated
-    // manifest whose torn last line then fails reads (loudly, with the
-    // stale-manifest error) until repaired
-    val tmpManifest = new Path(target, s"_manifest-tmp-$qid")
-    val out = fs.create(tmpManifest, true)
-    try {
-      out.write(committed.sorted
-        .map(n => s"_data-$qid/$n\n").mkString.getBytes("UTF-8"))
-      try out.hsync()
-      catch { case _: UnsupportedOperationException =>
-        // stream isn't Syncable (some FS wrappers): crash-durability
-        // reverts to the filesystem's own close semantics
-      }
-    } finally out.close()
-    if (!fs.rename(tmpManifest, manifest)) {
-      fs.delete(tmpManifest, false)
-      throw new java.io.IOException(
-        s"commit rename failed: $tmpManifest -> $manifest — no new " +
-          "files are visible to readers (the data dir stays hidden)")
-    }
+    // the manifest publish is the ONE reader-visible step — the shared
+    // [[GtfsRtWrite.publishManifest]] discipline (hidden temp + hsync +
+    // single rename)
+    GtfsRtWrite.publishManifest(fs, target, qid,
+      committed.map(n => s"_data-$qid/$n").toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -667,11 +667,45 @@ object CorpusOps {
     * token count. Documents shorter than `n` tokens have no shingles and
     * are absent from the output, mirroring the oracle. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-               n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pos = docs.select(col(idCol),
+               n: Int): DataFrame =
+    spanReadout(docs.select(col(idCol),
       posexplode(TextAnalysis.posNgrams(TextAnalysis.tokens(col(textCol)), n))
-        .as(Seq("pos", "shingle")))
+        .as(Seq("pos", "shingle"))), idCol)
+
+  /** [[dupSpans]] at CHARACTER grain — the grain Lee et al. 2021's
+    * suffix-array pass actually operates at (§4: duplicated substrings
+    * of ≥ 50 tokens are found character-wise; the word-n-gram spelling
+    * in [[dupSpans]] can only see duplication that survives whitespace
+    * tokenization). Each position's k-codepoint window is represented
+    * by its rolling polynomial hash
+    * ([[graft.expressions.TextKernels.charNgramHashes]] — ONE O(n)
+    * codegen pass per document, value-identical to hashing every
+    * substring, mirrored in SQL as `charPolyHash(substr(text, i, k))`),
+    * so the posting explode ships 8 bytes per position instead of k
+    * chars. A duplicated char-span of L ≥ k codepoints shows up as a
+    * run of L−k+1 duplicated positions, so `max_run + k − 1`
+    * lower-bounds the longest cross-document duplicated SUBSTRING.
+    * Hash grain caveat (documented trade): two distinct windows
+    * colliding under the 1e9+7 poly hash would count as duplicated —
+    * ~m²/2e9 expected false positives corpus-wide, negligible against
+    * float32-noise-level thresholds, and the same trade q197's
+    * winnowing and every MinHash path already makes. Same output shape
+    * and scale analysis as [[dupSpans]]; documents shorter than k
+    * codepoints have no windows and are absent. */
+  def charDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame =
+    spanReadout(docs.select(col(idCol),
+      posexplode(graft.expressions.TextKernels
+          .charNgramHashesOf(col(textCol), k))
+        .as(Seq("pos", "shingle"))), idCol)
+
+  /** The dup-span readout over a prepared positional posting frame
+    * (idCol, pos, shingle) — shared by the word ([[dupSpans]]) and char
+    * ([[charDupSpans]]) grains so the duplicated-shingle set, the
+    * islands run-length trick, and the share arithmetic have ONE
+    * spelling. */
+  private def spanReadout(pos: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dup = pos.groupBy("shingle")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .where(col("__nd") >= 2L).select(col("shingle"), lit(true).as("__dup"))
@@ -1135,16 +1169,30 @@ object CorpusOps {
     * state bounded by the document length. All-integer flags, one
     * string surface (the cleaned text — exact token join, no float). */
   def dedupScrub(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int): DataFrame = {
+                 n: Int, hotDf: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"span grain must be >= 1, got $n")
+    require(hotDf >= 2L, s"hotDf must be >= 2, got $hotDf")
     val toks = docs.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("__tk"))
     val pos = toks.select(col(idCol),
       posexplode(TextAnalysis.posNgrams(col("__tk"), n))
         .as(Seq("pos", "shingle")))
+    // cap-and-observe (the q38/q158 posting discipline, VERDICT r11):
+    // the per-shingle distinct-doc count is map-side-combinable, so a
+    // boilerplate corpus (one shingle in most documents) cannot BREAK
+    // the aggregate — but it should not stay invisible either. The
+    // "dedup_scrub" metric surfaces the hot tail: shingles whose
+    // document frequency exceeds hotDf, the max df seen, and the dup
+    // count, so a 100 TB run can alert on boilerplate hot keys without
+    // changing the scrub's semantics (no shingle is dropped — a hot
+    // shingle is exactly a duplicate worth scrubbing).
     val dup = pos.groupBy("shingle")
       .agg(countDistinct(col(idCol)).as("__nd"))
+      .observe("dedup_scrub",
+        sum(when(col("__nd") > hotDf, 1L).otherwise(0L)).as("hot_shingles"),
+        max(col("__nd")).as("max_df"),
+        sum(when(col("__nd") >= 2L, 1L).otherwise(0L)).as("dup_shingles"))
       .where(col("__nd") >= 2L)
       .select(col("shingle"), lit(1L).as("__st"))
     val starts = pos.join(dup, Seq("shingle"))
@@ -1177,10 +1225,12 @@ object CorpusOps {
     * known quality hazard for monolingual training slices, and the
     * half-split is the cheapest detector that needs no per-segment
     * model. Deterministic end-to-end: integer marker counts, the
-    * language-ID pass's fixed tie order, and a boolean flag; an
-    * empty or sub-2-token doc scores 0 everywhere and both halves
-    * resolve to the tie-order head — never mixed. Scale shape: one
-    * projection, no explode, no join, no shuffle. */
+    * language-ID pass's fixed tie order, and a boolean flag; an EMPTY
+    * doc scores 0 everywhere and both halves resolve to the tie-order
+    * head — never mixed. (A 1-token doc splits into an empty head and a
+    * 1-token tail, so the tail CAN language-ID away from the tie-order
+    * head and flag as mixed — a deliberate edge both engines agree on.)
+    * Scale shape: one projection, no explode, no join, no shuffle. */
   def codeSwitch(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val bound = docs.select(col(idCol),

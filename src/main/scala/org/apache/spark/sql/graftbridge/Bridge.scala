@@ -27,6 +27,17 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Spark's own CAST_OVERFLOW error (SparkArithmeticException with the
+    * engine's error class), for native kernels that replicate an ANSI
+    * cast and must fail with the SAME exception the built-in chain
+    * throws — `QueryExecutionErrors` is `private[sql]`. */
+  def castOverflowError(value: Any,
+                        from: org.apache.spark.sql.types.DataType,
+                        to: org.apache.spark.sql.types.DataType)
+      : ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors
+      .castingCauseOverflowError(value, from, to)
+
   /** The checkpointed RDD behind a `localCheckpoint`'d Dataset, if any.
     * `Dataset.unpersist` only clears CacheManager entries; a local
     * checkpoint's blocks are an RDD-LEVEL persist on the `LogicalRDD`

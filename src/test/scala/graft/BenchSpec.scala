@@ -54,6 +54,27 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains(""""q03":0.20"""), json)
   }
 
+  test("a recorded wide run-to-run band (third reference column) widens " +
+    "that query's tolerance — 2x on a rel_mad=0.3 query does not flag, " +
+    "the identical 2x on a tight query does; the 1.6 floor holds for " +
+    "small rel_mad") {
+    // q03 carries rel_mad 0.3 -> tol = 1 + 6*0.3 = 2.8; q04 rel_mad
+    // 0.01 -> tol floors at 1.6; q05 has no third column -> 1.6
+    val ref = "q01 1.0\nq02 2.0\nq03 4.0 0.3000\nq04 4.0 0.0100\nq05 4.0\n"
+    val wide = Seq("q01" -> 1.0, "q02" -> 2.0, "q03" -> 8.0,
+      "q04" -> 4.0, "q05" -> 4.0)
+    val json1 = comp(wide, ref)
+    assert(json1.contains(""""uniform":true"""), json1)
+    val tight = Seq("q01" -> 1.0, "q02" -> 2.0, "q03" -> 4.0,
+      "q04" -> 8.0, "q05" -> 4.0)
+    val json2 = comp(tight, ref)
+    assert(json2.contains(""""q04":2.00"""), json2)
+    val legacy = Seq("q01" -> 1.0, "q02" -> 2.0, "q03" -> 4.0,
+      "q04" -> 4.0, "q05" -> 8.0)
+    val json3 = comp(legacy, ref)
+    assert(json3.contains(""""q05":2.00"""), json3)
+  }
+
   test("queries missing from the reference (new since it was recorded) " +
     "and zero-median failures are excluded, not misclassified") {
     val ref = "q01 1.0\nq02 2.0\n"

@@ -64,6 +64,9 @@ class HashSurfaceSpec extends SparkSpec {
     "q134_stop_pagerank" -> Set("pagerank"),
     "q135_jl_topk" -> Set("cosine"),
     "q137_dup_spans" -> Set("dup_share"),
+    // n_dup / n_shingles — both <2^53 integers, one mirrored divide
+    // (the q137 discipline at char grain)
+    "q237_char_dup_spans" -> Set("dup_share"),
     "q139_gap_fill" -> Set("day_value"),
     "q13_json_extract" -> Set("avg_value"),
     "q140_interpolate" -> Set("value_filled"),
@@ -116,6 +119,10 @@ class HashSurfaceSpec extends SparkSpec {
     // divide is mirrored exactly (CAST(1.0 AS DOUBLE)/CAST(rank AS
     // DOUBLE) on the oracle side)
     "q222_knn_eval" -> Set("rr"),
+    // the same rr divide over the IVF-gated rank (integer <2^53)
+    "q238_knn_eval_gated" -> Set("rr"),
+    // hits/5 — the q179 recall discipline applied to the IVF gate
+    "q240_ivf_recall" -> Set("recall"),
     "q22_quality" -> Set("ttr", "avg_token_len", "stopword_ratio", "quality_score"),
     "q23_token_stats" -> Set("chars_per_token"),
     "q30_weather_attach" -> Set("temperature"),

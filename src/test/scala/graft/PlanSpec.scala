@@ -173,7 +173,10 @@ class PlanSpec extends SparkSpec {
       "q221_hard_negatives", "q222_knn_eval", "q224_knn_classify",
       "q226_repeat_plan", "q229_triplet_margin",
       "q231_perplexity_buckets", "q232_matryoshka_recall",
-      "q235_t_closeness", "q236_label_noise")
+      "q235_t_closeness", "q236_label_noise",
+      // q240 embeds the q19 brute-force baseline it audits the IVF gate
+      // against (the q179 shape); the gated side itself is key-based
+      "q240_ivf_recall")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

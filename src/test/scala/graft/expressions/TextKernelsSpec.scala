@@ -88,6 +88,26 @@ class TextKernelsSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("charNgramHashes kernel == charPolyHash over every codepoint " +
+    "substring, for k = 1..13 including multibyte texts and short docs") {
+    for (k <- Seq(1, 2, 3, 8, 12, 13)) {
+      // executable spec: hash each k-codepoint substring independently
+      val spec = transform(
+        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(0))),
+        i => TextAnalysis.charPolyHash(col("text").substr(i, lit(k))))
+      val got = texts.select(
+        TextKernels.charNgramHashesOf(col("text"), k).as("native"),
+        when(length(col("text")) >= k, spec)
+          .otherwise(array().cast("array<bigint>")).as("spec")).collect()
+      got.foreach(r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"k=$k"))
+    }
+    // null text → NULL array (UnaryExpression null propagation)
+    val n = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+      .select(TextKernels.charNgramHashesOf(col("text"), 3)).head()
+    assert(n.isNullAt(0))
+  }
+
   test("boundedLevenshtein == min(built-in levenshtein, d+1) on random " +
     "pairs and edge cases, for d = 0..4, and participates in codegen") {
     import spark.implicits._

@@ -157,6 +157,83 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("gated kNN family: nProbe = nCentroids is pass-through (equals " +
+    "the exact variants row-for-row); a narrow gate never adds hits") {
+    import spark.implicits._
+    val corpus = vecs(40, seed = 19L)
+    val df = corpus.map { case (id, v) => (id, v, (id % 3L).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val pred = org.apache.spark.sql.functions.col("vec_id") < 5
+    val cents = corpus.take(4).map(_._2.map(x =>
+      math.round(x.toDouble * Similarity.Scale)))
+    def evalKey(df: DataFrame): Map[Long, (Option[Long], Long, Option[Double])] =
+      df.collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // pass-through: probing every list scores the whole corpus — the
+    // gated spelling must reproduce the exact variant bit-for-bit
+    val exactEval = evalKey(Similarity.knnLabelEval(df, "vec_id",
+      "embedding", "label", pred, k = 5))
+    val fullGate = evalKey(Similarity.knnLabelEvalGated(df, "vec_id",
+      "embedding", "label", pred, k = 5, cents, nProbe = cents.size))
+    assert(fullGate === exactEval)
+    val exactNoise = Similarity.labelNoiseAudit(df, "vec_id", "embedding",
+        "label", pred, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val fullNoise = Similarity.labelNoiseAuditGated(df, "vec_id",
+        "embedding", "label", pred, k = 5, cents, nProbe = cents.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(fullNoise === exactNoise)
+    // a narrow gate (nProbe = 1): recompute the WHOLE gated path naively
+    // — exact integer cos-key assignment (sign·⌊dot²·10⁹/cnrm⌋, smallest
+    // cid ties), single-list candidates, metrics over the gated ranking.
+    // NOTE hits@k is deliberately NOT compared against the exact
+    // variant's: shrinking the candidate set can PROMOTE same-label
+    // neighbors into the top-k, so the gated hits can exceed the exact
+    // ones — only the independent recomputation is a valid pin.
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * Similarity.Scale))
+    def key(v: Seq[Long], c: Seq[Long]): Option[BigInt] = {
+      val cnrm = c.map(x => BigInt(x) * x).sum
+      if (cnrm == 0) None
+      else {
+        val dot = v.zip(c).map { case (a, b) => BigInt(a) * b }.sum
+        val mag = dot * dot * BigInt(1000000000) / cnrm
+        Some(if (dot < 0) -mag else mag)
+      }
+    }
+    def assignCid(v: Seq[Long]): Int = {
+      val keys = cents.map(c => key(v, c))
+      val valid = keys.zipWithIndex.collect { case (Some(k0), j) => (k0, j) }
+      if (valid.isEmpty) 1
+      else valid.maxBy { case (k0, j) => (k0, -j) }._2 + 1
+    }
+    val qv = corpus.map { case (id, v) => id -> quant(v) }.toMap
+    val cid = corpus.map { case (id, _) => id -> assignCid(qv(id)) }.toMap
+    val narrow = evalKey(Similarity.knnLabelEvalGated(df, "vec_id",
+      "embedding", "label", pred, k = 5, cents, nProbe = 1))
+    assert(narrow.keySet === (0L until 5L).toSet)
+    for (q <- 0L until 5L) {
+      val lab = (q % 3L).toInt
+      val qq = qv(q)
+      val qn = math.sqrt(qq.map(x => x * x).sum.toDouble)
+      val ranked = corpus
+        .filter { case (c, _) => c != q && cid(c) == cid(q) }
+        .map { case (c, _) =>
+          val cv = qv(c)
+          val dot = qq.zip(cv).map { case (a, b) => a * b }.sum
+          (c, dot / (qn * math.sqrt(cv.map(x => x * x).sum.toDouble)))
+        }.sortBy { case (c, cos) => (-cos, c) }
+      val rel = ranked.indexWhere { case (c, _) => c % 3L == lab }
+      val expFirst = if (rel < 0) None else Some(rel + 1L)
+      val expHits = ranked.take(5).count { case (c, _) => c % 3L == lab }.toLong
+      assert(narrow(q) === ((expFirst, expHits,
+        expFirst.map(r => 1.0 / r))), s"query $q")
+    }
+  }
+
   test("clusterPurity: hand-checked contingency over the shared " +
     "assignment — sizes, majority with smallest-label ties, floor ppm") {
     import spark.implicits._

@@ -624,6 +624,37 @@ class CorpusOpsSpec extends SparkSpec {
       4L -> ((0L, 0L, ""))))
   }
 
+  test("dedupScrub observes the posting hot tail: a boilerplate shingle " +
+    "in every doc surfaces in hot_shingles/max_df, and the metric " +
+    "changes NO output row") {
+    import spark.implicits._
+    // 'the same boiler plate' in all 6 docs -> its 2 trigrams have df 6;
+    // each doc's own distinct tail token keeps the docs distinct
+    val docs = (1L to 6L)
+      .map(i => (i, s"the same boiler plate t$i"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.dedupScrub(docs, "doc_id", "text", n = 3,
+      hotDf = 5L)
+    val rows = out.collect()
+    // the boilerplate head scrubs everywhere; the doc-unique tail token
+    // survives in each (covered only by windows that start in the dup
+    // region up to n-1 before it -> 'plate t_i' windows: 'boiler plate
+    // t_i' is unique per doc, so t_i is NOT covered... compute: dup
+    // trigrams are 'the same boiler' (df 6) and 'same boiler plate'
+    // (df 6); covered positions per doc = 0..4 minus those beyond
+    // coverage: starts at 0 and 1, window n=3 covers pos 0..2 and 1..3
+    // -> tokens 0..3 scrub, token 4 (t_i) survives
+    rows.foreach { r =>
+      assert(r.getLong(1) === 5L)
+      assert(r.getLong(2) === 4L)
+      assert(r.getString(3) === s"t${r.getLong(0)}")
+    }
+    val m = out.queryExecution.observedMetrics("dedup_scrub")
+    assert(m.getLong(0) === 2L) // hot_shingles: both boilerplate trigrams
+    assert(m.getLong(1) === 6L) // max_df
+    assert(m.getLong(2) === 2L) // dup_shingles
+  }
+
   test("codeSwitch: disagreeing halves flag mixed, agreeing and empty " +
     "docs do not, and the odd-length split gives the tail the extra " +
     "token") {

@@ -46,6 +46,11 @@ def main() -> int:
               file=sys.stderr)
         return 1
     qs = {k: v for k, v in full["queries"].items() if v > 0}
+    # relative MAD across the run's passes (Bench's "spread" map, added
+    # r12) becomes the third column: Bench.comparabilityJson widens that
+    # query's outlier tolerance to max(1.6, 1 + 6*rel_mad). Older logs
+    # without the map write two columns (global 1.6 everywhere).
+    spread = full.get("spread", {})
     total = sum(qs.values())
     with open(out_path, "w") as f:
         f.write(
@@ -56,10 +61,17 @@ def main() -> int:
             f"# {len(qs)} queries, {total:.1f} s total, zero errors.\n"
             "# Regenerate with tools/regen_bench_reference.py after an\n"
             "# intentional perf change or when the registry grows.\n"
+            "# Columns: <query> <median_sec> [<rel_mad>] - the third\n"
+            "# widens that query's comparability tolerance per its own\n"
+            "# recorded run-to-run band.\n"
             f"# sfdir: {full['sf']}\n")
         for name in sorted(qs):
-            f.write(f"{name} {qs[name]:.4f}\n")
-    print(f"wrote {out_path}: {len(qs)} queries, {total:.1f} s total")
+            if name in spread:
+                f.write(f"{name} {qs[name]:.4f} {spread[name]:.4f}\n")
+            else:
+                f.write(f"{name} {qs[name]:.4f}\n")
+    print(f"wrote {out_path}: {len(qs)} queries, {total:.1f} s total, "
+          f"{len(spread)} with spread")
     return 0
 
 
