@@ -5553,6 +5553,28 @@ object SparkEntry {
         "embedding", "label", col("vec_id") < 50, k = 5,
         cents = ivfTrained(s, dir, 16, 2), nProbe = 4)),
 
+    // Char-grain contamination score — q132's graded decontamination
+    // readout at the character grain published overlap policies
+    // threshold (12-codepoint windows here), hashed by the q237 rolling
+    // kernel; same train/eval split as q48/q132.
+    "q243_char_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      text.CorpusOps.charContaminationScore(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 12)
+    }),
+
+    // IVF-GATED triplet-margin audit — the last member of the
+    // retrieval-eval family's registered scale path (q229 over the q32
+    // gate): best positive and hardest negative drawn from the probed
+    // lists only, ranked and compared by the same float-free integer
+    // cosine key.
+    "q242_triplet_margin_gated" -> ((s, dir) =>
+      Similarity.tripletMarginGated(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 10,
+        cents = ivfTrained(s, dir, 16, 2), nProbe = 4)),
+
     // The gate's recall delta, pinned (the q179 audit pattern applied
     // to the IVF gate): recall@5 of the q32 probe-list ranking against
     // the q19 exact brute-force ranking, per query — the measured cost
@@ -5781,6 +5803,22 @@ object SparkEntry {
        |  SELECT p.query_id, a.vec_id FROM probe p JOIN assign a ON p.cid = a.cid$selfFilter),
        |""".stripMargin
   }
+
+  /** Char 12-gram rolling-hash postings `ch` (doc_id, pos, h) over
+    * documents — grams via 1-based substr (codepoint semantics both
+    * engines), the SAME poly hash as the Spark kernel (the q197
+    * winnowing mirror discipline: the oracle spells the per-substring
+    * derivation, the hash match proves the rolling kernel). Shared by
+    * q237 (char dup spans) and q243 (char contamination) so the char
+    * grain has ONE spelling. Lazy: built via charPolySql. */
+  private lazy val CHAR12_CTES: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(range(1, length(text) - 10)) - 1 AS pos,
+       |    unnest(list_transform(range(1, length(text) - 10),
+       |      i -> substr(text, i, 12))) AS gram
+       |  FROM documents),
+       |ch AS (SELECT doc_id, pos, ${charPolySql("gram")} AS h FROM g),
+       |""".stripMargin
 
   /** q136's sequential bin plan (per-(event_type, day) "file" rows →
     * cumulative-DIV-500 bins) — shared by the q136 plan readout and the
@@ -9905,19 +9943,13 @@ object SparkEntry {
     // discipline: the oracle spells the per-substring derivation, the
     // hash match proves the rolling kernel), then dup set / islands /
     // share verbatim from q137.
-    "q237_char_dup_spans" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, unnest(range(1, length(text) - 10)) - 1 AS pos,
-         |    unnest(list_transform(range(1, length(text) - 10),
-         |      i -> substr(text, i, 12))) AS gram
-         |  FROM documents),
-         |h AS (SELECT doc_id, pos, ${charPolySql("gram")} AS shingle FROM g),
-         |d AS (
-         |  SELECT shingle FROM h GROUP BY shingle
+    "q237_char_dup_spans" -> (CHAR12_CTES +
+      s"""d AS (
+         |  SELECT h AS shingle FROM ch GROUP BY h
          |  HAVING count(DISTINCT doc_id) >= 2),
          |fl AS (
-         |  SELECT h.doc_id, h.pos, d.shingle IS NOT NULL AS dup
-         |  FROM h LEFT JOIN d USING (shingle)),
+         |  SELECT ch.doc_id, ch.pos, d.shingle IS NOT NULL AS dup
+         |  FROM ch LEFT JOIN d ON ch.h = d.shingle),
          |runs AS (
          |  SELECT doc_id,
          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
@@ -9933,7 +9965,28 @@ object SparkEntry {
          |SELECT a.doc_id, a.n_shingles, a.n_dup,
          |  CAST(a.n_dup AS DOUBLE) / CAST(a.n_shingles AS DOUBLE) AS dup_share,
          |  CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run
-         |FROM agg a LEFT JOIN rl r USING (doc_id)""".stripMargin,
+         |FROM agg a LEFT JOIN rl r USING (doc_id)""".stripMargin),
+
+    // Char-grain contamination: distinct per-train-doc window hashes vs
+    // the eval slice's distinct hash set, share with NULL-on-zero —
+    // the q132 readout over the shared char CTEs.
+    "q243_char_contamination" -> (CHAR12_CTES +
+      """tr AS (SELECT DISTINCT doc_id, h FROM ch WHERE doc_id % 10 <> 0),
+        |evh AS (SELECT DISTINCT h FROM ch WHERE doc_id % 10 = 0),
+        |tot AS (
+        |  SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_windows
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM tr
+        |             GROUP BY doc_id) c USING (doc_id)),
+        |hits AS (
+        |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM tr JOIN evh USING (h) GROUP BY tr.doc_id)
+        |SELECT t.doc_id, t.n_windows, COALESCE(hi.n_hits, 0) AS n_hits,
+        |  CASE WHEN t.n_windows > 0
+        |       THEN CAST(COALESCE(hi.n_hits, 0) AS DOUBLE)
+        |              / CAST(t.n_windows AS DOUBLE)
+        |       ELSE NULL END AS contamination
+        |FROM tot t LEFT JOIN hits hi ON t.doc_id = hi.doc_id""".stripMargin),
 
     // Gated kNN eval: the q222 readout over the q32 probe-list gate —
     // the shared training CTEs + the shared gate CTEs, then the window
@@ -10007,6 +10060,45 @@ object SparkEntry {
         |    AS suspect
         |FROM m JOIN l ol ON m.query_id = ol.vec_id
         |WHERE m.rn = 1""".stripMargin),
+
+    // Gated triplet margin: the q229 spelling (HUGEINT cosine key,
+    // label-split rank-1 halves, NULL-propagating margin compare) over
+    // the shared gate CTEs' candidate set.
+    "q242_triplet_margin_gated" -> (EMB_CTE + IVF_TRAIN_CTES +
+      ivfGateCtes("vec_id < 10", 4, excludeSelf = true) +
+      s"""l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+         |      FROM embeddings WHERE label IS NOT NULL),
+         |p2 AS (
+         |  SELECT cd.query_id, cd.vec_id, ql.lab AS qlab, cl.lab AS clab,
+         |    CAST(list_sum(list_transform(range(1, len(q.v)+1),
+         |      i -> q.v[i]*c.v[i])) AS BIGINT) AS dot,
+         |    c.nrm AS cnrm
+         |  FROM cand cd
+         |  JOIN n q ON cd.query_id = q.vec_id
+         |  JOIN n c ON cd.vec_id = c.vec_id
+         |  JOIN l ql ON cd.query_id = ql.vec_id
+         |  JOIN l cl ON cd.vec_id = cl.vec_id),
+         |k2 AS (
+         |  SELECT query_id, vec_id, qlab, clab,
+         |    ${cosKeySql("dot", "cnrm")} AS ckey
+         |  FROM p2),
+         |pos AS (
+         |  SELECT query_id, vec_id AS pos_id, ckey AS pkey FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ckey DESC NULLS LAST, vec_id ASC) AS rn
+         |    FROM k2 WHERE clab = qlab) WHERE rn = 1),
+         |neg AS (
+         |  SELECT query_id, vec_id AS neg_id, ckey AS nkey FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ckey DESC NULLS LAST, vec_id ASC) AS rn
+         |    FROM k2 WHERE clab <> qlab) WHERE rn = 1)
+         |SELECT q2.vec_id AS query_id, pos.pos_id, neg.neg_id,
+         |  CASE WHEN pos.pkey > neg.nkey THEN CAST(1 AS BIGINT)
+         |       WHEN pos.pkey <= neg.nkey THEN CAST(0 AS BIGINT)
+         |       ELSE NULL END AS margin_positive
+         |FROM (SELECT vec_id FROM l WHERE vec_id < 10) q2
+         |LEFT JOIN pos ON q2.vec_id = pos.query_id
+         |LEFT JOIN neg ON q2.vec_id = neg.query_id""".stripMargin),
 
     // IVF-gate recall audit (the q179 shape): the q32 gated ranking's
     // top-5 vs the q19 exact brute-force top-5, integer hits, /5.

@@ -462,9 +462,7 @@ object Similarity {
     * then a bounded per-query join — the [[knnLabelEval]] discipline. */
   def tripletMargin(emb: DataFrame, idCol: String, embCol: String,
                     labelCol: String, queryPred: Column): DataFrame = {
-    val base = emb.select(col(idCol), col(labelCol).cast("long").as("__lab"),
-        quantize(col(embCol)).as("__v"))
-      .withColumn("__n", intDot(col("__v"), col("__v")))
+    val base = labeledBase(emb, idCol, embCol, labelCol, castLong = true)
       .where(col("__lab").isNotNull)
     val q = base.where(queryPred)
       .select(col(idCol).as("query_id"), col("__lab").as("__qlab"),
@@ -475,6 +473,16 @@ object Similarity {
         exactCosKey(intDot(col("__qv"), col("__v")), col("__n"))
           .as("__key"))
       .localCheckpoint(eager = false)
+    tripletReadout(q.select(col("query_id")), scored, idCol)
+  }
+
+  /** [[tripletMargin]]'s best-positive/hardest-negative readout over a
+    * prepared key-scored frame (query_id, idCol, __qlab, __lab, __key)
+    * — shared by the exact and IVF-gated variants so the label-split
+    * k=1 reductions and the NULL-propagating margin compare have ONE
+    * spelling. */
+  private def tripletReadout(qIds: DataFrame, scored: DataFrame,
+                             idCol: String): DataFrame = {
     def best(half: DataFrame, idOut: String, keyOut: String): DataFrame =
       topKPerQueryOrdered(half, idCol, 1,
           Seq(col("__key").desc_nulls_last, col(idCol).asc))
@@ -484,13 +492,58 @@ object Similarity {
       "pos_id", "__pkey")
     val neg = best(scored.where(col("__lab") =!= col("__qlab")),
       "neg_id", "__nkey")
-    q.select(col("query_id"))
+    qIds
       .join(pos, Seq("query_id"), "left")
       .join(neg, Seq("query_id"), "left")
       .select(col("query_id"), col("pos_id"), col("neg_id"),
         when(col("__pkey") > col("__nkey"), 1L)
           .when(col("__pkey") <= col("__nkey"), 0L)
           .otherwise(lit(null).cast("long")).as("margin_positive"))
+  }
+
+  /** [[tripletMargin]] composed over the IVF probe-list gate (the last
+    * member of the retrieval-eval family's registered scale path, with
+    * [[knnLabelEvalGated]] and [[labelNoiseAuditGated]]): best positive
+    * and hardest negative are drawn from the query's `nProbe` probed
+    * lists only. The ranking key is the same float-free [[exactCosKey]]
+    * (the query norm is shared by both sides of every comparison and
+    * cancels), so the gated margin flags stay hash-checkable. */
+  def tripletMarginGated(emb: DataFrame, idCol: String, embCol: String,
+                         labelCol: String, queryPred: Column,
+                         cents: Seq[Seq[Long]], nProbe: Int): DataFrame = {
+    val base = labeledBase(emb, idCol, embCol, labelCol, castLong = true)
+      .where(col("__lab").isNotNull)
+    val scored = ivfGatedScoredKey(base, idCol, queryPred, cents, nProbe)
+      .localCheckpoint(eager = false)
+    tripletReadout(
+      base.where(queryPred).select(col(idCol).as("query_id")),
+      scored, idCol)
+  }
+
+  /** [[ivfGatedScored]] with the integer [[exactCosKey]] instead of the
+    * float cosine — the [[tripletReadout]] contract. Kept as a separate
+    * projection (not one frame carrying both scores) because the gated
+    * eval paths localCheckpoint their scored frame: a shared frame
+    * would MATERIALIZE whichever score the consumer doesn't use. */
+  private def ivfGatedScoredKey(base: DataFrame, idCol: String,
+                                queryPred: Column, cents: Seq[Seq[Long]],
+                                nProbe: Int): DataFrame = {
+    require(nProbe > 0 && nProbe <= cents.size,
+      s"nProbe must be in [1, ${cents.size}], got $nProbe")
+    val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
+    val withKey = base.withColumn("__key", centKeys(cents, cNorms, col("__v")))
+    val c = withKey.withColumn("list_id", nearestCid)
+      .select(col(idCol), col("__lab"), col("__v"), col("__n"),
+        col("list_id"))
+    val q = withKey.where(queryPred)
+      .withColumn("__probe", probeListCol(cents.size, nProbe))
+      .select(col(idCol).as("query_id"), col("__lab").as("__qlab"),
+        col("__v").as("__qv"), explode(col("__probe")).as("list_id"))
+    c.join(broadcast(q), Seq("list_id"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col("__qlab"), col("__lab"),
+        exactCosKey(intDot(col("__qv"), col("__v")), col("__n"))
+          .as("__key"))
   }
 
   /** Matryoshka / dimension-truncation retrieval audit: per query, how

@@ -171,6 +171,39 @@ object CorpusOps {
           col("n_shingles").cast("double")).as("contamination"))
   }
 
+  /** [[contaminationScore]] at CHARACTER grain — the grain published
+    * decontamination policies actually threshold (char-level 13-gram
+    * overlap rules in the GPT-3/PaLM appendices family): per train
+    * document, the share of its DISTINCT k-codepoint windows that
+    * appear anywhere in the eval slice. Windows ride as rolling poly
+    * hashes ([[charDupSpans]]'s representation —
+    * [[graft.expressions.TextKernels.charNgramHashes]], one O(n) pass,
+    * 8 bytes per posting instead of k chars), with the same documented
+    * collision trade: a 1e9+7 collision can only ADD a hit (~m²/2e9
+    * expected corpus-wide — noise against any real threshold). Same
+    * scale shape as [[contaminationScore]]: the eval side reduces to a
+    * distinct hash set, the train side to slim (id, hash) postings, one
+    * map-side-combined hit count; the division is the only double op.
+    * Train documents shorter than k codepoints have no windows and
+    * score NULL (nothing to leak through). */
+  def charContaminationScore(train: DataFrame, eval: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int): DataFrame = {
+    val grams = (c: org.apache.spark.sql.Column) => array_distinct(
+      graft.expressions.TextKernels.charNgramHashesOf(c, k))
+    val evalH = eval.select(explode(grams(col(textCol))).as("h")).distinct()
+    val sh = train.select(col(idCol), grams(col(textCol)).as("hs"))
+    val hits = sh.select(col(idCol), explode(col("hs")).as("h"))
+      .join(evalH, "h")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    sh.select(col(idCol), size(col("hs")).cast("long").as("n_windows"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        try_divide(coalesce(col("n_hits"), lit(0L)).cast("double"),
+          col("n_windows").cast("double")).as("contamination"))
+  }
+
   /** The most frequent adjacent token pair across the corpus — the
     * BPE/WordPiece training selector. Deterministic tie-break
     * (count desc, then pair asc); ONE bounded driver action returning

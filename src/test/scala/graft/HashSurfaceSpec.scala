@@ -60,6 +60,9 @@ class HashSurfaceSpec extends SparkSpec {
     "q130_prefix_jaccard" -> Set("jaccard"),
     "q131_vocab_coverage" -> Set("cum_share"),
     "q132_contamination_score" -> Set("contamination"),
+    // n_hits / n_windows — both <2^53 integers, one mirrored divide
+    // (the q132 discipline at char grain)
+    "q243_char_contamination" -> Set("contamination"),
     "q133_delay_gini" -> Set("total_abs_delay", "gini"),
     "q134_stop_pagerank" -> Set("pagerank"),
     "q135_jl_topk" -> Set("cosine"),

@@ -175,7 +175,9 @@ class PlanSpec extends SparkSpec {
       "q231_perplexity_buckets", "q232_matryoshka_recall",
       "q235_t_closeness", "q236_label_noise",
       // q240 embeds the q19 brute-force baseline it audits the IVF gate
-      // against (the q179 shape); the gated side itself is key-based
+      // against (the q179 shape); the gated side itself is key-based —
+      // as are the OTHER gated-family members (q238/q239/q242), which
+      // therefore carry no exemption: the probe join is an equi-join
       "q240_ivf_recall")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +

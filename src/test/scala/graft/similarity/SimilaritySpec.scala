@@ -177,6 +177,16 @@ class SimilaritySpec extends SparkSpec {
     val fullGate = evalKey(Similarity.knnLabelEvalGated(df, "vec_id",
       "embedding", "label", pred, k = 5, cents, nProbe = cents.size))
     assert(fullGate === exactEval)
+    def tripletKey(df: DataFrame): Set[(Long, Option[Long], Option[Long], Option[Long])] =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val exactTriplet = tripletKey(Similarity.tripletMargin(df, "vec_id",
+      "embedding", "label", pred))
+    val fullTriplet = tripletKey(Similarity.tripletMarginGated(df,
+      "vec_id", "embedding", "label", pred, cents, nProbe = cents.size))
+    assert(fullTriplet === exactTriplet)
     val exactNoise = Similarity.labelNoiseAudit(df, "vec_id", "embedding",
         "label", pred, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

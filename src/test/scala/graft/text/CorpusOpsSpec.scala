@@ -655,6 +655,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m.getLong(2) === 2L) // dup_shingles
   }
 
+  test("charDupSpans and charContaminationScore: hand-checked at k=3 — " +
+    "cross-doc windows flag, within-doc-only do not, short docs absent " +
+    "or NULL, islands run math holds at char grain") {
+    import spark.implicits._
+    // windows(1)=abc,bcd,cde,def; windows(2)=xxc,xcd,cde,dey; (3) none
+    val docs = Seq((1L, "abcdef"), (2L, "xxcdey"), (3L, "zz"))
+      .toDF("doc_id", "text")
+    val spans = CorpusOps.charDupSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // only 'cde' (pos 2 in doc1, pos 2 in doc2) is cross-document
+    assert(spans === Map(
+      1L -> ((4L, 1L, 0.25, 1L)),
+      2L -> ((4L, 1L, 0.25, 1L))))
+    // contamination: eval doc windows cde,def,efg,fgh; train doc1 hits
+    // {cde,def} of 4; doc2 hits {cde} of 4; doc3 has no windows -> NULL
+    val eval = Seq((9L, "cdefgh")).toDF("doc_id", "text")
+    val cont = CorpusOps.charContaminationScore(docs, eval,
+        "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(cont === Map(
+      1L -> ((4L, 2L, Some(0.5))),
+      2L -> ((4L, 1L, Some(0.25))),
+      3L -> ((0L, 0L, None))))
+  }
+
   test("codeSwitch: disagreeing halves flag mixed, agreeing and empty " +
     "docs do not, and the odd-length split gives the tail the extra " +
     "token") {
