@@ -135,8 +135,20 @@ object SparkEntry {
   private def truthPairs(s: SparkSession, dir: String): DataFrame =
     truthPairCache(s, dir)
 
+  /** The char 12-gram rolling-hash posting table — like the cluster
+    * labels and truth pairs, a materialized artifact any char-grain
+    * pipeline builds once and fans out (q237 dup spans, q243
+    * contamination share one build per (session, dir)). */
+  private val charPostingsCache = new SessionDirCache(
+    (s, dir) => text.CorpusOps.charPostings(t(s, dir, "documents"),
+      "doc_id", "text", k = 12))
+
+  private def charPostings12(s: SparkSession, dir: String): DataFrame =
+    charPostingsCache(s, dir)
+
   private val allCaches =
-    Seq(martCache, clustersCache, polyCandCache, truthPairCache)
+    Seq(martCache, clustersCache, polyCandCache, truthPairCache,
+      charPostingsCache)
 
   /** PQ codebooks are a trained ARTIFACT like the cluster labels: trained
     * once per (session, dir, knobs) and consumed by q87's flat ADC and
@@ -5529,9 +5541,11 @@ object SparkEntry {
     // codepoints), windows hashed by the O(n) rolling kernel so the
     // posting explode ships int64s, not k-char strings. max_run + 11
     // lower-bounds the longest cross-document duplicated substring.
+    // Rides the shared char-posting artifact (one build, two consumers
+    // with q243 — the truthPairs discipline).
     "q237_char_dup_spans" -> ((s, dir) =>
-      text.CorpusOps.charDupSpans(t(s, dir, "documents"), "doc_id",
-        "text", k = 12)),
+      text.CorpusOps.charDupSpansFromPostings(charPostings12(s, dir),
+        "doc_id")),
 
     // IVF-GATED kNN retrieval eval — the q222 readout composed over the
     // q32 probe-list gate (shared memoized training, nProbe=4): MRR /
@@ -5555,15 +5569,13 @@ object SparkEntry {
 
     // Char-grain contamination score — q132's graded decontamination
     // readout at the character grain published overlap policies
-    // threshold (12-codepoint windows here), hashed by the q237 rolling
-    // kernel; same train/eval split as q48/q132.
-    "q243_char_contamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      text.CorpusOps.charContaminationScore(
-        docs.where(col("doc_id") % 10 =!= 0),
-        docs.where(col("doc_id") % 10 === 0),
-        "doc_id", "text", k = 12)
-    }),
+    // threshold (12-codepoint windows here), over the SAME shared
+    // char-posting artifact as q237; same train/eval split as q48/q132.
+    "q243_char_contamination" -> ((s, dir) =>
+      text.CorpusOps.charContamination(t(s, dir, "documents"),
+        charPostings12(s, dir), "doc_id",
+        trainPred = col("doc_id") % 10 =!= 0,
+        evalPred = col("doc_id") % 10 === 0)),
 
     // IVF-GATED triplet-margin audit — the last member of the
     // retrieval-eval family's registered scale path (q229 over the q32

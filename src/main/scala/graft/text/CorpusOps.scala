@@ -727,10 +727,53 @@ object CorpusOps {
     * codepoints have no windows and are absent. */
   def charDupSpans(docs: DataFrame, idCol: String, textCol: String,
                    k: Int): DataFrame =
-    spanReadout(docs.select(col(idCol),
+    spanReadout(charPostings(docs, idCol, textCol, k), idCol)
+
+  /** The positional char k-gram rolling-hash posting frame (idCol, pos,
+    * shingle) — the shared front half of [[charDupSpans]] and
+    * [[charContamination]]: in a production corpus pipeline the char
+    * posting table is materialized once and fanned out to every
+    * char-grain consumer (SparkEntry caches one per (session, dir, k),
+    * the truth-pair/cluster artifact discipline). */
+  def charPostings(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame =
+    docs.select(col(idCol),
       posexplode(graft.expressions.TextKernels
           .charNgramHashesOf(col(textCol), k))
-        .as(Seq("pos", "shingle"))), idCol)
+        .as(Seq("pos", "shingle")))
+
+  /** [[charDupSpans]] over a prepared [[charPostings]] frame — the
+    * shared-artifact entry. */
+  def charDupSpansFromPostings(postings: DataFrame,
+                               idCol: String): DataFrame =
+    spanReadout(postings, idCol)
+
+  /** [[charContaminationScore]] over a prepared [[charPostings]] frame
+    * covering BOTH slices, split by predicates — the shared-artifact
+    * entry (value-identical to the standalone spelling: distinctness
+    * per (doc, window-hash) replaces the per-row array_distinct; the
+    * train universe comes from `docs` so zero-window documents still
+    * surface with a NULL score). */
+  def charContamination(docs: DataFrame, postings: DataFrame,
+                        idCol: String, trainPred: org.apache.spark.sql.Column,
+                        evalPred: org.apache.spark.sql.Column): DataFrame = {
+    val evalH = postings.where(evalPred)
+      .select(col("shingle").as("h")).distinct()
+    val tr = postings.where(trainPred)
+      .select(col(idCol), col("shingle").as("h")).distinct()
+    val counts = tr.groupBy(idCol).agg(count(lit(1)).as("__nw"))
+    val hits = tr.join(evalH, "h")
+      .groupBy(idCol).agg(count(lit(1)).as("__nh"))
+    docs.where(trainPred).select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nw"), lit(0L)).as("n_windows"),
+        coalesce(col("__nh"), lit(0L)).as("n_hits"),
+        try_divide(coalesce(col("__nh"), lit(0L)).cast("double"),
+          coalesce(col("__nw"), lit(0L)).cast("double"))
+          .as("contamination"))
+  }
 
   /** The dup-span readout over a prepared positional posting frame
     * (idCol, pos, shingle) — shared by the word ([[dupSpans]]) and char

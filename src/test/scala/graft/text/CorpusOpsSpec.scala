@@ -681,6 +681,22 @@ class CorpusOpsSpec extends SparkSpec {
       1L -> ((4L, 2L, Some(0.5))),
       2L -> ((4L, 1L, Some(0.25))),
       3L -> ((0L, 0L, None))))
+    // the shared-artifact spelling (one posting frame, predicates split
+    // the slices) is value-identical to the standalone one
+    val all = docs.unionByName(eval)
+    val postings = CorpusOps.charPostings(all, "doc_id", "text", k = 3)
+    val contShared = CorpusOps.charContamination(all, postings, "doc_id",
+        trainPred = org.apache.spark.sql.functions.col("doc_id") < 9,
+        evalPred = org.apache.spark.sql.functions.col("doc_id") === 9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(contShared === cont)
+    val spansShared = CorpusOps.charDupSpansFromPostings(
+        CorpusOps.charPostings(docs, "doc_id", "text", k = 3), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(spansShared === spans)
   }
 
   test("codeSwitch: disagreeing halves flag mixed, agreeing and empty " +
