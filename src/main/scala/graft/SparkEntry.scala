@@ -5587,6 +5587,16 @@ object SparkEntry {
         "embedding", "label", col("vec_id") < 10,
         cents = ivfTrained(s, dir, 16, 2), nProbe = 4)),
 
+    // Top-weighted rank agreement between the gated and exact rankings
+    // (Fagin et al. 2003's intersection metric — the order-sensitive
+    // companion to q240's set recall): one integer prefix-credit weight
+    // per matched id, floor-ppm surface, no float anywhere.
+    "q244_gate_rank_agreement" -> ((s, dir) =>
+      Similarity.gateRankAgreement(
+        t(s, dir, "embeddings").where(col("vec_id") < 10),
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+        cents = ivfTrained(s, dir, 16, 2), nProbe = 4)),
+
     // The gate's recall delta, pinned (the q179 audit pattern applied
     // to the IVF gate): recall@5 of the q32 probe-list ranking against
     // the q19 exact brute-force ranking, per query — the measured cost
@@ -10111,6 +10121,57 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM l WHERE vec_id < 10) q2
          |LEFT JOIN pos ON q2.vec_id = pos.query_id
          |LEFT JOIN neg ON q2.vec_id = neg.query_id""".stripMargin),
+
+    // Rank agreement: both rankings' window spellings, the per-matched
+    // prefix-credit CASE (weights Σ_{d=max(re,rg)..5} 60/d over the
+    // lcm-300 denominator), floor-ppm — integers end to end.
+    "q244_gate_rank_agreement" -> (EMB_CTE + IVF_TRAIN_CTES +
+      ivfGateCtes("vec_id < 10", 4, excludeSelf = false) +
+      """gs AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE)))
+        |      AS cosine
+        |  FROM cand c JOIN n q ON c.query_id = q.vec_id
+        |  JOIN n t ON c.vec_id = t.vec_id),
+        |gr AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rg
+        |  FROM gs),
+        |g5 AS (SELECT query_id, vec_id, rg FROM gr WHERE rg <= 5),
+        |bp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+        |      AS cosine
+        |  FROM n q, n c WHERE q.vec_id < 10),
+        |br AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS re
+        |  FROM bp),
+        |b5 AS (SELECT query_id, vec_id, re FROM br WHERE re <= 5),
+        |m AS (
+        |  SELECT b5.query_id,
+        |    CASE greatest(b5.re, g5.rg)
+        |      WHEN 1 THEN 137 WHEN 2 THEN 77 WHEN 3 THEN 47
+        |      WHEN 4 THEN 27 ELSE 12 END AS w
+        |  FROM b5 JOIN g5
+        |    ON b5.query_id = g5.query_id AND b5.vec_id = g5.vec_id),
+        |agg AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |    CAST(sum(w) AS BIGINT) AS ao_num
+        |  FROM m GROUP BY query_id)
+        |SELECT q2.vec_id AS query_id,
+        |  COALESCE(a.n_matched, 0) AS n_matched,
+        |  COALESCE(a.ao_num, 0) AS ao_num,
+        |  CAST(300 AS BIGINT) AS ao_den,
+        |  (COALESCE(a.ao_num, 0) * 1000000) // 300 AS ao_ppm
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q2
+        |LEFT JOIN agg a ON q2.vec_id = a.query_id""".stripMargin),
 
     // IVF-gate recall audit (the q179 shape): the q32 gated ranking's
     // top-5 vs the q19 exact brute-force top-5, integer hits, /5.

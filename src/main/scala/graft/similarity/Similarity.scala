@@ -740,6 +740,55 @@ object Similarity {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** Top-k rank-AGREEMENT audit between the exact and IVF-gated
+    * rankings — the intersection metric of Fagin, Kumar, Sivakumar 2003
+    * ("Comparing top k lists", SODA; the unweighted core of Webber et
+    * al. 2010's RBO): AO@k = (1/k)·Σ_{d=1..k} |top_d(exact) ∩
+    * top_d(gated)| / d. Where q240's recall@k only asks "did the gated
+    * list CONTAIN the exact top-k", AO@k is top-weighted — an item both
+    * sides rank FIRST counts in every prefix, so a gate that keeps the
+    * right set but scrambles the order scores lower.
+    *
+    * Float-free: a matched id with ranks (re, rg) is in both depth-d
+    * prefixes for every d ≥ max(re, rg), so AO's numerator over the
+    * common denominator L·k (L = lcm(1..k)) is
+    * Σ_matched Σ_{d=max(re,rg)}^{k} L/d — ONE integer weight per
+    * matched row, looked up from a k-entry literal array, summed by a
+    * map-side-combinable aggregate (never a per-depth grid join). The
+    * surface is int64 (n_matched, ao_num, ao_den, floor-ppm).
+    *
+    * Scale shape: both rankings are the existing bounded-top-k
+    * operators; the agreement join touches ≤ k rows per query. */
+  def gateRankAgreement(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, embCol: String, k: Int,
+                        cents: Seq[Seq[Long]], nProbe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (1 to k).foldLeft(1L)((a, d) => a / gcd(a, d) * d)
+    val aoDen = L * k
+    // weight(m) = Σ_{d=m..k} L/d — the matched pair's total prefix credit
+    val weights: Seq[Long] = (1 to k).map(m => (m to k).map(d => L / d).sum)
+    val exact = bruteForceTopK(queries, corpus, idCol, embCol, k)
+      .select(col("query_id"), col(idCol), col("rank").as("__re"))
+    val gated = ivfTopK(queries, corpus, idCol, embCol, k,
+        nCentroids = cents.size, nProbe = nProbe,
+        trainedCents = Some(cents))
+      .select(col("query_id"), col(idCol), col("rank").as("__rg"))
+    val agreed = exact.join(gated, Seq("query_id", idCol))
+      .select(col("query_id"),
+        element_at(typedLit(weights),
+          greatest(col("__re"), col("__rg")).cast("int")).as("__w"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_matched"), sum(col("__w")).as("ao_num"))
+    queries.select(col(idCol).as("query_id"))
+      .join(agreed, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("ao_num"), lit(0L)).as("ao_num"),
+        lit(aoDen).as("ao_den"))
+      .withColumn("ao_ppm", expr("(ao_num * 1000000) div ao_den"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (fixed seed — planes are
     * part of the operator definition, not runtime randomness). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

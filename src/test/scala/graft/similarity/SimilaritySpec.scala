@@ -187,6 +187,17 @@ class SimilaritySpec extends SparkSpec {
     val fullTriplet = tripletKey(Similarity.tripletMarginGated(df,
       "vec_id", "embedding", "label", pred, cents, nProbe = cents.size))
     assert(fullTriplet === exactTriplet)
+    // a full-probe gate reproduces the exact ranking, so the rank
+    // agreement is PERFECT: 5 matches, ao_num = 137+77+47+27+12 = the
+    // whole 300 denominator, ppm exactly 1e6 for every query
+    val agree = Similarity.gateRankAgreement(df.where(pred), df,
+        "vec_id", "embedding", k = 5, cents, nProbe = cents.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(agree.length === 5)
+    agree.foreach { case (_, nm, num, den, ppm) =>
+      assert((nm, num, den, ppm) === ((5L, 300L, 300L, 1000000L)))
+    }
     val exactNoise = Similarity.labelNoiseAudit(df, "vec_id", "embedding",
         "label", pred, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
