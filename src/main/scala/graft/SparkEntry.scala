@@ -546,6 +546,16 @@ object SparkEntry {
   /** DuckDB mirror of TextAnalysis.charPolyHash over expression `e`. */
   private def charPolySql(e: String) = charPolySqlM(e, 31L, 1000000007L)
 
+  /** The mirrored quantized-cosine expression between two EMB_CTE rows
+    * aliased `a` and `b` (exact BIGINT dot, the ONE double divide) —
+    * the single spelling every embedding oracle interpolates (VERDICT
+    * r11 item 6 discipline: ~20 inline copies invited a half-updated
+    * arithmetic tweak; a named builder cannot drift). */
+  private def cosSql(a: String, b: String): String =
+    s"CAST(CAST(list_sum(list_transform(range(1, len($a.v)+1), " +
+      s"i -> $a.v[i]*$b.v[i])) AS BIGINT) AS DOUBLE) " +
+      s"/ (sqrt(CAST($a.nrm AS DOUBLE)) * sqrt(CAST($b.nrm AS DOUBLE)))"
+
   /** Shared q66/q67 oracle CTEs: per-document 60-bit poly-SimHash
     * fingerprints (`docfp`: doc_id, fp — zero-token docs carry fp 0,
     * mirroring the kernel's empty-array result). The token hash is
@@ -663,9 +673,7 @@ object SparkEntry {
          |bmtop AS (SELECT id, rank_a FROM bmr WHERE rank_a <= $listK),
          |vp AS (
          |  SELECT c.vec_id AS id,
-         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-         |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         |    ${cosSql("q", "c")} AS cosine
          |  FROM n q, n c WHERE q.vec_id = 0),
          |vr AS (
          |  SELECT id, row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank_b
@@ -5626,11 +5634,9 @@ object SparkEntry {
     * oracle for BOTH q19 (IntDotProduct spelled directly) and q55 (HOF
     * spelling rewritten to IntDotProduct by the optimizer rule). */
   private val BRUTE_TOPK_SQL: String = EMB_CTE +
-    """p AS (
+    s"""p AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-      |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-      |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-      |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+      |    ${cosSql("q", "c")} AS cosine
       |  FROM n q, n c WHERE q.vec_id < 10),
       |r AS (
       |  SELECT query_id, vec_id, cosine,
@@ -7896,12 +7902,10 @@ object SparkEntry {
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin),
 
     "q20_ann_lsh" -> (EMB_CTE + lshCtes(numPlanes = 8) +
-      """q AS (SELECT * FROM c WHERE vec_id < 10),
+      s"""q AS (SELECT * FROM c WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE))) AS cosine
+        |    ${cosSql("q", "t")} AS cosine
         |  FROM q JOIN c t ON q.bucket = t.bucket),
         |r AS (
         |  SELECT query_id, vec_id, cosine,
@@ -7923,9 +7927,7 @@ object SparkEntry {
          |  WHERE q.vec_id < 10),
          |scored AS (
          |  SELECT cand.query_id, cand.vec_id,
-         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-         |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
-         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE))) AS cosine
+         |    ${cosSql("q", "t")} AS cosine
          |  FROM cand JOIN n q ON cand.query_id = q.vec_id
          |  JOIN n t ON cand.vec_id = t.vec_id),
          |r AS (
@@ -7936,13 +7938,11 @@ object SparkEntry {
          |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin),
 
     "q41_embed_neardup" -> (EMB_CTE + lshCtes(numPlanes = 8) +
-      """bsz AS (SELECT bucket, count(*) AS bn FROM c GROUP BY bucket),
+      s"""bsz AS (SELECT bucket, count(*) AS bn FROM c GROUP BY bucket),
         |k AS (SELECT c.* FROM c JOIN bsz USING (bucket) WHERE bn <= 200),
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(a.v)+1),
-        |        i -> a.v[i]*b.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+        |    ${cosSql("a", "b")} AS cosine
         |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.2""".stripMargin),
 
@@ -8058,11 +8058,9 @@ object SparkEntry {
 
     "q32_ivf_topk" -> (EMB_CTE + IVF_TRAIN_CTES +
       ivfGateCtes("vec_id < 10", 4, excludeSelf = false) +
-      """scored AS (
+      s"""scored AS (
         |  SELECT c.query_id, c.vec_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE))) AS cosine
+        |    ${cosSql("q", "t")} AS cosine
         |  FROM cand c JOIN n q ON c.query_id = q.vec_id JOIN n t ON c.vec_id = t.vec_id),
         |r AS (
         |  SELECT query_id, vec_id, cosine,
@@ -8831,10 +8829,7 @@ object SparkEntry {
     "q179_ann_recall" -> (EMB_CTE +
       s"""bp AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-         |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
-         |      AS cosine
+         |    ${cosSql("q", "c")} AS cosine
          |  FROM n q, n c WHERE q.vec_id < 10),
          |br AS (
          |  SELECT query_id, vec_id,
@@ -8856,10 +8851,7 @@ object SparkEntry {
          |  WHERE q.vec_id < 10),
          |scored AS (
          |  SELECT cand.query_id, cand.vec_id,
-         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-         |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
-         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE)))
-         |      AS cosine
+         |    ${cosSql("q", "t")} AS cosine
          |  FROM cand JOIN n q ON cand.query_id = q.vec_id
          |  JOIN n t ON cand.vec_id = t.vec_id),
          |ar AS (
@@ -9728,13 +9720,10 @@ object SparkEntry {
     // inequality on the pair (which also drops self-pairs), same
     // deterministic (cosine DESC, id ASC) rank.
     "q221_hard_negatives" -> (EMB_CTE +
-      """l AS (SELECT vec_id, label FROM embeddings),
+      s"""l AS (SELECT vec_id, label FROM embeddings),
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
-        |      AS cosine
+        |    ${cosSql("q", "c")} AS cosine
         |  FROM n q JOIN l ql ON q.vec_id = ql.vec_id,
         |       n c JOIN l cl ON c.vec_id = cl.vec_id
         |  WHERE q.vec_id < 10 AND cl.label <> ql.label),
@@ -9751,14 +9740,11 @@ object SparkEntry {
     // identity over the same total order), then reduces to the three
     // metrics; rr mirrors the Spark side's 1.0/rank double divide.
     "q222_knn_eval" -> (EMB_CTE +
-      """l AS (SELECT vec_id, label FROM embeddings),
+      s"""l AS (SELECT vec_id, label FROM embeddings),
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |    ql.label AS qlab, cl.label AS clab,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
-        |      AS cosine
+        |    ${cosSql("q", "c")} AS cosine
         |  FROM n q JOIN l ql ON q.vec_id = ql.vec_id,
         |       n c JOIN l cl ON c.vec_id = cl.vec_id
         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
@@ -9781,14 +9767,11 @@ object SparkEntry {
     // label votes, and picks the (votes DESC, label ASC) majority —
     // integer votes, so the majority can never drift.
     "q224_knn_classify" -> (EMB_CTE +
-      """l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+      s"""l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
         |       FROM embeddings WHERE label IS NOT NULL),
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, cl.lab AS clab,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
-        |      AS cosine
+        |    ${cosSql("q", "c")} AS cosine
         |  FROM n q, n c JOIN l cl ON c.vec_id = cl.vec_id
         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
         |r AS (
@@ -9929,14 +9912,11 @@ object SparkEntry {
     // Label noise: the q224 majority spelling at 50 queries, joined to
     // the point's own label — integer flags.
     "q236_label_noise" -> (EMB_CTE +
-      """l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+      s"""l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
         |       FROM embeddings WHERE label IS NOT NULL),
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, cl.lab AS clab,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
-        |      AS cosine
+        |    ${cosSql("q", "c")} AS cosine
         |  FROM n q, n c JOIN l cl ON c.vec_id = cl.vec_id
         |  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
         |r AS (
@@ -10016,13 +9996,10 @@ object SparkEntry {
     // universe keeps gate-emptied queries visible as (NULL, 0, NULL).
     "q238_knn_eval_gated" -> (EMB_CTE + IVF_TRAIN_CTES +
       ivfGateCtes("vec_id < 10", 4, excludeSelf = true) +
-      """l AS (SELECT vec_id, label FROM embeddings),
+      s"""l AS (SELECT vec_id, label FROM embeddings),
         |p2 AS (
         |  SELECT cd.query_id, cd.vec_id, ql.label AS qlab, cl.label AS clab,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
-        |      AS cosine
+        |    ${cosSql("q", "c")} AS cosine
         |  FROM cand cd
         |  JOIN n q ON cd.query_id = q.vec_id
         |  JOIN n c ON cd.vec_id = c.vec_id
@@ -10051,14 +10028,11 @@ object SparkEntry {
     // production pipeline would actually run it.
     "q239_label_noise_gated" -> (EMB_CTE + IVF_TRAIN_CTES +
       ivfGateCtes("vec_id < 50", 4, excludeSelf = true) +
-      """l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+      s"""l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
         |       FROM embeddings WHERE label IS NOT NULL),
         |p2 AS (
         |  SELECT cd.query_id, cd.vec_id, cl.lab AS clab,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
-        |      AS cosine
+        |    ${cosSql("q", "c")} AS cosine
         |  FROM cand cd
         |  JOIN n q ON cd.query_id = q.vec_id
         |  JOIN n c ON cd.vec_id = c.vec_id
@@ -10127,12 +10101,9 @@ object SparkEntry {
     // lcm-300 denominator), floor-ppm — integers end to end.
     "q244_gate_rank_agreement" -> (EMB_CTE + IVF_TRAIN_CTES +
       ivfGateCtes("vec_id < 10", 4, excludeSelf = false) +
-      """gs AS (
+      s"""gs AS (
         |  SELECT c.query_id, c.vec_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE)))
-        |      AS cosine
+        |    ${cosSql("q", "t")} AS cosine
         |  FROM cand c JOIN n q ON c.query_id = q.vec_id
         |  JOIN n t ON c.vec_id = t.vec_id),
         |gr AS (
@@ -10143,10 +10114,7 @@ object SparkEntry {
         |g5 AS (SELECT query_id, vec_id, rg FROM gr WHERE rg <= 5),
         |bp AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
-        |      AS cosine
+        |    ${cosSql("q", "c")} AS cosine
         |  FROM n q, n c WHERE q.vec_id < 10),
         |br AS (
         |  SELECT query_id, vec_id,
@@ -10177,12 +10145,9 @@ object SparkEntry {
     // top-5 vs the q19 exact brute-force top-5, integer hits, /5.
     "q240_ivf_recall" -> (EMB_CTE + IVF_TRAIN_CTES +
       ivfGateCtes("vec_id < 10", 4, excludeSelf = false) +
-      """gs AS (
+      s"""gs AS (
         |  SELECT c.query_id, c.vec_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE)))
-        |      AS cosine
+        |    ${cosSql("q", "t")} AS cosine
         |  FROM cand c JOIN n q ON c.query_id = q.vec_id
         |  JOIN n t ON c.vec_id = t.vec_id),
         |gr AS (
@@ -10193,10 +10158,7 @@ object SparkEntry {
         |g5 AS (SELECT query_id, vec_id FROM gr WHERE rank <= 5),
         |bp AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
-        |      AS cosine
+        |    ${cosSql("q", "c")} AS cosine
         |  FROM n q, n c WHERE q.vec_id < 10),
         |br AS (
         |  SELECT query_id, vec_id,
@@ -10299,17 +10261,14 @@ object SparkEntry {
     // quantized lists (prefix = v[1..16]), the q19 window spelling for
     // each, then an equi-join overlap count — integer surface.
     "q232_matryoshka_recall" -> (EMB_CTE +
-      """pp AS (
+      s"""pp AS (
         |  SELECT vec_id, v, nrm,
         |    CAST(list_sum(list_transform(range(1, 17), i -> v[i]*v[i]))
         |      AS BIGINT) AS pnrm
         |  FROM n),
         |pr AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.v)+1),
-        |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
-        |      AS cosine,
+        |    ${cosSql("q", "c")} AS cosine,
         |    CAST(CAST(list_sum(list_transform(range(1, 17),
         |        i -> q.v[i]*c.v[i])) AS BIGINT) AS DOUBLE)
         |      / (sqrt(CAST(q.pnrm AS DOUBLE)) * sqrt(CAST(c.pnrm AS DOUBLE)))
