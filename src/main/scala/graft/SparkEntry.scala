@@ -5595,6 +5595,15 @@ object SparkEntry {
         "embedding", "label", col("vec_id") < 10,
         cents = ivfTrained(s, dir, 16, 2), nProbe = 4)),
 
+    // IVF-GATED hard-negative mining — q221's contrastive-data pass
+    // over the q32 probe-list gate: the hardest other-label neighbors
+    // from the probed lists only, same exact gated arithmetic as the
+    // rest of the family.
+    "q245_hard_negatives_gated" -> ((s, dir) =>
+      Similarity.hardNegativesGated(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 10, k = 5,
+        cents = ivfTrained(s, dir, 16, 2), nProbe = 4)),
+
     // Top-weighted rank agreement between the gated and exact rankings
     // (Fagin et al. 2003's intersection metric — the order-sensitive
     // companion to q240's set recall): one integer prefix-credit weight
@@ -10095,6 +10104,28 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM l WHERE vec_id < 10) q2
          |LEFT JOIN pos ON q2.vec_id = pos.query_id
          |LEFT JOIN neg ON q2.vec_id = neg.query_id""".stripMargin),
+
+    // Gated hard negatives: the q221 spelling (label inequality, cosine
+    // rank <= 5) over the shared gate CTEs' candidate set.
+    "q245_hard_negatives_gated" -> (EMB_CTE + IVF_TRAIN_CTES +
+      ivfGateCtes("vec_id < 10", 4, excludeSelf = true) +
+      s"""l AS (SELECT vec_id, label FROM embeddings),
+         |p2 AS (
+         |  SELECT cd.query_id, cd.vec_id,
+         |    ${cosSql("q", "c")} AS cosine
+         |  FROM cand cd
+         |  JOIN n q ON cd.query_id = q.vec_id
+         |  JOIN n c ON cd.vec_id = c.vec_id
+         |  JOIN l ql ON cd.query_id = ql.vec_id
+         |  JOIN l cl ON cd.vec_id = cl.vec_id
+         |  WHERE cl.label <> ql.label),
+         |r AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+         |  FROM p2)
+         |SELECT query_id, vec_id, cosine, rank FROM r
+         |WHERE rank <= 5""".stripMargin),
 
     // Rank agreement: both rankings' window spellings, the per-matched
     // prefix-credit CASE (weights Σ_{d=max(re,rg)..5} 60/d over the

@@ -174,6 +174,22 @@ object Similarity {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** [[hardNegatives]] composed over the IVF probe-list gate — the
+    * mining pass as a 100 TB pipeline actually runs it: the hardest
+    * other-label neighbors are drawn from the query's `nProbe` probed
+    * lists instead of the full corpus (the q32 gate; same exact gated
+    * arithmetic as [[knnLabelEvalGated]]). The label inequality drops
+    * NULL-label rows from both sides, as in the exact variant. */
+  def hardNegativesGated(emb: DataFrame, idCol: String, embCol: String,
+                         labelCol: String, queryPred: Column, k: Int,
+                         cents: Seq[Seq[Long]], nProbe: Int): DataFrame = {
+    val base = labeledBase(emb, idCol, embCol, labelCol, castLong = false)
+    val scored = ivfGatedScored(base, idCol, queryPred, cents, nProbe)
+      .where(col("__lab") =!= col("__qlab"))
+      .select(col("query_id"), col(idCol), col("cosine"))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** Label-aware retrieval evaluation over the exact cosine ranking —
     * the embedding-quality readout (MRR, hits@k) every retrieval/
     * metric-learning pipeline reports: for each query vector, the rank

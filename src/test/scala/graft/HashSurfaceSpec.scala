@@ -118,6 +118,8 @@ class HashSurfaceSpec extends SparkSpec {
     "q209_embedding_separation" -> Set("overlap_ratio"),
     "q20_ann_lsh" -> Set("cosine"),
     "q221_hard_negatives" -> Set("cosine"),
+    // the same mirrored cosine over the gated candidate set
+    "q245_hard_negatives_gated" -> Set("cosine"),
     // rr = 1.0 / first_rel_rank — rank is a <2^53 integer, so the one
     // divide is mirrored exactly (CAST(1.0 AS DOUBLE)/CAST(rank AS
     // DOUBLE) on the oracle side)

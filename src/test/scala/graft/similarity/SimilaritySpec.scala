@@ -198,6 +198,13 @@ class SimilaritySpec extends SparkSpec {
     agree.foreach { case (_, nm, num, den, ppm) =>
       assert((nm, num, den, ppm) === ((5L, 300L, 300L, 1000000L)))
     }
+    val exactHn = Similarity.hardNegatives(df, "vec_id", "embedding",
+        "label", pred, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val fullHn = Similarity.hardNegativesGated(df, "vec_id", "embedding",
+        "label", pred, k = 4, cents, nProbe = cents.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(fullHn === exactHn)
     val exactNoise = Similarity.labelNoiseAudit(df, "vec_id", "embedding",
         "label", pred, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
