@@ -1563,6 +1563,42 @@ object SparkEntry {
           max(col("day_epoch")).as("max_day_epoch"))
     }),
 
+    // Compaction pruning MEASURED (VERDICT r12 item 4): the
+    // clustering-preserving bins exist so min/max file skipping
+    // survives the rewrite — this row reads a compacted lake back
+    // through the committed per-file min/max sidecar with a fixed
+    // 7-day key-range and reports how many files the range read PLANS
+    // OVER vs the lake's total (inputFiles — the planned scan list
+    // itself, bounded driver metadata), plus the rows/events returned.
+    // The compacted table is the per-(event_type, day) daily rollup —
+    // metadata-sized at every sf, so the bin count (and the pruning
+    // ratio) is scale-free; the oracle recomputes all four numbers
+    // from the plan arithmetic alone, so the hash match proves the
+    // EXECUTED skip list equals the planned overlap set.
+    "q248_compaction_pruned_read" -> ((s, dir) => {
+      val out = s"target/compactprune_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(out), true) // fresh run
+      val sm = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Compaction.execute(sm, "event_type", "day_epoch",
+        targetRows = 6L, outDir = out, runId = "q248")
+      // one driver scalar (the corpus' first day) anchors the window
+      val minDay = sm.agg(min(col("day_epoch"))).collect()(0).getLong(0)
+      val (rlo, rhi) = (minDay + 12L * 86400L, minDay + 18L * 86400L)
+      val full = graft.operators.Compaction.readCompacted(s, out)
+      val pruned = graft.operators.Compaction.readCompactedRange(
+        s, out, "day_epoch", rlo, rhi)
+      pruned.agg(count(lit(1)).as("n_rows_range"),
+          coalesce(sum(col("n_events")), lit(0L)).as("n_events_range"))
+        .select(lit(full.inputFiles.length.toLong).as("n_files_total"),
+          lit(pruned.inputFiles.length.toLong).as("n_files_selected"),
+          col("n_rows_range"), col("n_events_range"))
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -5635,6 +5671,31 @@ object SparkEntry {
         .select(col("query_id"), lit(5L).as("k"), col("hits"),
           (col("hits").cast("double") / lit(5.0)).as("recall"))
     }),
+
+    // Char-grain duplicate-span SCRUB — q233's removing transform at
+    // q237's 12-codepoint grain (Lee et al. 2021 end-to-end: detect AND
+    // cut character-wise), over the SAME shared char-posting artifact;
+    // duplicated windows merge into covered islands per document and
+    // the cleaned text is one per-row fold over the island list — no
+    // per-codepoint explode ever ships (that brute force is the
+    // oracle's spelling).
+    "q246_char_dedup_scrub" -> ((s, dir) =>
+      text.CorpusOps.charDedupScrub(t(s, dir, "documents"),
+        charPostings12(s, dir), "doc_id", "text", k = 12)),
+
+    // The IVF gate's KNOB CURVE: recall@5 and AO@5 vs exact at every
+    // nProbe in {1,2,4,16,8 sorted} over the shared trained centroids —
+    // the tuning readout before fixing the gate's one knob (q219's
+    // banding curve / q149c's round histogram, for the gate). ONE
+    // probe-rank-carrying scoring pass serves all five knob points;
+    // both metrics are provably monotone in nProbe and the full probe
+    // reads 10⁶ ppm (SimilaritySpec pins it).
+    "q247_gate_knob_curve" -> ((s, dir) =>
+      Similarity.gateKnobCurve(
+        t(s, dir, "embeddings").where(col("vec_id") < 10),
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+        cents = ivfTrained(s, dir, 16, 2),
+        nProbes = Seq(1, 2, 4, 8, 16))),
   )
 
   // -------------------------------------------------------------- oracle --
@@ -6296,6 +6357,40 @@ object SparkEntry {
         |  min(day_epoch) AS min_day_epoch,
         |  max(day_epoch) AS max_day_epoch
         |FROM b GROUP BY event_type, bin""".stripMargin),
+
+    // Pruned-read audit: every number recomputed from PLAN arithmetic
+    // alone (daily-rollup rows pack 1-per-day, so bin = (rank-1)//6 —
+    // the q136 cumulative spelling at n_rows=1), overlap = bins whose
+    // [lo,hi] meets the fixed 7-day window; the hash match proves the
+    // executed sidecar skip list equals the planned overlap set and one
+    // file per bin survived.
+    "q248_compaction_pruned_read" ->
+      """WITH sm AS (
+        |  SELECT event_type,
+        |    FLOOR(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, day_epoch, n_events,
+        |    CAST((row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day_epoch) - 1) // 6 AS BIGINT) AS bin
+        |  FROM sm),
+        |bins AS (
+        |  SELECT event_type, bin, min(day_epoch) AS lo,
+        |    max(day_epoch) AS hi
+        |  FROM b GROUP BY event_type, bin),
+        |rng AS (
+        |  SELECT min(day_epoch) + 12 * 86400 AS rlo,
+        |    min(day_epoch) + 18 * 86400 AS rhi
+        |  FROM sm)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bins) AS n_files_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bins, rng
+        |   WHERE lo <= rhi AND hi >= rlo) AS n_files_selected,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b, rng
+        |   WHERE day_epoch BETWEEN rlo AND rhi) AS n_rows_range,
+        |  (SELECT CAST(COALESCE(sum(n_events), 0) AS BIGINT) FROM b, rng
+        |   WHERE day_epoch BETWEEN rlo AND rhi) AS n_events_range""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (
@@ -9978,6 +10073,41 @@ object SparkEntry {
          |  CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run
          |FROM agg a LEFT JOIN rl r USING (doc_id)""".stripMargin),
 
+    // Char-grain scrub: dup windows over the shared char CTEs, then the
+    // BRUTE-FORCE per-codepoint spelling of coverage — a dense char
+    // explode, the q233 windowed max at ROWS 11 PRECEDING (positions ≡
+    // rows on the dense series), ordered ''-joined string_agg of the
+    // uncovered codepoints. The Spark side cuts islands with substr
+    // folds instead; the hash match proves the two reassemblies equal.
+    "q246_char_dedup_scrub" -> (CHAR12_CTES +
+      """d AS (
+        |  SELECT h FROM ch GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |st AS (
+        |  SELECT ch.doc_id, ch.pos, 1 AS flag FROM ch JOIN d USING (h)),
+        |cp AS (
+        |  SELECT doc_id, i - 1 AS pos, substr(text, i, 1) AS c
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents)),
+        |cov AS (
+        |  SELECT cp.doc_id, cp.pos, cp.c,
+        |    max(COALESCE(st.flag, 0)) OVER (
+        |      PARTITION BY cp.doc_id ORDER BY cp.pos
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM cp LEFT JOIN st ON cp.doc_id = st.doc_id
+        |    AND cp.pos = st.pos),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chars,
+        |    CAST(sum(covered) AS BIGINT) AS n_removed,
+        |    string_agg(CASE WHEN covered = 0 THEN c END, ''
+        |      ORDER BY pos) AS clean_text
+        |  FROM cov GROUP BY doc_id)
+        |SELECT d2.doc_id,
+        |  COALESCE(a.n_chars, 0) AS n_chars,
+        |  COALESCE(a.n_removed, 0) AS n_removed,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id""".stripMargin),
+
     // Char-grain contamination: distinct per-train-doc window hashes vs
     // the eval slice's distinct hash set, share with NULL-on-zero —
     // the q132 readout over the shared char CTEs.
@@ -10171,6 +10301,63 @@ object SparkEntry {
         |  (COALESCE(a.ao_num, 0) * 1000000) // 300 AS ao_ppm
         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q2
         |LEFT JOIN agg a ON q2.vec_id = a.query_id""".stripMargin),
+
+    // Gate knob curve: the q244 weights and the q240 overlap, swept —
+    // ONE probe-RANK attach (the gate CTE's row_number uncapped), each
+    // knob a filter against it, per-knob windows, then the aggregate
+    // floor-ppm curve; weights/denominator literals are q244's (L=60).
+    "q247_gate_knob_curve" -> (EMB_CTE + IVF_TRAIN_CTES +
+      s"""proberk AS (
+        |  SELECT vec_id AS query_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY ckey DESC NULLS LAST, cid ASC)
+        |    AS probe_rank
+        |  FROM kf WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT p.query_id, a.vec_id, p.probe_rank,
+        |    ${cosSql("q", "c")} AS cosine
+        |  FROM proberk p JOIN assign a ON p.cid = a.cid
+        |  JOIN n q ON p.query_id = q.vec_id
+        |  JOIN n c ON a.vec_id = c.vec_id),
+        |bp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    ${cosSql("q", "c")} AS cosine
+        |  FROM n q, n c WHERE q.vec_id < 10),
+        |b5 AS (
+        |  SELECT query_id, vec_id, re FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS re
+        |    FROM bp) WHERE re <= 5),
+        |knobs AS (SELECT unnest([1, 2, 4, 8, 16]) AS n_probe),
+        |gr AS (
+        |  SELECT k2.n_probe, s2.query_id, s2.vec_id,
+        |    row_number() OVER (PARTITION BY k2.n_probe, s2.query_id
+        |      ORDER BY s2.cosine DESC, s2.vec_id ASC) AS rg
+        |  FROM sc s2 JOIN knobs k2 ON s2.probe_rank <= k2.n_probe),
+        |g5 AS (SELECT n_probe, query_id, vec_id, rg FROM gr WHERE rg <= 5),
+        |nqc AS (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10),
+        |m AS (
+        |  SELECT g5.n_probe,
+        |    CASE greatest(b5.re, g5.rg)
+        |      WHEN 1 THEN 137 WHEN 2 THEN 77 WHEN 3 THEN 47
+        |      WHEN 4 THEN 27 ELSE 12 END AS w
+        |  FROM b5 JOIN g5
+        |    ON b5.query_id = g5.query_id AND b5.vec_id = g5.vec_id),
+        |agg AS (
+        |  SELECT n_probe, CAST(count(*) AS BIGINT) AS n_matched,
+        |    CAST(COALESCE(sum(w), 0) AS BIGINT) AS ao_num
+        |  FROM m GROUP BY n_probe)
+        |SELECT CAST(k3.n_probe AS BIGINT) AS n_probe,
+        |  CAST(nq AS BIGINT) AS n_queries,
+        |  COALESCE(a.n_matched, 0) AS n_matched,
+        |  CAST((COALESCE(a.n_matched, 0) * 1000000) // (5 * nq)
+        |    AS BIGINT) AS recall_ppm,
+        |  COALESCE(a.ao_num, 0) AS ao_num,
+        |  CAST(300 * nq AS BIGINT) AS ao_den,
+        |  CAST((COALESCE(a.ao_num, 0) * 1000000) // (300 * nq)
+        |    AS BIGINT) AS ao_ppm
+        |FROM knobs k3 CROSS JOIN nqc
+        |LEFT JOIN agg a ON k3.n_probe = a.n_probe""".stripMargin),
 
     // IVF-gate recall audit (the q179 shape): the q32 gated ranking's
     // top-5 vs the q19 exact brute-force top-5, integer hits, /5.

@@ -47,11 +47,21 @@ object Compaction {
     * metadata (`files`: partCol, orderCol, n_rows): bin = pre-file
     * cumulative row count DIV targetRows, per partition in clustering
     * order — q136's planner, shared by the q136 readout and
-    * [[execute]] so the two can never pack apart. */
+    * [[execute]] so the two can never pack apart.
+    *
+    * Input rows are expected UNIQUE per (partCol, orderCol) — one
+    * metadata row per file, which is what [[execute]] guarantees by
+    * pre-grouping. The window order still carries `n_rows` as a
+    * deterministic tie-break so a caller that DOES feed duplicate
+    * (partCol, orderCol) rows gets a stable bin assignment across runs
+    * (fully identical rows are interchangeable under the cumulative
+    * sum, so the assignment is deterministic as a multiset either
+    * way). */
   def plan(files: DataFrame, partCol: String, orderCol: String,
            targetRows: Long): DataFrame = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
-    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col(orderCol), col("n_rows"))
       .rowsBetween(Window.unboundedPreceding, 0)
     files
       .withColumn("__cum", sum(col("n_rows")).over(w))
@@ -62,7 +72,20 @@ object Compaction {
   /** Execute the compaction: rewrite `data` into one parquet file per
     * (partCol, bin) under `outDir/_data-<qid>/`, committed via the
     * connector's manifest protocol. `data` must carry `partCol` and
-    * `orderCol` columns; every other column rides along unchanged. */
+    * `orderCol` columns; every other column rides along unchanged.
+    *
+    * Concurrency contract: at most ONE writer per (outDir, runId). The
+    * contract is ENFORCED, not assumed — the first side effect is an
+    * atomic `fs.create(overwrite = false)` of a hidden `_lock-<qid>`
+    * marker, so of two racing executors with the same runId exactly one
+    * proceeds and the other fails here, before either could wipe the
+    * winner's in-flight `_temporary-<qid>` tree (a bare exists-check
+    * would be check-then-act). The marker is never deleted: a run that
+    * crashed mid-write leaves its lock behind, and the recovery path is
+    * a NEW runId (retrying the same id cannot distinguish "crashed" from
+    * "still running", so refusing is the only safe answer). DIFFERENT
+    * runIds compact into the same outDir freely — each gets its own
+    * lock, temp tree, data dir, and manifest. */
   def execute(data: DataFrame, partCol: String, orderCol: String,
               targetRows: Long, outDir: String, runId: String): Unit = {
     val spark = data.sparkSession
@@ -78,6 +101,20 @@ object Compaction {
       throw new java.io.IOException(
         s"compaction aborted: $manifest or $dataDir already exists — " +
           "this run id already committed to this directory")
+    // single-writer-per-(outDir, runId), atomically: create-exclusive is
+    // the one filesystem primitive that cannot interleave — the loser of
+    // a race fails HERE, before the temp-tree delete below could wipe
+    // the winner's in-flight files
+    val lock = new Path(target, s"_lock-$qid")
+    val lockOut =
+      try fs.create(lock, /* overwrite = */ false)
+      catch { case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"compaction aborted: could not create $lock exclusively — " +
+            "another run with this run id is in flight or crashed here; " +
+            "use a fresh run id", e)
+      }
+    lockOut.close()
     val files = data.groupBy(col(partCol), col(orderCol))
       .agg(count(lit(1)).as("n_rows"))
     val binPlan = plan(files, partCol, orderCol, targetRows)
@@ -105,34 +142,145 @@ object Compaction {
       if (f.getName.endsWith(".parquet"))
         rel += fs.makeQualified(f).toString.stripPrefix(prefix)
     }
+    // per-file clustering-key min/max sidecar — what makes the
+    // clustering-preservation claim CASHABLE at read time
+    // ([[readCompactedRange]] skips non-overlapping files before any
+    // byte of them is scanned). Derived by one column-pruned aggregate
+    // over the freshly staged files (a production writer collects the
+    // same numbers from its own write path / parquet footers; the
+    // relational spelling keeps this engine-pure, and it reads ONE
+    // column). Written BEFORE the manifest: a crash between the two
+    // leaves an orphaned stats file that no reader ever consults —
+    // publishManifest stays the single commit point. Only integral
+    // clustering keys are recorded; others simply get no sidecar and
+    // range reads degrade to reading every manifest file.
+    val integralKey = {
+      import org.apache.spark.sql.types._
+      data.schema(orderCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    if (integralKey) {
+      val stats = spark.read.option("basePath", dataDir.toString)
+        .parquet(dataDir.toString)
+        .groupBy(col("_metadata.file_path").as("__fp"))
+        .agg(min(col(orderCol)).cast("long").as("__lo"),
+          max(col(orderCol)).cast("long").as("__hi"))
+        .collect() // metadata-sized: one slim row per committed file
+      val lines = stats.map { r =>
+        val rp = r.getString(0).stripPrefix(prefix)
+        val lo = if (r.isNullAt(1)) "null" else r.getLong(1).toString
+        val hi = if (r.isNullAt(2)) "null" else r.getLong(2).toString
+        s"$rp\t$lo\t$hi"
+      }
+      val statsOut = fs.create(new Path(target, statsName(qid)), true)
+      try statsOut.write(
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally statsOut.close()
+    }
     GtfsRtWrite.publishManifest(fs, target, qid, rel.toSeq)
   }
+
+  /** The per-file min/max sidecar's name for a commit id — next to the
+    * manifest, never matching the reader's `commit-*.manifest` filter. */
+  private def statsName(qid: String): String = s"commit-$qid.stats"
 
   /** Read a compacted directory through its commit manifests — ONLY
     * manifest-listed files are read (a crashed run's orphans stay
     * invisible, the connector-reader contract); the hidden data dir is
     * each read's basePath so the (partCol, bin) directory encoding
     * comes back as columns. */
-  def readCompacted(spark: SparkSession, outDir: String): DataFrame = {
+  def readCompacted(spark: SparkSession, outDir: String): DataFrame =
+    readManifests(spark, outDir, (_, lines) => lines)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed data under $outDir"))
+
+  /** [[readCompacted]] restricted to rows whose integral `orderCol` lies
+    * in [lo, hi] — and, BEFORE any data byte is read, to the FILES whose
+    * committed min/max sidecar range overlaps [lo, hi]: the read-time
+    * payoff of clustering-preserving bins. Each output file covers a
+    * contiguous key range ([[plan]]), so a narrow range predicate
+    * selects a handful of files out of the whole lake — the file list
+    * Spark plans over IS the pruned list (observable via `inputFiles` /
+    * the scan's file metrics, pinned by CompactionSpec). Files without
+    * a sidecar entry (pre-stats commits, null-keyed files) are kept
+    * conservatively; the row-level filter stays applied either way, so
+    * pruning can never change results — only skip dead IO. */
+  def readCompactedRange(spark: SparkSession, outDir: String,
+                         orderCol: String, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"empty range: [$lo, $hi]")
+    val pruned = readManifests(spark, outDir, { (fsm, lines) =>
+      fsm.stats match {
+        case None => lines
+        case Some(st) => lines.filter { l =>
+          st.get(l) match {
+            case Some((Some(flo), Some(fhi))) => flo <= hi && fhi >= lo
+            case _ => true // unknown or null-keyed file: cannot prune
+          }
+        }
+      }
+    })
+    pruned match {
+      case Some(df) => df.where(col(orderCol).between(lo, hi))
+      case None =>
+        // every file pruned: an empty frame with the committed schema —
+        // read the lake's schema without scanning data rows
+        readCompacted(spark, outDir).where(lit(false))
+          .where(col(orderCol).between(lo, hi))
+    }
+  }
+
+  private case class ManifestFiles(
+      stats: Option[Map[String, (Option[Long], Option[Long])]])
+
+  /** Resolve every commit manifest under `outDir` (ONLY manifest-listed
+    * files are read — a crashed run's orphans stay invisible, the
+    * connector-reader contract), let `select` narrow each manifest's
+    * file list given its stats sidecar, and union the reads; the hidden
+    * data dir is each read's basePath so the (partCol, bin) directory
+    * encoding comes back as columns. Returns None when `select` drops
+    * every file of every manifest. */
+  private def readManifests(spark: SparkSession, outDir: String,
+      select: (ManifestFiles, List[String]) => List[String])
+      : Option[DataFrame] = {
     val target = new Path(outDir)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val manifests = fs.listStatus(target).map(_.getPath.getName)
       .filter(n => n.startsWith("commit-") && n.endsWith(".manifest"))
       .sorted
     require(manifests.nonEmpty, s"no commit manifest under $outDir")
-    manifests.map { m =>
+    val frames = manifests.toSeq.flatMap { m =>
       val in = fs.open(new Path(target, m))
       val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .filter(_.nonEmpty).toList
         finally in.close()
       require(lines.nonEmpty, s"empty manifest $m under $outDir")
-      // every line is _data-<qid>/<part dirs>/<file>; the shared data
-      // dir is the basePath that turns the dir encoding into columns
-      val dataDirName = lines.head.takeWhile(_ != '/')
-      val basePath = new Path(target, dataDirName).toString
-      spark.read.option("basePath", basePath)
-        .parquet(lines.map(l => new Path(target, l).toString): _*)
-    }.reduce(_ unionByName _)
+      val statsPath = new Path(target,
+        m.stripSuffix(".manifest") + ".stats")
+      val stats = if (!fs.exists(statsPath)) None else Some {
+        val sin = fs.open(statsPath)
+        try scala.io.Source.fromInputStream(sin, "UTF-8").getLines()
+          .filter(_.nonEmpty).map { l =>
+            val Array(rp, slo, shi) = l.split("\t", 3)
+            def num(s: String): Option[Long] =
+              if (s == "null") None else Some(s.toLong)
+            rp -> ((num(slo), num(shi)))
+          }.toMap
+        finally sin.close()
+      }
+      val kept = select(ManifestFiles(stats), lines)
+      if (kept.isEmpty) None
+      else {
+        // every line is _data-<qid>/<part dirs>/<file>; the shared data
+        // dir is the basePath that turns the dir encoding into columns
+        val dataDirName = lines.head.takeWhile(_ != '/')
+        val basePath = new Path(target, dataDirName).toString
+        Some(spark.read.option("basePath", basePath)
+          .parquet(kept.map(l => new Path(target, l).toString): _*))
+      }
+    }
+    frames.reduceOption(_ unionByName _)
   }
 }

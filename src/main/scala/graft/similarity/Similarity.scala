@@ -778,12 +778,38 @@ object Similarity {
   def gateRankAgreement(queries: DataFrame, corpus: DataFrame,
                         idCol: String, embCol: String, k: Int,
                         cents: Seq[Seq[Long]], nProbe: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    val (l, weights) = aoWeights(k)
+    gateRankAgreementImpl(queries, corpus, idCol, embCol, k, l, weights,
+      cents, nProbe)
+  }
+
+  /** The lcm(1..k) common denominator and the per-match-rank prefix-
+    * credit weights of the AO@k integer spelling — shared by
+    * [[gateRankAgreement]] and [[gateKnobCurve]] so the arithmetic has
+    * one spelling. k is bounded at 25: L = lcm(1..k) and the downstream
+    * `ao_num · 10⁶` ppm render are computed in int64, and lcm(1..26)
+    * already exceeds what `Σ weights · 10⁶` keeps exact (lcm grows like
+    * e^k — at k=43 L itself overflows Long SILENTLY, and the ppm
+    * multiply overflows near k≈29), so an AO@100 caller must widen to
+    * BigInt/DECIMAL rather than read silently wrong agreement numbers.
+    * 25 covers every practical top-k audit with a safety margin. */
+  private def aoWeights(k: Int): (Long, Seq[Long]) = {
+    require(k >= 1 && k <= 25,
+      s"k must be in [1, 25], got $k: AO@k's lcm(1..k) common " +
+        "denominator and its ppm render are int64 arithmetic, which " +
+        "silently overflows past k=25 - widen to DECIMAL before raising")
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val L = (1 to k).foldLeft(1L)((a, d) => a / gcd(a, d) * d)
+    val l = (1 to k).foldLeft(1L)((a, d) => a / gcd(a, d) * d)
+    (l, (1 to k).map(m => (m to k).map(d => l / d).sum))
+  }
+
+  private def gateRankAgreementImpl(queries: DataFrame, corpus: DataFrame,
+                                    idCol: String, embCol: String, k: Int,
+                                    L: Long, weights: Seq[Long],
+                                    cents: Seq[Seq[Long]],
+                                    nProbe: Int): DataFrame = {
+    // weights(m) = Σ_{d=m..k} L/d — the matched pair's total prefix credit
     val aoDen = L * k
-    // weight(m) = Σ_{d=m..k} L/d — the matched pair's total prefix credit
-    val weights: Seq[Long] = (1 to k).map(m => (m to k).map(d => L / d).sum)
     val exact = bruteForceTopK(queries, corpus, idCol, embCol, k)
       .select(col("query_id"), col(idCol), col("rank").as("__re"))
     val gated = ivfTopK(queries, corpus, idCol, embCol, k,
@@ -803,6 +829,82 @@ object Similarity {
         coalesce(col("ao_num"), lit(0L)).as("ao_num"),
         lit(aoDen).as("ao_den"))
       .withColumn("ao_ppm", expr("(ao_num * 1000000) div ao_den"))
+  }
+
+  /** The IVF gate's KNOB CURVE — recall@k and AO@k of the gated ranking
+    * vs the exact one at EVERY candidate nProbe, aggregated over the
+    * query set: the tuning readout a 100 TB deployment reads BEFORE
+    * fixing the gate's one knob (exactly what q219 provides for LSH
+    * banding and q149c for k-means rounds; q240/q244 pin single points
+    * of this curve at nProbe=4).
+    *
+    * ONE scoring pass serves every knob point: queries probe ALL
+    * nCentroids lists once, each (query, candidate) pair carries the
+    * PROBE RANK of the candidate's list in that query's probe order,
+    * and each nProbe is then a filter `probe_rank <= nProbe` over the
+    * checkpointed scored frame — never a re-score per knob (the sweep
+    * costs one exact pass + k bounded top-k reductions). Both rankings
+    * are the same exact integer arithmetic as [[ivfTopK]]/
+    * [[bruteForceTopK]], so the whole curve hash-checks. Because a
+    * gated candidate set is a SUBSET of the corpus, a matched pair's
+    * gated rank never exceeds its exact rank, and growing nProbe only
+    * grows each candidate set — so recall_ppm and ao_ppm are
+    * NON-DECREASING in nProbe and the full probe (nProbe = nCentroids)
+    * reads exactly 10⁶ ppm on both; SimilaritySpec pins all three
+    * claims. Scale shape: the full-probe scoring is the audit's cost by
+    * construction (the q240 contract) — a production sweep runs it on a
+    * bounded query/corpus sample, then deploys the chosen knob. Output:
+    * one row per nProbe — (n_probe, n_queries, n_matched, recall_ppm,
+    * ao_num, ao_den, ao_ppm), all int64 floor-ppm. */
+  def gateKnobCurve(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    embCol: String, k: Int, cents: Seq[Seq[Long]],
+                    nProbes: Seq[Int]): DataFrame = {
+    val (l, weights) = aoWeights(k)
+    val knobs = nProbes.distinct.sorted
+    require(knobs.nonEmpty && knobs.head >= 1 && knobs.last <= cents.size,
+      s"nProbes must be non-empty, in [1, ${cents.size}]; got $nProbes")
+    val aoDen = l * k
+    val cNorms: Seq[Long] = cents.map(v => v.map(x => x * x).sum)
+    val c = withQuantized(corpus, idCol, embCol, "cv", "cn").drop(embCol)
+      .withColumn("__key", centKeys(cents, cNorms, col("cv")))
+      .withColumn("list_id", nearestCid)
+      .drop("__key")
+    val q = withQuantized(queries, idCol, embCol, "qv", "qn").drop(embCol)
+      .withColumnRenamed(idCol, "query_id")
+      .withColumn("__key", centKeys(cents, cNorms, col("qv")))
+      // full probe list in rank order — pos+1 IS the probe rank
+      .withColumn("__probe", probeListCol(cents.size, cents.size))
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(col("__probe")).as(Seq("__pi", "list_id")))
+      .select(col("query_id"), col("qv"), col("qn"), col("list_id"),
+        (col("__pi") + 1).as("probe_rank"))
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .select(col("query_id"), col(idCol), col("probe_rank"),
+        cosineQ(intDot(col("qv"), col("cv")), col("qn"), col("cn"))
+          .as("cosine"))
+      .localCheckpoint(eager = false)
+    val exact = bruteForceTopK(queries, corpus, idCol, embCol, k)
+      .select(col("query_id"), col(idCol), col("rank").as("__re"))
+      .localCheckpoint(eager = false)
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    knobs.map { np =>
+      val gated = topKPerQuery(
+        scored.where(col("probe_rank") <= np)
+          .select(col("query_id"), col(idCol), col("cosine")), idCol, k)
+        .select(col("query_id"), col(idCol), col("rank").as("__rg"))
+      exact.join(gated, Seq("query_id", idCol))
+        .select(element_at(typedLit(weights),
+          greatest(col("__re"), col("__rg")).cast("int")).as("__w"))
+        .agg(count(lit(1)).as("n_matched"),
+          coalesce(sum(col("__w")), lit(0L)).as("ao_num"))
+        .crossJoin(broadcast(nq))
+        .select(lit(np.toLong).as("n_probe"),
+          col("__nq").as("n_queries"), col("n_matched"),
+          expr(s"(n_matched * 1000000) div (${k}L * __nq)")
+            .as("recall_ppm"),
+          col("ao_num"), (lit(aoDen) * col("__nq")).as("ao_den"),
+          expr(s"(ao_num * 1000000) div (${aoDen}L * __nq)").as("ao_ppm"))
+    }.reduce(_ unionByName _)
   }
 
   /** Deterministic random hyperplanes for sign-LSH (fixed seed — planes are

@@ -775,6 +775,90 @@ object CorpusOps {
           .as("contamination"))
   }
 
+  /** Duplicate-span removal at CHARACTER grain — [[dedupScrub]]'s
+    * transform at [[charDupSpans]]' grain, closing the one rung where
+    * detection and remediation sat at different grains: Lee et al. 2021
+    * (arXiv:2107.06499) both FINDS and CUTS duplicated substrings
+    * character-wise, and this is the cutting half. A codepoint is
+    * scrubbed iff any cross-document duplicated k-codepoint window
+    * (`postings` — the shared [[charPostings]] artifact, one build
+    * fanned out to q237/q243/q246) covers it; the output is the cleaned
+    * text (covered islands cut, byte-exact remainder) plus removal
+    * accounting.
+    *
+    * Scale shape — deliberately NOT the word-grain spelling's dense
+    * per-token explode: duplicated window STARTS (a tiny subset of
+    * positions) merge into covered islands with one per-document
+    * lag/cumsum window (fixed width k means starts ≤ k apart cover
+    * contiguously, so islands are exactly gap>k groups), and the
+    * cleaned text is ONE per-row fold over the document's sorted island
+    * list (substring slices between islands) — no per-codepoint rows
+    * ever ship; per-doc state is bounded by islands ≤ len/1. The
+    * brute-force per-char spelling remains the ORACLE's job. Cap
+    * discipline: the hot-window observe metric rides the dup aggregate
+    * exactly as in [[dedupScrub]] (`metricName` — unique per plan, the
+    * two-grain-composition rule). Documents shorter than k codepoints
+    * have no windows, so their text survives verbatim. */
+  def charDedupScrub(docs: DataFrame, postings: DataFrame, idCol: String,
+                     textCol: String, k: Int,
+                     metricName: String = "char_dedup_scrub",
+                     hotDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"window grain must be >= 1, got $k")
+    require(hotDf >= 2L, s"hotDf must be >= 2, got $hotDf")
+    val dup = postings.groupBy("shingle")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .observe(metricName,
+        sum(when(col("__nd") > hotDf, 1L).otherwise(0L)).as("hot_windows"),
+        max(col("__nd")).as("max_df"),
+        sum(when(col("__nd") >= 2L, 1L).otherwise(0L)).as("dup_windows"))
+      .where(col("__nd") >= 2L)
+      .select(col("shingle"))
+    val starts = postings.join(dup, Seq("shingle"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    // islands: a start > k past its predecessor leaves ≥1 uncovered
+    // codepoint between their [p, p+k−1] windows; ≤ k means contiguous
+    // coverage, so gap>k boundaries + a cumulative sum label each
+    // maximal covered island
+    val islands = starts
+      .withColumn("__new",
+        when(coalesce(col("pos") - lag(col("pos"), 1).over(wOrd),
+          lit(k + 1)) > k, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wCum))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(k - 1)).as("e"))
+    val perDoc = islands.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+          .as("__isls"),
+        sum(col("e") - col("s") + 1).cast("long").as("n_removed"))
+    // reassembly: fold the sorted islands once per row — acc = (clean so
+    // far, cursor); each island appends the uncovered slice before it
+    // and jumps the cursor past it; finish appends the tail. substr is
+    // codepoint-addressed in both engines, so the remainder is
+    // byte-exact.
+    docs.select(col(idCol), col(textCol).as("__txt"),
+        coalesce(length(col(textCol)), lit(0)).as("__len"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__len").cast("long").as("n_chars"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("__isls").isNull, coalesce(col("__txt"), lit("")))
+          .otherwise(aggregate(col("__isls"),
+            struct(lit("").as("t"), lit(0).as("c")),
+            (acc, i) => struct(
+              concat(acc.getField("t"),
+                col("__txt").substr(acc.getField("c") + lit(1),
+                  i.getField("s") - acc.getField("c"))).as("t"),
+              (i.getField("e") + lit(1)).as("c")),
+            acc => concat(acc.getField("t"),
+              col("__txt").substr(acc.getField("c") + lit(1),
+                col("__len") - acc.getField("c")))))
+          .as("clean_text"))
+  }
+
   /** The dup-span readout over a prepared positional posting frame
     * (idCol, pos, shingle) — shared by the word ([[dupSpans]]) and char
     * ([[charDupSpans]]) grains so the duplicated-shingle set, the
@@ -1245,10 +1329,14 @@ object CorpusOps {
     * state bounded by the document length. All-integer flags, one
     * string surface (the cleaned text — exact token join, no float). */
   def dedupScrub(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int, hotDf: Long = 1000L): DataFrame = {
+                 n: Int, hotDf: Long = 1000L,
+                 metricName: String = "dedup_scrub"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"span grain must be >= 1, got $n")
     require(hotDf >= 2L, s"hotDf must be >= 2, got $hotDf")
+    // metricName: Spark requires observed-metric names to be UNIQUE
+    // within a plan, so a query composing two scrub frames (e.g. a
+    // two-grain comparison join) must name them apart or analysis fails
     val toks = docs.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("__tk"))
     val pos = toks.select(col(idCol),
@@ -1265,7 +1353,7 @@ object CorpusOps {
     // shingle is exactly a duplicate worth scrubbing).
     val dup = pos.groupBy("shingle")
       .agg(countDistinct(col(idCol)).as("__nd"))
-      .observe("dedup_scrub",
+      .observe(metricName,
         sum(when(col("__nd") > hotDf, 1L).otherwise(0L)).as("hot_shingles"),
         max(col("__nd")).as("max_df"),
         sum(when(col("__nd") >= 2L, 1L).otherwise(0L)).as("dup_shingles"))

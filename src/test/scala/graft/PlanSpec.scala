@@ -174,12 +174,14 @@ class PlanSpec extends SparkSpec {
       "q226_repeat_plan", "q229_triplet_margin",
       "q231_perplexity_buckets", "q232_matryoshka_recall",
       "q235_t_closeness", "q236_label_noise",
-      // q240/q244 embed the q19 brute-force baseline they audit the IVF
-      // gate against (the q179 shape); the gated side itself is
-      // key-based — as are the OTHER gated-family members
-      // (q238/q239/q242), which therefore carry no exemption: the probe
-      // join is an equi-join
-      "q240_ivf_recall", "q244_gate_rank_agreement")
+      // q240/q244/q247 embed the q19 brute-force baseline they audit
+      // the IVF gate against (the q179 shape; q247 additionally scores
+      // the FULL probe — the sweep's top knob point is exact by
+      // construction); the gated side itself is key-based — as are the
+      // OTHER gated-family members (q238/q239/q242), which therefore
+      // carry no exemption: the probe join is an equi-join
+      "q240_ivf_recall", "q244_gate_rank_agreement",
+      "q247_gate_knob_curve")
 
   test("blanket plan guard: NO query plans a CartesianProduct, and only " +
     "the declared brute-force baselines plan a BroadcastNestedLoopJoin — " +

@@ -95,4 +95,60 @@ class CompactionSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("already"))
   }
+
+  test("single-writer lock is atomic, not check-then-act: an in-flight " +
+    "(or crashed) run's lock refuses a same-runId writer BEFORE it can " +
+    "touch the temp tree; a fresh runId proceeds") {
+    val out = freshDir("lock")
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(outPath)
+    // simulate the other writer having just won the create-exclusive
+    fs.create(new org.apache.hadoop.fs.Path(out, "_lock-spec3"),
+      false).close()
+    val e = intercept[java.io.IOException] {
+      Compaction.execute(input, "pt", "day", 25L, out, "spec3")
+    }
+    assert(e.getMessage.contains("exclusively"))
+    // the loser touched NOTHING: no temp tree, no data dir, no manifest
+    val leftovers = fs.listStatus(outPath).map(_.getPath.getName).toSet
+    assert(leftovers === Set("_lock-spec3"), s"loser left $leftovers")
+    // a fresh runId is the documented recovery path
+    Compaction.execute(input, "pt", "day", 25L, out, "spec3b")
+    assert(Compaction.readCompacted(spark, out).count() === input.count())
+  }
+
+  test("clustering-preserving bins CASH at read time: a narrow key-range " +
+    "read plans over only the overlapping files (measured, not claimed), " +
+    "and returns exactly the full read's matching rows") {
+    val out = freshDir("prune")
+    val df = input
+    Compaction.execute(df, "pt", "day", targetRows = 25L, out, "spec4")
+    val full = Compaction.readCompacted(spark, out)
+    val totalFiles = full.inputFiles.length
+    val (lo, hi) = (5L, 8L)
+    val pruned = Compaction.readCompactedRange(spark, out, "day", lo, hi)
+    val plannedFiles = pruned.inputFiles.length
+    // the expected file count from the PLAN: bins whose [min,max] day
+    // range overlaps [lo, hi] (one file per bin — pinned above)
+    val overlapping = Compaction.plan(
+        df.groupBy(col("pt"), col("day")).agg(count(lit(1)).as("n_rows")),
+        "pt", "day", 25L)
+      .groupBy("pt", "bin").agg(min("day").as("l"), max("day").as("h"))
+      .where(col("l") <= hi && col("h") >= lo).count()
+    assert(plannedFiles.toLong === overlapping,
+      s"range read planned $plannedFiles files, plan says $overlapping")
+    assert(plannedFiles < totalFiles,
+      s"no pruning: $plannedFiles of $totalFiles files")
+    // value identity with the unpruned spelling
+    val expect = full.where(col("day").between(lo, hi))
+      .select("pt", "day", "payload", "v").collect()
+      .map(_.toString).sorted.toSeq
+    val got = pruned.select("pt", "day", "payload", "v").collect()
+      .map(_.toString).sorted.toSeq
+    assert(got === expect)
+    // a range beyond the data prunes EVERYTHING and still answers
+    assert(Compaction.readCompactedRange(spark, out, "day",
+      1000L, 2000L).count() === 0L)
+  }
 }

@@ -198,6 +198,40 @@ class SimilaritySpec extends SparkSpec {
     agree.foreach { case (_, nm, num, den, ppm) =>
       assert((nm, num, den, ppm) === ((5L, 300L, 300L, 1000000L)))
     }
+    // the knob CURVE over the same gate: recall_ppm and ao_ppm are
+    // non-decreasing in nProbe (candidate sets only grow, and a matched
+    // pair's gated rank never exceeds its exact rank), and the full
+    // probe reads exactly 10^6 ppm on both with every top-k matched
+    val curve = Similarity.gateKnobCurve(df.where(pred), df, "vec_id",
+        "embedding", k = 5, cents, nProbes = Seq(1, 2, 4))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    curve.foreach { case (_, nq2, nm, rec, num, den, ppm) =>
+      assert(nq2 === 5L)
+      assert(den === 1500L) // 300 * 5 queries
+      assert(nm >= 0L && nm <= 25L && num <= den)
+      assert(rec === nm * 1000000L / 25L)
+      assert(ppm === num * 1000000L / 1500L)
+    }
+    curve.sliding(2).foreach {
+      case Array((_, _, nm1, rec1, num1, _, ppm1),
+                 (_, _, nm2, rec2, num2, _, ppm2)) =>
+        assert(nm1 <= nm2 && rec1 <= rec2 && num1 <= num2 && ppm1 <= ppm2,
+          s"curve not monotone: $curve")
+      case _ =>
+    }
+    val (_, _, fnm, frec, _, _, fppm) = curve.last
+    assert((fnm, frec, fppm) === ((25L, 1000000L, 1000000L)),
+      s"full probe (nProbe=4=nCentroids) must read 10^6 ppm: $curve")
+    // the AO arithmetic is int64-bounded by construction: k past 25
+    // must refuse loudly, never overflow silently (ADVICE r12)
+    val tooDeep = intercept[IllegalArgumentException] {
+      Similarity.gateRankAgreement(df.where(pred), df, "vec_id",
+        "embedding", k = 26, cents, nProbe = 2)
+    }
+    assert(tooDeep.getMessage.contains("25"))
     val exactHn = Similarity.hardNegatives(df, "vec_id", "embedding",
         "label", pred, k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet

@@ -655,6 +655,76 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m.getLong(2) === 2L) // dup_shingles
   }
 
+  test("charDedupScrub: cuts exactly the cross-doc duplicated islands " +
+    "at char grain, keeps within-doc repetition, merges overlapping " +
+    "windows into one island, and short/empty docs survive verbatim") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1/2 share the 3-gram 'xyz' -> island [1,3] in doc 1,
+      // [0,2] in doc 2
+      (1L, "axyzb"),
+      (2L, "xyzc"),
+      // doc 3 repeats 'pqr' WITHIN itself only -> nothing scrubs
+      (3L, "pqrpqr"),
+      (4L, "ab"), // shorter than k -> no windows -> verbatim
+      (5L, ""),   // empty
+      // docs 6/7 share a 10-char run: 8 consecutive dup starts merge
+      // into ONE island [0,9]; the doc-unique tail char survives
+      (6L, "qwertyuiop1"),
+      (7L, "qwertyuiop2"))
+      .toDF("doc_id", "text")
+    val postings = CorpusOps.charPostings(docs, "doc_id", "text", k = 3)
+    val out = CorpusOps.charDedupScrub(docs, postings, "doc_id", "text",
+        k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out === Map(
+      1L -> ((5L, 3L, "ab")),
+      2L -> ((4L, 3L, "c")),
+      3L -> ((6L, 0L, "pqrpqr")),
+      4L -> ((2L, 0L, "ab")),
+      5L -> ((0L, 0L, "")),
+      6L -> ((11L, 10L, "1")),
+      7L -> ((11L, 10L, "2"))))
+  }
+
+  test("charDedupScrub parity: scrubbing a duplicate-free corpus is the " +
+    "identity transform, and the hot-window metric observes the dup " +
+    "tail without changing any row") {
+    import spark.implicits._
+    // genuinely duplicate-free at 12-char grain: each doc's alphabet is
+    // {its digit, 'x'}, so no 12-codepoint substring crosses documents
+    val clean = (1L to 8L).map(i => (i, s"${i}x" * 10))
+      .toDF("doc_id", "text")
+    val cleanPost = CorpusOps.charPostings(clean, "doc_id", "text", 12)
+    val id = CorpusOps.charDedupScrub(clean, cleanPost, "doc_id", "text",
+        k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val texts = clean.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    id.foreach { case (d, removed, out) =>
+      assert(removed === 0L)
+      assert(out === texts(d), s"doc $d not identity")
+    }
+    // boilerplate corpus: the shared 12+-char head is hot (df = 6 > 5)
+    val boiler = (1L to 6L).map(i => (i, s"the shared boilerplate $i"))
+      .toDF("doc_id", "text")
+    val bPost = CorpusOps.charPostings(boiler, "doc_id", "text", 12)
+    val scrubbed = CorpusOps.charDedupScrub(boiler, bPost, "doc_id",
+      "text", k = 12, hotDf = 5L)
+    val rows = scrubbed.collect()
+    // 'the shared boilerplate ' (23 chars) is common; its 12-gram
+    // windows at starts 0..11 are df-6 dups -> island [0, 22] cut,
+    // leaving the doc-unique digit
+    rows.foreach { r =>
+      assert(r.getString(3) === r.getLong(0).toString)
+      assert(r.getLong(2) === 23L)
+    }
+    val m = scrubbed.queryExecution.observedMetrics("char_dedup_scrub")
+    assert(m.getLong(0) === 12L) // hot_windows: starts 0..11, df 6 > 5
+    assert(m.getLong(1) === 6L)  // max_df
+    assert(m.getLong(2) === 12L) // dup_windows
+  }
+
   test("charDupSpans and charContaminationScore: hand-checked at k=3 — " +
     "cross-doc windows flag, within-doc-only do not, short docs absent " +
     "or NULL, islands run math holds at char grain") {
