@@ -41,16 +41,30 @@ object Bench {
     * shuffle-heavy outlier cluster plus the `cpus` field.
     *
     * Reference format (`tools/bench_reference.txt`): one
-    * `<query> <sec> [<rel_mad>]` per line, `#` comments — regenerate
-    * from the latest recorded medians when the baseline moves. The
-    * optional third column (VERDICT r11 item 5) is the query's RELATIVE
-    * MAD across the recorded passes (median |xᵢ−med| / med): queries
-    * with a recorded wide IO band (q130-class) get a proportionally
-    * wider outlier tolerance — `max(1.6, 1 + 6·rel_mad)` per side —
-    * instead of the one global 1.6×, so the flag threshold is
-    * data-driven per query; two-column references keep the global
-    * 1.6×. Pure function of (medians, reference lines) so BenchSpec can
-    * pin the classification. */
+    * `<query> <sec> [<col3>]` per line, `#` comments — regenerate from
+    * recorded runs when the baseline moves. The optional third column
+    * is per-query tolerance data, in one of two dialects selected by a
+    * header directive:
+    *
+    *   - `# col3: tolerance` (VERDICT r12 item 1 — the current regen
+    *     output): col3 IS that query's per-side outlier tolerance,
+    *     floored at 1.6. regen_bench_reference.py now derives it from
+    *     EVERY recorded window of the round — the dominant variance on
+    *     this box is BETWEEN windows (IO-bound queries swing 2-3×
+    *     across contention windows while a clean window's internal
+    *     spread is near zero, which is exactly how r12's rel-MAD
+    *     column under-modeled it and threw 9 false flags), so the
+    *     tolerance is built from each query's worst observed deviation
+    *     from its window's uniform scale, plus the within-window MAD
+    *     band as a lower bound.
+    *   - no directive (legacy): col3 is the within-window relative MAD
+    *     and the tolerance is `max(1.6, 1 + 6·rel_mad)` per side;
+    *     two-column lines keep the global 1.6×.
+    *
+    * Pure function of (medians, reference lines) so BenchSpec can pin
+    * the classification — both directions: a recorded-wide query at
+    * its observed contention ratio must NOT flag, and a genuine 2× on
+    * a tight query still must. */
   def comparabilityJson(medians: Seq[(String, Double)],
                         refLines: Iterator[String],
                         refLabel: String,
@@ -76,20 +90,28 @@ object Bench {
       return s"""{"reference":"${esc(refLabel)}","scale":null,""" +
         s""""skipped":"reference recorded at ${esc(refSf.get)}, """ +
         s"""this run is ${esc(sfDir)} - ratios would not be comparable"}"""
+    val col3IsTolerance = lines.exists(l =>
+      l.startsWith("# col3:") &&
+        l.stripPrefix("# col3:").trim == "tolerance")
     val parsed = lines
       .filter(l => !l.startsWith("#"))
       .map { l =>
         val parts = l.split("\\s+")
-        val relMad = if (parts.length >= 3) parts(2).toDouble else 0.0
-        parts(0) -> ((parts(1).toDouble, relMad))
+        val col3 = if (parts.length >= 3) parts(2).toDouble else 0.0
+        parts(0) -> ((parts(1).toDouble, col3))
       }
       .toMap
     val ref = parsed.map { case (n, (m, _)) => n -> m }
-    // per-query tolerance: the global 1.6 floor, widened for queries
-    // whose recorded passes already spread (6 relative MADs ≈ a
-    // generous normal-theory band; a tight query keeps the 1.6)
+    // per-query tolerance, 1.6-floored either way: under the
+    // `# col3: tolerance` directive the column IS the tolerance
+    // (cross-window-aware, written by regen_bench_reference.py);
+    // legacy references widen by within-window MAD (6 relative MADs ≈
+    // a generous normal-theory band; a tight query keeps the 1.6)
     def tol(n: String): Double =
-      math.max(1.6, 1.0 + 6.0 * parsed.get(n).map(_._2).getOrElse(0.0))
+      if (col3IsTolerance)
+        math.max(1.6, parsed.get(n).map(_._2).getOrElse(1.6))
+      else
+        math.max(1.6, 1.0 + 6.0 * parsed.get(n).map(_._2).getOrElse(0.0))
     val cur = medians.toMap
     val ratios = medians.collect {
       case (n, c) if ref.get(n).exists(_ > 0) && c > 0 => n -> (c / ref(n))

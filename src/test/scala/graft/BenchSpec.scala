@@ -75,6 +75,39 @@ class BenchSpec extends AnyFunSuite {
     assert(json3.contains(""""q05":2.00"""), json3)
   }
 
+  test("'# col3: tolerance' directive (cross-window-aware references): a " +
+    "recorded-wide IO query at its observed contention ratio reads " +
+    "UNIFORM on unchanged code, while a genuine 2x regression on a " +
+    "tight query in the same run still flags") {
+    // q130-class: recorded cross-window deviation gave tol 3.96; q04 is
+    // tight (tol at the 1.6 floor); q05 has no col3 -> floor
+    val ref = "# col3: tolerance\n" +
+      "q01 1.0 1.6000\nq02 2.0 1.6000\nq03 4.0 3.9600\n" +
+      "q04 4.0 1.6000\nq05 4.0\n"
+    // a contended window: everything ~1.1x, the IO query at 3.3x — the
+    // r12 driver-window shape that produced 9 false flags
+    val contended = Seq("q01" -> 1.1, "q02" -> 2.2, "q03" -> 13.2,
+      "q04" -> 4.4, "q05" -> 4.4)
+    val json1 = comp(contended, ref)
+    assert(json1.contains(""""uniform":true"""), json1)
+    // same reference, a REAL single-query regression: 2x on the tight
+    // query must still flag even though the wide query's band is open
+    val regressed = Seq("q01" -> 1.0, "q02" -> 2.0, "q03" -> 4.0,
+      "q04" -> 8.0, "q05" -> 4.0)
+    val json2 = comp(regressed, ref)
+    assert(json2.contains(""""uniform":false"""), json2)
+    assert(json2.contains(""""q04":2.00"""), json2)
+    assert(!json2.contains("q03"), json2)
+    // under the directive, col3 is NOT a rel-MAD: a sub-1.6 value
+    // floors at 1.6 instead of collapsing the tolerance
+    val refFloor = "# col3: tolerance\nq01 1.0 0.0100\nq02 1.0 1.6\n" +
+      "q03 1.0 1.6\n"
+    val j3 = comp(Seq("q01" -> 1.5, "q02" -> 1.0, "q03" -> 1.0), refFloor)
+    assert(j3.contains(""""uniform":true"""), j3)
+    val j4 = comp(Seq("q01" -> 1.7, "q02" -> 1.0, "q03" -> 1.0), refFloor)
+    assert(j4.contains(""""q01":1.70"""), j4)
+  }
+
   test("queries missing from the reference (new since it was recorded) " +
     "and zero-median failures are excluded, not misclassified") {
     val ref = "q01 1.0\nq02 2.0\n"
