@@ -1599,6 +1599,221 @@ object SparkEntry {
           col("n_rows_range"), col("n_events_range"))
     }),
 
+    // Spark-4 arbitrary-state path END-TO-END, hash-checked (VERDICT r12
+    // item 7): the streaming EWMA recursion (y ← (x + y)/2, y₀ = x₀ —
+    // q161's dyadic family, unbounded depth) runs as a
+    // transformWithState StatefulProcessor on the RocksDB provider,
+    // replayed over THREE deterministic micro-batches (fixed ten-day ts
+    // slices of the events history, so every key's recursion crosses two
+    // batch boundaries through checkpointed ValueState) into a parquet
+    // sink, then read back. Observations are deduped to one per
+    // (user, second) with max_by(value, event_id) — the ewmaStream
+    // one-obs-per-(key, ts) contract. The oracle recomputes the
+    // recursion over the FULL ordered history with a recursive CTE
+    // (depth = longest per-key history, ≤99 at these SFs): identical
+    // IEEE double arithmetic, one rounding per step in the same order,
+    // so the hash match proves streaming-final ≡ batch recursion
+    // bit-exactly through the real source → state → sink path.
+    "q249_tws_ewma_replay" -> ((s, dir) => {
+      val base = s"target/twsreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val obs = t(s, dir, "events").where(col("value").isNotNull)
+        .groupBy(col("user_id").cast("string").as("trip_id"),
+          unix_timestamp(col("ts")).as("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("delay_min"))
+      val cut1 = lit(java.time.Instant.parse("2024-01-11T00:00:00Z")
+        .getEpochSecond)
+      val cut2 = lit(java.time.Instant.parse("2024-01-21T00:00:00Z")
+        .getEpochSecond)
+      graft.streaming.StreamingAnalytics.replayEwmaTws(s, obs, base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2))
+        .select(col("trip_id"), col("ts"), col("ewma"))
+    }),
+
+    // Stream-stream INTERVAL JOIN end-to-end, hash-checked: clicks and
+    // purchases split from ONE replayed source (three ts-ordered slices,
+    // q249's harness) and joined per user within ±1 h of event time —
+    // the unbounded formulation of q70's range join, through the real
+    // symmetric-hash-join state machine on RocksDB. Determinism argument
+    // (why a streaming emit set can hash-match a batch oracle): slices
+    // are disjoint ts ranges served in order, so no row ever arrives
+    // below the watermark (nothing is dropped late), and a row is only
+    // EVICTED from join state when watermark > its interval's far edge —
+    // at which point every future row's ts exceeds that edge by ≥ the
+    // 1 h delay, so eviction can never lose a match. Emitted set ≡ the
+    // batch interval join over the full data, which the oracle computes
+    // directly. Right-side columns are re-aliased BEFORE the join: both
+    // sides derive from one source, and fresh attribute ids are what
+    // keep the self-join condition unambiguous. State at 100 TB rates:
+    // per-side retention = interval width + watermark delay, the
+    // stream-stream contract (scaladoc at intervalJoinStream).
+    "q250_stream_join_replay" -> ((s, dir) => {
+      val base = s"target/sjreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev, base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2)) { st =>
+          val l = st.where(col("event_type") === "click")
+            .select(col("event_id").as("l_event_id"), col("user_id"),
+              col("ts").as("l_ts"))
+            .withWatermark("l_ts", "1 hour")
+          val r = st.where(col("event_type") === "purchase")
+            .select(col("event_id").as("r_event_id"),
+              col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+            .withWatermark("r_ts", "1 hour")
+          l.join(r, col("user_id") === col("r_user_id") &&
+              col("r_ts") >= col("l_ts") - expr("INTERVAL 3600 seconds") &&
+              col("r_ts") <= col("l_ts") + expr("INTERVAL 3600 seconds"))
+            .select(col("l_event_id"), col("user_id"), col("r_event_id"),
+              unix_timestamp(col("l_ts")).as("l_ts_epoch"),
+              unix_timestamp(col("r_ts")).as("r_ts_epoch"))
+        }
+        .select("l_event_id", "user_id", "r_event_id", "l_ts_epoch",
+          "r_ts_epoch")
+    }),
+
+    // Streaming DEDUPLICATION within the watermark, hash-checked — the
+    // exactly-once ingestion gate every at-least-once delivery needs
+    // (retried feed fetches, replayed Kafka offsets): every 10th event
+    // is injected TWICE into the replayed source and
+    // dropDuplicatesWithinWatermark("event_id") must drop exactly the
+    // second copies, so the sink equals the original events verbatim —
+    // which is the oracle. The within-watermark variant is the 100 TB
+    // shape: plain dropDuplicates keeps every key forever, this one
+    // EVICTS ids once the watermark passes (state = ids within one
+    // disorder bound, not the stream's history). Copies are bit-identical
+    // rows, so whichever arrival survives, the output is deterministic.
+    "q251_stream_dedup_replay" -> ((s, dir) => {
+      val base = s"target/sdreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val withDups = ev.unionAll(ev.where(col("event_id") % 10L === 0L))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, withDups, base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2)) { st =>
+          st.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("ts_epoch"), col("value"))
+        }
+        .select("event_id", "user_id", "event_type", "ts_epoch", "value")
+    }),
+
+    // Watermark-FINALIZED windowed aggregation, hash-checked — A1's
+    // streaming twin (delayByWindow's semantics) promoted from spec to
+    // registry row: 6-hour tumbling event-time windows over the replayed
+    // events, append mode, so a window reaches the sink ONLY once the
+    // watermark passes its end (the finalize-and-evict contract that
+    // bounds state at unbounded rates). Two sentinel rows in their own
+    // trailing batches (Dec 1, Dec 31) push the watermark past every
+    // real window — emission happens in sentinel B's DATA batch, with no
+    // reliance on no-data micro-batch behavior — and the June cutoff
+    // after read-back excludes whichever sentinel windows any Spark
+    // version chooses to finalize. Exact-decimal accumulation keeps the
+    // average partition-order-independent, like the batch Dashboard.
+    "q252_stream_window_agg_replay" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"target/swreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("ts"), col("value"))
+      val sent = Seq("2024-12-01 00:00:00", "2024-12-31 00:00:00")
+        .toDF("ts_str")
+        .select(to_timestamp(col("ts_str")).as("ts"), lit(0.0).as("value"))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      val cutS = lit("2024-06-01").cast("timestamp")
+      val cutB = lit("2024-12-15").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev.unionAll(sent),
+          base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2 && col("ts") < cutS,
+          col("ts") >= cutS && col("ts") < cutB,   // sentinel A
+          col("ts") >= cutB)) { st =>              // sentinel B
+          st.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "6 hours"))
+            .agg(Dashboard.exactAvg(col("value")).as("avg_value"),
+              count(lit(1)).as("n_rows"))
+            .select(unix_timestamp(col("window.start"))
+              .as("window_start_epoch"), col("avg_value"), col("n_rows"))
+        }
+        .where(col("window_start_epoch") <
+          lit(java.time.Instant.parse("2024-06-01T00:00:00Z")
+            .getEpochSecond))
+        .select("window_start_epoch", "avg_value", "n_rows")
+    }),
+
+    // Stream-STATIC anti join, hash-checked — the third §2.9 join
+    // mechanism (after q250's stream-stream and q112's foreachBatch
+    // merge): the replayed stream deduplicates against a STATIC
+    // already-ingested snapshot (every third event id), so only novel
+    // rows reach the sink. Stateless per micro-batch — the static side
+    // is (re)planned into each batch as a broadcast hash join at this
+    // size; at 100 TB the same plan takes a bucketed or
+    // bloom-pre-filtered static side, but the join mechanism and its
+    // exactly-these-rows semantics are what this row pins. The oracle is
+    // the complement filter directly.
+    "q253_stream_static_anti_join" -> ((s, dir) => {
+      val base = s"target/ssreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+      val seen = ev.where(col("event_id") % 3L === 0L)
+        .select(col("event_id").as("seen_id"))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev, base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2)) { st =>
+          st.join(seen, col("event_id") === col("seen_id"), "left_anti")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("ts_epoch"))
+        }
+        .select("event_id", "user_id", "event_type", "ts_epoch")
+    }),
+
+    // flatMapGroupsWithState end-to-end, hash-checked — the replay
+    // promotion of the late-streak state machine (q249 covered the
+    // Spark-4 transformWithState API; this covers the classic arbitrary-
+    // state API the §2.9 specs pin). lateStreaks emits one row PER
+    // OBSERVATION THAT CHANGES the streak, folding within-batch rows in
+    // ts order — so the emitted set is batch-boundary-INDEPENDENT
+    // (every late row changes the streak; a non-late row changes it only
+    // when the previous observation was late), which is exactly the
+    // window-function complement the oracle computes: streak = count of
+    // late rows since the last reset, emitted WHERE late OR prev_late.
+    // Same one-obs-per-(key, ts) dedup contract as q249.
+    "q254_fmgws_streak_replay" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"target/skreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val obs = t(s, dir, "events").where(col("value").isNotNull)
+        .groupBy(col("user_id").cast("string").as("trip_id"),
+          unix_timestamp(col("ts")).as("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("delay_min"))
+      val cut1 = lit(java.time.Instant.parse("2024-01-11T00:00:00Z")
+        .getEpochSecond)
+      val cut2 = lit(java.time.Instant.parse("2024-01-21T00:00:00Z")
+        .getEpochSecond)
+      graft.streaming.StreamingAnalytics.replayStream(s, obs, base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2)) { st =>
+          graft.streaming.StreamingAnalytics.lateStreaks(
+            st.as[graft.streaming.StreamingAnalytics.Obs],
+            lateThreshold = 50.0).toDF()
+        }
+        .select(col("trip_id"), col("ts"),
+          col("streak").cast("long").as("streak"))
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -6391,6 +6606,101 @@ object SparkEntry {
         |   WHERE day_epoch BETWEEN rlo AND rhi) AS n_rows_range,
         |  (SELECT CAST(COALESCE(sum(n_events), 0) AS BIGINT) FROM b, rng
         |   WHERE day_epoch BETWEEN rlo AND rhi) AS n_events_range""".stripMargin,
+
+    // Mirrors q249: the streaming transformWithState EWMA replay emits
+    // one row per absorbed observation with the running y ← (x + y)/2;
+    // the recursive CTE recomputes the identical recursion over the full
+    // (trip, ts)-ordered deduped history — same double arithmetic, same
+    // rounding order, so batch recursion ≡ streaming-final bit-exactly.
+    "q249_tws_ewma_replay" ->
+      """WITH RECURSIVE obs AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS trip_id,
+        |    FLOOR(epoch(ts))::BIGINT AS ts,
+        |    arg_max(value, event_id) AS delay_min
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |h AS (
+        |  SELECT trip_id, ts, delay_min,
+        |    row_number() OVER (PARTITION BY trip_id ORDER BY ts ASC) AS rn
+        |  FROM obs),
+        |r AS (
+        |  SELECT trip_id, ts, rn, delay_min AS ewma FROM h WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.trip_id, h.ts, h.rn, (h.delay_min + r.ewma) / 2.0 AS ewma
+        |  FROM h JOIN r ON h.trip_id = r.trip_id AND h.rn = r.rn + 1)
+        |SELECT trip_id, ts, ewma FROM r""".stripMargin,
+
+    // Mirrors q250: the streaming interval join's emitted set over the
+    // ordered replay equals the batch interval join (microsecond
+    // timestamp arithmetic on both sides; epochs only in output).
+    "q250_stream_join_replay" ->
+      """SELECT l.event_id AS l_event_id, l.user_id AS user_id,
+        |  r.event_id AS r_event_id,
+        |  FLOOR(epoch(l.ts))::BIGINT AS l_ts_epoch,
+        |  FLOOR(epoch(r.ts))::BIGINT AS r_ts_epoch
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts - INTERVAL 3600 SECOND
+        | AND r.ts <= l.ts + INTERVAL 3600 SECOND""".stripMargin,
+
+    // Mirrors q251: the duplicates are injected Spark-side only, and the
+    // within-watermark dedup must drop exactly them — so the oracle is
+    // the original events verbatim.
+    "q251_stream_dedup_replay" ->
+      """SELECT event_id, user_id, event_type,
+        |  FLOOR(epoch(ts))::BIGINT AS ts_epoch, value
+        |FROM events""".stripMargin,
+
+    // Mirrors q252: UTC-aligned 6 h tumbling windows via integer epoch
+    // division (Spark's window() boundaries are the same multiples of
+    // 21600 s; flooring to seconds first cannot move a row across a
+    // boundary), exact-decimal average; the sentinel rows exist only
+    // Spark-side and their windows fall past the June cutoff.
+    "q252_stream_window_agg_replay" ->
+      s"""WITH e AS (
+         |  SELECT FLOOR(epoch(ts))::BIGINT AS tse, value
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT (tse // 21600) * 21600 AS window_start_epoch,
+         |  ${exactAvgSql("value")} AS avg_value,
+         |  count(*) AS n_rows
+         |FROM e GROUP BY 1""".stripMargin,
+
+    // Mirrors q253: the anti join against the static every-third-id
+    // snapshot is the complement filter.
+    "q253_stream_static_anti_join" ->
+      """SELECT event_id, user_id, event_type,
+        |  FLOOR(epoch(ts))::BIGINT AS ts_epoch
+        |FROM events WHERE event_id % 3 <> 0""".stripMargin,
+
+    // Mirrors q254: streak = late rows since the last reset (count over
+    // the reset-group), emitted where the streak changed — late rows
+    // always change it; a non-late row changes it iff the previous
+    // observation (per key, default false before the first) was late.
+    "q254_fmgws_streak_replay" ->
+      """WITH obs AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS trip_id,
+        |    FLOOR(epoch(ts))::BIGINT AS ts,
+        |    arg_max(value, event_id) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |o2 AS (
+        |  SELECT trip_id, ts, (v > 50.0) AS late,
+        |    lag((v > 50.0), 1, false)
+        |      OVER (PARTITION BY trip_id ORDER BY ts) AS prev_late
+        |  FROM obs),
+        |g AS (
+        |  SELECT trip_id, ts, late, prev_late,
+        |    sum(CASE WHEN late THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY trip_id ORDER BY ts) AS grp
+        |  FROM o2),
+        |st AS (
+        |  SELECT trip_id, ts, late, prev_late,
+        |    sum(CASE WHEN late THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY trip_id, grp ORDER BY ts) AS streak
+        |  FROM g)
+        |SELECT trip_id, ts, CAST(streak AS BIGINT) AS streak
+        |FROM st WHERE late OR prev_late""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (

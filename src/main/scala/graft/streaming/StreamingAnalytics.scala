@@ -277,6 +277,86 @@ object StreamingAnalytics {
       }.iterator
   }
 
+  /** Deterministic micro-batch REPLAY of [[ewmaStreamTws]] into a parquet
+    * sink — the harness that promotes the Spark-4 arbitrary-state path to
+    * a hash-checked registry row (q249). Each predicate in `batchPreds`
+    * becomes one parquet file under `baseDir/src` with its modification
+    * time pinned to replay order; the file source serves them as separate
+    * micro-batches (`maxFilesPerTrigger = 1`, oldest-modtime first) and
+    * `Trigger.AvailableNow` drains the backlog then stops — no wall-clock
+    * trigger, no flakiness. The EWMA recursion crosses every batch
+    * boundary through RocksDB `ValueState`, and the appended sink rows
+    * come back as a batch frame. Contract for oracle parity: each
+    * predicate must select a ts-ordered SLICE of every key's history
+    * (batch i's rows all precede batch i+1's per key) and `obs` must
+    * carry one row per (trip_id, ts) — then within-batch (ts)-order
+    * folding plus cross-batch state ≡ the batch recursion over the full
+    * ordered history, which a recursive CTE recomputes bit-exactly.
+    * Scale shape: the one-file-per-batch `coalesce(1)` is the replay
+    * harness's determinism pin, not a production path — live ingestion
+    * enters through the connector stream, and state is one double per
+    * key in RocksDB either way. */
+  def replayEwmaTws(spark: org.apache.spark.sql.SparkSession, obs: DataFrame,
+                    baseDir: String,
+                    batchPreds: Seq[org.apache.spark.sql.Column]): DataFrame =
+    replayStream(spark, obs, baseDir, batchPreds) { stream =>
+      import spark.implicits._
+      ewmaStreamTws(stream.as[Obs]).toDF()
+    }
+
+  /** The generic deterministic-replay harness behind [[replayEwmaTws]]
+    * (and the q250 stream-stream join row): materialize `input` into one
+    * parquet file per `batchPreds` predicate with modification times
+    * pinned to replay order, serve them as micro-batches through the
+    * file source, run `build`'s streaming transform into a parquet sink
+    * under `Trigger.AvailableNow`, and read the appended rows back as a
+    * batch frame. The RocksDB provider is set for the run (required by
+    * transformWithState, the production state backend for everything
+    * else) and the session conf restored after. */
+  def replayStream(spark: org.apache.spark.sql.SparkSession, input: DataFrame,
+                   baseDir: String,
+                   batchPreds: Seq[org.apache.spark.sql.Column])
+                  (build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(baseDir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(baseDir), true) // fresh replay per run
+    val srcDir = new Path(s"$baseDir/src")
+    fs.mkdirs(srcDir)
+    batchPreds.zipWithIndex.foreach { case (pred, i) =>
+      val tmp = s"$baseDir/tmp$i"
+      input.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"replayStream: no parquet part for batch $i"))
+      val dst = new Path(srcDir, f"batch$i%03d.parquet")
+      if (!fs.rename(part, dst))
+        sys.error(s"replayStream: rename failed for batch $i")
+      fs.setTimes(dst, 60000L * (i + 1), -1) // pin replay order
+      fs.delete(new Path(tmp), true)
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(input.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$baseDir/src")
+      val q = build(stream).writeStream
+        .format("parquet")
+        .option("path", s"$baseDir/out")
+        .option("checkpointLocation", s"$baseDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      saved.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+    spark.read.parquet(s"$baseDir/out")
+  }
+
   /** One funnel event for [[funnelStagesStream]]: epoch seconds. */
   final case class FEvent(user_id: Long, event_type: String, ts: Long)
 

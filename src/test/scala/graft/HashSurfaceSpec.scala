@@ -84,6 +84,16 @@ class HashSurfaceSpec extends SparkSpec {
     "q159_key_skew" -> Set("med_per_key", "max_share", "skew_factor"),
     "q160_corr_matrix" -> Set("corr"),
     "q161_ewma" -> Set("ewma"),
+    // q249: identical per-row recursion (one add + one exact halving per
+    // step) folded in the same order in both engines — q161's dyadic
+    // discipline carried through streaming state
+    "q249_tws_ewma_replay" -> Set("ewma"),
+    // q251: untouched per-row passthrough of the parquet double (the
+    // q112 pattern — no arithmetic, no aggregation order)
+    "q251_stream_dedup_replay" -> Set("value"),
+    // q252: exact-decimal accumulation then one divide — the
+    // exactAvg/exactAvgSql mirrored pair every dashboard row uses
+    "q252_stream_window_agg_replay" -> Set("avg_value"),
     "q162_lm_fluency" -> Set("fluency"),
     "q163_weighted_median" -> Set("weighted_median_price"),
     "q166_cohens_kappa" -> Set("kappa"),

@@ -539,6 +539,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("replayEwmaTws: the file-source replay (pinned mod-times, " +
+    "maxFilesPerTrigger=1, AvailableNow) folds batches in replay order and " +
+    "carries RocksDB state across them — sink contents equal the batch " +
+    "recursion over the full ordered history bit-exactly") {
+    import spark.implicits._
+    // non-dyadic values; T1's history spans all three batches, T2 two
+    val history = Seq(
+      ("T1", 100L, 3.7), ("T2", 110L, 0.3),   // batch 0: ts < 200
+      ("T1", 200L, 11.1), ("T1", 250L, 5.9),  // batch 1: 200 <= ts < 300
+      ("T1", 300L, 2.2), ("T2", 310L, 8.8))   // batch 2: ts >= 300
+    val obs = history.toDF("trip_id", "ts", "delay_min")
+    val base = "target/twsreplay_spec"
+    val got = StreamingAnalytics.replayEwmaTws(spark, obs, base, Seq(
+        col("ts") < 200L, col("ts") >= 200L && col("ts") < 300L,
+        col("ts") >= 300L))
+      .collect().map(r => (r.getAs[String]("trip_id"),
+        r.getAs[Long]("ts")) -> r.getAs[Double]("ewma")).toMap
+    val ref = history.groupBy(_._1).flatMap { case (k, h) =>
+      h.sortBy(_._2).scanLeft(Option.empty[(Long, Double)]) {
+        case (acc, (_, t, x)) =>
+          Some(t -> acc.fold(x) { case (_, prev) => (x + prev) / 2.0 })
+      }.flatten.map { case (t, y) => (k, t) -> y }
+    }
+    assert(got === ref)
+  }
+
   test("funnelStagesStream: final stage per user equals batch staging on " +
     "the identical event set, including an out-of-order late view that " +
     "DEMOTES a converted user") {
