@@ -162,7 +162,13 @@ object Bench {
     // of warmup and the per-query numbers depend on Map iteration order.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.t(spark, sfDir, "events").count()
+    // optional comma-separated name-prefix filter for LOCAL iteration on
+    // a few queries (the driver never sets it); a filtered run's totals
+    // and comparability are not a window — regen refuses partial maps
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -225,7 +231,11 @@ object Bench {
         finally src.close()
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
+    // `filtered` marks a SPARK_GRAFT_BENCH_ONLY run so downstream tooling
+    // (regen_bench_reference.py) can refuse to treat a partial query map
+    // as a recorded window
+    val filteredJson = if (only.isDefined) """"filtered":true,""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$filteredJson"queries":$qs,"spread":$spreadJson,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
     // The full line above carries the whole per-query map (~7 KB for 200+
     // queries); a fixed-size log-tail capture truncates its head and loses
     // the headline total. This LAST line is a complete, self-describing

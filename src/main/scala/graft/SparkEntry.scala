@@ -1814,6 +1814,48 @@ object SparkEntry {
           col("streak").cast("long").as("streak"))
     }),
 
+    // Streaming gap-SESSIONIZATION end-to-end, hash-checked — q44's
+    // unbounded sibling through the replay harness: per-user 6-hour-gap
+    // sessions seal (and emit) only once the watermark clears their gap
+    // deadline, idle keys sealing via EventTimeTimeout. The two sentinel
+    // batches advance the watermark past every real deadline inside a
+    // DATA batch (q252's trick; the sentinels use their own key and are
+    // filtered after read-back, so whether any Spark version's no-data
+    // batch seals THEIR sessions is irrelevant). The emitted set is
+    // batch-boundary-independent — the state machine holds EVERY
+    // unsealed session per key, so merges/bridges resolve identically
+    // however arrivals slice — and equals batch gap-sessionization,
+    // which the oracle computes with q44's lag + running-sum spelling
+    // rolled up to (session, bounds, count).
+    "q255_session_stream_replay" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"target/ssnreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").as("event_time"))
+      val sent = Seq("2024-12-01 00:00:00", "2024-12-31 00:00:00")
+        .toDF("ts_str")
+        .select(lit("zz_sentinel").as("key"),
+          to_timestamp(col("ts_str")).as("event_time"))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      val cutS = lit("2024-06-01").cast("timestamp")
+      val cutB = lit("2024-12-15").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev.unionAll(sent),
+          base, Seq(
+          col("event_time") < cut1,
+          col("event_time") >= cut1 && col("event_time") < cut2,
+          col("event_time") >= cut2 && col("event_time") < cutS,
+          col("event_time") >= cutS && col("event_time") < cutB,
+          col("event_time") >= cutB)) { st =>
+          graft.streaming.StreamingAnalytics.sessionizeStream(
+            st.as[graft.streaming.StreamingAnalytics.SEvent],
+            gapSeconds = 21600L).toDF()
+        }
+        .where(col("key") =!= "zz_sentinel")
+        .select("key", "start_epoch", "end_epoch", "n_events")
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -6701,6 +6743,30 @@ object SparkEntry {
         |  FROM g)
         |SELECT trip_id, ts, CAST(streak AS BIGINT) AS streak
         |FROM st WHERE late OR prev_late""".stripMargin,
+
+    // Mirrors q255: q44's boundary spelling (diff > gap starts a new
+    // session; equal-epoch ties land in the same session whatever the
+    // lag order) rolled up to one row per session. The sentinels exist
+    // only Spark-side under their own key.
+    "q255_session_stream_replay" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    FLOOR(epoch(ts))::BIGINT AS tse
+        |  FROM events),
+        |d AS (
+        |  SELECT key, tse,
+        |    lag(tse) OVER (PARTITION BY key ORDER BY tse ASC) AS prev
+        |  FROM e),
+        |g AS (
+        |  SELECT key, tse,
+        |    sum(CASE WHEN prev IS NULL OR tse - prev > 21600
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY key ORDER BY tse ASC
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT key, min(tse) AS start_epoch, max(tse) AS end_epoch,
+        |  count(*) AS n_events
+        |FROM g GROUP BY key, sid""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (

@@ -299,9 +299,10 @@ object StreamingAnalytics {
   def replayEwmaTws(spark: org.apache.spark.sql.SparkSession, obs: DataFrame,
                     baseDir: String,
                     batchPreds: Seq[org.apache.spark.sql.Column]): DataFrame =
-    replayStream(spark, obs, baseDir, batchPreds) { stream =>
-      import spark.implicits._
-      ewmaStreamTws(stream.as[Obs]).toDF()
+    replayStream(spark, obs, baseDir, batchPreds, useRocksDb = true) {
+      stream =>
+        import spark.implicits._
+        ewmaStreamTws(stream.as[Obs]).toDF()
     }
 
   /** The generic deterministic-replay harness behind [[replayEwmaTws]]
@@ -310,12 +311,17 @@ object StreamingAnalytics {
     * pinned to replay order, serve them as micro-batches through the
     * file source, run `build`'s streaming transform into a parquet sink
     * under `Trigger.AvailableNow`, and read the appended rows back as a
-    * batch frame. The RocksDB provider is set for the run (required by
-    * transformWithState, the production state backend for everything
-    * else) and the session conf restored after. */
+    * batch frame. `useRocksDb` switches the state-store provider for the
+    * run (and restores the session conf after): transformWithState
+    * REQUIRES RocksDB, but for the other stateful operators the replay
+    * keeps the session default — at replay sizes the native store's
+    * per-partition spin-up (numShufflePartitions stores per stateful
+    * operator per micro-batch) dominates wall time, and the provider
+    * choice is deployment config, not operator semantics. */
   def replayStream(spark: org.apache.spark.sql.SparkSession, input: DataFrame,
                    baseDir: String,
-                   batchPreds: Seq[org.apache.spark.sql.Column])
+                   batchPreds: Seq[org.apache.spark.sql.Column],
+                   useRocksDb: Boolean = false)
                   (build: DataFrame => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -336,8 +342,9 @@ object StreamingAnalytics {
     }
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val saved = spark.conf.getOption(provKey)
-    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
+    if (useRocksDb)
+      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
     try {
       val stream = spark.readStream
         .schema(input.schema)

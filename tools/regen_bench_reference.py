@@ -71,6 +71,11 @@ def main() -> int:
         print("no full bench JSON line found", file=sys.stderr)
         return 1
     for path, w in windows:
+        if w.get("filtered"):
+            print(f"refusing: {path} has a SPARK_GRAFT_BENCH_ONLY window "
+                  "— a partial query map is not a recorded window",
+                  file=sys.stderr)
+            return 1
         if w.get("runs", 0) < 3:
             print(f"refusing: {path} has a window with runs="
                   f"{w.get('runs')} < 3 — single-pass medians carry "
