@@ -1856,6 +1856,42 @@ object SparkEntry {
         .select("key", "start_epoch", "end_epoch", "n_events")
     }),
 
+    // Streaming conversion FUNNEL end-to-end, hash-checked — the last of
+    // the four custom state machines (after EWMA q249, streaks q254,
+    // sessions q255), and the Update-mode path: funnelStagesStream emits
+    // a user's (stage, n_seen) whenever a micro-batch CHANGES the stage
+    // (first batch with events always emits; a late earlier
+    // first-occurrence can move the stage DOWN), through the replay
+    // harness's foreachBatch parquet-append sink. Emissions are a
+    // function of the batch CUTS (unlike q254's per-observation rows),
+    // and the cuts are fixed — so the oracle recomputes the three
+    // cumulative snapshots directly: per (user, batch) the stage chain
+    // over cumulative first-occurrence minimums and the cumulative event
+    // count, emitted where the stage differs from the user's previous
+    // ACTIVE batch (lastEmitted always equals the previous active
+    // batch's stage, emitted or not, because not-emitting means equal).
+    "q256_funnel_stream_replay" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"target/fnreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts"))
+      val cut1 = lit(java.time.Instant.parse("2024-01-11T00:00:00Z")
+        .getEpochSecond)
+      val cut2 = lit(java.time.Instant.parse("2024-01-21T00:00:00Z")
+        .getEpochSecond)
+      graft.streaming.StreamingAnalytics.replayStream(s, ev, base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2), updateMode = true) { st =>
+          graft.streaming.StreamingAnalytics.funnelStagesStream(
+            st.as[graft.streaming.StreamingAnalytics.FEvent],
+            stages = Seq("view", "click", "purchase")).toDF()
+        }
+        .select(col("user_id"), col("stage").cast("long").as("stage"),
+          col("n_seen"))
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -6767,6 +6803,46 @@ object SparkEntry {
         |SELECT key, min(tse) AS start_epoch, max(tse) AS end_epoch,
         |  count(*) AS n_events
         |FROM g GROUP BY key, sid""".stripMargin,
+
+    // Mirrors q256: three cumulative snapshots at the fixed batch cuts;
+    // stage = the view <= click <= purchase chain over cumulative
+    // first-occurrence minimums (a missing or out-of-order stage breaks
+    // it); n_seen counts ALL events (stage-typed or not); emit on the
+    // user's active batches where the stage differs from the previous
+    // active batch's (first active batch compares against -1).
+    "q256_funnel_stream_replay" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS tse
+        |  FROM events),
+        |bt AS (
+        |  SELECT user_id, event_type, tse,
+        |    CASE WHEN tse < 1704931200 THEN 0
+        |         WHEN tse < 1705795200 THEN 1 ELSE 2 END AS b
+        |  FROM ev),
+        |k AS (SELECT * FROM (VALUES (0), (1), (2)) t(k)),
+        |agg AS (
+        |  SELECT e.user_id, k.k,
+        |    count(*) AS n_seen,
+        |    min(CASE WHEN event_type = 'view' THEN tse END) AS m0,
+        |    min(CASE WHEN event_type = 'click' THEN tse END) AS m1,
+        |    min(CASE WHEN event_type = 'purchase' THEN tse END) AS m2
+        |  FROM bt e JOIN k ON e.b <= k.k
+        |  GROUP BY e.user_id, k.k),
+        |act AS (SELECT DISTINCT user_id, b AS k FROM bt),
+        |st AS (
+        |  SELECT a.user_id, a.k, a.n_seen,
+        |    CASE WHEN m0 IS NULL THEN 0
+        |         WHEN m1 IS NULL OR m1 < m0 THEN 1
+        |         WHEN m2 IS NULL OR m2 < m1 THEN 2
+        |         ELSE 3 END AS stage
+        |  FROM agg a JOIN act USING (user_id, k)),
+        |sel AS (
+        |  SELECT user_id, k, n_seen, stage,
+        |    lag(stage, 1, -1) OVER (PARTITION BY user_id ORDER BY k)
+        |      AS prev_stage
+        |  FROM st)
+        |SELECT user_id, CAST(stage AS BIGINT) AS stage, n_seen
+        |FROM sel WHERE stage <> prev_stage""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (

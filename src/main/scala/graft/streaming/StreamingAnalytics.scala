@@ -317,11 +317,20 @@ object StreamingAnalytics {
     * keeps the session default — at replay sizes the native store's
     * per-partition spin-up (numShufflePartitions stores per stateful
     * operator per micro-batch) dominates wall time, and the provider
-    * choice is deployment config, not operator semantics. */
+    * choice is deployment config, not operator semantics. `updateMode`
+    * runs the query in Update output mode through a foreachBatch
+    * parquet-append sink (the parquet sink itself is append-only), for
+    * transforms like [[funnelStagesStream]] that re-emit a key's row
+    * when it changes. The foreachBatch append is NOT idempotent under
+    * batch retry — fine here (fresh checkpoint + out dir every run, one
+    * local driver, deterministic inputs), but a production update-mode
+    * sink needs the batchId-keyed overwrite discipline
+    * [[RealtimeStream.mergeBatchPartitioned]] implements. */
   def replayStream(spark: org.apache.spark.sql.SparkSession, input: DataFrame,
                    baseDir: String,
                    batchPreds: Seq[org.apache.spark.sql.Column],
-                   useRocksDb: Boolean = false)
+                   useRocksDb: Boolean = false,
+                   updateMode: Boolean = false)
                   (build: DataFrame => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -350,11 +359,20 @@ object StreamingAnalytics {
         .schema(input.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$baseDir/src")
-      val q = build(stream).writeStream
-        .format("parquet")
-        .option("path", s"$baseDir/out")
+      val writer =
+        if (updateMode)
+          build(stream).writeStream
+            .outputMode("update")
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              df.write.mode("append").parquet(s"$baseDir/out"): Unit
+            }
+        else
+          build(stream).writeStream
+            .format("parquet")
+            .option("path", s"$baseDir/out")
+            .outputMode("append")
+      val q = writer
         .option("checkpointLocation", s"$baseDir/ckpt")
-        .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
