@@ -1892,6 +1892,68 @@ object SparkEntry {
           col("n_seen"))
     }),
 
+    // LEFT OUTER stream-stream interval join, hash-checked — q250's
+    // outer sibling, and a semantics the inner join cannot show: an
+    // unmatched click is declared unmatched (null-extended) only once
+    // the WATERMARK passes its interval's far edge, the same bound that
+    // evicts it from join state. Sentinel rows carry BOTH side types
+    // (watermarks are per input, taken after the type filters, and the
+    // join's effective watermark is their minimum — a one-sided sentinel
+    // would stall it) under negative user ids in two trailing batches:
+    // after the second, the watermark sits an hour before the FIRST
+    // sentinel, far past every real click's edge, so every real
+    // unmatched left null-extends inside a DATA batch; whether any
+    // no-data batch later seals the sentinels' own rows is irrelevant —
+    // the user_id >= 0 filter drops them. Emitted set ≡ the batch LEFT
+    // JOIN, which the oracle computes directly.
+    "q257_stream_outer_join_replay" -> ((s, dir) => {
+      val base = s"target/sojreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val sentRows = Seq(
+        ("2024-12-01 00:00:00", -1L, "click", -101L),
+        ("2024-12-01 00:00:00", -2L, "purchase", -102L),
+        ("2024-12-31 00:00:00", -3L, "click", -103L),
+        ("2024-12-31 00:00:00", -4L, "purchase", -104L))
+      val sent = {
+        import s.implicits._
+        sentRows.toDF("ts_str", "uid", "etype", "eid")
+          .select(col("eid").as("event_id"),
+            to_timestamp(col("ts_str")).as("ts"), col("uid").as("user_id"),
+            col("etype").as("event_type"))
+      }
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      val cutS = lit("2024-06-01").cast("timestamp")
+      val cutB = lit("2024-12-15").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev.unionAll(sent),
+          base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2 && col("ts") < cutS,
+          col("ts") >= cutS && col("ts") < cutB,   // sentinel pair A
+          col("ts") >= cutB)) { st =>              // sentinel pair B
+          val l = st.where(col("event_type") === "click")
+            .select(col("event_id").as("l_event_id"), col("user_id"),
+              col("ts").as("l_ts"))
+            .withWatermark("l_ts", "1 hour")
+          val r = st.where(col("event_type") === "purchase")
+            .select(col("event_id").as("r_event_id"),
+              col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+            .withWatermark("r_ts", "1 hour")
+          l.join(r, col("user_id") === col("r_user_id") &&
+              col("r_ts") >= col("l_ts") - expr("INTERVAL 3600 seconds") &&
+              col("r_ts") <= col("l_ts") + expr("INTERVAL 3600 seconds"),
+              "leftOuter")
+            .select(col("l_event_id"), col("user_id"), col("r_event_id"),
+              unix_timestamp(col("l_ts")).as("l_ts_epoch"),
+              unix_timestamp(col("r_ts")).as("r_ts_epoch"))
+        }
+        .where(col("user_id") >= 0L)
+        .select("l_event_id", "user_id", "r_event_id", "l_ts_epoch",
+          "r_ts_epoch")
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -6843,6 +6905,19 @@ object SparkEntry {
         |  FROM st)
         |SELECT user_id, CAST(stage AS BIGINT) AS stage, n_seen
         |FROM sel WHERE stage <> prev_stage""".stripMargin,
+
+    // Mirrors q257: the batch LEFT JOIN with the identical interval
+    // condition; the sentinels exist only Spark-side under negative ids.
+    "q257_stream_outer_join_replay" ->
+      """SELECT l.event_id AS l_event_id, l.user_id AS user_id,
+        |  r.event_id AS r_event_id,
+        |  FLOOR(epoch(l.ts))::BIGINT AS l_ts_epoch,
+        |  FLOOR(epoch(r.ts))::BIGINT AS r_ts_epoch
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts - INTERVAL 3600 SECOND
+        | AND r.ts <= l.ts + INTERVAL 3600 SECOND""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (
