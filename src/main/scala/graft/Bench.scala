@@ -164,9 +164,12 @@ object Bench {
     Tables.t(spark, sfDir, "events").count()
     // optional comma-separated name-prefix filter for LOCAL iteration on
     // a few queries (the driver never sets it); a filtered run's totals
-    // and comparability are not a window — regen refuses partial maps
+    // and comparability are not a window — regen refuses partial maps.
+    // An EMPTY value collapses to unset (r13 ADVICE: Some(Seq()) would
+    // match no name and silently bench zero queries).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     val times = scala.collection.mutable.Map.empty[String, List[Double]]

@@ -1954,6 +1954,146 @@ object SparkEntry {
           "r_ts_epoch")
     }),
 
+    // Checkpoint-RESTART exactly-once, hash-checked (VERDICT r13 item 3)
+    // — the one production claim the single-run replays never tested:
+    // kill a stateful query mid-backlog, restart from the checkpoint,
+    // and the final sink must be bit-identical. Same transformWithState
+    // EWMA + RocksDB ValueState as q249, same three-batch backlog, but
+    // the harness releases only batch 0 to the FIRST query (which drains
+    // it, commits, and stops), then starts a SECOND query on the same
+    // checkpoint that restores every key's checkpointed double and
+    // drains batches 1-2 — the recursion crosses the restart boundary
+    // through restored state, not memory. Deterministic by construction
+    // (file release, not a mid-batch stop() race); the oracle is q249's
+    // full-history recursive CTE, because a restart that changes ANY
+    // emitted value breaks the hash. RestartSpec separately pins that
+    // the restart really split the run (one query id, two runIds, 1 then
+    // 3 commits). This is the reference's restartable-extractor contract
+    // (reference/scripts/realtime_extractor.py:127-143) on Spark's
+    // checkpoint mechanism.
+    "q258_tws_restart_replay" -> ((s, dir) => {
+      val base = s"target/twsrestart_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val obs = t(s, dir, "events").where(col("value").isNotNull)
+        .groupBy(col("user_id").cast("string").as("trip_id"),
+          unix_timestamp(col("ts")).as("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("delay_min"))
+      val cut1 = lit(java.time.Instant.parse("2024-01-11T00:00:00Z")
+        .getEpochSecond)
+      val cut2 = lit(java.time.Instant.parse("2024-01-21T00:00:00Z")
+        .getEpochSecond)
+      graft.streaming.StreamingAnalytics.replayEwmaTws(s, obs, base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2),
+          restartAfterBatch = Some(1))
+        .select(col("trip_id"), col("ts"), col("ewma"))
+    }),
+
+    // CHAINED stateful operators in one streaming query, hash-checked
+    // (VERDICT r13 item 4) — real pipelines are chains, and watermark
+    // propagation ACROSS two stateful operators is a semantics class no
+    // single-operator row touches: dropDuplicatesWithinWatermark (q251's
+    // operator, guarding an at-least-once source whose every 10th event
+    // arrives twice) feeds the watermark-finalized 6 h windowed average
+    // (q252's operator) in ONE query — dedup state evicts as the
+    // watermark advances, and the SAME watermark, propagated through the
+    // dedup, finalizes and evicts the windows downstream. The injected
+    // duplicates make the chain order observable: if the aggregate ran
+    // first (or dedup failed), every tenth event would count twice and
+    // the hash would break. Sentinel rows (q252's trick, under fresh
+    // negative event ids that pass the dedup untouched) force
+    // finalization inside a data batch; the June cutoff — mirrored in
+    // the oracle — excludes their windows. ChainedStatefulSpec pins two
+    // stateful operators in the one executed query.
+    "q259_chained_stateful_replay" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"target/chreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("value"))
+      val withDups = ev.unionAll(ev.where(col("event_id") % 10L === 0L))
+      val sent = Seq(("2024-12-01 00:00:00", -1L),
+          ("2024-12-31 00:00:00", -2L))
+        .toDF("ts_str", "sid")
+        .select(col("sid").as("event_id"),
+          to_timestamp(col("ts_str")).as("ts"), lit(0.0).as("value"))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      val cutS = lit("2024-06-01").cast("timestamp")
+      val cutB = lit("2024-12-15").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s,
+          withDups.unionAll(sent), base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2 && col("ts") < cutS,
+          col("ts") >= cutS && col("ts") < cutB,   // sentinel A
+          col("ts") >= cutB)) { st =>              // sentinel B
+          st.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+            .groupBy(window(col("ts"), "6 hours"))
+            .agg(Dashboard.exactAvg(col("value")).as("avg_value"),
+              count(lit(1)).as("n_rows"))
+            .select(unix_timestamp(col("window.start"))
+              .as("window_start_epoch"), col("avg_value"), col("n_rows"))
+        }
+        .where(col("window_start_epoch") <
+          lit(java.time.Instant.parse("2024-06-01T00:00:00Z")
+            .getEpochSecond))
+        .select("window_start_epoch", "avg_value", "n_rows")
+    }),
+
+    // Native session_window PARITY, hash-checked (VERDICT r13 item 5) —
+    // the one-liner a user reaches for before q255's custom sessionizer:
+    // groupBy(key, session_window(ts, gap)) with count/min/max rolls the
+    // same 6 h-gap sessions up to the same (key, bounds, count) rows.
+    // Boundary semantics verified empirically and pinned by
+    // SessionWindowParitySpec: an event exactly `gap` after a session's
+    // last event MERGES in both (native windows are [t, t+gap) per event
+    // and merge on touch-or-overlap; the custom machine and the q44/q255
+    // oracle spell it `diff > gap` starts new) — so the two sessionizers
+    // agree row-for-row on in-order replays and this row shares q255's
+    // oracle. The spec also pins agreement on the harder case — an
+    // out-of-order within-watermark arrival BRIDGING two open sessions,
+    // which native merges in state just like the custom machine — and
+    // surfaces the one observed delta: a row exactly AT the watermark is
+    // filtered as late before either operator sees it. Session bounds
+    // aggregate as min/max of the event time itself (native window.end
+    // is last + gap, a different quantity than q255's last-event epoch).
+    // Sentinels under their own key advance the watermark so every real
+    // session finalizes inside a data batch, then filter out.
+    "q260_session_window_native" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"target/snwreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").as("event_time"))
+      val sent = Seq("2024-12-01 00:00:00", "2024-12-31 00:00:00")
+        .toDF("ts_str")
+        .select(lit("zz_sentinel").as("key"),
+          to_timestamp(col("ts_str")).as("event_time"))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      val cutS = lit("2024-06-01").cast("timestamp")
+      val cutB = lit("2024-12-15").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev.unionAll(sent),
+          base, Seq(
+          col("event_time") < cut1,
+          col("event_time") >= cut1 && col("event_time") < cut2,
+          col("event_time") >= cut2 && col("event_time") < cutS,
+          col("event_time") >= cutS && col("event_time") < cutB,
+          col("event_time") >= cutB)) { st =>
+          st.withWatermark("event_time", "0 seconds")
+            .groupBy(col("key"),
+              session_window(col("event_time"), "6 hours"))
+            .agg(min(unix_timestamp(col("event_time"))).as("start_epoch"),
+              max(unix_timestamp(col("event_time"))).as("end_epoch"),
+              count(lit(1)).as("n_events"))
+            .select(col("key"), col("start_epoch"), col("end_epoch"),
+              col("n_events"))
+        }
+        .where(col("key") =!= "zz_sentinel")
+        .select("key", "start_epoch", "end_epoch", "n_events")
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -6795,8 +6935,11 @@ object SparkEntry {
     // Mirrors q252: UTC-aligned 6 h tumbling windows via integer epoch
     // division (Spark's window() boundaries are the same multiples of
     // 21600 s; flooring to seconds first cannot move a row across a
-    // boundary), exact-decimal average; the sentinel rows exist only
-    // Spark-side and their windows fall past the June cutoff.
+    // boundary), exact-decimal average. The June-1 window cutoff the
+    // Spark side applies after read-back (to exclude whichever sentinel
+    // windows a Spark version finalizes) is mirrored HERE too, so parity
+    // holds whatever time span the dataset covers — not just because the
+    // generated events happen to end before June (r13 ADVICE).
     "q252_stream_window_agg_replay" ->
       s"""WITH e AS (
          |  SELECT FLOOR(epoch(ts))::BIGINT AS tse, value
@@ -6804,7 +6947,9 @@ object SparkEntry {
          |SELECT (tse // 21600) * 21600 AS window_start_epoch,
          |  ${exactAvgSql("value")} AS avg_value,
          |  count(*) AS n_rows
-         |FROM e GROUP BY 1""".stripMargin,
+         |FROM e
+         |WHERE (tse // 21600) * 21600 < 1717200000
+         |GROUP BY 1""".stripMargin,
 
     // Mirrors q253: the anti join against the static every-third-id
     // snapshot is the complement filter.
@@ -6907,7 +7052,11 @@ object SparkEntry {
         |FROM sel WHERE stage <> prev_stage""".stripMargin,
 
     // Mirrors q257: the batch LEFT JOIN with the identical interval
-    // condition; the sentinels exist only Spark-side under negative ids.
+    // condition. The sentinels exist only Spark-side under negative ids,
+    // and the Spark side's user_id >= 0 sentinel exclusion is mirrored
+    // HERE too (a no-op on real events, which carry non-negative ids),
+    // so parity is spelled on both sides instead of depending on the
+    // generator never emitting a negative user id (r13 ADVICE).
     "q257_stream_outer_join_replay" ->
       """SELECT l.event_id AS l_event_id, l.user_id AS user_id,
         |  r.event_id AS r_event_id,
@@ -6917,7 +7066,70 @@ object SparkEntry {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id
         | AND r.ts >= l.ts - INTERVAL 3600 SECOND
-        | AND r.ts <= l.ts + INTERVAL 3600 SECOND""".stripMargin,
+        | AND r.ts <= l.ts + INTERVAL 3600 SECOND
+        |WHERE l.user_id >= 0""".stripMargin,
+
+    // Mirrors q258: a checkpoint restart must not change ANY emitted
+    // value, so the oracle is deliberately q249's verbatim — the same
+    // full-history recursion the single-run replay matches.
+    "q258_tws_restart_replay" ->
+      """WITH RECURSIVE obs AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS trip_id,
+        |    FLOOR(epoch(ts))::BIGINT AS ts,
+        |    arg_max(value, event_id) AS delay_min
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |h AS (
+        |  SELECT trip_id, ts, delay_min,
+        |    row_number() OVER (PARTITION BY trip_id ORDER BY ts ASC) AS rn
+        |  FROM obs),
+        |r AS (
+        |  SELECT trip_id, ts, rn, delay_min AS ewma FROM h WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.trip_id, h.ts, h.rn, (h.delay_min + r.ewma) / 2.0 AS ewma
+        |  FROM h JOIN r ON h.trip_id = r.trip_id AND h.rn = r.rn + 1)
+        |SELECT trip_id, ts, ewma FROM r""".stripMargin,
+
+    // Mirrors q259: the injected duplicates are dropped by the upstream
+    // dedup (they exist Spark-side only), so the chained query's windows
+    // equal q252's single-operator windows — same 6 h epoch-division
+    // spelling, same mirrored June cutoff (the sentinels' windows fall
+    // past it on both sides by construction).
+    "q259_chained_stateful_replay" ->
+      s"""WITH e AS (
+         |  SELECT FLOOR(epoch(ts))::BIGINT AS tse, value
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT (tse // 21600) * 21600 AS window_start_epoch,
+         |  ${exactAvgSql("value")} AS avg_value,
+         |  count(*) AS n_rows
+         |FROM e
+         |WHERE (tse // 21600) * 21600 < 1717200000
+         |GROUP BY 1""".stripMargin,
+
+    // Mirrors q260: native session_window merges an event exactly `gap`
+    // after a session's last event (touch-or-overlap, verified
+    // empirically and spec-pinned), which is precisely q44/q255's
+    // `diff > gap starts a new session` spelling — so the native
+    // one-liner shares the custom sessionizer's oracle verbatim.
+    "q260_session_window_native" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    FLOOR(epoch(ts))::BIGINT AS tse
+        |  FROM events),
+        |d AS (
+        |  SELECT key, tse,
+        |    lag(tse) OVER (PARTITION BY key ORDER BY tse ASC) AS prev
+        |  FROM e),
+        |g AS (
+        |  SELECT key, tse,
+        |    sum(CASE WHEN prev IS NULL OR tse - prev > 21600
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY key ORDER BY tse ASC
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT key, min(tse) AS start_epoch, max(tse) AS end_epoch,
+        |  count(*) AS n_events
+        |FROM g GROUP BY key, sid""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (
