@@ -19,6 +19,44 @@ object Bench {
     case c => c.toString
   }
 
+  /** Machine-state probe (VERDICT r13 item 2): a fixed CPU loop and a
+    * fixed parquet write+read, timed and recorded in the bench JSON next
+    * to `cpus`. The r12/r13 contended driver windows each cost a judge
+    * re-run to adjudicate because the bench carried no machine-state
+    * evidence; with the probe, a window whose calibration reads far
+    * above the reference's recorded calibration is machine-attributably
+    * contended and the comparability object says so itself.
+    *
+    * The CPU leg is single-threaded serial-dependent xorshift — immune
+    * to vectorization, sensitive to core oversubscription and frequency
+    * pressure. The IO leg writes and reads back ~170 MB of parquet
+    * through the normal executor path — sensitive to disk and page-cache
+    * contention, which is where the r13 flags (IO-bound queries at
+    * 4-13x) actually lived. Run once per bench invocation, outside any
+    * query's timing. */
+  private[graft] def calibrationProbe(spark: SparkSession): (Double, Double) = {
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < 400000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val cpuS = (System.nanoTime() - t0) / 1e9
+    // consume x so the loop cannot be dead-code-eliminated
+    if (x == 0L) Console.err.println("calibration: degenerate xorshift")
+    val dir = "target/bench_calibration"
+    val t1 = System.nanoTime()
+    spark.range(0L, 16000000L, 1L, 8)
+      .selectExpr("id", "id * 2.718281828 AS a",
+        "CAST(id % 9973 AS STRING) AS s")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).selectExpr("sum(id)", "sum(a)", "max(s)")
+      .collect()
+    val ioS = (System.nanoTime() - t1) / 1e9
+    (cpuS, ioS)
+  }
+
   def median(xs: List[Double]): Double = xs match {
     case Nil => 0.0 // query failed every pass; the errors map carries it
     case _ =>
@@ -61,6 +99,14 @@ object Bench {
     *     and the tolerance is `max(1.6, 1 + 6·rel_mad)` per side;
     *     two-column lines keep the global 1.6×.
     *
+    * A `# calibration: cpu_s=<v> io_s=<v>` directive (written by
+    * regen_bench_reference.py from the windows' recorded probes) enables
+    * window-level contention classification: this run's
+    * [[calibrationProbe]] ratios against it are emitted as a
+    * `calibration` object with `contended` (cpu_ratio > 1.5 or
+    * io_ratio > 2.5) so a contended window self-attributes instead of
+    * leaving an outlier cluster for a judge to adjudicate.
+    *
     * Pure function of (medians, reference lines) so BenchSpec can pin
     * the classification — both directions: a recorded-wide query at
     * its observed contention ratio must NOT flag, and a genuine 2× on
@@ -69,7 +115,8 @@ object Bench {
                         refLines: Iterator[String],
                         refLabel: String,
                         singlePass: Boolean = false,
-                        sfDir: String = ""): String = {
+                        sfDir: String = "",
+                        calib: Option[(Double, Double)] = None): String = {
     // a 1-pass run is systematically first-pass-biased: the earliest
     // queries pay whole-pipeline JIT that medians-of-N absorb (observed:
     // q01-q05/q29 flag 1.7-3.6x on a same-code single pass while the
@@ -93,6 +140,32 @@ object Bench {
     val col3IsTolerance = lines.exists(l =>
       l.startsWith("# col3:") &&
         l.stripPrefix("# col3:").trim == "tolerance")
+    // `# calibration: cpu_s=<v> io_s=<v>` records what the probe read
+    // when the reference windows were recorded; comparing this run's
+    // probe against it classifies the WINDOW (not any query) as
+    // contended — machine-attributable evidence that a high scale or an
+    // outlier cluster is the box, not the code. CPU is tight (a serial
+    // loop only slows when cores are oversubscribed or throttled); IO
+    // is naturally noisier, hence the wider gate.
+    val refCalib = lines.collectFirst {
+      case l if l.startsWith("# calibration:") =>
+        val kv = l.stripPrefix("# calibration:").trim.split("\\s+")
+          .flatMap(_.split("=") match {
+            case Array(k, v) => v.toDoubleOption.map(k -> _)
+            case _ => None
+          }).toMap
+        (kv.get("cpu_s"), kv.get("io_s"))
+    }
+    val calibJson = (calib, refCalib) match {
+      case (Some((cpu, io)), Some((Some(refCpu), Some(refIo))))
+          if refCpu > 0 && refIo > 0 =>
+        val cpuR = cpu / refCpu
+        val ioR = io / refIo
+        val contended = cpuR > 1.5 || ioR > 2.5
+        s""""calibration":{"cpu_ratio":${fmt(cpuR, 2)},""" +
+          s""""io_ratio":${fmt(ioR, 2)},"contended":$contended},"""
+      case _ => ""
+    }
     val parsed = lines
       .filter(l => !l.startsWith("#"))
       .map { l =>
@@ -116,7 +189,8 @@ object Bench {
     val ratios = medians.collect {
       case (n, c) if ref.get(n).exists(_ > 0) && c > 0 => n -> (c / ref(n))
     }
-    if (ratios.isEmpty) s"""{"reference":"${esc(refLabel)}","scale":null}"""
+    if (ratios.isEmpty)
+      s"""{"reference":"${esc(refLabel)}",$calibJson"scale":null}"""
     else {
       val scale = median(ratios.map(_._2).toList)
       val outliers = ratios.filter { case (n, r) =>
@@ -135,7 +209,8 @@ object Bench {
         // a comma-decimal locale would make the whole bench line
         // unparseable JSON
         "\"" + esc(n) + "\":" + fmt(r, 2) }.mkString("{", ",", "}")
-      s"""{"reference":"${esc(refLabel)}",$note"scale":${fmt(scale, 3)},""" +
+      s"""{"reference":"${esc(refLabel)}",$note$calibJson""" +
+        s""""scale":${fmt(scale, 3)},""" +
         s""""uniform":${outliers.isEmpty},"outliers_n":${outliers.size},""" +
         s""""outliers":$outJson}"""
     }
@@ -162,6 +237,8 @@ object Bench {
     // of warmup and the per-query numbers depend on Map iteration order.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.t(spark, sfDir, "events").count()
+    // machine-state probe, after warmup and outside every query's timing
+    val (calibCpu, calibIo) = calibrationProbe(spark)
     // optional comma-separated name-prefix filter for LOCAL iteration on
     // a few queries (the driver never sets it); a filtered run's totals
     // and comparability are not a window — regen refuses partial maps.
@@ -230,7 +307,8 @@ object Bench {
       else {
         val src = scala.io.Source.fromFile(f)
         try comparabilityJson(medians, src.getLines(), refPath,
-          singlePass = nRuns == 1, sfDir = sfDir)
+          singlePass = nRuns == 1, sfDir = sfDir,
+          calib = Some((calibCpu, calibIo)))
         finally src.close()
       }
     }
@@ -238,7 +316,9 @@ object Bench {
     // (regen_bench_reference.py) can refuse to treat a partial query map
     // as a recorded window
     val filteredJson = if (only.isDefined) """"filtered":true,""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$filteredJson"queries":$qs,"spread":$spreadJson,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
+    val calibrationJson =
+      s"""{"cpu_s":${fmt(calibCpu, 3)},"io_s":${fmt(calibIo, 3)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$filteredJson"queries":$qs,"spread":$spreadJson,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
     // The full line above carries the whole per-query map (~7 KB for 200+
     // queries); a fixed-size log-tail capture truncates its head and loses
     // the headline total. This LAST line is a complete, self-describing
@@ -248,7 +328,7 @@ object Bench {
     val slowest = medians.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries_n":${names.size},"errors_n":${errors.size},"runs":$nRuns,"cpus":$cpusJson,"slowest":$slowest,"comparability":$comparability,"sf":"${esc(sfDir)}","note":"digest; full per-query map on the preceding line"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries_n":${names.size},"errors_n":${errors.size},"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"slowest":$slowest,"comparability":$comparability,"sf":"${esc(sfDir)}","note":"digest; full per-query map on the preceding line"}""")
     spark.stop()
   }
 }

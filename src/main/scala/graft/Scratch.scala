@@ -28,6 +28,38 @@ object Scratch {
       multiFile(spark, args(1), args(2)); spark.stop(); return
     }
     if (args(0) == "q130phases") { q130Phases(spark, args(1)); spark.stop(); return }
+    if (args(0) == "streamphases") {
+      // streamphases <query> <sfDir> — per-micro-batch durationMs
+      // breakdown for a replay row, to see where replay wall time goes
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit =
+          println(s"STARTED run=${e.runId}")
+        override def onQueryProgress(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val dur = p.durationMs
+          println(s"BATCH ${p.batchId} rows=${p.numInputRows} " +
+            s"trigger=${dur.get("triggerExecution")} " +
+            s"addBatch=${dur.get("addBatch")} " +
+            s"getBatch=${dur.get("getBatch")} " +
+            s"planning=${dur.get("queryPlanning")} " +
+            s"walCommit=${dur.get("walCommit")} " +
+            s"commitOffsets=${dur.get("commitOffsets")} " +
+            s"stateRows=${p.stateOperators.map(_.numRowsTotal).mkString(",")} " +
+            s"stateCommitMs=${p.stateOperators.map(_.commitTimeMs).mkString(",")}")
+        }
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryTerminatedEvent): Unit =
+          println(s"TERMINATED run=${e.runId}")
+      }
+      spark.streams.addListener(listener)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(args(1))(spark, args(2)).write.format("noop")
+        .mode("overwrite").save()
+      println(s"ELAPSED ${(System.nanoTime() - t0) / 1e9}")
+      spark.stop(); return
+    }
     if (args(0) == "hofab") { hofAb(spark, args(1)); spark.stop(); return }
     val df = SparkEntry.queries(args(0))(spark, args(1))
     df.explain("formatted")

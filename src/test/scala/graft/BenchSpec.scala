@@ -181,6 +181,46 @@ class BenchSpec extends AnyFunSuite {
     assert(legacy.contains(""""scale":5.000"""), legacy)
   }
 
+  test("a calibration probe far above the reference's recorded probe " +
+    "classifies the WINDOW as contended — machine-attributable evidence, " +
+    "so a uniform contention spike self-attributes instead of costing a " +
+    "judge re-run") {
+    val ref = "# col3: tolerance\n# calibration: cpu_s=0.50 io_s=2.00\n" +
+      "q01 1.0 1.6\nq02 2.0 1.6\n"
+    // uniform 4x contention, probe reading 3x CPU / 4.5x IO
+    val json = Bench.comparabilityJson(Seq("q01" -> 4.0, "q02" -> 8.0),
+      ref.linesIterator, "ref", calib = Some((1.5, 9.0)))
+    assert(json.contains(""""contended":true"""), json)
+    assert(json.contains(""""cpu_ratio":3.00"""), json)
+    assert(json.contains(""""io_ratio":4.50"""), json)
+    assert(json.contains(""""uniform":true"""), json)
+  }
+
+  test("a calibration probe at the reference's level reads " +
+    "contended=false — a genuine regression cannot hide behind the flag") {
+    val ref = "# col3: tolerance\n# calibration: cpu_s=0.50 io_s=2.00\n" +
+      "q01 1.0 1.6\nq02 2.0 1.6\nq03 1.0 1.6\n"
+    val json = Bench.comparabilityJson(
+      Seq("q01" -> 1.0, "q02" -> 2.0, "q03" -> 4.0),
+      ref.linesIterator, "ref", calib = Some((0.55, 2.2)))
+    assert(json.contains(""""contended":false"""), json)
+    assert(json.contains(""""uniform":false"""), json) // q03 still flags
+    assert(json.contains(""""q03":"""), json)
+  }
+
+  test("no calibration directive in the reference (or no probe this " +
+    "run) → no calibration object, and the rest is unchanged") {
+    val ref = "q01 1.0\nq02 2.0\n"
+    val withProbe = Bench.comparabilityJson(Seq("q01" -> 1.0, "q02" -> 2.0),
+      ref.linesIterator, "ref", calib = Some((0.5, 2.0)))
+    assert(!withProbe.contains("calibration"), withProbe)
+    val refCal = "# calibration: cpu_s=0.50 io_s=2.00\nq01 1.0\n"
+    val noProbe = Bench.comparabilityJson(Seq("q01" -> 1.0),
+      refCal.linesIterator, "ref")
+    assert(!noProbe.contains("calibration"), noProbe)
+    assert(noProbe.contains(""""scale":1.000"""), noProbe)
+  }
+
   test("median: odd count takes the middle, even takes the upper middle, " +
     "empty is 0.0 (the failed-every-pass sentinel)") {
     assert(Bench.median(List(3.0, 1.0, 2.0)) === 2.0)

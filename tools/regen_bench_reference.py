@@ -118,6 +118,16 @@ def main() -> int:
 
     total = sum(median([q[n] / s for q, s in zip(wqs, scales) if n in q])
                 for n in names)
+    # calibration baseline (median of each window's recorded probe) —
+    # Bench compares its own probe against this to classify a window as
+    # contended (machine-attributable) instead of leaving an outlier
+    # cluster for a judge to adjudicate
+    calibs = [w["calibration"] for _, w in windows if "calibration" in w]
+    calib_line = ""
+    if calibs:
+        cpu = median(c["cpu_s"] for c in calibs)
+        io = median(c["io_s"] for c in calibs)
+        calib_line = f"# calibration: cpu_s={cpu:.3f} io_s={io:.3f}\n"
     with open(out_path, "w") as f:
         f.write(
             "# Reference per-query medians for Bench's comparability "
@@ -139,7 +149,7 @@ def main() -> int:
             "# from the worst observed cross-window deviation and the\n"
             "# within-window MAD band.\n"
             "# col3: tolerance\n"
-            f"# sfdir: {sf}\n")
+            f"# sfdir: {sf}\n" + calib_line)
         f.writelines(out_lines)
     print(f"wrote {out_path}: {len(names)} queries over {len(windows)} "
           f"window(s), {total:.1f} s normalized total, window scales "
