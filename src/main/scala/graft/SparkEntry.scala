@@ -2094,6 +2094,108 @@ object SparkEntry {
         .select("key", "start_epoch", "end_epoch", "n_events")
     }),
 
+    // Checkpoint-restart for stream-stream JOIN state, hash-checked —
+    // q258 pinned restart for one double of ValueState; this pins it for
+    // the symmetric-hash-join state machine, a different restore path
+    // entirely: batch 0's buffered clicks and purchases come back from
+    // the checkpointed join state after the restart, and batches 1-2's
+    // arrivals must still find them to emit their cross-batch matches.
+    // Same query as q250, same oracle (a restart that loses or
+    // duplicates buffered rows breaks the hash); the mid-backlog split
+    // is the deterministic file-release mechanism, and the parquet
+    // sink's metadata log spans both runs.
+    "q261_stream_join_restart" -> ((s, dir) => {
+      val base = s"target/sjrestart_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev, base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2),
+          restartAfterBatch = Some(1)) { st =>
+          val l = st.where(col("event_type") === "click")
+            .select(col("event_id").as("l_event_id"), col("user_id"),
+              col("ts").as("l_ts"))
+            .withWatermark("l_ts", "1 hour")
+          val r = st.where(col("event_type") === "purchase")
+            .select(col("event_id").as("r_event_id"),
+              col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+            .withWatermark("r_ts", "1 hour")
+          l.join(r, col("user_id") === col("r_user_id") &&
+              col("r_ts") >= col("l_ts") - expr("INTERVAL 3600 seconds") &&
+              col("r_ts") <= col("l_ts") + expr("INTERVAL 3600 seconds"))
+            .select(col("l_event_id"), col("user_id"), col("r_event_id"),
+              unix_timestamp(col("l_ts")).as("l_ts_epoch"),
+              unix_timestamp(col("r_ts")).as("r_ts_epoch"))
+        }
+        .select("l_event_id", "user_id", "r_event_id", "l_ts_epoch",
+          "r_ts_epoch")
+    }),
+
+    // Stream-stream JOIN feeding a windowed aggregate in one query,
+    // hash-checked — the second chained-stateful class after q259's
+    // dedup→agg: the interval join's eager emissions flow into a
+    // 6 h tumbling count of click→purchase pairs, with the watermark
+    // propagating THROUGH the join (Spark delays the downstream
+    // operator's watermark by the join interval, which is why chaining
+    // after a time-interval join needs Spark 3.5+'s multi-stateful
+    // support at all). Only l_ts survives the join into the aggregate —
+    // one event-time column downstream, the chain contract. Sentinel
+    // pairs on both sides (q257's trick; per-side watermarks take their
+    // minimum) advance the watermark past every real window inside a
+    // data batch; the sentinels' own uids never join (distinct negative
+    // ids), so the June cutoff — mirrored in the oracle — is pure
+    // belt-and-braces.
+    "q262_join_agg_chain_replay" -> ((s, dir) => {
+      val base = s"target/jareplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val sentRows = Seq(
+        ("2024-12-01 00:00:00", -1L, "click", -101L),
+        ("2024-12-01 00:00:00", -2L, "purchase", -102L),
+        ("2024-12-31 00:00:00", -3L, "click", -103L),
+        ("2024-12-31 00:00:00", -4L, "purchase", -104L))
+      val sent = {
+        import s.implicits._
+        sentRows.toDF("ts_str", "uid", "etype", "eid")
+          .select(col("eid").as("event_id"),
+            to_timestamp(col("ts_str")).as("ts"), col("uid").as("user_id"),
+            col("etype").as("event_type"))
+      }
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      val cutS = lit("2024-06-01").cast("timestamp")
+      val cutB = lit("2024-12-15").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev.unionAll(sent),
+          base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2 && col("ts") < cutS,
+          col("ts") >= cutS && col("ts") < cutB,   // sentinel pair A
+          col("ts") >= cutB)) { st =>              // sentinel pair B
+          val l = st.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("l_ts"))
+            .withWatermark("l_ts", "1 hour")
+          val r = st.where(col("event_type") === "purchase")
+            .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+            .withWatermark("r_ts", "1 hour")
+          l.join(r, col("user_id") === col("r_user_id") &&
+              col("r_ts") >= col("l_ts") - expr("INTERVAL 3600 seconds") &&
+              col("r_ts") <= col("l_ts") + expr("INTERVAL 3600 seconds"))
+            .select(col("l_ts"))
+            .groupBy(window(col("l_ts"), "6 hours"))
+            .agg(count(lit(1)).as("n_pairs"))
+            .select(unix_timestamp(col("window.start"))
+              .as("window_start_epoch"), col("n_pairs"))
+        }
+        .where(col("window_start_epoch") <
+          lit(java.time.Instant.parse("2024-06-01T00:00:00Z")
+            .getEpochSecond))
+        .select("window_start_epoch", "n_pairs")
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -7130,6 +7232,36 @@ object SparkEntry {
         |SELECT key, min(tse) AS start_epoch, max(tse) AS end_epoch,
         |  count(*) AS n_events
         |FROM g GROUP BY key, sid""".stripMargin,
+
+    // Mirrors q261: restart must not change the emitted join set, so
+    // the oracle is q250's batch interval join verbatim.
+    "q261_stream_join_restart" ->
+      """SELECT l.event_id AS l_event_id, l.user_id AS user_id,
+        |  r.event_id AS r_event_id,
+        |  FLOOR(epoch(l.ts))::BIGINT AS l_ts_epoch,
+        |  FLOOR(epoch(r.ts))::BIGINT AS r_ts_epoch
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts - INTERVAL 3600 SECOND
+        | AND r.ts <= l.ts + INTERVAL 3600 SECOND""".stripMargin,
+
+    // Mirrors q262: the batch interval join rolled up to 6 h windows of
+    // the click's event time — q250's join set under q252's window
+    // spelling, June cutoff mirrored like q252/q259.
+    "q262_join_agg_chain_replay" ->
+      """WITH j AS (
+        |  SELECT FLOOR(epoch(l.ts))::BIGINT AS ltse
+        |  FROM events l JOIN events r
+        |    ON l.user_id = r.user_id
+        |   AND l.event_type = 'click' AND r.event_type = 'purchase'
+        |   AND r.ts >= l.ts - INTERVAL 3600 SECOND
+        |   AND r.ts <= l.ts + INTERVAL 3600 SECOND)
+        |SELECT (ltse // 21600) * 21600 AS window_start_epoch,
+        |  count(*) AS n_pairs
+        |FROM j
+        |WHERE (ltse // 21600) * 21600 < 1717200000
+        |GROUP BY 1""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (

@@ -44,6 +44,55 @@ class RestartSpec extends SparkSpec {
     assert(i.commitsTotal === 3)
   }
 
+  test("stream-stream join state survives the restart: a click buffered " +
+    "in batch 0 still matches a purchase arriving AFTER the checkpoint " +
+    "resume — the symmetric-hash-join state restore path (q261)") {
+    import spark.implicits._
+    // u1's click (batch 0) matches u1's purchase (batch 1, after the
+    // restart) only if the restored join state still buffers it; u2's
+    // within-batch pair pins the ordinary path
+    val ev = Seq(
+      (1L, "click", 1000L), (2L, "click", 1010L), (2L, "purchase", 1020L),
+      (1L, "purchase", 1500L),                       // batch 1: ts >= 1200
+      (9L, "click", 90000L), (9L, "purchase", 90001L)) // batch 2: risers
+      .toDF("user_id", "event_type", "tse")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("tse")).as("ts"))
+    var info: Option[StreamingAnalytics.RestartInfo] = None
+    val got = StreamingAnalytics.replayStream(spark, ev,
+        "target/sjrestart_spec", Seq(
+        col("ts") < timestamp_seconds(lit(1200L)),
+        col("ts") >= timestamp_seconds(lit(1200L)) &&
+          col("ts") < timestamp_seconds(lit(50000L)),
+        col("ts") >= timestamp_seconds(lit(50000L))),
+        restartAfterBatch = Some(1), onRestartInfo = i => info = Some(i)) {
+        st =>
+          val l = st.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("l_ts"))
+            .withWatermark("l_ts", "10 minutes")
+          val r = st.where(col("event_type") === "purchase")
+            .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+            .withWatermark("r_ts", "10 minutes")
+          l.join(r, col("user_id") === col("r_user_id") &&
+              col("r_ts") >= col("l_ts") - expr("INTERVAL 600 seconds") &&
+              col("r_ts") <= col("l_ts") + expr("INTERVAL 600 seconds"))
+            .select(col("user_id"),
+              unix_timestamp(col("l_ts")).as("l_tse"),
+              unix_timestamp(col("r_ts")).as("r_tse"))
+      }
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    assert(got === Seq((1L, 1000L, 1500L), (2L, 1010L, 1020L),
+      (9L, 90000L, 90001L)))
+    val i = info.getOrElse(fail("onRestartInfo never fired"))
+    assert(i.firstRunId !== i.secondRunId)
+    // watermarked queries may commit a trailing no-data batch per run,
+    // so pin the SPLIT (some commits strictly before, more after), not
+    // an exact count
+    assert(i.commitsAfterFirst >= 1)
+    assert(i.commitsTotal > i.commitsAfterFirst)
+  }
+
   test("restartAfterBatch rejects a split that would not interrupt " +
     "the backlog") {
     import spark.implicits._
