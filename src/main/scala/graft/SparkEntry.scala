@@ -2196,6 +2196,45 @@ object SparkEntry {
         .select("window_start_epoch", "n_pairs")
     }),
 
+    // The gap sessionizer on Spark 4's arbitrary-state API, hash-checked
+    // — q255's exact out-of-order state machine re-expressed as a
+    // transformWithState StatefulProcessor with a typed ListState of
+    // open sessions and explicit event-time TIMERS
+    // (registerTimer/handleExpiredTimer) on RocksDB, the forward path
+    // for every fMGWS operator. Same replay, same sentinel scheme, same
+    // oracle as q255: three green spellings of one session set (custom
+    // fMGWS q255, native session_window q260, StatefulProcessor q263)
+    // is the strongest parity pin the registry can give the operator.
+    "q263_tws_sessions_replay" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"target/tsnreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").as("event_time"))
+      val sent = Seq("2024-12-01 00:00:00", "2024-12-31 00:00:00")
+        .toDF("ts_str")
+        .select(lit("zz_sentinel").as("key"),
+          to_timestamp(col("ts_str")).as("event_time"))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      val cutS = lit("2024-06-01").cast("timestamp")
+      val cutB = lit("2024-12-15").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev.unionAll(sent),
+          base, Seq(
+          col("event_time") < cut1,
+          col("event_time") >= cut1 && col("event_time") < cut2,
+          col("event_time") >= cut2 && col("event_time") < cutS,
+          col("event_time") >= cutS && col("event_time") < cutB,
+          col("event_time") >= cutB),
+          useRocksDb = true) { st =>
+          graft.streaming.StreamingAnalytics.sessionizeStreamTws(
+            st.as[graft.streaming.StreamingAnalytics.SEvent],
+            gapSeconds = 21600L).toDF()
+        }
+        .where(col("key") =!= "zz_sentinel")
+        .select("key", "start_epoch", "end_epoch", "n_events")
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -7262,6 +7301,28 @@ object SparkEntry {
         |FROM j
         |WHERE (ltse // 21600) * 21600 < 1717200000
         |GROUP BY 1""".stripMargin,
+
+    // Mirrors q263: the StatefulProcessor sessionizer implements q255's
+    // exact algorithm, so it shares the q44-spelling session oracle.
+    "q263_tws_sessions_replay" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    FLOOR(epoch(ts))::BIGINT AS tse
+        |  FROM events),
+        |d AS (
+        |  SELECT key, tse,
+        |    lag(tse) OVER (PARTITION BY key ORDER BY tse ASC) AS prev
+        |  FROM e),
+        |g AS (
+        |  SELECT key, tse,
+        |    sum(CASE WHEN prev IS NULL OR tse - prev > 21600
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY key ORDER BY tse ASC
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT key, min(tse) AS start_epoch, max(tse) AS end_epoch,
+        |  count(*) AS n_events
+        |FROM g GROUP BY key, sid""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (

@@ -180,6 +180,92 @@ object StreamingAnalytics {
       }
   }
 
+  /** [[sessionizeStream]] re-expressed on Spark 4's arbitrary-state API
+    * (`transformWithState` + [[SessionProcessor]]): the same
+    * every-unsealed-session-per-key state and the same merge/bridge/seal
+    * algorithm, so the two spellings emit identical session sets — but
+    * through the new API's typed `ListState` handle and explicit
+    * event-time TIMERS (`registerTimer`/`handleExpiredTimer`) instead of
+    * fMGWS's single opaque state value and `GroupStateTimeout`. Runs on
+    * the RocksDB provider (the API requires it), which is also the
+    * production backend at 100 TB/day: state lives in a memory-bounded
+    * native store, and per-key timers replace full-state scans for idle
+    * keys. Exactly one timer per key is kept live (stale deadlines are
+    * deleted before re-registering), so timer state is O(keys). */
+  def sessionizeStreamTws(events: Dataset[SEvent], gapSeconds: Long,
+                          watermark: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("event_time", watermark)
+      .groupByKey(_.key)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[sessionizeStreamTws]] state machine — verbatim
+    * [[sessionizeStream]] semantics on the StatefulProcessor surface:
+    * an event merges with (and may BRIDGE) every open session within
+    * `gap` of it; a session seals only once the watermark clears its
+    * whole last second (see the fMGWS scaladoc for the +1 s argument);
+    * idle keys seal through an event-time timer at the earliest open
+    * deadline, clamped above the watermark. */
+  final class SessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming
+        .StatefulProcessor[String, SEvent, Session] {
+    @transient private var open:
+      org.apache.spark.sql.streaming.ListState[OpenSession] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getListState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** Seal every session whose gap deadline the watermark has cleared,
+      * persist the rest, and keep exactly one live timer at the earliest
+      * remaining deadline. Shared by both handlers — data batches and
+      * timer firings seal identically. */
+    private def sealAndPersist(key: String,
+                               sessions: List[OpenSession],
+                               wmMs: Long): Iterator[Session] = {
+      val (sealed_, stillOpen) = sessions.partition(s =>
+        (s.endEpoch + gapSeconds + 1) * 1000L <= wmMs)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (stillOpen.isEmpty) open.clear()
+      else {
+        open.put(stillOpen.toArray)
+        getHandle.registerTimer(math.max(
+          stillOpen.map(s => (s.endEpoch + gapSeconds + 1) * 1000L).min,
+          wmMs + 1L))
+      }
+      sealed_.sortBy(_.startEpoch)
+        .map(s => Session(key, s.startEpoch, s.endEpoch, s.nEvents))
+        .iterator
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[SEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Session] = {
+      var sessions = open.get().toList
+      rows.map(_.event_time.getTime / 1000).foreach { t =>
+        val (touching, rest) = sessions.partition(s =>
+          t >= s.startEpoch - gapSeconds && t <= s.endEpoch + gapSeconds)
+        val merged = touching.foldLeft(OpenSession(t, t, 1L)) { (acc, s) =>
+          OpenSession(math.min(acc.startEpoch, s.startEpoch),
+            math.max(acc.endEpoch, s.endEpoch), acc.nEvents + s.nEvents)
+        }
+        sessions = (merged :: rest).sortBy(_.startEpoch)
+      }
+      sealAndPersist(key, sessions, timers.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: String,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Session] =
+      sealAndPersist(key, open.get().toList.sortBy(_.startEpoch),
+        timers.getCurrentWatermarkInMs())
+  }
+
   /** Keyed custom state the built-in operators cannot express: the length
     * of each trip's CURRENT consecutive-late streak (delay >
     * `lateThreshold`), emitting an update per observation that changes

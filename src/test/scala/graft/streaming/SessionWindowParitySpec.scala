@@ -103,4 +103,44 @@ class SessionWindowParitySpec extends SparkSpec {
       assert(native === custom)
     } finally { qN.stop(); qC.stop() }
   }
+
+  test("the transformWithState sessionizer (ListState + event-time " +
+    "timers, RocksDB) handles the same out-of-order bridge exactly — " +
+    "q263's machine agrees with q255's") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def tsOf(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val B = 1000000L
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingAnalytics.sessionizeStreamTws(
+        in.toDF.toDF("key", "event_time")
+          .as[StreamingAnalytics.SEvent], gapSeconds = 60L,
+        watermark = "3 hours")
+      .toDF()
+      .writeStream.format("memory").queryName("sw_tws")
+      .outputMode("append").start()
+    try {
+      Seq(
+        Seq("a" -> (B + 0L), "a" -> (B + 100L)),
+        Seq("a" -> (B + 50L)),          // bridges the two open sessions
+        Seq("zz" -> (B + 100000L)),     // sentinel A raises the watermark
+        Seq("zz" -> (B + 200000L))      // sentinel B's batch seals 'a'
+      ).foreach { batch =>
+        in.addData(batch.map { case (k, t) => (k, tsOf(t)) }: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("sw_tws").where(col("key") === "a")
+        .select("start_epoch", "end_epoch", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got === Seq((B, B + 100L, 3L)))
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+  }
 }
