@@ -94,6 +94,12 @@ class HashSurfaceSpec extends SparkSpec {
     // q252: exact-decimal accumulation then one divide — the
     // exactAvg/exactAvgSql mirrored pair every dashboard row uses
     "q252_stream_window_agg_replay" -> Set("avg_value"),
+    // q258: q249's recursion verbatim, reassembled across a checkpoint
+    // restart — same dyadic per-row arithmetic, same fold order
+    "q258_tws_restart_replay" -> Set("ewma"),
+    // q259: q252's exactAvg downstream of the dedup chain — the
+    // duplicates are dropped before any accumulation on both sides
+    "q259_chained_stateful_replay" -> Set("avg_value"),
     "q162_lm_fluency" -> Set("fluency"),
     "q163_weighted_median" -> Set("weighted_median_price"),
     "q166_cohens_kappa" -> Set("kappa"),
