@@ -27,24 +27,50 @@ object Bench {
     * above the reference's recorded calibration is machine-attributably
     * contended and the comparability object says so itself.
     *
-    * The CPU leg is single-threaded serial-dependent xorshift — immune
-    * to vectorization, sensitive to core oversubscription and frequency
-    * pressure. The IO leg writes and reads back ~170 MB of parquet
-    * through the normal executor path — sensitive to disk and page-cache
-    * contention, which is where the r13 flags (IO-bound queries at
-    * 4-13x) actually lived. Run once per bench invocation, outside any
-    * query's timing. */
-  private[graft] def calibrationProbe(spark: SparkSession): (Double, Double) = {
-    var x = 0x9E3779B97F4A7C15L
-    val t0 = System.nanoTime()
-    var i = 0L
-    while (i < 400000000L) {
-      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-      i += 1
+    * The CPU leg runs the serial-dependent xorshift loop (immune to
+    * vectorization) on `threads` = the bench's worker count
+    * SIMULTANEOUSLY and reports the max per-thread wall: on an idle box
+    * that equals the single-thread wall (threads ≤ cores, no SMT on
+    * this class of box), but under CO-TENANCY it time-slices exactly
+    * like the workload's own 32-thread stages do — a single-threaded
+    * probe structurally under-detects any co-tenant below full
+    * oversubscription (measured: 24 busy-loops scaled the queries
+    * 1.11x uniform and q130 1.66x while one probe thread still read
+    * 1.05x, because probe + hogs ≤ cores). The IO leg writes and reads
+    * back ~170 MB of parquet through the normal executor path —
+    * sensitive to disk and page-cache contention, which is where the
+    * r13 flags (IO-bound queries at 4-13x) actually lived. Run once per
+    * bench invocation, outside any query's timing. */
+  private[graft] def calibrationProbe(spark: SparkSession,
+                                      threads: Int): (Double, Double) = {
+    val n = math.max(1, threads)
+    // one loop body shared by warmup and measurement; `seed` keeps the
+    // result data-dependent so neither run can be dead-code-eliminated
+    def spin(iters: Long, seed: Long): Double = {
+      var x = 0x9E3779B97F4A7C15L + seed
+      val t0 = System.nanoTime()
+      var i = 0L
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      if (x == 0L) Console.err.println("calibration: degenerate xorshift")
+      (System.nanoTime() - t0) / 1e9
     }
-    val cpuS = (System.nanoTime() - t0) / 1e9
-    // consume x so the loop cannot be dead-code-eliminated
-    if (x == 0L) Console.err.println("calibration: degenerate xorshift")
+    // untimed JIT warmup: the measured threads must all run compiled
+    // code, or the max/mean reads compile-queue noise, not the machine
+    spin(30000000L, 1L): Unit
+    val walls = new Array[Double](n)
+    val loops = (0 until n).map { ti =>
+      new Thread(() => { walls(ti) = spin(400000000L, ti.toLong) })
+    }
+    loops.foreach(_.start())
+    loops.foreach(_.join())
+    // MEAN per-thread wall, not max: the mean rises with co-tenant
+    // time-slicing exactly like the workload's own all-core stages
+    // (measured: 24 busy-loops on 32 cores scale it ~1.7x) while the
+    // max alone carries scheduler tail noise on a clean box
+    val cpuS = walls.sum / n
     val dir = "target/bench_calibration"
     val t1 = System.nanoTime()
     spark.range(0L, 16000000L, 1L, 8)
@@ -54,6 +80,10 @@ object Bench {
     spark.read.parquet(dir).selectExpr("sum(id)", "sum(a)", "max(s)")
       .collect()
     val ioS = (System.nanoTime() - t1) / 1e9
+    // the probe's ~170 MB is measurement input, not an artifact — clean
+    // it up outside the timed section
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     (cpuS, ioS)
   }
 
@@ -144,9 +174,10 @@ object Bench {
     // when the reference windows were recorded; comparing this run's
     // probe against it classifies the WINDOW (not any query) as
     // contended — machine-attributable evidence that a high scale or an
-    // outlier cluster is the box, not the code. CPU is tight (a serial
-    // loop only slows when cores are oversubscribed or throttled); IO
-    // is naturally noisier, hence the wider gate.
+    // outlier cluster is the box, not the code. CPU is tight (the
+    // all-cores loop only slows when co-tenants compete for the cores
+    // the workload itself uses, or under frequency throttling); IO is
+    // naturally noisier, hence the wider gate.
     val refCalib = lines.collectFirst {
       case l if l.startsWith("# calibration:") =>
         val kv = l.stripPrefix("# calibration:").trim.split("\\s+")
@@ -238,7 +269,9 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.t(spark, sfDir, "events").count()
     // machine-state probe, after warmup and outside every query's timing
-    val (calibCpu, calibIo) = calibrationProbe(spark)
+    val (calibCpu, calibIo) = calibrationProbe(spark,
+      if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus.toInt
+      else Runtime.getRuntime.availableProcessors())
     // optional comma-separated name-prefix filter for LOCAL iteration on
     // a few queries (the driver never sets it); a filtered run's totals
     // and comparability are not a window — regen refuses partial maps.
