@@ -146,7 +146,7 @@ object Bench {
                         refLabel: String,
                         singlePass: Boolean = false,
                         sfDir: String = "",
-                        calib: Option[(Double, Double)] = None): String = {
+                        calib: Option[(Double, Double, Int)] = None): String = {
     // a 1-pass run is systematically first-pass-biased: the earliest
     // queries pay whole-pipeline JIT that medians-of-N absorb (observed:
     // q01-q05/q29 flag 1.7-3.6x on a same-code single pass while the
@@ -185,16 +185,29 @@ object Bench {
             case Array(k, v) => v.toDoubleOption.map(k -> _)
             case _ => None
           }).toMap
-        (kv.get("cpu_s"), kv.get("io_s"))
+        (kv.get("cpu_s"), kv.get("io_s"), kv.get("threads"))
     }
     val calibJson = (calib, refCalib) match {
-      case (Some((cpu, io)), Some((Some(refCpu), Some(refIo))))
+      case (Some((cpu, io, thr)),
+            Some((Some(refCpu), Some(refIo), refThr)))
           if refCpu > 0 && refIo > 0 =>
-        val cpuR = cpu / refCpu
-        val ioR = io / refIo
-        val contended = cpuR > 1.5 || ioR > 2.5
-        s""""calibration":{"cpu_ratio":${fmt(cpuR, 2)},""" +
-          s""""io_ratio":${fmt(ioR, 2)},"contended":$contended},"""
+        // the CPU probe's mean-wall scales with its thread count once
+        // threads exceed cores, so ratios are only meaningful when this
+        // run probed with the thread count the reference recorded —
+        // refuse a mismatch rather than misclassify (a 64-thread probe
+        // on a 32-core box reads ~2x against a 32-thread baseline on a
+        // perfectly clean machine). A directive without `threads=`
+        // (older reference) keeps the pre-thread-count behavior.
+        if (refThr.exists(_.toInt != thr))
+          s""""calibration":{"skipped":"reference probe recorded at """ +
+            s"""threads=${refThr.get.toInt}, this run probed $thr"},"""
+        else {
+          val cpuR = cpu / refCpu
+          val ioR = io / refIo
+          val contended = cpuR > 1.5 || ioR > 2.5
+          s""""calibration":{"cpu_ratio":${fmt(cpuR, 2)},""" +
+            s""""io_ratio":${fmt(ioR, 2)},"contended":$contended},"""
+        }
       case _ => ""
     }
     val parsed = lines
@@ -268,10 +281,6 @@ object Bench {
     // of warmup and the per-query numbers depend on Map iteration order.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.t(spark, sfDir, "events").count()
-    // machine-state probe, after warmup and outside every query's timing
-    val (calibCpu, calibIo) = calibrationProbe(spark,
-      if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus.toInt
-      else Runtime.getRuntime.availableProcessors())
     // optional comma-separated name-prefix filter for LOCAL iteration on
     // a few queries (the driver never sets it); a filtered run's totals
     // and comparability are not a window — regen refuses partial maps.
@@ -280,6 +289,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSeq.filter(_.nonEmpty))
       .filter(_.nonEmpty)
+    // machine-state probe, after warmup and outside every query's
+    // timing. Skipped on filtered runs: regen refuses partial windows,
+    // so a filtered iteration's probe could never feed a baseline, and
+    // its ~10 s would roughly double a one-query iteration loop.
+    val probeThreads =
+      if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus.toInt
+      else Runtime.getRuntime.availableProcessors()
+    val calib: Option[(Double, Double, Int)] =
+      if (only.isEmpty) {
+        val (c, i) = calibrationProbe(spark, probeThreads)
+        Some((c, i, probeThreads))
+      } else None
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -340,8 +361,7 @@ object Bench {
       else {
         val src = scala.io.Source.fromFile(f)
         try comparabilityJson(medians, src.getLines(), refPath,
-          singlePass = nRuns == 1, sfDir = sfDir,
-          calib = Some((calibCpu, calibIo)))
+          singlePass = nRuns == 1, sfDir = sfDir, calib = calib)
         finally src.close()
       }
     }
@@ -349,8 +369,9 @@ object Bench {
     // (regen_bench_reference.py) can refuse to treat a partial query map
     // as a recorded window
     val filteredJson = if (only.isDefined) """"filtered":true,""" else ""
-    val calibrationJson =
-      s"""{"cpu_s":${fmt(calibCpu, 3)},"io_s":${fmt(calibIo, 3)}}"""
+    val calibrationJson = calib.fold("null") { case (c, i, thr) =>
+      s"""{"cpu_s":${fmt(c, 3)},"io_s":${fmt(i, 3)},"threads":$thr}"""
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec",$filteredJson"queries":$qs,"spread":$spreadJson,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
     // The full line above carries the whole per-query map (~7 KB for 200+
     // queries); a fixed-size log-tail capture truncates its head and loses

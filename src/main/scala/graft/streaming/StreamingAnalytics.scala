@@ -121,15 +121,55 @@ object StreamingAnalytics {
     * ceil(watermarkDelay / gap) + 1 sessions per key ever coexist. */
   final case class SessState(sessions: List[OpenSession])
 
+  /** The session machine's MERGE step, shared verbatim by the fMGWS
+    * (q255) and StatefulProcessor (q263) spellings so the two can never
+    * drift apart (they share one oracle): event t absorbs every session
+    * within gap of it — when t lands between two sessions at most 2*gap
+    * apart, both match and t BRIDGES them into one, exactly as batch
+    * Sessionize would. Pure function of (sessions, t, gap). */
+  private[streaming] def mergeEvent(sessions: List[OpenSession], t: Long,
+                                    gapSeconds: Long): List[OpenSession] = {
+    val (touching, rest) = sessions.partition(s =>
+      t >= s.startEpoch - gapSeconds && t <= s.endEpoch + gapSeconds)
+    val merged = touching.foldLeft(OpenSession(t, t, 1L)) { (acc, s) =>
+      OpenSession(math.min(acc.startEpoch, s.startEpoch),
+        math.max(acc.endEpoch, s.endEpoch), acc.nEvents + s.nEvents)
+    }
+    (merged :: rest).sortBy(_.startEpoch)
+  }
+
+  /** The session machine's SEAL step, shared like [[mergeEvent]]:
+    * admissible future events have event-time >= watermark (in MILLIS),
+    * and an event at t_ms merges while floor(t_ms/1000) <= end + gap,
+    * i.e. while t_ms < (end + gap + 1) * 1000 — second-floored event
+    * times make every millisecond of that last second mergeable, so a
+    * session seals only once the watermark clears the whole second.
+    * Returns (sealed sorted by start, still-open, next wake deadline for
+    * the open set) — the deadline clamped above the watermark, because a
+    * deadline computed from a late-arriving event would sit below it,
+    * which the timer APIs reject. */
+  private[streaming] def sealSplit(sessions: List[OpenSession],
+                                   gapSeconds: Long, wmMs: Long)
+      : (List[OpenSession], List[OpenSession], Long) = {
+    val (sealed_, open) =
+      sessions.partition(s => (s.endEpoch + gapSeconds + 1) * 1000L <= wmMs)
+    val deadline =
+      if (open.isEmpty) Long.MaxValue
+      else math.max(
+        open.map(s => (s.endEpoch + gapSeconds + 1) * 1000L).min, wmMs + 1L)
+    (sealed_.sortBy(_.startEpoch), open, deadline)
+  }
+
   /** Streaming gap-sessionization — [[graft.operators.Sessionize]]'s
     * unbounded sibling, with EXACT batch parity for every within-watermark
     * arrival order: events merge into (possibly several) open sessions per
-    * key, and a session is emitted only when the WATERMARK passes its gap
-    * deadline (end + gap) — the first moment no admissible future event
-    * (all of which are >= watermark) can extend or bridge it. Idle keys
-    * emit via EventTimeTimeout at the earliest open deadline. Like Spark's
-    * own append-mode window aggregates, emission therefore trails the
-    * watermark by one trigger — the price of out-of-order exactness. */
+    * key ([[mergeEvent]]), and a session is emitted only when the
+    * WATERMARK passes its gap deadline ([[sealSplit]]) — the first moment
+    * no admissible future event (all of which are >= watermark) can
+    * extend or bridge it. Idle keys emit via EventTimeTimeout at the
+    * earliest open deadline. Like Spark's own append-mode window
+    * aggregates, emission therefore trails the watermark by one trigger —
+    * the price of out-of-order exactness. */
   def sessionizeStream(events: Dataset[SEvent], gapSeconds: Long,
                        watermark: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -138,43 +178,20 @@ object StreamingAnalytics {
       .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, rows: Iterator[SEvent], state: GroupState[SessState]) =>
-          // Fold new events in (timeout invocations carry none): event t
-          // absorbs every session within gap of it — when t lands between
-          // two sessions at most 2*gap apart, both match and t BRIDGES
-          // them into one, exactly as batch Sessionize would.
+          // Fold new events in (timeout invocations carry none)
           var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
           rows.map(_.event_time.getTime / 1000).foreach { t =>
-            val (touching, rest) = sessions.partition(s =>
-              t >= s.startEpoch - gapSeconds && t <= s.endEpoch + gapSeconds)
-            val merged = touching.foldLeft(OpenSession(t, t, 1L)) { (acc, s) =>
-              OpenSession(math.min(acc.startEpoch, s.startEpoch),
-                math.max(acc.endEpoch, s.endEpoch), acc.nEvents + s.nEvents)
-            }
-            sessions = (merged :: rest).sortBy(_.startEpoch)
+            sessions = mergeEvent(sessions, t, gapSeconds)
           }
-          // Seal: admissible future events have event-time >= watermark
-          // (in MILLIS), and an event at t_ms merges while
-          // floor(t_ms/1000) <= end + gap, i.e. while
-          // t_ms < (end + gap + 1) * 1000 — second-floored event times
-          // make every millisecond of that last second mergeable. Safe
-          // to seal only once the watermark clears the whole second.
-          val wmMs = state.getCurrentWatermarkMs()
-          val (sealed_, open) =
-            sessions.partition(s => (s.endEpoch + gapSeconds + 1) * 1000L <= wmMs)
+          val (sealed_, open, deadline) =
+            sealSplit(sessions, gapSeconds, state.getCurrentWatermarkMs())
           if (open.isEmpty) {
             if (state.exists) state.remove()
           } else {
             state.update(SessState(open))
-            // clamp above the watermark: a deadline computed from a
-            // late-arriving event would be below it, which
-            // setTimeoutTimestamp rejects (killing the query). Current
-            // Spark filters late rows before the operator, but the clamp
-            // keeps the contract version-independent.
-            state.setTimeoutTimestamp(math.max(
-              open.map(s => (s.endEpoch + gapSeconds + 1) * 1000L).min,
-              wmMs + 1L))
+            state.setTimeoutTimestamp(deadline)
           }
-          sealed_.sortBy(_.startEpoch)
+          sealed_
             .map(s => Session(key, s.startEpoch, s.endEpoch, s.nEvents))
             .iterator
       }
@@ -203,11 +220,12 @@ object StreamingAnalytics {
   }
 
   /** The [[sessionizeStreamTws]] state machine — verbatim
-    * [[sessionizeStream]] semantics on the StatefulProcessor surface:
-    * an event merges with (and may BRIDGE) every open session within
-    * `gap` of it; a session seals only once the watermark clears its
-    * whole last second (see the fMGWS scaladoc for the +1 s argument);
-    * idle keys seal through an event-time timer at the earliest open
+    * [[sessionizeStream]] semantics on the StatefulProcessor surface,
+    * sharing the pure [[mergeEvent]]/[[sealSplit]] core with the fMGWS
+    * spelling so the two can never drift apart: an event merges with
+    * (and may BRIDGE) every open session within `gap` of it; a session
+    * seals only once the watermark clears its whole last second; idle
+    * keys seal through an event-time timer at the earliest open
     * deadline, clamped above the watermark. */
   final class SessionProcessor(gapSeconds: Long)
       extends org.apache.spark.sql.streaming
@@ -220,24 +238,22 @@ object StreamingAnalytics {
         org.apache.spark.sql.Encoders.product[OpenSession],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
-    /** Seal every session whose gap deadline the watermark has cleared,
-      * persist the rest, and keep exactly one live timer at the earliest
-      * remaining deadline. Shared by both handlers — data batches and
-      * timer firings seal identically. */
+    /** [[sealSplit]] + state/timer persistence: persist the still-open
+      * set and keep exactly one live timer at the earliest remaining
+      * deadline. Shared by both handlers — data batches and timer
+      * firings seal identically. */
     private def sealAndPersist(key: String,
                                sessions: List[OpenSession],
                                wmMs: Long): Iterator[Session] = {
-      val (sealed_, stillOpen) = sessions.partition(s =>
-        (s.endEpoch + gapSeconds + 1) * 1000L <= wmMs)
+      val (sealed_, stillOpen, deadline) =
+        sealSplit(sessions, gapSeconds, wmMs)
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       if (stillOpen.isEmpty) open.clear()
       else {
         open.put(stillOpen.toArray)
-        getHandle.registerTimer(math.max(
-          stillOpen.map(s => (s.endEpoch + gapSeconds + 1) * 1000L).min,
-          wmMs + 1L))
+        getHandle.registerTimer(deadline)
       }
-      sealed_.sortBy(_.startEpoch)
+      sealed_
         .map(s => Session(key, s.startEpoch, s.endEpoch, s.nEvents))
         .iterator
     }
@@ -247,13 +263,7 @@ object StreamingAnalytics {
         : Iterator[Session] = {
       var sessions = open.get().toList
       rows.map(_.event_time.getTime / 1000).foreach { t =>
-        val (touching, rest) = sessions.partition(s =>
-          t >= s.startEpoch - gapSeconds && t <= s.endEpoch + gapSeconds)
-        val merged = touching.foldLeft(OpenSession(t, t, 1L)) { (acc, s) =>
-          OpenSession(math.min(acc.startEpoch, s.startEpoch),
-            math.max(acc.endEpoch, s.endEpoch), acc.nEvents + s.nEvents)
-        }
-        sessions = (merged :: rest).sortBy(_.startEpoch)
+        sessions = mergeEvent(sessions, t, gapSeconds)
       }
       sealAndPersist(key, sessions, timers.getCurrentWatermarkInMs())
     }
@@ -262,7 +272,7 @@ object StreamingAnalytics {
         timers: org.apache.spark.sql.streaming.TimerValues,
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[Session] =
-      sealAndPersist(key, open.get().toList.sortBy(_.startEpoch),
+      sealAndPersist(key, open.get().toList,
         timers.getCurrentWatermarkInMs())
   }
 
@@ -465,9 +475,29 @@ object StreamingAnalytics {
     val bCol = batchPreds.zipWithIndex.reverse
       .foldLeft(lit(-1)) { case (acc, (p, i)) => when(p, lit(i)).otherwise(acc) }
     val stageAll = s"$baseDir/stageall"
-    input.withColumn(bName, bCol).where(col(bName) >= 0)
+    // Disjointness guard, riding the staging pass for free (an
+    // Observation, not a second job): the old per-predicate scans put a
+    // row matching preds i AND j into BOTH batch files, first-match
+    // staging puts it only in i — a silent multiset change that would
+    // surface as an unexplainable hash mismatch downstream. Every
+    // replay's determinism contract already requires disjoint ts
+    // slices, so enforce it: each staged row must match exactly one
+    // predicate.
+    val nMatches = batchPreds
+      .map(p => when(p, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val obs = new org.apache.spark.sql.Observation()
+    input.withColumn(bName, bCol).withColumn("__n_preds", nMatches)
+      .where(col(bName) >= 0)
+      .observe(obs, coalesce(sum(col("__n_preds")), lit(0L)).as("pred_matches"),
+        count(lit(1)).as("rows_staged"))
+      .drop("__n_preds")
       .coalesce(1)
       .write.mode("overwrite").partitionBy(bName).parquet(stageAll)
+    val metrics = obs.get
+    require(metrics("pred_matches") == metrics("rows_staged"),
+      s"replayStream: batchPreds overlap (${metrics("pred_matches")} " +
+        s"predicate matches over ${metrics("rows_staged")} staged rows) — " +
+        "replay slices must be disjoint")
     batchPreds.zipWithIndex.foreach { case (pred, i) =>
       val slice = new Path(s"$stageAll/$bName=$i")
       val part = (if (fs.exists(slice))

@@ -185,15 +185,23 @@ class BenchSpec extends AnyFunSuite {
     "classifies the WINDOW as contended — machine-attributable evidence, " +
     "so a uniform contention spike self-attributes instead of costing a " +
     "judge re-run") {
-    val ref = "# col3: tolerance\n# calibration: cpu_s=0.50 io_s=2.00\n" +
+    val ref = "# col3: tolerance\n" +
+      "# calibration: cpu_s=0.50 io_s=2.00 threads=32\n" +
       "q01 1.0 1.6\nq02 2.0 1.6\n"
     // uniform 4x contention, probe reading 3x CPU / 4.5x IO
     val json = Bench.comparabilityJson(Seq("q01" -> 4.0, "q02" -> 8.0),
-      ref.linesIterator, "ref", calib = Some((1.5, 9.0)))
+      ref.linesIterator, "ref", calib = Some((1.5, 9.0, 32)))
     assert(json.contains(""""contended":true"""), json)
     assert(json.contains(""""cpu_ratio":3.00"""), json)
     assert(json.contains(""""io_ratio":4.50"""), json)
     assert(json.contains(""""uniform":true"""), json)
+    // a probe at a DIFFERENT thread count than the baseline's is not
+    // comparable (mean-wall scales with threads past the core count):
+    // refused with a reason, never misclassified
+    val mismatch = Bench.comparabilityJson(Seq("q01" -> 4.0, "q02" -> 8.0),
+      ref.linesIterator, "ref", calib = Some((1.5, 9.0, 64)))
+    assert(mismatch.contains(""""calibration":{"skipped""""), mismatch)
+    assert(!mismatch.contains("contended"), mismatch)
   }
 
   test("a calibration probe at the reference's level reads " +
@@ -202,7 +210,7 @@ class BenchSpec extends AnyFunSuite {
       "q01 1.0 1.6\nq02 2.0 1.6\nq03 1.0 1.6\n"
     val json = Bench.comparabilityJson(
       Seq("q01" -> 1.0, "q02" -> 2.0, "q03" -> 4.0),
-      ref.linesIterator, "ref", calib = Some((0.55, 2.2)))
+      ref.linesIterator, "ref", calib = Some((0.55, 2.2, 32)))
     assert(json.contains(""""contended":false"""), json)
     assert(json.contains(""""uniform":false"""), json) // q03 still flags
     assert(json.contains(""""q03":"""), json)
@@ -212,7 +220,7 @@ class BenchSpec extends AnyFunSuite {
     "run) → no calibration object, and the rest is unchanged") {
     val ref = "q01 1.0\nq02 2.0\n"
     val withProbe = Bench.comparabilityJson(Seq("q01" -> 1.0, "q02" -> 2.0),
-      ref.linesIterator, "ref", calib = Some((0.5, 2.0)))
+      ref.linesIterator, "ref", calib = Some((0.5, 2.0, 32)))
     assert(!withProbe.contains("calibration"), withProbe)
     val refCal = "# calibration: cpu_s=0.50 io_s=2.00\nq01 1.0\n"
     val noProbe = Bench.comparabilityJson(Seq("q01" -> 1.0),
