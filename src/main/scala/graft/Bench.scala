@@ -39,38 +39,85 @@ object Bench {
     * 1.05x, because probe + hogs ≤ cores). The IO leg writes and reads
     * back ~170 MB of parquet through the normal executor path —
     * sensitive to disk and page-cache contention, which is where the
-    * r13 flags (IO-bound queries at 4-13x) actually lived. Run once per
-    * bench invocation, outside any query's timing. */
-  private[graft] def calibrationProbe(spark: SparkSession,
-                                      threads: Int): (Double, Double) = {
-    val n = math.max(1, threads)
-    // one loop body shared by warmup and measurement; `seed` keeps the
-    // result data-dependent so neither run can be dead-code-eliminated
-    def spin(iters: Long, seed: Long): Double = {
-      var x = 0x9E3779B97F4A7C15L + seed
-      val t0 = System.nanoTime()
-      var i = 0L
-      while (i < iters) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-        i += 1
-      }
-      if (x == 0L) Console.err.println("calibration: degenerate xorshift")
-      (System.nanoTime() - t0) / 1e9
+    * r13 flags (IO-bound queries at 4-13x) actually lived. The FULL
+    * probe runs once per bench invocation, outside any query's timing;
+    * [[subProbe]] then re-samples the CPU leg mid-window (a
+    * start-of-window-only reading missed r14's mid-window burst
+    * entirely — it read contended:false on a window with 22 environment
+    * outliers). */
+  /** Serial-dependent xorshift wall time — shared by the full probe's
+    * CPU leg and the mid-window sub-probes; `seed` keeps the result
+    * data-dependent so no run can be dead-code-eliminated. */
+  private def spin(iters: Long, seed: Long): Double = {
+    var x = 0x9E3779B97F4A7C15L + seed
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
     }
-    // untimed JIT warmup: the measured threads must all run compiled
-    // code, or the max/mean reads compile-queue noise, not the machine
-    spin(30000000L, 1L): Unit
+    if (x == 0L) Console.err.println("calibration: degenerate xorshift")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Full-probe CPU-leg iteration count; sub-probes run a quarter of it
+    * and scale their wall back to full-probe-equivalent seconds (the
+    * serial loop is linear in iters), so every reading in the probe log
+    * ratios directly against the reference's recorded `cpu_s`. */
+  private[graft] val mainCpuIters = 400000000L
+  private[graft] val subCpuIters = mainCpuIters / 4
+
+  /** All-threads CPU leg: mean per-thread wall, not max — the mean rises
+    * with co-tenant time-slicing exactly like the workload's own
+    * all-core stages (measured: 24 busy-loops on 32 cores scale it
+    * ~1.7x) while the max alone carries scheduler tail noise on a clean
+    * box. */
+  private[graft] def cpuLeg(threads: Int, iters: Long): Double = {
+    val n = math.max(1, threads)
     val walls = new Array[Double](n)
     val loops = (0 until n).map { ti =>
-      new Thread(() => { walls(ti) = spin(400000000L, ti.toLong) })
+      new Thread(() => { walls(ti) = spin(iters, ti.toLong) })
     }
     loops.foreach(_.start())
     loops.foreach(_.join())
-    // MEAN per-thread wall, not max: the mean rises with co-tenant
-    // time-slicing exactly like the workload's own all-core stages
-    // (measured: 24 busy-loops on 32 cores scale it ~1.7x) while the
-    // max alone carries scheduler tail noise on a clean box
-    val cpuS = walls.sum / n
+    walls.sum / n
+  }
+
+  /** Mid-window sub-probe (VERDICT r14 item 1): the CPU leg alone at a
+    * quarter length (~0.25 s clean), scaled to full-probe-equivalent
+    * seconds. The r14 window read `contended:false` from the
+    * start-of-window probe and then took 22 environment outliers from
+    * contention that arrived MID-window — a once-per-invocation sample
+    * cannot see that. Interleaved readings give every query a nearby
+    * machine-state stamp, so an outlier self-attributes per query. */
+  private[graft] def subProbe(threads: Int): Double =
+    cpuLeg(threads, subCpuIters) * (mainCpuIters.toDouble / subCpuIters)
+
+  /** When to interleave a sub-probe: every `every` queries on a cadence,
+    * plus immediately after any query that ran anomalously long (beyond
+    * 3x its reference median, 5 s floored — q130's 249 s driver reading
+    * would have triggered one right where the evidence was needed).
+    * Pure so BenchSpec pins the interleaving. */
+  private[graft] def probeDue(sinceLastProbe: Int, wallSec: Double,
+                              refMedian: Option[Double],
+                              every: Int = 16): Boolean =
+    sinceLastProbe >= every ||
+      wallSec > math.max(5.0, refMedian.fold(Double.MaxValue)(3.0 * _))
+
+  /** The probe-log reading nearest in time to a query run's end stamp —
+    * the machine state that run most plausibly saw. Pure for BenchSpec. */
+  private[graft] def nearestProbe(stampNano: Long,
+                                  probes: Seq[(Long, Double)]): Double = {
+    require(probes.nonEmpty, "probe log empty")
+    probes.minBy { case (t, _) => math.abs(t - stampNano) }._2
+  }
+
+  private[graft] def calibrationProbe(spark: SparkSession,
+                                      threads: Int): (Double, Double) = {
+    // untimed JIT warmup: the measured threads must all run compiled
+    // code, or the max/mean reads compile-queue noise, not the machine
+    spin(30000000L, 1L): Unit
+    val cpuS = cpuLeg(threads, mainCpuIters)
     val dir = "target/bench_calibration"
     val t1 = System.nanoTime()
     spark.range(0L, 16000000L, 1L, 8)
@@ -146,7 +193,8 @@ object Bench {
                         refLabel: String,
                         singlePass: Boolean = false,
                         sfDir: String = "",
-                        calib: Option[(Double, Double, Int)] = None): String = {
+                        calib: Option[(Double, Double, Int)] = None,
+                        probeCpu: Map[String, Double] = Map.empty): String = {
     // a 1-pass run is systematically first-pass-biased: the earliest
     // queries pay whole-pipeline JIT that medians-of-N absorb (observed:
     // q01-q05/q29 flag 1.7-3.6x on a same-code single pass while the
@@ -187,7 +235,7 @@ object Bench {
           }).toMap
         (kv.get("cpu_s"), kv.get("io_s"), kv.get("threads"))
     }
-    val calibJson = (calib, refCalib) match {
+    val (calibJson, attribBase) = (calib, refCalib) match {
       case (Some((cpu, io, thr)),
             Some((Some(refCpu), Some(refIo), refThr)))
           if refCpu > 0 && refIo > 0 =>
@@ -199,16 +247,22 @@ object Bench {
         // perfectly clean machine). A directive without `threads=`
         // (older reference) keeps the pre-thread-count behavior.
         if (refThr.exists(_.toInt != thr))
-          s""""calibration":{"skipped":"reference probe recorded at """ +
-            s"""threads=${refThr.get.toInt}, this run probed $thr"},"""
+          (s""""calibration":{"skipped":"reference probe recorded at """ +
+            s"""threads=${refThr.get.toInt}, this run probed $thr"},""",
+            None)
         else {
           val cpuR = cpu / refCpu
           val ioR = io / refIo
           val contended = cpuR > 1.5 || ioR > 2.5
-          s""""calibration":{"cpu_ratio":${fmt(cpuR, 2)},""" +
-            s""""io_ratio":${fmt(ioR, 2)},"contended":$contended},"""
+          (s""""calibration":{"cpu_ratio":${fmt(cpuR, 2)},""" +
+            s""""io_ratio":${fmt(ioR, 2)},"contended":$contended},""",
+            // per-query probe attribution rides the SAME comparability
+            // gate: sub-probe readings are full-probe-equivalent
+            // seconds, so they ratio against the reference cpu_s only
+            // under a matching thread count
+            Some(refCpu))
         }
-      case _ => ""
+      case _ => ("", None)
     }
     val parsed = lines
       .filter(l => !l.startsWith("#"))
@@ -251,8 +305,23 @@ object Bench {
       val outJson = worst.sortBy(_._1).map { case (n, r) =>
         // Locale.ROOT: the f-interpolator is default-locale-sensitive —
         // a comma-decimal locale would make the whole bench line
-        // unparseable JSON
-        "\"" + esc(n) + "\":" + fmt(r, 2) }.mkString("{", ",", "}")
+        // unparseable JSON.
+        // With a probe attribution available (mid-window sub-probe log +
+        // a thread-matched reference cpu_s), each outlier carries the
+        // machine-state reading nearest its own runs: `machine:true`
+        // (probe >1.5x the reference's clean cpu_s, the same gate as the
+        // window-level `contended`) means the deviation is
+        // machine-attributable — the box, not the code — per QUERY, so
+        // a mid-window contention burst no longer costs a judge re-run
+        // (VERDICT r14 item 1; the r14 window read contended:false at
+        // start and then took 22 mid-window environment outliers).
+        val attrib = attribBase.flatMap(base => probeCpu.get(n).map { p =>
+          val pr = p / base
+          s"""{"ratio":${fmt(r, 2)},"probe_cpu_ratio":${fmt(pr, 2)},""" +
+            s""""machine":${pr > 1.5}}"""
+        })
+        "\"" + esc(n) + "\":" + attrib.getOrElse(fmt(r, 2))
+      }.mkString("{", ",", "}")
       s"""{"reference":"${esc(refLabel)}",$note$calibJson""" +
         s""""scale":${fmt(scale, 3)},""" +
         s""""uniform":${outliers.isEmpty},"outliers_n":${outliers.size},""" +
@@ -301,10 +370,40 @@ object Bench {
         val (c, i) = calibrationProbe(spark, probeThreads)
         Some((c, i, probeThreads))
       } else None
+    // reference medians, read ONCE up front: the slow-query sub-probe
+    // trigger needs them during the loop, and comparability at the end
+    val refPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "tools/bench_reference.txt")
+    val refLines: Seq[String] = {
+      val f = new java.io.File(refPath)
+      if (!f.exists()) Nil
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().toList finally src.close()
+      }
+    }
+    val refMedians: Map[String, Double] = refLines
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        val p = l.split("\\s+")
+        if (p.length >= 2) p(1).toDoubleOption.map(p(0) -> _) else None
+      }.toMap
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // mid-window machine-state log: (end nanoTime, full-probe-equivalent
+    // cpu seconds). Seeded with the start-of-window probe; grown by the
+    // interleaved sub-probes. Each query RUN records its end stamp so an
+    // outlier can be attributed to the probe reading nearest in time.
+    // Sub-probes run OUTSIDE every query's timing; their ~0.25 s each at
+    // a 16-query cadence costs ~2% of a full window. Skipped (like the
+    // main probe) on filtered runs, which can never feed a baseline.
+    val probeLog = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    calib.foreach { case (c, _, _) => probeLog += ((System.nanoTime(), c)) }
+    val stamps = scala.collection.mutable.Map.empty[String, List[Long]]
+      .withDefaultValue(Nil)
+    var sinceProbe = 0
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (_ <- 1 to nRuns) {
       // Each pass starts cache-cold so every pass measures the same thing
@@ -323,13 +422,30 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           // only successful executions enter the median — a fast failure
           // must not masquerade as a speedup
-          times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+          val end = System.nanoTime()
+          val wall = (end - t0) / 1e9
+          times(name) = times(name) :+ wall
+          stamps(name) = stamps(name) :+ end
+          sinceProbe += 1
+          if (calib.isDefined &&
+              probeDue(sinceProbe, wall, refMedians.get(name))) {
+            probeLog += ((System.nanoTime(), subProbe(probeThreads)))
+            sinceProbe = 0
+          }
         } catch { case e: Throwable =>
           errors.getOrElseUpdate(name,
             e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
         }
       }
     }
+    // per-query machine stamp: the probe reading nearest each run's end,
+    // medianed across passes exactly like the wall medians it annotates
+    val probeCpuByQuery: Map[String, Double] =
+      if (probeLog.isEmpty) Map.empty
+      else names.flatMap { n =>
+        val near = stamps(n).map(s => nearestProbe(s, probeLog.toSeq))
+        if (near.isEmpty) None else Some(n -> median(near))
+      }.toMap
     val medians = names.map(n => n -> median(times(n)))
     // per-query RELATIVE MAD across this run's passes — the dispersion
     // regen_bench_reference.py records as the reference's third column
@@ -353,24 +469,27 @@ object Bench {
       s"\"" + esc(k) + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    val refPath =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "tools/bench_reference.txt")
-    val comparability = {
-      val f = new java.io.File(refPath)
-      if (!f.exists()) s"""{"reference":null}"""
-      else {
-        val src = scala.io.Source.fromFile(f)
-        try comparabilityJson(medians, src.getLines(), refPath,
-          singlePass = nRuns == 1, sfDir = sfDir, calib = calib)
-        finally src.close()
-      }
-    }
+    val comparability =
+      if (refLines.isEmpty) s"""{"reference":null}"""
+      else comparabilityJson(medians, refLines.iterator, refPath,
+        singlePass = nRuns == 1, sfDir = sfDir, calib = calib,
+        probeCpu = probeCpuByQuery)
     // `filtered` marks a SPARK_GRAFT_BENCH_ONLY run so downstream tooling
     // (regen_bench_reference.py) can refuse to treat a partial query map
     // as a recorded window
     val filteredJson = if (only.isDefined) """"filtered":true,""" else ""
     val calibrationJson = calib.fold("null") { case (c, i, thr) =>
-      s"""{"cpu_s":${fmt(c, 3)},"io_s":${fmt(i, 3)},"threads":$thr}"""
+      // sub-probe summary: how many mid-window samples were taken and
+      // the cpu band they saw — a wide band IS the evidence that
+      // contention arrived or left mid-window (full-probe-equivalent
+      // seconds, directly comparable to cpu_s and the reference's)
+      val subs = probeLog.drop(1).map(_._2)
+      val subJson =
+        if (subs.isEmpty) ""
+        else s""","sub_probes":${subs.size},""" +
+          s""""sub_cpu_min":${fmt(subs.min, 3)},""" +
+          s""""sub_cpu_max":${fmt(subs.max, 3)}"""
+      s"""{"cpu_s":${fmt(c, 3)},"io_s":${fmt(i, 3)},"threads":$thr$subJson}"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec",$filteredJson"queries":$qs,"spread":$spreadJson,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
     // The full line above carries the whole per-query map (~7 KB for 200+

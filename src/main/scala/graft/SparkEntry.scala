@@ -2063,9 +2063,18 @@ object SparkEntry {
     "q260_session_window_native" -> ((s, dir) => {
       import s.implicits._
       val base = s"target/snwreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // Floor event time to whole seconds BEFORE session_window: the
+      // shared oracle (and the q255/q263 machines via getTime/1000)
+      // sessionizes on floor(epoch(ts)). Native touch-or-overlap at
+      // microsecond precision is NOT equivalent — two events whose
+      // floored diff is exactly the 21600 s gap but whose real diff is
+      // 21600.x s would merge in the oracle and split natively (sf0.1
+      // contains such a pair: user 805, 03:45:35.128715 → 09:45:35.843098).
+      // Flooring is monotone and <1 s, so the replay slice cuts (at
+      // midnight boundaries) and ts-ordering are unaffected.
       val ev = t(s, dir, "events")
         .select(col("user_id").cast("string").as("key"),
-          col("ts").as("event_time"))
+          timestamp_seconds(unix_timestamp(col("ts"))).as("event_time"))
       val sent = Seq("2024-12-01 00:00:00", "2024-12-31 00:00:00")
         .toDF("ts_str")
         .select(lit("zz_sentinel").as("key"),

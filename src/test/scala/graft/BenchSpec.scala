@@ -229,6 +229,80 @@ class BenchSpec extends AnyFunSuite {
     assert(noProbe.contains(""""scale":1.000"""), noProbe)
   }
 
+  test("mid-window sub-probe interleaving: a probe is due on the 16-query " +
+    "cadence, immediately after an anomalously slow query (3x its " +
+    "reference median, 5 s floored), and never for ordinary queries " +
+    "between cadence points") {
+    // cadence
+    assert(Bench.probeDue(16, 0.1, Some(0.1)))
+    assert(!Bench.probeDue(15, 0.1, Some(0.1)))
+    // slow-query trigger: q130's r14 driver reading (249 s vs median
+    // 14.95) fires a probe right where the evidence is needed...
+    assert(Bench.probeDue(1, 249.07, Some(14.95)))
+    // ...but its normal quiet reading (11 s < 3x median) does not
+    assert(!Bench.probeDue(1, 10.97, Some(14.95)))
+    // the 5 s floor keeps sub-second jitter from probing constantly
+    assert(!Bench.probeDue(1, 4.0, Some(0.5)))
+    assert(Bench.probeDue(1, 5.5, Some(0.5)))
+    // a query NEW since the reference (no median) never slow-triggers —
+    // the cadence still covers it
+    assert(!Bench.probeDue(1, 300.0, None))
+    // nearest-probe attribution picks the reading closest in time
+    val log = Seq((1000L, 1.0), (5000L, 3.0), (9000L, 1.1))
+    assert(Bench.nearestProbe(1200L, log) === 1.0)
+    assert(Bench.nearestProbe(4500L, log) === 3.0)
+    assert(Bench.nearestProbe(999999L, log) === 1.1)
+    // sub-probe readings are full-probe-equivalent: quarter iterations,
+    // scaled x4 (pinned via the iteration constants, not wall time)
+    assert(Bench.subCpuIters * 4 === Bench.mainCpuIters)
+  }
+
+  test("an outlier with a nearby hot probe reading self-attributes as " +
+    "machine (probe >1.5x the reference cpu_s); one whose nearest probe " +
+    "read clean stays machine:false — a regression cannot hide behind a " +
+    "calm probe, and contention no longer costs a judge re-run") {
+    val ref = "# col3: tolerance\n" +
+      "# calibration: cpu_s=0.90 io_s=6.00 threads=32\n" +
+      "q01 1.0 1.6\nq02 2.0 1.6\nq03 4.0 1.6\nq04 1.0 1.6\nq05 3.0 1.6\n"
+    val cur = Seq("q01" -> 1.0, "q02" -> 2.0, "q03" -> 16.0,
+      "q04" -> 1.0, "q05" -> 9.0)
+    // q03's nearest sub-probe read 2.25 (2.5x the 0.90 baseline → hot);
+    // q05's read 0.95 (1.06x → clean, so its 3x is NOT the machine)
+    val json = Bench.comparabilityJson(cur, ref.linesIterator, "ref",
+      calib = Some((0.92, 6.1, 32)),
+      probeCpu = Map("q01" -> 0.91, "q02" -> 0.91, "q03" -> 2.25,
+        "q04" -> 0.91, "q05" -> 0.95))
+    assert(json.contains(""""uniform":false"""), json)
+    assert(json.contains(
+      """"q03":{"ratio":4.00,"probe_cpu_ratio":2.50,"machine":true}"""),
+      json)
+    assert(json.contains(
+      """"q05":{"ratio":3.00,"probe_cpu_ratio":1.06,"machine":false}"""),
+      json)
+    // the window-level classification is independent: start-of-window
+    // probe read clean here even though q03's mid-window stamp was hot —
+    // exactly the r14 shape the per-query attribution exists for
+    assert(json.contains(""""contended":false"""), json)
+  }
+
+  test("probe attribution degrades cleanly: no probe map → legacy plain " +
+    "ratios; probe map but thread-mismatched calibration → attribution " +
+    "suppressed along with the window ratio (same comparability gate)") {
+    val ref = "# col3: tolerance\n" +
+      "# calibration: cpu_s=0.90 io_s=6.00 threads=32\n" +
+      "q01 1.0 1.6\nq02 2.0 1.6\nq03 4.0 1.6\nq04 1.0 1.6\nq05 3.0 1.6\n"
+    val cur = Seq("q01" -> 1.0, "q02" -> 2.0, "q03" -> 16.0,
+      "q04" -> 1.0, "q05" -> 3.0)
+    val plain = Bench.comparabilityJson(cur, ref.linesIterator, "ref",
+      calib = Some((0.92, 6.1, 32)))
+    assert(plain.contains(""""q03":4.00"""), plain)
+    val mismatch = Bench.comparabilityJson(cur, ref.linesIterator, "ref",
+      calib = Some((0.92, 6.1, 64)), probeCpu = Map("q03" -> 2.25))
+    assert(mismatch.contains(""""calibration":{"skipped""""), mismatch)
+    assert(mismatch.contains(""""q03":4.00"""), mismatch)
+    assert(!mismatch.contains("probe_cpu_ratio"), mismatch)
+  }
+
   test("median: odd count takes the middle, even takes the upper middle, " +
     "empty is 0.0 (the failed-every-pass sentinel)") {
     assert(Bench.median(List(3.0, 1.0, 2.0)) === 2.0)

@@ -39,6 +39,31 @@ class SessionWindowParitySpec extends SparkSpec {
     assert(custom === native)
   }
 
+  test("sub-second timestamps: native session_window at raw microsecond " +
+    "precision SPLITS a pair whose floored diff equals the gap but whose " +
+    "real diff exceeds it — flooring to whole seconds first (q260's " +
+    "spelling) restores parity with the floor-epoch oracle") {
+    import spark.implicits._
+    // gap 10 s; events at 5.9 s and 15.95 s: floored epochs 5 and 15,
+    // floored diff 10 == gap (the oracle's `diff > gap` does NOT start a
+    // new session → merge), but real diff 10.05 s > gap (native split).
+    // This is the exact sf0.1 user-805 shape from ADVICE r14.
+    val ev = Seq(("a", 5900000L), ("a", 15950000L))
+      .toDF("k", "us")
+      .select(col("k"), timestamp_micros(col("us")).as("raw_ts"))
+    def sessions(tsCol: org.apache.spark.sql.Column) = ev
+      .select(col("k"), tsCol.as("ts"))
+      .groupBy(col("k"), session_window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select("n").collect().map(_.getLong(0)).sorted.toSeq
+    // raw microseconds: real diff 10.05 s > 10 s gap → two sessions
+    assert(sessions(col("raw_ts")) === Seq(1L, 1L))
+    // floored to whole seconds (q260): floored diff 10 s == gap → merge,
+    // matching the q44/q255/q263 `diff > gap starts new` oracle spelling
+    assert(sessions(timestamp_seconds(unix_timestamp(col("raw_ts"))))
+      === Seq(2L))
+  }
+
   test("out-of-order bridge within the watermark: a late-but-admissible " +
     "event landing BETWEEN two open sessions merges them in BOTH the " +
     "native streaming session_window and the custom sessionizer") {

@@ -133,14 +133,29 @@ def main() -> int:
               if isinstance(w.get("calibration"), dict)]
     calib_line = ""
     if calibs:
+        threads = sorted({c["threads"] for c in calibs if "threads" in c})
+        if len(threads) > 1:
+            # Mixed thread counts: mean-wall probe readings are only
+            # comparable at ONE thread count, and Bench treats a
+            # threads-less directive as the legacy compare-anyway path —
+            # so restrict the baseline to the windows at the MODAL
+            # thread count rather than silently mixing incomparable
+            # readings (refuse-rather-than-misclassify, per Bench's
+            # contract). Ties break to the higher count (more windows
+            # are probed at the full box than at an odd restriction).
+            counts = {t: sum(1 for c in calibs if c.get("threads") == t)
+                      for t in threads}
+            modal = max(threads, key=lambda t: (counts[t], t))
+            dropped = [t for t in threads if t != modal]
+            calibs = [c for c in calibs if c.get("threads") == modal]
+            print("warning: windows probed with differing thread counts "
+                  f"{threads} — baseline restricted to the {counts[modal]}"
+                  f" window(s) at modal threads={modal}; ignored probe(s) "
+                  f"at {dropped}", file=sys.stderr)
         cpu = min(c["cpu_s"] for c in calibs)
         io = min(c["io_s"] for c in calibs)
-        threads = sorted({c["threads"] for c in calibs if "threads" in c})
-        thr_part = f" threads={threads[0]}" if len(threads) == 1 else ""
-        if len(threads) > 1:
-            print("warning: windows probed with differing thread counts "
-                  f"{threads} — omitting threads from the baseline",
-                  file=sys.stderr)
+        thr = next((c["threads"] for c in calibs if "threads" in c), None)
+        thr_part = f" threads={thr}" if thr is not None else ""
         spread = max(c["cpu_s"] for c in calibs) / cpu
         if spread > 2.0:
             print(f"note: calibration cpu spread {spread:.1f}x across "
