@@ -28,6 +28,7 @@ object Scratch {
       multiFile(spark, args(1), args(2)); spark.stop(); return
     }
     if (args(0) == "q130phases") { q130Phases(spark, args(1)); spark.stop(); return }
+    if (args(0) == "ttlprobe") { ttlProbe(spark); spark.stop(); return }
     if (args(0) == "streamphases") {
       // streamphases <query> <sfDir> — per-micro-batch durationMs
       // breakdown for a replay row, to see where replay wall time goes
@@ -329,6 +330,49 @@ object Scratch {
     * AQE off, (b) AQE skew-join split, (c) graft.operators.Salt. All
     * three produce identical rows (SaltSpec pins that); this measures
     * the wall-clock shape of each on real sf data. */
+  // ttlprobe — debug driver for the MapState+TTL machine: MemoryStream
+  // feed, progress printed per batch, sink count polled.
+  private def ttlProbe(spark: SparkSession): Unit = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit =
+        println(s"STARTED run=${e.runId}")
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit =
+        println(s"PROGRESS batch=${e.progress.batchId} " +
+          s"in=${e.progress.numInputRows} " +
+          s"sink=${e.progress.sink.numOutputRows}")
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit =
+        println(s"TERMINATED ex=${e.exception}")
+    }
+    spark.streams.addListener(listener)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.StreamingAnalytics.DEvent]
+    val q = graft.streaming.StreamingAnalytics.dimAggStream(in.toDS(),
+        org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofSeconds(5)))
+      .toDF()
+      .writeStream.format("memory").queryName("ttlprobe")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("250 milliseconds"))
+      .outputMode("append").start()
+    in.addData(
+      graft.streaming.StreamingAnalytics.DEvent(1L, 100L, "click", 5L),
+      graft.streaming.StreamingAnalytics.DEvent(1L, 102L, "view", 3L))
+    (1 to 20).foreach { i =>
+      Thread.sleep(500L)
+      q.exception.foreach(e => println(s"QUERY FAILED: $e"))
+      println(s"poll $i: sink=${spark.table("ttlprobe").count()}")
+    }
+    q.stop()
+  }
+
   private def skewBench(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     val ev = Tables.t(spark, dir, "events")

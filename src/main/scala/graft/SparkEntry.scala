@@ -2244,6 +2244,107 @@ object SparkEntry {
         .select("key", "start_epoch", "end_epoch", "n_events")
     }),
 
+    // Checkpoint-restart for TIMER-CARRYING state, hash-checked (VERDICT
+    // r14 item 2) — q258 restored a ValueState and q261 restored join
+    // state, but neither machine registers TIMERS; timer re-registration
+    // across a restore is a distinct recovery path in the state store,
+    // and the sessionizer is exactly the operator whose mid-backlog kill
+    // would corrupt sessions if timers didn't come back. Same query as
+    // q263 (StatefulProcessor: ListState of open sessions + exactly one
+    // live event-time timer per key on RocksDB), same shared session
+    // oracle — but the harness releases only batches 0-1 to the FIRST
+    // query (whose final commit leaves thousands of keys with open
+    // sessions AND registered seal-timers in the checkpoint), then a
+    // SECOND query on the same checkpoint restores both and drains
+    // batches 2-4; the sentinel batches advance the watermark past every
+    // real session's deadline, so sessions idle since before the restart
+    // seal through RESTORED timers firing in the second run. A timer
+    // lost in the restore would leave those sessions unsealed (missing
+    // rows); a session list lost would break bounds/counts — either way
+    // the hash breaks. RestartSpec pins the mechanism-level claim on a
+    // minimal feed: a key idle across the restart whose only seal path
+    // is the restored timer.
+    "q264_tws_sessions_restart" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"target/tsrreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").as("event_time"))
+      val sent = Seq("2024-12-01 00:00:00", "2024-12-31 00:00:00")
+        .toDF("ts_str")
+        .select(lit("zz_sentinel").as("key"),
+          to_timestamp(col("ts_str")).as("event_time"))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      val cutS = lit("2024-06-01").cast("timestamp")
+      val cutB = lit("2024-12-15").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev.unionAll(sent),
+          base, Seq(
+          col("event_time") < cut1,
+          col("event_time") >= cut1 && col("event_time") < cut2,
+          col("event_time") >= cut2 && col("event_time") < cutS,
+          col("event_time") >= cutS && col("event_time") < cutB,
+          col("event_time") >= cutB),
+          useRocksDb = true,
+          restartAfterBatch = Some(2)) { st =>
+          graft.streaming.StreamingAnalytics.sessionizeStreamTws(
+            st.as[graft.streaming.StreamingAnalytics.SEvent],
+            gapSeconds = 21600L).toDF()
+        }
+        .where(col("key") =!= "zz_sentinel")
+        .select("key", "start_epoch", "end_epoch", "n_events")
+    }),
+
+    // MapState + state TTL, hash-checked (VERDICT r14 item 3) — the
+    // third transformWithState primitive and the production
+    // state-bounding knob, both previously unexercised: per-user
+    // per-event-type running (count, value-micro-unit sum) held as
+    // MapState[dimension → totals] on RocksDB, point-updated per event,
+    // snapshot-emitted per (key, batch) with the key's max event time in
+    // that batch as the row discriminator. Processing-time mode (TTL
+    // requires it), so no watermark and no sentinels: every batch's
+    // snapshot is final when emitted. The 4 h TTL never bites inside a
+    // seconds-long replay — that keeps this row oracle-expressible (the
+    // oracle recomputes each batch-end cumulative profile with a
+    // cuts-join) — while MapStateTtlSpec pins the eviction semantics
+    // where TTL DOES bite: a dimension idle past a short TTL evicts from
+    // the store and re-admits from zero. Integer micro-units (mirrored
+    // FLOOR(value*1e6+0.5) both sides) keep the state arithmetic pure
+    // BIGINT — no float fold order to reconcile, so batch rows need no
+    // within-batch sort at all.
+    "q265_mapstate_dims_replay" -> ((s, dir) => {
+      val base = s"target/msreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          unix_timestamp(col("ts")).as("tse"), col("event_type"),
+          when(col("value").isNotNull,
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L)).as("vu"))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      val cutS = lit("2024-06-01").cast("timestamp")
+      val cutB = lit("2024-12-15").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev, base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2 && col("ts") < cutS,
+          col("ts") >= cutS && col("ts") < cutB,
+          col("ts") >= cutB),
+          useRocksDb = true,
+          // ProcessingTime-mode tws never terminates under AvailableNow
+          // (shouldRunAnotherBatch is unconditionally true in that time
+          // mode) — the harness drains the staged rows and stops
+          processingTimeDrain = true) { st =>
+          import s.implicits._
+          graft.streaming.StreamingAnalytics.dimAggStream(
+            st.select("user_id", "tse", "event_type", "vu")
+              .as[graft.streaming.StreamingAnalytics.DEvent],
+            org.apache.spark.sql.streaming.TTLConfig(
+              java.time.Duration.ofHours(4))).toDF()
+        }
+        .select("user_id", "last_tse", "event_type", "n_so_far", "vu_sum")
+    }),
+
     // One-pass dataset profiler — the data-quality summary every
     // ingestion gate runs first: per column its null count, distinct
     // count, and min/max rendered as strings (one schema for every
@@ -7332,6 +7433,55 @@ object SparkEntry {
         |SELECT key, min(tse) AS start_epoch, max(tse) AS end_epoch,
         |  count(*) AS n_events
         |FROM g GROUP BY key, sid""".stripMargin,
+
+    // Mirrors q264: a checkpoint restart must not change a single
+    // emitted session, so the restarted run shares the q255/q260/q263
+    // session oracle verbatim.
+    "q264_tws_sessions_restart" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    FLOOR(epoch(ts))::BIGINT AS tse
+        |  FROM events),
+        |d AS (
+        |  SELECT key, tse,
+        |    lag(tse) OVER (PARTITION BY key ORDER BY tse ASC) AS prev
+        |  FROM e),
+        |g AS (
+        |  SELECT key, tse,
+        |    sum(CASE WHEN prev IS NULL OR tse - prev > 21600
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY key ORDER BY tse ASC
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT key, min(tse) AS start_epoch, max(tse) AS end_epoch,
+        |  count(*) AS n_events
+        |FROM g GROUP BY key, sid""".stripMargin,
+
+    // Mirrors q265: each replay batch emits, for every user with input
+    // in that batch, the user's CUMULATIVE per-dimension profile as of
+    // the batch's end — the cuts-join recomputes exactly those
+    // snapshots (batch index via the same four cut timestamps; a user's
+    // snapshot row for batch b aggregates every event in batches <= b).
+    // last_tse = the user's max floored event time within batch b, the
+    // same discriminator the machine stamps.
+    "q265_mapstate_dims_replay" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS tse,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+        |         WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+        |         WHEN ts < TIMESTAMP '2024-06-01' THEN 2
+        |         WHEN ts < TIMESTAMP '2024-12-15' THEN 3
+        |         ELSE 4 END AS bi,
+        |    CASE WHEN value IS NULL THEN 0
+        |         ELSE FLOOR(value * 1000000 + 0.5)::BIGINT END AS vu
+        |  FROM events),
+        |k AS (
+        |  SELECT user_id, bi, max(tse) AS last_tse
+        |  FROM b GROUP BY user_id, bi)
+        |SELECT k.user_id, k.last_tse, e.event_type,
+        |  count(*) AS n_so_far, sum(e.vu)::BIGINT AS vu_sum
+        |FROM k JOIN b e ON e.user_id = k.user_id AND e.bi <= k.bi
+        |GROUP BY k.user_id, k.last_tse, e.event_type""".stripMargin,
 
     "q105_profile" ->
       """WITH s AS (

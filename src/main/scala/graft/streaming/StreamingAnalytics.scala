@@ -373,6 +373,86 @@ object StreamingAnalytics {
       }.iterator
   }
 
+  /** One event for [[dimAggStream]]: epoch seconds + the dimension label
+    * + the value pre-rendered to integer micro-units by the caller (so
+    * the state arithmetic is pure BIGINT — no float accumulation order
+    * to mirror). */
+  final case class DEvent(user_id: Long, tse: Long, event_type: String,
+                          vu: Long)
+
+  /** One per-dimension running total in [[DimAggProcessor]]'s MapState. */
+  final case class DimAgg(n: Long, vuSum: Long)
+
+  /** Per-batch snapshot row from [[dimAggStream]]: after folding a key's
+    * batch rows, every dimension the key has EVER seen (within TTL) with
+    * its running totals; `last_tse` is the key's max event time in the
+    * emitting batch, which makes snapshot rows distinct across batches
+    * without the machine needing a batch counter. */
+  final case class DimSnap(user_id: Long, last_tse: Long,
+                           event_type: String, n_so_far: Long, vu_sum: Long)
+
+  /** Per-key per-DIMENSION running aggregates on the third
+    * transformWithState primitive, `MapState` — the per-user profile
+    * accumulator shape (map: dimension → running totals) that ValueState
+    * can't hold without re-serializing the whole profile per event and
+    * ListState can't point-update. `ttl` is the production state-bounding
+    * knob this operator exists to exercise: with no watermark to evict
+    * by (processing-time mode — TTL REQUIRES TimeMode.ProcessingTime),
+    * TTL eviction is how a 100 TB/day keyed profile stays bounded — a
+    * dimension not refreshed within `ttl` of wall clock is dropped by
+    * the store and RE-ADMITS from zero on its next event
+    * (MapStateTtlSpec pins evict + re-admit with a short TTL; the q265
+    * replay row uses an hours-long TTL that never bites in a
+    * seconds-long replay, keeping the row oracle-expressible).
+    * Fold order within a batch never matters: counts, sums, and max are
+    * commutative — so this operator needs NO per-key batch buffering,
+    * unlike the order-sensitive EWMA/streak machines. */
+  def dimAggStream(stream: Dataset[DEvent],
+                   ttl: org.apache.spark.sql.streaming.TTLConfig)
+      : Dataset[DimSnap] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .transformWithState(new DimAggProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[dimAggStream]] state machine: MapState[dimension → DimAgg]
+    * point-updates per event (RocksDB reads/writes ONE map entry per
+    * event, not the whole profile), then one snapshot emission per
+    * (key, batch). */
+  final class DimAggProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming
+        .StatefulProcessor[Long, DEvent, DimSnap] {
+    @transient private var dims:
+      org.apache.spark.sql.streaming.MapState[String, DimAgg] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      dims = getHandle.getMapState[String, DimAgg]("dims",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.product[DimAgg], ttl)
+    override def handleInputRows(key: Long, rows: Iterator[DEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DimSnap] = {
+      var lastTse = Long.MinValue
+      rows.foreach { e =>
+        if (e.tse > lastTse) lastTse = e.tse
+        val prev =
+          if (dims.containsKey(e.event_type)) dims.getValue(e.event_type)
+          else DimAgg(0L, 0L)
+        dims.updateValue(e.event_type, DimAgg(prev.n + 1L, prev.vuSum + e.vu))
+      }
+      // materialize the snapshot NOW: the returned iterator is consumed
+      // after this key's slot in the batch, when the store cursor behind
+      // dims.iterator() may no longer be valid. Bounded: one row per
+      // dimension this key has seen, i.e. |event_type| per user.
+      val at = lastTse
+      dims.iterator().map { case (dim, agg) =>
+        DimSnap(key, at, dim, agg.n, agg.vuSum)
+      }.toList.iterator
+    }
+  }
+
   /** Deterministic micro-batch REPLAY of [[ewmaStreamTws]] into a parquet
     * sink — the harness that promotes the Spark-4 arbitrary-state path to
     * a hash-checked registry row (q249). Each predicate in `batchPreds`
@@ -441,8 +521,24 @@ object StreamingAnalytics {
                    useRocksDb: Boolean = false,
                    updateMode: Boolean = false,
                    restartAfterBatch: Option[Int] = None,
-                   onRestartInfo: RestartInfo => Unit = _ => ())
+                   onRestartInfo: RestartInfo => Unit = _ => (),
+                   processingTimeDrain: Boolean = false)
                   (build: DataFrame => DataFrame): DataFrame = {
+    // ProcessingTime-mode stateful operators (the TTL-carrying ones —
+    // TTL REQUIRES TimeMode.ProcessingTime) report
+    // shouldRunAnotherBatch=true unconditionally (processing time always
+    // advances, so a timer/TTL could always fire), which means
+    // Trigger.AvailableNow NEVER terminates on them — the engine keeps
+    // scheduling no-data batches forever. `processingTimeDrain` is the
+    // replay contract for that mode: pace batches with a short
+    // ProcessingTime trigger, count COMMITTED input rows through a
+    // listener, and stop() once every staged row is committed. No-data
+    // batches emit nothing (no input rows → no handleInputRows; TTL
+    // cleanup emits nothing), and the parquet sink's metadata log hides
+    // any uncommitted trailing batch — so the drained sink is exactly as
+    // deterministic as the AvailableNow path.
+    require(!(processingTimeDrain && restartAfterBatch.isDefined),
+      "processingTimeDrain does not compose with restartAfterBatch")
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new Path(baseDir), true) // fresh replay per run
@@ -556,12 +652,60 @@ object StreamingAnalytics {
               .format("parquet")
               .option("path", s"$baseDir/out")
               .outputMode("append")
-        val q = writer
-          .option("checkpointLocation", s"$baseDir/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        q
+        val withCkpt = writer.option("checkpointLocation", s"$baseDir/ckpt")
+        if (!processingTimeDrain) {
+          val q = withCkpt
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q
+        } else {
+          // drain-then-stop: AvailableNow cannot terminate a
+          // ProcessingTime-mode stateful query (see the parameter note),
+          // so pace batches and stop once the listener has seen every
+          // staged row COMMITTED (progress events post after commit).
+          // Keyed by (query id, batchId): suites share one session, so
+          // other queries' progress events must not count. Empty staged
+          // files need no special case — they contribute no rows and no
+          // emissions, so the sink is complete once all NONEMPTY rows
+          // are committed, whatever order the empties drain in.
+          val committed =
+            scala.collection.concurrent.TrieMap
+              .empty[(java.util.UUID, Long), Long]
+          val listener =
+            new org.apache.spark.sql.streaming.StreamingQueryListener {
+              override def onQueryStarted(e: org.apache.spark.sql.streaming
+                  .StreamingQueryListener.QueryStartedEvent): Unit = ()
+              override def onQueryProgress(e: org.apache.spark.sql.streaming
+                  .StreamingQueryListener.QueryProgressEvent): Unit =
+                committed.put((e.progress.id, e.progress.batchId),
+                  e.progress.numInputRows): Unit
+              override def onQueryTerminated(e: org.apache.spark.sql
+                  .streaming.StreamingQueryListener
+                  .QueryTerminatedEvent): Unit = ()
+            }
+          spark.streams.addListener(listener)
+          try {
+            val q = withCkpt
+              .trigger(org.apache.spark.sql.streaming.Trigger
+                .ProcessingTime("100 milliseconds"))
+              .start()
+            val target = metrics("rows_staged").asInstanceOf[Long]
+            val deadline = System.nanoTime() + 180L * 1000000000L
+            def drained(): Boolean = committed.iterator
+              .collect { case ((id, _), n) if id == q.id => n }
+              .sum >= target
+            while (!drained()) {
+              q.exception.foreach(throw _)
+              if (System.nanoTime() > deadline)
+                { q.stop(); sys.error("replayStream: drain timed out") }
+              Thread.sleep(50L)
+            }
+            q.stop()
+            q.awaitTermination()
+            q
+          } finally spark.streams.removeListener(listener)
+        }
       }
       def commits(): Int =
         fs.listStatus(new Path(s"$baseDir/ckpt/commits"))

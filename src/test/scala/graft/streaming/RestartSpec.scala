@@ -93,6 +93,48 @@ class RestartSpec extends SparkSpec {
     assert(i.commitsTotal > i.commitsAfterFirst)
   }
 
+  test("event-time TIMERS survive the restart: a session whose seal-timer " +
+    "was registered before the checkpoint kill is sealed AFTER the resume " +
+    "by the restored timer firing — the key receives no further input, so " +
+    "the timer is its ONLY seal path (q264's StatefulProcessor machine)") {
+    import spark.implicits._
+    // batch 0: key 'a' opens one session (1000..1010, gap 60 →
+    // seal-timer ≈ 1071) — then the query is killed. Batches 1-2 carry
+    // only the sentinel key, which advances the watermark; 'a' never
+    // appears again, so its session can seal ONLY through the timer
+    // restored from the checkpoint (watermarks advance between batches:
+    // sentinel A raises it past the deadline, sentinel B's batch fires
+    // the restored timer).
+    val ev = Seq(
+      ("a", 1000L), ("a", 1010L),   // batch 0 (first run, then kill)
+      ("zz", 100000L),              // batch 1 (second run)
+      ("zz", 200000L))              // batch 2
+      .toDF("key", "tse")
+      .select(col("key"), timestamp_seconds(col("tse")).as("event_time"))
+    var info: Option[StreamingAnalytics.RestartInfo] = None
+    val got = StreamingAnalytics.replayStream(spark, ev,
+        "target/twstimer_spec", Seq(
+        col("event_time") < timestamp_seconds(lit(50000L)),
+        col("event_time") >= timestamp_seconds(lit(50000L)) &&
+          col("event_time") < timestamp_seconds(lit(150000L)),
+        col("event_time") >= timestamp_seconds(lit(150000L))),
+        useRocksDb = true,
+        restartAfterBatch = Some(1), onRestartInfo = i => info = Some(i)) {
+        st =>
+          StreamingAnalytics.sessionizeStreamTws(
+            st.as[StreamingAnalytics.SEvent], gapSeconds = 60L).toDF()
+      }
+      .where(col("key") === "a")
+      .select("start_epoch", "end_epoch", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got === Seq((1000L, 1010L, 2L)))
+    val i = info.getOrElse(fail("onRestartInfo never fired"))
+    assert(i.firstRunId !== i.secondRunId)
+    assert(i.commitsAfterFirst >= 1)
+    assert(i.commitsTotal > i.commitsAfterFirst)
+  }
+
   test("restartAfterBatch rejects a split that would not interrupt " +
     "the backlog") {
     import spark.implicits._
