@@ -1892,6 +1892,39 @@ object SparkEntry {
           col("n_seen"))
     }),
 
+    // Streaming near-dup ADMISSION GATE, hash-checked (VERDICT r14 item
+    // 5) — the 100 TB ingestion shape the batch dedup ladder feeds:
+    // documents arrive in id-ordered micro-batches and each batch is
+    // admitted against the ACCUMULATED corpus — exact gate
+    // (min-id-per-text, incrementally), then poly-LSH banding probed
+    // against the persisted band-postings state, then exact-Jaccard
+    // verification (τ = 0.5) — q253's stream-static pattern composed
+    // with q58/q59's gate, with the static side now GROWING as state.
+    // Buckets uncapped (a gate must not silently skip, and incremental
+    // caps would diverge from the batch answer mid-stream), so the
+    // final admitted set equals the batch answer by construction: a doc
+    // is admitted iff its text is the first of its kind AND it has no
+    // verified pair with any smaller-id exact-survivor — which the
+    // oracle computes as q58(uncapped)→q59→drop-the-larger plus the
+    // exact-dup clause. AdmissionGateSpec pins the gate's semantics on
+    // a crafted feed (chain case included: a doc near-dup of a REJECTED
+    // doc is still rejected — the index accumulates survivors of the
+    // exact gate, not of admission).
+    "q267_stream_admission_gate" -> ((s, dir) => {
+      val base = s"target/agreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.streaming.StreamingAnalytics.replayStream(s, docs, base, Seq(
+          col("doc_id") < 100L,
+          col("doc_id") >= 100L && col("doc_id") < 250L,
+          col("doc_id") >= 250L && col("doc_id") < 450L,
+          col("doc_id") >= 450L),
+          updateMode = true,
+          updateSink = Some { (df, _, out) =>
+            graft.streaming.AdmissionGate.admitBatch(df, out)
+          })(st => st)
+        .select("doc_id")
+    }),
+
     // LEFT OUTER stream-stream interval join, hash-checked — q250's
     // outer sibling, and a semantics the inner join cannot show: an
     // unmatched click is declared unmatched (null-extended) only once
@@ -2343,6 +2376,55 @@ object SparkEntry {
               java.time.Duration.ofHours(4))).toDF()
         }
         .select("user_id", "last_tse", "event_type", "n_so_far", "vu_sum")
+    }),
+
+    // Update-mode exactly-once RESTART, hash-checked (VERDICT r14 item
+    // 4) — q256's funnel rides the replay harness's foreachBatch parquet
+    // append, documented there as NON-idempotent under batch retry; this
+    // row is the production alternative actually exercised: the same
+    // funnel's Update-mode emissions land through the IDEMPOTENT
+    // partition-scoped merge (RealtimeStream.mergeBatchPartitioned —
+    // latest-per-key + change-predicated upsert, so a replayed batch is
+    // a no-op), and the query is KILLED mid-backlog and resumed from its
+    // checkpoint. The sink is now a latest-state SNAPSHOT, not an
+    // emission log: per user the row of the LAST stage change (n_seen
+    // strictly increases at each emission, so orderCol=n_seen picks it
+    // and the oracle selects the max-k emitted row). `bucket = user_id %
+    // 16` joins the key so the snapshot partitions by something bounded
+    // — mergePartitioned requires the partition column to be a key
+    // column, and a derived-from-key bucket can never migrate under its
+    // user. Restart + merge: the second run's batches keep merging into
+    // the snapshot the first run bootstrapped; a lost emission or a
+    // double-applied batch both change the final snapshot and break the
+    // hash.
+    "q266_funnel_merge_restart" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"target/fmreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts"))
+      val cut1 = lit(java.time.Instant.parse("2024-01-11T00:00:00Z")
+        .getEpochSecond)
+      val cut2 = lit(java.time.Instant.parse("2024-01-21T00:00:00Z")
+        .getEpochSecond)
+      graft.streaming.StreamingAnalytics.replayStream(s, ev, base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2), updateMode = true,
+          restartAfterBatch = Some(1),
+          updateSink = Some { (df, _, out) =>
+            graft.streaming.RealtimeStream.mergeBatchPartitioned(
+              df.withColumn("bucket", col("user_id") % 16L),
+              out, keys = Seq("bucket", "user_id"),
+              compareCols = Seq("stage", "n_seen"), orderCol = "n_seen",
+              partitionCol = "bucket")
+          }) { st =>
+          graft.streaming.StreamingAnalytics.funnelStagesStream(
+            st.as[graft.streaming.StreamingAnalytics.FEvent],
+            stages = Seq("view", "click", "purchase")).toDF()
+        }
+        .select(col("user_id"), col("stage").cast("long").as("stage"),
+          col("n_seen"))
     }),
 
     // One-pass dataset profiler — the data-quality summary every
@@ -7302,6 +7384,51 @@ object SparkEntry {
         |SELECT user_id, CAST(stage AS BIGINT) AS stage, n_seen
         |FROM sel WHERE stage <> prev_stage""".stripMargin,
 
+    // Mirrors q266: q256's emission set reduced to the latest-per-user
+    // snapshot the merge sink holds — each user's emitted row with the
+    // greatest batch index (equivalently greatest n_seen, which strictly
+    // increases across a user's emissions). Every user emits at least
+    // once (the first active batch compares stage >= 0 against -1), so
+    // the snapshot covers every user with events.
+    "q266_funnel_merge_restart" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS tse
+        |  FROM events),
+        |bt AS (
+        |  SELECT user_id, event_type, tse,
+        |    CASE WHEN tse < 1704931200 THEN 0
+        |         WHEN tse < 1705795200 THEN 1 ELSE 2 END AS b
+        |  FROM ev),
+        |k AS (SELECT * FROM (VALUES (0), (1), (2)) t(k)),
+        |agg AS (
+        |  SELECT e.user_id, k.k,
+        |    count(*) AS n_seen,
+        |    min(CASE WHEN event_type = 'view' THEN tse END) AS m0,
+        |    min(CASE WHEN event_type = 'click' THEN tse END) AS m1,
+        |    min(CASE WHEN event_type = 'purchase' THEN tse END) AS m2
+        |  FROM bt e JOIN k ON e.b <= k.k
+        |  GROUP BY e.user_id, k.k),
+        |act AS (SELECT DISTINCT user_id, b AS k FROM bt),
+        |st AS (
+        |  SELECT a.user_id, a.k, a.n_seen,
+        |    CASE WHEN m0 IS NULL THEN 0
+        |         WHEN m1 IS NULL OR m1 < m0 THEN 1
+        |         WHEN m2 IS NULL OR m2 < m1 THEN 2
+        |         ELSE 3 END AS stage
+        |  FROM agg a JOIN act USING (user_id, k)),
+        |sel AS (
+        |  SELECT user_id, k, n_seen, stage,
+        |    lag(stage, 1, -1) OVER (PARTITION BY user_id ORDER BY k)
+        |      AS prev_stage
+        |  FROM st),
+        |em AS (
+        |  SELECT user_id, k, n_seen, stage
+        |  FROM sel WHERE stage <> prev_stage)
+        |SELECT user_id, CAST(stage AS BIGINT) AS stage, n_seen
+        |FROM em
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY k DESC)
+        |  = 1""".stripMargin,
+
     // Mirrors q257: the batch LEFT JOIN with the identical interval
     // condition. The sentinels exist only Spark-side under negative ids,
     // and the Spark side's user_id >= 0 sentinel exclusion is mirrored
@@ -9095,6 +9222,32 @@ object SparkEntry {
         |  JOIN shf a ON c.id_a = a.doc_id
         |  JOIN shf b ON c.id_b = b.doc_id)
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin),
+
+    // Mirrors q267: the streaming admission gate's final admitted set is
+    // BY CONSTRUCTION the batch answer — q58's candidate pipeline with
+    // the bucket cap effectively removed (the gate never caps), verified
+    // at τ = 0.5 (q59's verification verbatim), a doc rejected when it is
+    // the LARGER side of any verified pair; plus the exact gate — any
+    // doc whose text appeared under a smaller id. Batching cannot move
+    // the answer because slices are id-ordered and the posting state
+    // accumulates every exact-survivor.
+    "q267_stream_admission_gate" -> (polyCandCtes(64, 16, 1000000000) +
+      """ver AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN shf a ON c.id_a = a.doc_id
+        |  JOIN shf b ON c.id_b = b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+        |    (CAST(len(a.sg) + len(b.sg) AS DOUBLE)
+        |      - CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)) >= 0.5),
+        |exact_late AS (
+        |  SELECT d.doc_id FROM documents d
+        |  WHERE EXISTS (SELECT 1 FROM documents e
+        |                WHERE e.text = d.text AND e.doc_id < d.doc_id)),
+        |near_late AS (SELECT DISTINCT id_b AS doc_id FROM ver)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM exact_late)
+        |  AND doc_id NOT IN (SELECT doc_id FROM near_late)""".stripMargin),
 
     "q20_ann_lsh" -> (EMB_CTE + lshCtes(numPlanes = 8) +
       s"""q AS (SELECT * FROM c WHERE vec_id < 10),

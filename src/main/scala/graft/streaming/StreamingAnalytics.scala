@@ -522,8 +522,20 @@ object StreamingAnalytics {
                    updateMode: Boolean = false,
                    restartAfterBatch: Option[Int] = None,
                    onRestartInfo: RestartInfo => Unit = _ => (),
-                   processingTimeDrain: Boolean = false)
+                   processingTimeDrain: Boolean = false,
+                   updateSink: Option[(DataFrame, Long, String) => Unit] =
+                     None)
                   (build: DataFrame => DataFrame): DataFrame = {
+    // `updateSink` replaces the update-mode foreachBatch body with a
+    // caller-supplied idempotent sink — (batch frame, batchId, out path)
+    // — e.g. RealtimeStream.mergeBatchPartitioned, whose
+    // latest-per-key + change-predicated merge makes a replayed batch a
+    // no-op. The default parquet append is NOT idempotent under batch
+    // retry (documented below); q266 runs the funnel through the merge
+    // sink ACROSS a checkpoint restart to pin the Update-path
+    // exactly-once claim the append variant can only scope away.
+    require(updateSink.isEmpty || updateMode,
+      "updateSink requires updateMode")
     // ProcessingTime-mode stateful operators (the TTL-carrying ones —
     // TTL REQUIRES TimeMode.ProcessingTime) report
     // shouldRunAnotherBatch=true unconditionally (processing time always
@@ -644,8 +656,12 @@ object StreamingAnalytics {
           if (updateMode)
             build(stream).writeStream
               .outputMode("update")
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.write.mode("append").parquet(s"$baseDir/out"): Unit
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                updateSink match {
+                  case Some(sink) => sink(df, bid, s"$baseDir/out")
+                  case None =>
+                    df.write.mode("append").parquet(s"$baseDir/out"): Unit
+                }
               }
           else
             build(stream).writeStream
