@@ -281,7 +281,12 @@ object StreamingAnalytics {
     * `lateThreshold`), emitting an update per observation that changes
     * it. State per key is one int — fixed-size, the
     * mapGroupsWithState contract; batch arrivals are folded in event-time
-    * order so replays are deterministic. */
+    * order so replays are deterministic. That fold buffers one
+    * (key, micro-batch) group in task memory (`rows.toSeq.sortBy`) —
+    * the bound is a single key's volume within ONE micro-batch, not the
+    * stream: a pathological hot key must be rate-limited or salted
+    * upstream, the same per-group bound the replay harness's
+    * `coalesce(1)` note names. */
   def lateStreaks(stream: Dataset[Obs], lateThreshold: Double)
       : Dataset[StreakUpdate] = {
     import stream.sparkSession.implicits._
@@ -313,7 +318,10 @@ object StreamingAnalytics {
     * tiebreak impossible by contract (callers feed one observation per
     * (key, ts)); across batches the recursion continues from state —
     * streaming-final ≡ batch recursion over the full ordered history,
-    * which the parity spec pins. State: one double per key, bounded. */
+    * which the parity spec pins. State: one double per key, bounded.
+    * The ordered fold buffers one (key, micro-batch) group in task
+    * memory — bounded by a key's per-batch volume (required for the
+    * deterministic fold order), not by stream length. */
   def ewmaStream(stream: Dataset[Obs]): Dataset[EwmaUpdate] = {
     import stream.sparkSession.implicits._
     stream.groupByKey(_.trip_id)
