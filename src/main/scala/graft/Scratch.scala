@@ -62,6 +62,26 @@ object Scratch {
       spark.stop(); return
     }
     if (args(0) == "hofab") { hofAb(spark, args(1)); spark.stop(); return }
+    if (args(0) == "winsweep") {
+      // winsweep <sfDir> — every registered query's optimized-plan
+      // Window nodes with an EMPTY partitionSpec: the candidate
+      // single-task shapes the PlanSpec invariant must whitelist or ban
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+        try {
+          val plan = SparkEntry.queries(q)(spark, args(1))
+            .queryExecution.optimizedPlan
+          plan.collect { case w: LWindow if w.partitionSpec.isEmpty =>
+            val ord = w.orderSpec.map(_.child.references.toSeq
+              .map(_.name).mkString("+")).mkString(",")
+            println(s"WIN $q order=[$ord]")
+          }
+        } catch { case e: Throwable =>
+          println(s"ERR $q ${e.toString.take(120)}")
+        }
+      }
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(args(0))(spark, args(1))
     df.explain("formatted")
     val t0 = System.nanoTime()

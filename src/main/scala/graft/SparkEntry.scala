@@ -4657,12 +4657,16 @@ object SparkEntry {
     // rank-sum spelling is all-integer: scores quantize to micro-units
     // (exact, mirrored), aggregate to the distinct-score grid with
     // per-score positive/negative counts (map-side combined — the fact
-    // table never sorts), then one cumulative window over the GRID
-    // (bounded by distinct-score cardinality, not rows) accumulates
-    // 2·num = Σ_v np_v·(2·cum_neg_below(v) + nn_v) — concordant pairs
-    // doubled plus ties once. AUC = num2 / (2·P·N) is the single
-    // mirrored divide. An unbounded score domain would call for the
-    // q76 two-pass rank instead of the one-partition grid window.
+    // table never sorts), then the cumulative negatives-below-v over the
+    // GRID come from Rank.globalPrefixSum's two-pass distributed scan —
+    // the grid's cardinality is the DISTINCT values of a continuous
+    // column, which grows with the data, so an unpartitioned cumulative
+    // window here would move the whole grid through one task (the
+    // r15-flagged shape); the two-pass scan range-partitions the grid
+    // and broadcasts only #partitions offset rows. 2·num =
+    // Σ_v np_v·(2·cum_neg_below(v) + nn_v) — concordant pairs doubled
+    // plus ties once. AUC = num2 / (2·P·N) is the single mirrored
+    // divide.
     "q171_auc" -> ((s, dir) => {
       val grid = t(s, dir, "events")
         .select(
@@ -4673,10 +4677,10 @@ object SparkEntry {
         .groupBy("v_micro")
         .agg(sum(col("pos")).as("np"),
           sum(lit(1L) - col("pos")).as("nn"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("v_micro")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      grid
-        .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      graft.operators.Rank
+        .globalPrefixSum(grid, Seq(col("v_micro")), Seq("nn" -> "cum_nn_inc"))
+        // exclusive (strictly-below) = inclusive − own contribution
+        .withColumn("cum_nn", col("cum_nn_inc") - col("nn"))
         .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
           sum(col("np") * (lit(2L) * col("cum_nn") + col("nn")))
             .as("num2"))
@@ -4938,9 +4942,13 @@ object SparkEntry {
     // and click value distributions. Exactly computable with NO floats
     // until the last divide: cross-multiply the ECDFs —
     // |C₁(v)·N₂ − C₂(v)·N₁| — so the max runs over integers (cents
-    // cross-products in DECIMAL(38,0) ≡ HUGEINT headroom). The
-    // cumulative window runs over the DISTINCT-value grid (the q171
-    // discipline: grid-bounded, not row-bounded), fed by one
+    // cross-products in DECIMAL(38,0) ≡ HUGEINT headroom). Both ECDFs
+    // accumulate over the DISTINCT-value grid in ONE
+    // Rank.globalPrefixSum two-pass scan — the grid's cardinality is
+    // the distinct micro-values of a continuous column, which grows
+    // with the data, so the unpartitioned cumulative window r15 flagged
+    // here was the single-task scale shape; the two-pass scan is
+    // grid-distributed and value-identical — fed by one
     // map-side-combined aggregate of the fact scan.
     "q180_ks_test" -> ((s, dir) => {
       val d38 = (c: Column) => c.cast("decimal(38,0)")
@@ -4954,14 +4962,11 @@ object SparkEntry {
         .groupBy("v_micro")
         .agg(sum(col("is1")).as("n1_v"),
           sum(lit(1L) - col("is1")).as("n2_v"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("v_micro")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
       val totals = grid.agg(sum(col("n1_v")).as("n1"),
         sum(col("n2_v")).as("n2"))
-      grid
-        .withColumn("c1", sum(col("n1_v")).over(w))
-        .withColumn("c2", sum(col("n2_v")).over(w))
+      graft.operators.Rank
+        .globalPrefixSum(grid, Seq(col("v_micro")),
+          Seq("n1_v" -> "c1", "n2_v" -> "c2"))
         .crossJoin(broadcast(totals))
         .select(col("n1"), col("n2"),
           abs(d38(col("c1")) * col("n2") - d38(col("c2")) * col("n1"))
@@ -5479,10 +5484,15 @@ object SparkEntry {
     // FIRST 'view' to their first subsequent 'purchase' (the funnel
     // family's latency readout next to q93's stage counts): two
     // min-aggregates per user (commutative — shuffle-proof), an
-    // integer difference, and the population's lower-median picked on
-    // the bounded converters frame with the q163 discipline.
+    // integer difference, and the population's lower-median picked by
+    // Rank.globalRank's two-pass distributed rank — the converters
+    // frame is one row per converting USER, which grows with the data,
+    // so the unpartitioned row_number window r15 flagged here was the
+    // single-task scale shape; the two-pass rank produces identical
+    // rank values (total order via the user_id tiebreak) and the
+    // population count rides the rank output's pinned sorted pass as a
+    // 1-row broadcast.
     "q198_time_to_convert" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = t(s, dir, "events").select(col("user_id"),
         col("event_type"), unix_timestamp(col("ts")).as("ep"))
       val per = ev.groupBy("user_id")
@@ -5495,13 +5505,12 @@ object SparkEntry {
         .agg(min(col("ep")).as("first_purchase"))
         .select(col("user_id"),
           (col("first_purchase") - col("first_view")).as("ttc_sec"))
-      val rank = Window.orderBy(col("ttc_sec").asc, col("user_id").asc)
-      purch
-        .withColumn("rn", row_number().over(rank))
-        .withColumn("n", count(lit(1)).over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-        .where(col("rn").cast("long") === expr("(n + 1) DIV 2"))
+      val ranked = graft.operators.Rank.globalRank(purch,
+        Seq(col("ttc_sec").asc, col("user_id").asc), "rn")
+      val tot = ranked.agg(count(lit(1)).as("n"))
+      ranked
+        .crossJoin(broadcast(tot))
+        .where(col("rn") === expr("(n + 1) DIV 2"))
         .select(col("n").cast("long").as("n_converters"),
           col("ttc_sec").as("median_ttc_sec"))
     }),

@@ -73,6 +73,71 @@ object Rank {
     out
   }
 
+  /** Distributed global PREFIX SUM — the scale-safe spelling of
+    * `sum(v) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)`. The naive
+    * unpartitioned cumulative window funnels every row through ONE task
+    * — fine over a provably bounded frame, a scale-killer over any
+    * frame that grows with the data (a distinct-value grid of a
+    * continuous column, a per-user row set). Same two-pass shape as
+    * [[globalRank]]:
+    *
+    *  1. range-repartition on the sort key, sort within partitions, and
+    *     stamp `monotonically_increasing_id` (partition id and local
+    *     position in one long — see [[globalRank]]); `localCheckpoint`
+    *     the pass so every branch observes the same sampled range
+    *     bounds;
+    *  2. local INCLUSIVE running sums per value column inside each
+    *     range partition (the window partitions by `__pid`, so no
+    *     partition outgrows a task's input), while a tiny
+    *     #partitions-row aggregate computes each partition's column
+    *     totals; prefix-summing THOSE (an unpartitioned window over
+    *     metadata, the bounded-driver-state budget globalRank already
+    *     spends) gives per-partition starting offsets, broadcast-joined
+    *     back: global running sum = partition offset + local running
+    *     sum.
+    *
+    * `valueCols` maps input column → emitted inclusive-cumulative
+    * column; use integral/decimal columns (float fold order is
+    * placement-defined). `sortCols` must induce a total order for the
+    * per-row cumulative values to be well-defined (a grid keyed by the
+    * sort column qualifies); value columns must be non-null. Call
+    * [[release]] on the result when done. */
+  def globalPrefixSum(df: DataFrame, sortCols: Seq[Column],
+                      valueCols: Seq[(String, String)]): DataFrame = {
+    require(sortCols.nonEmpty, "globalPrefixSum requires a sort key")
+    require(valueCols.nonEmpty, "globalPrefixSum requires value columns")
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(eager = false)
+    val stamped = sorted
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+    val wLocal = Window.partitionBy("__pid").orderBy("__mid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCum = valueCols.foldLeft(stamped) { case (d, (in, out)) =>
+      d.withColumn(out, sum(col(in)).over(wLocal))
+    }
+    val totals = stamped.groupBy("__pid")
+      .agg(sum(col(valueCols.head._1)).as(s"__t_${valueCols.head._2}"),
+        valueCols.tail.map { case (in, out) =>
+          sum(col(in)).as(s"__t_$out") }: _*)
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = valueCols.foldLeft(totals) { case (d, (_, out)) =>
+      d.withColumn(s"__o_$out",
+        coalesce(sum(col(s"__t_$out")).over(wOff),
+          col(s"__t_$out") * lit(0L)))
+    }.select(col("__pid") +:
+      valueCols.map { case (_, out) => col(s"__o_$out") }: _*)
+    val withOff = localCum.join(broadcast(offsets), "__pid")
+    val out = valueCols.foldLeft(withOff) { case (d, (_, o)) =>
+      d.withColumn(o, col(o) + col(s"__o_$o"))
+    }.drop("__mid" +: "__pid" +:
+      valueCols.map { case (_, o) => s"__o_$o" }: _*)
+    retainedByResult.put(out, sorted)
+    out
+  }
+
   /** Drop the sorted-pass blocks a [[globalRank]] result pins. The
     * result must not be evaluated again afterwards. */
   def release(result: DataFrame): Unit = {

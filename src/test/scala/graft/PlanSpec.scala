@@ -168,7 +168,10 @@ class PlanSpec extends SparkSpec {
       "q158a_tfidf_elig", "q158b_tfidf_norms", "q158c_tfidf_pairs",
       "q166_cohens_kappa", "q172_benford", "q178_negative_sample",
       "q179_ann_recall", "q180_ks_test", "q182_cramers_v",
-      "q183_quantile_map", "q185_split_gini", "q199_cms_native_agg",
+      "q183_quantile_map", "q185_split_gini",
+      // q198's converter-count attach onto the two-pass-ranked rows is
+      // the same 1-ROW aggregate broadcast (the q156 shape)
+      "q198_time_to_convert", "q199_cms_native_agg",
       "q214_affinity_filter", "q217_dsir_weight", "q219_lsh_recall",
       "q221_hard_negatives", "q222_knn_eval", "q224_knn_classify",
       "q226_repeat_plan", "q229_triplet_margin",
@@ -272,19 +275,43 @@ class PlanSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
-  test("window partition-key hygiene: no registered query plans a window " +
-    "partitioned ONLY by bounded-cardinality dimension columns over raw " +
-    "corpus-sized input — such partitions grow with the data and funnel " +
-    "a corpus slice through one task (the q76 two-pass rank or the q108 " +
-    "per-partition bounded top-k is the spelling for that shape). " +
-    "Windows whose input is already bounded — fed by an aggregate or by " +
-    "a pruning window below — are the allowed exceptions (q46, q108).") {
+  /** Queries allowed to plan an UNPARTITIONED window, each over a frame
+    * whose cardinality is provably bounded — by a fixed dimension
+    * domain, a LIMIT, a max-length grid, or a local-prune pass — never
+    * by raw fact/corpus rows (r16 sweep; justifications inline):
+    *  - q89  — RRF fusion over the UNION of two top-k-limited lists
+    *  - q108 — quota windows over one row per `source` (bounded domain)
+    *  - q126 — Skyline.frontier2D's global pass over per-partition
+    *           frontier survivors (the local prune bounds the frame)
+    *  - q131/q164 — vocab ranking over a LIMIT-100 frame
+    *  - q185 — split grid bounded by the value domain / 50 bands
+    *  - q194 — bit-position dictionary over distinct event_type
+    *  - q200 — median scan over the n_chars grid (max doc length) */
+  private val boundedUnpartitionedWindows = Set(
+    "q89_hybrid_rrf", "q108_proportional_sample", "q126_pareto_frontier",
+    "q131_vocab_coverage", "q164_vocab_apply", "q185_split_gini",
+    "q194_bitset_distinct", "q200_corpus_report")
+
+  test("window partition-key hygiene: (a) no registered query plans a " +
+    "window partitioned ONLY by bounded-cardinality dimension columns " +
+    "over raw corpus-sized input — such partitions grow with the data " +
+    "and funnel a corpus slice through one task (the q76 two-pass rank " +
+    "or the q108 per-partition bounded top-k is the spelling for that " +
+    "shape; windows whose input is already bounded — fed by an " +
+    "aggregate or a pruning window below — are the allowed exceptions); " +
+    "and (b) no registered query plans an UNPARTITIONED window over a " +
+    "data-proportional frame — the r15-flagged single-task shape " +
+    "(q171/q180/q198's value grids and converter sets, since respelled " +
+    "onto Rank.globalRank/globalPrefixSum). Allowed unpartitioned " +
+    "windows: the two-pass operators' #partitions-row metadata windows " +
+    "(orderSpec references only __pid) and the documented " +
+    "bounded-frame whitelist above — NOT q171/q180/q198.") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val boundedDims = Set("day_type", "weather_group", "weather_description",
       "event_type", "lang", "source")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
-      plan.collect {
+      val partitionedHazards = plan.collect {
         case w: LWindow if w.partitionSpec.nonEmpty &&
           w.partitionSpec.forall(
             _.references.toSeq.map(_.name).forall(boundedDims)) &&
@@ -295,6 +322,20 @@ class PlanSpec extends SparkSpec {
           s"$q: window partitioned by " +
             s"[${w.partitionSpec.map(_.sql).mkString(", ")}] over raw input"
       }
+      val unpartitionedHazards = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          // the two-pass rank/prefix-sum offset windows order a
+          // #partitions-row aggregate by __pid — bounded metadata.
+          // (orderSpec must be NONEMPTY: an order-free whole-frame
+          // window is just as single-task and gets no structural pass)
+          !(w.orderSpec.nonEmpty &&
+            w.orderSpec.flatMap(_.child.references.toSeq.map(_.name))
+              .forall(_ == "__pid")) &&
+          !boundedUnpartitionedWindows.contains(q) =>
+          s"$q: UNPARTITIONED window ordered by " +
+            s"[${w.orderSpec.map(_.sql).mkString(", ")}]"
+      }
+      partitionedHazards ++ unpartitionedHazards
     }
     assert(bad.isEmpty, s"scale-hazard windows:\n${bad.mkString("\n")}")
   }
