@@ -2378,6 +2378,54 @@ object SparkEntry {
         .select("user_id", "last_tse", "event_type", "n_so_far", "vu_sum")
     }),
 
+    // MapState + TTL across a checkpoint RESTART, hash-checked (VERDICT
+    // r15 missing #1 — the one hole left in the restart matrix):
+    // ValueState (q258), join state (q261), ListState + timers (q264),
+    // and the update-mode merge sink (q266) all survive a mid-backlog
+    // kill; this row restarts q265's DimAggProcessor — MapState under a
+    // TTLConfig on RocksDB. TTL expiry timestamps live IN the state
+    // store next to the values, so the restore path being pinned is
+    // distinct: every dimension's running totals AND its TTL clock must
+    // come back. The harness composes the two replay modes for the
+    // first time (ProcessingTime drain + checkpoint restart — each run
+    // drains to its own committed-row target), killing the query after
+    // batch 2 of 5. The hours-long TTL never bites inside the replay
+    // (same contract as q265, keeping the row oracle-expressible —
+    // SAME oracle); MapStateTtlSpec's restart case pins the clock
+    // question the hash can't see: a dimension written BEFORE the kill
+    // evicts on its ORIGINAL schedule after the resume (a restore that
+    // reset TTL clocks would keep it alive and fail the spec).
+    "q269_mapstate_ttl_restart" -> ((s, dir) => {
+      val base = s"target/msrreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          unix_timestamp(col("ts")).as("tse"), col("event_type"),
+          when(col("value").isNotNull,
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L)).as("vu"))
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      val cutS = lit("2024-06-01").cast("timestamp")
+      val cutB = lit("2024-12-15").cast("timestamp")
+      graft.streaming.StreamingAnalytics.replayStream(s, ev, base, Seq(
+          col("ts") < cut1,
+          col("ts") >= cut1 && col("ts") < cut2,
+          col("ts") >= cut2 && col("ts") < cutS,
+          col("ts") >= cutS && col("ts") < cutB,
+          col("ts") >= cutB),
+          useRocksDb = true,
+          processingTimeDrain = true,
+          restartAfterBatch = Some(2)) { st =>
+          import s.implicits._
+          graft.streaming.StreamingAnalytics.dimAggStream(
+            st.select("user_id", "tse", "event_type", "vu")
+              .as[graft.streaming.StreamingAnalytics.DEvent],
+            org.apache.spark.sql.streaming.TTLConfig(
+              java.time.Duration.ofHours(4))).toDF()
+        }
+        .select("user_id", "last_tse", "event_type", "n_so_far", "vu_sum")
+    }),
+
     // Update-mode exactly-once RESTART, hash-checked (VERDICT r14 item
     // 4) — q256's funnel rides the replay harness's foreachBatch parquet
     // append, documented there as NON-idempotent under batch retry; this
@@ -7614,6 +7662,29 @@ object SparkEntry {
     // last_tse = the user's max floored event time within batch b, the
     // same discriminator the machine stamps.
     "q265_mapstate_dims_replay" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS tse,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+        |         WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+        |         WHEN ts < TIMESTAMP '2024-06-01' THEN 2
+        |         WHEN ts < TIMESTAMP '2024-12-15' THEN 3
+        |         ELSE 4 END AS bi,
+        |    CASE WHEN value IS NULL THEN 0
+        |         ELSE FLOOR(value * 1000000 + 0.5)::BIGINT END AS vu
+        |  FROM events),
+        |k AS (
+        |  SELECT user_id, bi, max(tse) AS last_tse
+        |  FROM b GROUP BY user_id, bi)
+        |SELECT k.user_id, k.last_tse, e.event_type,
+        |  count(*) AS n_so_far, sum(e.vu)::BIGINT AS vu_sum
+        |FROM k JOIN b e ON e.user_id = k.user_id AND e.bi <= k.bi
+        |GROUP BY k.user_id, k.last_tse, e.event_type""".stripMargin,
+
+    // q269 = q265's machine killed after batch 2 and resumed from the
+    // checkpoint: restored MapState + TTL clocks make the final sink
+    // bit-identical to the uninterrupted run, so the oracle is q265's
+    // verbatim.
+    "q269_mapstate_ttl_restart" ->
       """WITH b AS (
         |  SELECT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS tse,
         |    CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0

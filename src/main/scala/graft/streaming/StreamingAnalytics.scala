@@ -532,7 +532,12 @@ object StreamingAnalytics {
                    onRestartInfo: RestartInfo => Unit = _ => (),
                    processingTimeDrain: Boolean = false,
                    updateSink: Option[(DataFrame, Long, String) => Unit] =
-                     None)
+                     None,
+                   // runs between the first query's stop and the pending
+                   // release — the window where a spec can let wall-clock
+                   // state (a TTL written before the kill) expire before
+                   // the resumed run observes it
+                   beforeRestart: () => Unit = () => ())
                   (build: DataFrame => DataFrame): DataFrame = {
     // `updateSink` replaces the update-mode foreachBatch body with a
     // caller-supplied idempotent sink — (batch frame, batchId, out path)
@@ -556,9 +561,12 @@ object StreamingAnalytics {
     // batches emit nothing (no input rows → no handleInputRows; TTL
     // cleanup emits nothing), and the parquet sink's metadata log hides
     // any uncommitted trailing batch — so the drained sink is exactly as
-    // deterministic as the AvailableNow path.
-    require(!(processingTimeDrain && restartAfterBatch.isDefined),
-      "processingTimeDrain does not compose with restartAfterBatch")
+    // deterministic as the AvailableNow path. Composed with
+    // `restartAfterBatch` (q269), each run drains to ITS OWN committed-
+    // row target: the first run to the rows staged in the released
+    // batches (only those files exist, so it can never overshoot), the
+    // second — with a fresh listener, counting only its own commits —
+    // to the rows in the pending remainder.
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new Path(baseDir), true) // fresh replay per run
@@ -655,7 +663,7 @@ object StreamingAnalytics {
         ".state.RocksDBStateStoreProvider")
     spark.conf.set(partKey, "4")
     try {
-      def runOnce(): org.apache.spark.sql.streaming.StreamingQuery = {
+      def runOnce(drainTarget: Long): org.apache.spark.sql.streaming.StreamingQuery = {
         val stream = spark.readStream
           .schema(input.schema)
           .option("maxFilesPerTrigger", "1")
@@ -714,7 +722,7 @@ object StreamingAnalytics {
               .trigger(org.apache.spark.sql.streaming.Trigger
                 .ProcessingTime("100 milliseconds"))
               .start()
-            val target = metrics("rows_staged").asInstanceOf[Long]
+            val target = drainTarget
             val deadline = System.nanoTime() + 180L * 1000000000L
             def drained(): Boolean = committed.iterator
               .collect { case ((id, _), n) if id == q.id => n }
@@ -734,9 +742,20 @@ object StreamingAnalytics {
       def commits(): Int =
         fs.listStatus(new Path(s"$baseDir/ckpt/commits"))
           .count(_.getPath.getName.forall(_.isDigit))
-      val q1 = runOnce()
+      val totalStaged = metrics("rows_staged").asInstanceOf[Long]
+      // drain targets per run (drain mode only): run 1 owns the rows
+      // staged into src (batches < restartAfterBatch — counting the
+      // actual released files, not re-deriving the predicate split);
+      // run 2's fresh listener counts only its own commits, so it owes
+      // exactly the pending remainder
+      val firstTarget =
+        if (processingTimeDrain && restartAfterBatch.isDefined)
+          spark.read.schema(input.schema).parquet(s"$baseDir/src").count()
+        else totalStaged
+      val q1 = runOnce(firstTarget)
       restartAfterBatch.foreach { n =>
         val afterFirst = commits()
+        beforeRestart()
         // release the pending batches, pinned mod-times intact, and
         // resume from the checkpoint
         fs.listStatus(pendingDir).foreach { st =>
@@ -746,7 +765,7 @@ object StreamingAnalytics {
             sys.error(s"replayStream: pending release failed for ${st.getPath}")
           fs.setTimes(dst, t, -1)
         }
-        val q2 = runOnce()
+        val q2 = runOnce(totalStaged - firstTarget)
         onRestartInfo(RestartInfo(q1.id, q1.runId, q2.runId,
           afterFirst, commits()))
       }

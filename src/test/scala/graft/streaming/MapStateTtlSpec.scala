@@ -29,8 +29,12 @@ class MapStateTtlSpec extends SparkSpec {
     spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
       ".state.RocksDBStateStoreProvider")
     val in = MemoryStream[StreamingAnalytics.DEvent]
+    // 30 s TTL (r15 ADVICE): the pre-TTL phase only holds if batch 2
+    // commits within the TTL of batch 1's state write — post-warmup
+    // batches run sub-second, so 30 s absorbs a GC pause or a loaded CI
+    // box where the old 12 s window could evict early and fail s2
     val q = StreamingAnalytics.dimAggStream(in.toDS(),
-        TTLConfig(java.time.Duration.ofSeconds(12)))
+        TTLConfig(java.time.Duration.ofSeconds(30)))
       .toDF()
       .writeStream.format("memory").queryName("ms_ttl")
       .trigger(Trigger.ProcessingTime("250 milliseconds"))
@@ -72,12 +76,12 @@ class MapStateTtlSpec extends SparkSpec {
         StreamingAnalytics.DEvent(1L, 101L, "click", 7L),
         StreamingAnalytics.DEvent(1L, 102L, "view", 3L))
       assert(s1 === Map("click" -> ((2L, 12L)), "view" -> ((1L, 3L))))
-      // batch 2, immediately (within the 12 s TTL): click accumulates
+      // batch 2, immediately (within the 30 s TTL): click accumulates
       // and the untouched view still snapshots — nothing has expired
       val s2 = snapAfter(2, StreamingAnalytics.DEvent(1L, 200L, "click", 1L))
       assert(s2 === Map("click" -> ((3L, 13L)), "view" -> ((1L, 3L))))
       // idle past the TTL: both entries' expirations pass
-      Thread.sleep(14000L)
+      Thread.sleep(32000L)
       // batch 3: click RE-ADMITS from zero (not 4/15), and view — never
       // refreshed — is gone from the snapshot entirely
       val s3 = snapAfter(1, StreamingAnalytics.DEvent(1L, 300L, "click", 2L))
@@ -86,5 +90,45 @@ class MapStateTtlSpec extends SparkSpec {
       q.stop()
       saved.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
     }
+  }
+
+  test("TTL clocks SURVIVE a checkpoint restart (q269's recovery path): " +
+    "a dimension written before the kill evicts on its ORIGINAL " +
+    "schedule after the resume — a restore that reset expiry clocks " +
+    "would keep it alive past the restart and emit it in the post-" +
+    "resume snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val obs = Seq(
+      StreamingAnalytics.DEvent(1L, 1000L, "alpha", 5L),
+      StreamingAnalytics.DEvent(1L, 2000L, "beta", 7L)).toDF()
+    // two batches split on tse; the kill lands between them, and the
+    // 25 s TTL expires during the 28 s pause before the resume. The
+    // choreography has NO upper-bound race: alpha's expiry is pinned to
+    // its pre-kill write, and the sleep starts only after the first
+    // run's commit — so however slow the box, alpha is expired by the
+    // time batch 2 runs. Batch 2's snapshot therefore carries ONLY
+    // beta; a clock reset at restore (expiry re-stamped to resume time
+    // + TTL) would keep alpha alive and emit a third row.
+    val out = StreamingAnalytics.replayStream(spark, obs,
+        "target/ttl_restart_spec",
+        Seq(col("tse") < 1500L, col("tse") >= 1500L),
+        useRocksDb = true, processingTimeDrain = true,
+        restartAfterBatch = Some(1),
+        beforeRestart = () => Thread.sleep(28000L)) { st =>
+        StreamingAnalytics.dimAggStream(
+          st.as[StreamingAnalytics.DEvent],
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofSeconds(25))).toDF()
+      }
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("last_tse"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n_so_far"),
+        r.getAs[Long]("vu_sum"))).toSet
+    assert(rows === Set(
+      (1L, 1000L, "alpha", 1L, 5L),   // batch 1, pre-kill
+      (1L, 2000L, "beta", 1L, 7L)),   // batch 2 post-resume: alpha evicted
+      s"unexpected snapshots (alpha surviving the restart means the " +
+        s"restored TTL clock was reset): $rows")
   }
 }
