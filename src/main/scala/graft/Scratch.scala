@@ -62,6 +62,41 @@ object Scratch {
       spark.stop(); return
     }
     if (args(0) == "hofab") { hofAb(spark, args(1)); spark.stop(); return }
+    if (args(0) == "agprobe") {
+      // agprobe [nBatches] [batchSize] [docBuckets] [bandBuckets] —
+      // drive the AdmissionGate with FIXED-size batches of synthetic
+      // non-duplicate docs and print each batch's admit wall time: flat
+      // per-batch cost while the corpus grows nBatches× is the scale
+      // claim (probe IO ~ batch bucket footprint × corpus/buckets, so
+      // size the buckets to the final corpus)
+      val n = if (args.length > 1) args(1).toInt else 20
+      val bs = if (args.length > 2) args(2).toInt else 200
+      val db = if (args.length > 3) args(3).toInt else 16
+      val bb = if (args.length > 4) args(4).toInt else 64
+      val base = "target/agprobe"
+      if (sys.env.contains("AGPROBE_V2"))
+        spark.sparkContext.hadoopConfiguration
+          .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      // 12 pseudo-random tokens per doc keyed off the id: distinct docs,
+      // negligible shingle overlap, so state grows by ~bs rows per batch
+      def docs(from: Long, until: Long) = spark.range(from, until)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit("t"), ((col("id") * 31L + lit(i * 7919L)) % 99991L)
+              .cast("string"))): _*).as("text"))
+      (0 until n).foreach { b =>
+        val t0 = System.nanoTime()
+        graft.streaming.AdmissionGate.admitBatch(
+          docs(b.toLong * bs, (b + 1).toLong * bs), base, b.toLong,
+          docBuckets = db, bandBuckets = bb)
+        println(f"AGPROBE batch=$b%3d corpus=${b * bs}%7d " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     if (args(0) == "winsweep") {
       // winsweep <sfDir> — every registered query's optimized-plan
       // Window nodes with an EMPTY partitionSpec: the candidate

@@ -1919,8 +1919,8 @@ object SparkEntry {
           col("doc_id") >= 250L && col("doc_id") < 450L,
           col("doc_id") >= 450L),
           updateMode = true,
-          updateSink = Some { (df, _, out) =>
-            graft.streaming.AdmissionGate.admitBatch(df, out)
+          updateSink = Some { (df, bid, out) =>
+            graft.streaming.AdmissionGate.admitBatch(df, out, bid)
           })(st => st)
         .select("doc_id")
     }),

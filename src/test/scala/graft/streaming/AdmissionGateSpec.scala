@@ -50,10 +50,57 @@ class AdmissionGateSpec extends SparkSpec {
         col("doc_id") >= 10L && col("doc_id") < 25L,
         col("doc_id") >= 25L),
         updateMode = true,
-        updateSink = Some { (df, _, out) =>
-          AdmissionGate.admitBatch(df, out)
+        updateSink = Some { (df, bid, out) =>
+          AdmissionGate.admitBatch(df, out, bid)
         })(st => st)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got === Seq(1L, 5L, 21L, 31L))
+  }
+
+  test("state reads prune at the FILE listing: a probe touching a " +
+    "bucket subset reads only that subset's partition files, and the " +
+    "bid filter hides the probing batch's own (retry-era) output") {
+    import spark.implicits._
+    // seed two batches of state through the real writer
+    val base = "target/aggate_prune"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    AdmissionGate.admitBatch(Seq((1L, A), (5L, D)).toDF("doc_id", "text"),
+      base, batchId = 0L)
+    AdmissionGate.admitBatch(Seq((21L, E), (31L, F)).toDF("doc_id", "text"),
+      base, batchId = 1L)
+    val shDir = base + ".sh"
+    val all = spark.read.option("basePath", shDir).parquet(shDir)
+    val allFiles = all.select(input_file_name()).distinct().count()
+    val allBuckets = all.select("ib").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(allBuckets.size >= 2,
+      s"test docs collapsed into one id bucket ($allBuckets) - " +
+        "pruning would be unobservable")
+    // prune to ONE bucket: only that bucket's files are listed
+    val one = AdmissionGate.prunedState(spark, shDir, "ib",
+      Seq(allBuckets.head), batchId = 2L, all.limit(0))
+    val oneFiles = one.select(input_file_name()).distinct().count()
+    assert(oneFiles < allFiles,
+      s"bucket pruning read all $allFiles files")
+    one.select(input_file_name()).distinct().collect().foreach { r =>
+      assert(r.getString(0).contains(s"/ib=${allBuckets.head}/"),
+        s"file outside the pruned bucket: ${r.getString(0)}")
+    }
+    // bid filter: a batch re-reading state at its own batchId must not
+    // see batch 1's rows (the retry-idempotence contract) — only
+    // batch 0's
+    val preBatch1 = AdmissionGate.prunedState(spark, shDir, "ib",
+      allBuckets, batchId = 1L, all.limit(0))
+    val ids = preBatch1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 5L),
+      s"bid<1 read leaked batch-1 state: $ids")
+    // and re-running batch 1 (a retry) converges: same admitted set
+    AdmissionGate.admitBatch(Seq((21L, E), (31L, F)).toDF("doc_id", "text"),
+      base, batchId = 1L)
+    val admitted = spark.read.parquet(base)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted === Seq(1L, 5L, 21L, 31L))
   }
 }
