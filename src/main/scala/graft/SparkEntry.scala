@@ -3900,6 +3900,21 @@ object SparkEntry {
       MultiModal.parseImageHeaders(
         MultiModal.imageHeaderBlobs(t(s, dir, "documents")))),
 
+    // The adversarial sibling (VERDICT r15 missing #3): JPEG blobs whose
+    // APP1 payload embeds the FFC0 byte pair BEFORE the true SOF0 — the
+    // blob a locate()-style marker scan mis-parses (it finds the decoy
+    // and reads the APP1 payload as a frame header). parseImageHeaders
+    // now WALKS segments by their declared lengths (MultiModal
+    // .sofHexPos — a bounded when/otherwise hop chain, mirrored in the
+    // oracle as chained CASE hops), so both engines land on the true
+    // SOF0; width/height/bit_depth and the full-blob header_fp
+    // hash-check. q268's own oracle still finds SOF0 by strpos — on
+    // decoy-free blobs scan ≡ walk, which doubles as the walk's
+    // regression pin there.
+    "q268b_jpeg_segment_walk" -> ((s, dir) =>
+      MultiModal.parseImageHeaders(
+        MultiModal.imageHeaderBlobsAdversarial(t(s, dir, "documents")))),
+
     // Bucketed co-located join: both sides of the user_id join (and both
     // aggregations) read one bucketed table, so the plan has NO shuffle
     // before the join — the pre-partitioning scale path for repeated joins
@@ -9931,6 +9946,70 @@ object SparkEntry {
          |  END AS height,
          |  CASE WHEN is_png THEN ('0x' || substring(hx, 49, 2))::BIGINT
          |       ELSE ('0x' || substring(hx, sof + 8, 2))::BIGINT
+         |  END AS bit_depth,
+         |  ${charPolySql("hx")} AS header_fp
+         |FROM p""".stripMargin),
+
+    // Mirrors q268b: the identical adversarial blob assembly (APP1
+    // payload opening with an FFC0 decoy), and the SAME bounded segment
+    // walk as chained CASE hops — pos0 = 5 (first marker after SOI in
+    // 1-based hex chars), each hop stops on FFC0 or advances 4 + 2·L
+    // hex chars past the declared segment length. strpos would find the
+    // decoy at char 49; the walk lands on the true SOF0 at 61.
+    "q268b_jpeg_segment_walk" ->
+      (s"""WITH m AS (
+         |  SELECT doc_id,
+         |    (n_chars % 640) + 1 AS w, (n_chars % 480) + 1 AS h,
+         |    CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 16 END AS d
+         |  FROM documents),
+         |hx0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN
+         |      '89504E470000000D49484452' ||
+         |      lpad(upper(to_hex(w)), 8, '0') ||
+         |      lpad(upper(to_hex(h)), 8, '0') ||
+         |      lpad(upper(to_hex(d)), 2, '0') || '02000000'
+         |    ELSE
+         |      'FFD8FFE000104A46494600010100000100010000' ||
+         |      'FFE10008FFC0' || lpad(upper(to_hex(h)), 4, '0') || '0000' ||
+         |      'FFC0001108' ||
+         |      lpad(upper(to_hex(h)), 4, '0') ||
+         |      lpad(upper(to_hex(w)), 4, '0') ||
+         |      '03012200021101031101'
+         |    END AS hx
+         |  FROM m),
+         |w0 AS (SELECT doc_id, hx, 5::BIGINT AS pos FROM hx0),
+         |w1 AS (SELECT doc_id, hx,
+         |  CASE WHEN substring(hx, pos::INT, 4) = 'FFC0' THEN pos
+         |       ELSE pos + 4 + 2 * TRY_CAST(
+         |         '0x' || substring(hx, pos::INT + 4, 4) AS BIGINT) END
+         |  AS pos FROM w0),
+         |w2 AS (SELECT doc_id, hx,
+         |  CASE WHEN substring(hx, pos::INT, 4) = 'FFC0' THEN pos
+         |       ELSE pos + 4 + 2 * TRY_CAST(
+         |         '0x' || substring(hx, pos::INT + 4, 4) AS BIGINT) END
+         |  AS pos FROM w1),
+         |w3 AS (SELECT doc_id, hx,
+         |  CASE WHEN substring(hx, pos::INT, 4) = 'FFC0' THEN pos
+         |       ELSE pos + 4 + 2 * TRY_CAST(
+         |         '0x' || substring(hx, pos::INT + 4, 4) AS BIGINT) END
+         |  AS pos FROM w2),
+         |p AS (
+         |  SELECT doc_id, hx, pos AS sof,
+         |    ('0x' || substring(hx, 1, 8))::BIGINT = 2303741511 AS is_png
+         |  FROM w3)
+         |SELECT doc_id,
+         |  CASE WHEN is_png THEN 'png'
+         |       WHEN ('0x' || substring(hx, 1, 4))::BIGINT = 65496
+         |         THEN 'jpeg' ELSE 'unknown' END AS fmt,
+         |  CASE WHEN is_png THEN ('0x' || substring(hx, 33, 8))::BIGINT
+         |       ELSE ('0x' || substring(hx, sof::INT + 14, 4))::BIGINT
+         |  END AS width,
+         |  CASE WHEN is_png THEN ('0x' || substring(hx, 41, 8))::BIGINT
+         |       ELSE ('0x' || substring(hx, sof::INT + 10, 4))::BIGINT
+         |  END AS height,
+         |  CASE WHEN is_png THEN ('0x' || substring(hx, 49, 2))::BIGINT
+         |       ELSE ('0x' || substring(hx, sof::INT + 8, 2))::BIGINT
          |  END AS bit_depth,
          |  ${charPolySql("hx")} AS header_fp
          |FROM p""".stripMargin),

@@ -67,25 +67,77 @@ object MultiModal {
         .as("media"))
   }
 
+  /** Adversarial variant of [[imageHeaderBlobs]] (VERDICT r15 missing
+    * #3): odd doc_ids get a JPEG whose APP1 payload CONTAINS the byte
+    * pair FFC0 *before* the true SOF0 segment — the blob that exposes
+    * the difference between scanning for the marker bytes (finds the
+    * decoy inside the APP1 payload, reads garbage dimensions) and
+    * WALKING segments by their declared lengths (hops SOI → APP0 →
+    * APP1 → SOF0 and parses the real frame header). Layout: SOI, the
+    * same 16-byte JFIF APP0, an APP1 segment (length 8: a 6-byte
+    * payload opening with the FFC0 decoy followed by h and two pad
+    * bytes), then the true SOF0. Even doc_ids keep the PNG prefix —
+    * pinning that the walk changes nothing on the other branch. */
+  def imageHeaderBlobsAdversarial(docs: DataFrame): DataFrame = {
+    val w = (col("n_chars") % 640L) + lit(1L)
+    val h = (col("n_chars") % 480L) + lit(1L)
+    val d = when(col("doc_id") % 4L === 0L, lit(8L)).otherwise(lit(16L))
+    val pngHex = concat(
+      lit("89504E470000000D49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lpad(hex(d), 2, "0"), lit("02000000"))
+    val jpegHex = concat(
+      lit("FFD8FFE000104A46494600010100000100010000"),
+      lit("FFE10008FFC0"), lpad(hex(h), 4, "0"), lit("0000"),
+      lit("FFC0001108"),
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("03012200021101031101"))
+    docs.select(col("doc_id"),
+      unhex(when(col("doc_id") % 2L === 0L, pngHex).otherwise(jpegHex))
+        .as("media"))
+  }
+
+  /** 1-based HEX-string position of the SOF0 (FFC0) segment MARKER,
+    * found by walking JPEG segments by their declared lengths — marker
+    * (2 bytes) + length field L (2 bytes, includes itself) + payload
+    * (L−2 bytes), so the next marker sits 4 + 2·L hex chars on. A
+    * bounded fold of `maxSegs` hops (each hop is a when/otherwise over
+    * the running position — expression size grows ~4× per hop, so keep
+    * maxSegs small; the registry blobs need 3). Where a real stream
+    * could exceed the bound, the same loop belongs in a small codegen
+    * kernel (the graft_bounded_levenshtein discipline); the bounded
+    * Column chain keeps this oracle-mirrorable as chained CASE hops. */
+  private[multimodal] def sofHexPos(hx: org.apache.spark.sql.Column,
+                                    maxSegs: Int): org.apache.spark.sql.Column =
+    (0 until maxSegs).foldLeft(lit(5): org.apache.spark.sql.Column) {
+      (p, _) =>
+        when(hx.substr(p, lit(4)) === lit("FFC0"), p)
+          .otherwise(p + lit(4) +
+            lit(2) * conv(hx.substr(p + lit(4), lit(4)), 16, 10)
+              .cast("int"))
+    }
+
   /** Parse image dimensions straight from header BYTES — pure byte
     * arithmetic over the binary column (big-endian field reads via the
     * blob's hex image: `conv(substring(hex(media), …), 16, 10)` — one
     * codegen'd expression chain, no UDF, and the exact spelling DuckDB
     * can mirror since blobs slice only through `hex` there):
     * PNG fields sit at fixed offsets (width u32 @16, height u32 @20,
-    * depth u8 @24); JPEG fields are found by SCANNING for the SOF0
-    * marker (FFC0) the way a real parser walks segments — `locate` on
-    * the hex image — then reading precision/height/width behind it.
-    * `header_fp` fingerprints the whole blob (charPolyHash over the hex
-    * image), so the hash check covers every byte, not just the parsed
-    * fields. */
+    * depth u8 @24); JPEG fields are found by the [[sofHexPos]] SEGMENT
+    * WALK — hopping markers by their declared lengths the way a real
+    * parser must, since FFC0 can legitimately appear inside an APPn
+    * payload (q268b feeds exactly that blob; a locate()-style scan
+    * mis-parses it) — then reading precision/height/width behind the
+    * marker. `header_fp` fingerprints the whole blob (charPolyHash over
+    * the hex image), so the hash check covers every byte, not just the
+    * parsed fields. */
   def parseImageHeaders(blobs: DataFrame): DataFrame = {
     val hx = hex(col("media"))
     def be(bytePos: Int, nBytes: Int) =
       conv(substring(hx, bytePos * 2 + 1, nBytes * 2), 16, 10).cast("long")
     def beAt(hexPos: org.apache.spark.sql.Column, nBytes: Int) =
       conv(hx.substr(hexPos, lit(nBytes * 2)), 16, 10).cast("long")
-    val sof = locate("FFC0", hx)
+    val sof = sofHexPos(hx, maxSegs = 3)
     val isPng = be(0, 4) === 0x89504E47L
     blobs.select(col("doc_id"),
       when(isPng, lit("png"))

@@ -78,4 +78,25 @@ class MultiModalSpec extends SparkSpec {
     val r = MultiModal.resizeStub(media(""), factor = 2).collect().head
     assert(r.out_len === 0L && r.out_fp === 0L)
   }
+
+  test("segment walk vs marker scan: on the adversarial blob (FFC0 " +
+    "decoy inside the APP1 payload) the walk lands on the true SOF0 " +
+    "and recovers the builder's dimensions, while a locate()-style " +
+    "scan provably finds the decoy first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1 (odd -> jpeg), n_chars 123: w = 124, h = 124
+    val doc = Seq((1L, "x", 123L)).toDF("doc_id", "text", "n_chars")
+    val blob = MultiModal.imageHeaderBlobsAdversarial(doc)
+    val scanned = blob.select(locate("FFC0", hex(col("media"))).as("scan"),
+        MultiModal.sofHexPos(hex(col("media")), 3).as("walk"))
+      .collect().head
+    assert(scanned.getInt(0) === 49, "decoy not where the blob promises")
+    assert(scanned.getInt(1) === 61, "walk did not hop to the true SOF0")
+    val parsed = MultiModal.parseImageHeaders(blob).collect().head
+    assert(parsed.getAs[String]("fmt") === "jpeg")
+    assert(parsed.getAs[Long]("width") === 124L)
+    assert(parsed.getAs[Long]("height") === 124L)
+    assert(parsed.getAs[Long]("bit_depth") === 8L) // SOF0 precision byte
+  }
 }
