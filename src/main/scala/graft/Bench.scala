@@ -194,7 +194,8 @@ object Bench {
                         singlePass: Boolean = false,
                         sfDir: String = "",
                         calib: Option[(Double, Double, Int)] = None,
-                        probeCpu: Map[String, Double] = Map.empty): String = {
+                        probeCpu: Map[String, Double] = Map.empty,
+                        remeasured: Map[String, Double] = Map.empty): String = {
     // a 1-pass run is systematically first-pass-biased: the earliest
     // queries pay whole-pipeline JIT that medians-of-N absorb (observed:
     // q01-q05/q29 flag 1.7-3.6x on a same-code single pass while the
@@ -306,21 +307,21 @@ object Bench {
         // Locale.ROOT: the f-interpolator is default-locale-sensitive —
         // a comma-decimal locale would make the whole bench line
         // unparseable JSON.
-        // With a probe attribution available (mid-window sub-probe log +
-        // a thread-matched reference cpu_s), each outlier carries the
-        // machine-state reading nearest its own runs: `machine:true`
-        // (probe >1.5x the reference's clean cpu_s, the same gate as the
-        // window-level `contended`) means the deviation is
-        // machine-attributable — the box, not the code — per QUERY, so
-        // a mid-window contention burst no longer costs a judge re-run
-        // (VERDICT r14 item 1; the r14 window read contended:false at
-        // start and then took 22 mid-window environment outliers).
+        // ONE value shape (r15 ADVICE): every outlier is an object with
+        // a mandatory "ratio"; probe_cpu_ratio/machine appear only when
+        // attribution is available (mid-window sub-probe log + a
+        // thread-matched reference cpu_s — `machine:true` = probe >1.5x
+        // the reference's clean cpu_s, the same gate as the window-level
+        // `contended`, meaning the deviation is machine-attributable:
+        // the box, not the code); "remeasured" appears when the
+        // post-window re-run (VERDICT r15 item 6) replaced the reading.
         val attrib = attribBase.flatMap(base => probeCpu.get(n).map { p =>
           val pr = p / base
-          s"""{"ratio":${fmt(r, 2)},"probe_cpu_ratio":${fmt(pr, 2)},""" +
-            s""""machine":${pr > 1.5}}"""
-        })
-        "\"" + esc(n) + "\":" + attrib.getOrElse(fmt(r, 2))
+          s""","probe_cpu_ratio":${fmt(pr, 2)},"machine":${pr > 1.5}"""
+        }).getOrElse("")
+        val rem = remeasured.get(n)
+          .map(v => s""","remeasured":${fmt(v, 2)}""").getOrElse("")
+        "\"" + esc(n) + "\":" + s"""{"ratio":${fmt(r, 2)}$attrib$rem}"""
       }.mkString("{", ",", "}")
       s"""{"reference":"${esc(refLabel)}",$note$calibJson""" +
         s""""scale":${fmt(scale, 3)},""" +
@@ -328,6 +329,25 @@ object Bench {
         s""""outliers":$outJson}"""
     }
   }
+
+  /** Outlier names the comparability JSON stamped `machine:true` — the
+    * per-query probe attribution saying the deviation is the box, not
+    * the code. Extracted from the emitted JSON itself (one producer,
+    * one shape — the always-object outlier map above), so the re-run
+    * set is exactly what a reader of the bench line would ask about.
+    * Pure for BenchSpec. */
+  private[graft] def machineFlaggedFrom(comparabilityJson: String): Seq[String] =
+    """"([A-Za-z0-9_]+)":\{"ratio":[^{}]*"machine":true""".r
+      .findAllMatchIn(comparabilityJson).map(_.group(1)).toSeq
+
+  /** The adjudicated total: the window's per-query medians with each
+    * re-measured query's reading substituted. `value` stays the raw
+    * window total; `value_adjudicated` is this — both are emitted, so
+    * the headline number no longer needs a judge re-run to correct for
+    * an attributed contention burst. Pure for BenchSpec. */
+  private[graft] def adjudicatedTotal(medians: Seq[(String, Double)],
+                                      remeasured: Map[String, Double]): Double =
+    medians.map { case (n, v) => remeasured.getOrElse(n, v) }.sum
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -469,11 +489,38 @@ object Bench {
       s"\"" + esc(k) + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    val comparability =
+    val comparability0 =
       if (refLines.isEmpty) s"""{"reference":null}"""
       else comparabilityJson(medians, refLines.iterator, refPath,
         singlePass = nRuns == 1, sfDir = sfDir, calib = calib,
         probeCpu = probeCpuByQuery)
+    // Post-window adjudication (VERDICT r15 item 6): re-measure each
+    // machine-attributed outlier on the spot — 3 quick runs, medianed —
+    // so the bench line carries BOTH readings (`value` raw,
+    // `value_adjudicated` with re-measures substituted, and each
+    // outlier's `remeasured` seconds) instead of leaving the inflated
+    // reading for a judge to re-run. The re-runs execute in the
+    // window's end state (no cache reset — the same session-cache state
+    // the query saw mid-pass); if the contention persists, the re-run
+    // honestly confirms the original reading. Skipped on filtered runs
+    // (no probe → nothing is machine-attributed there anyway).
+    val remeasured: Map[String, Double] =
+      machineFlaggedFrom(comparability0).flatMap { n =>
+        SparkEntry.queries.get(n).map { fn =>
+          val runs = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          n -> median(runs.toList)
+        }
+      }.toMap
+    val comparability =
+      if (remeasured.isEmpty) comparability0
+      else comparabilityJson(medians, refLines.iterator, refPath,
+        singlePass = nRuns == 1, sfDir = sfDir, calib = calib,
+        probeCpu = probeCpuByQuery, remeasured = remeasured)
+    val totalAdj = adjudicatedTotal(medians, remeasured)
     // `filtered` marks a SPARK_GRAFT_BENCH_ONLY run so downstream tooling
     // (regen_bench_reference.py) can refuse to treat a partial query map
     // as a recorded window
@@ -491,7 +538,7 @@ object Bench {
           s""""sub_cpu_max":${fmt(subs.max, 3)}"""
       s"""{"cpu_s":${fmt(c, 3)},"io_s":${fmt(i, 3)},"threads":$thr$subJson}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$filteredJson"queries":$qs,"spread":$spreadJson,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":$total,"value_adjudicated":${fmt(totalAdj, 3)},"unit":"sec",$filteredJson"queries":$qs,"spread":$spreadJson,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
     // The full line above carries the whole per-query map (~7 KB for 200+
     // queries); a fixed-size log-tail capture truncates its head and loses
     // the headline total. This LAST line is a complete, self-describing
@@ -501,7 +548,7 @@ object Bench {
     val slowest = medians.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries_n":${names.size},"errors_n":${errors.size},"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"slowest":$slowest,"comparability":$comparability,"sf":"${esc(sfDir)}","note":"digest; full per-query map on the preceding line"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"value_adjudicated":${fmt(totalAdj, 3)},"unit":"sec","queries_n":${names.size},"errors_n":${errors.size},"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"slowest":$slowest,"comparability":$comparability,"sf":"${esc(sfDir)}","note":"digest; full per-query map on the preceding line"}""")
     spark.stop()
   }
 }

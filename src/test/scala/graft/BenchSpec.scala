@@ -32,7 +32,7 @@ class BenchSpec extends AnyFunSuite {
       "q04" -> 1.3, "q05" -> 3.9)
     val json = comp(cur, ref)
     assert(json.contains(""""uniform":false"""), json)
-    assert(json.contains(""""q03":3.00"""), json)
+    assert(json.contains(""""q03":{"ratio":3.00}"""), json)
     assert(!json.contains("q02"), json)
   }
 
@@ -51,7 +51,7 @@ class BenchSpec extends AnyFunSuite {
       "q04" -> 2.0, "q05" -> 1.0)
     val json = comp(cur, ref)
     assert(json.contains(""""uniform":false"""), json)
-    assert(json.contains(""""q03":0.20"""), json)
+    assert(json.contains(""""q03":{"ratio":0.20}"""), json)
   }
 
   test("a recorded wide run-to-run band (third reference column) widens " +
@@ -68,11 +68,11 @@ class BenchSpec extends AnyFunSuite {
     val tight = Seq("q01" -> 1.0, "q02" -> 2.0, "q03" -> 4.0,
       "q04" -> 8.0, "q05" -> 4.0)
     val json2 = comp(tight, ref)
-    assert(json2.contains(""""q04":2.00"""), json2)
+    assert(json2.contains(""""q04":{"ratio":2.00}"""), json2)
     val legacy = Seq("q01" -> 1.0, "q02" -> 2.0, "q03" -> 4.0,
       "q04" -> 4.0, "q05" -> 8.0)
     val json3 = comp(legacy, ref)
-    assert(json3.contains(""""q05":2.00"""), json3)
+    assert(json3.contains(""""q05":{"ratio":2.00}"""), json3)
   }
 
   test("'# col3: tolerance' directive (cross-window-aware references): a " +
@@ -96,7 +96,7 @@ class BenchSpec extends AnyFunSuite {
       "q04" -> 8.0, "q05" -> 4.0)
     val json2 = comp(regressed, ref)
     assert(json2.contains(""""uniform":false"""), json2)
-    assert(json2.contains(""""q04":2.00"""), json2)
+    assert(json2.contains(""""q04":{"ratio":2.00}"""), json2)
     assert(!json2.contains("q03"), json2)
     // under the directive, col3 is NOT a rel-MAD: a sub-1.6 value
     // floors at 1.6 instead of collapsing the tolerance
@@ -105,7 +105,7 @@ class BenchSpec extends AnyFunSuite {
     val j3 = comp(Seq("q01" -> 1.5, "q02" -> 1.0, "q03" -> 1.0), refFloor)
     assert(j3.contains(""""uniform":true"""), j3)
     val j4 = comp(Seq("q01" -> 1.7, "q02" -> 1.0, "q03" -> 1.0), refFloor)
-    assert(j4.contains(""""q01":1.70"""), j4)
+    assert(j4.contains(""""q01":{"ratio":1.70}"""), j4)
   }
 
   test("queries missing from the reference (new since it was recorded) " +
@@ -160,7 +160,7 @@ class BenchSpec extends AnyFunSuite {
       "q01 1.0\nq02 1.0\nq\"1\\ 1.0\n".linesIterator,
       """C:\bench "ref".txt""")
     assert(json.contains("""C:\\bench \"ref\".txt"""), json)
-    assert(json.contains("""{"q\"1\\":3.00}"""), json)
+    assert(json.contains("""{"q\"1\\":{"ratio":3.00}}"""), json)
     // and the escape helper round-trips control characters
     assert(Bench.esc("a\nb\tc") == "a\\nb\\tc")
   }
@@ -285,9 +285,10 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains(""""contended":false"""), json)
   }
 
-  test("probe attribution degrades cleanly: no probe map → legacy plain " +
-    "ratios; probe map but thread-mismatched calibration → attribution " +
-    "suppressed along with the window ratio (same comparability gate)") {
+  test("probe attribution degrades cleanly — always to the SAME object " +
+    "shape (r15 ADVICE): no probe map → {ratio} alone; probe map but " +
+    "thread-mismatched calibration → attribution suppressed along with " +
+    "the window ratio (same comparability gate), never a bare number") {
     val ref = "# col3: tolerance\n" +
       "# calibration: cpu_s=0.90 io_s=6.00 threads=32\n" +
       "q01 1.0 1.6\nq02 2.0 1.6\nq03 4.0 1.6\nq04 1.0 1.6\nq05 3.0 1.6\n"
@@ -295,12 +296,42 @@ class BenchSpec extends AnyFunSuite {
       "q04" -> 1.0, "q05" -> 3.0)
     val plain = Bench.comparabilityJson(cur, ref.linesIterator, "ref",
       calib = Some((0.92, 6.1, 32)))
-    assert(plain.contains(""""q03":4.00"""), plain)
+    assert(plain.contains(""""q03":{"ratio":4.00}"""), plain)
     val mismatch = Bench.comparabilityJson(cur, ref.linesIterator, "ref",
       calib = Some((0.92, 6.1, 64)), probeCpu = Map("q03" -> 2.25))
     assert(mismatch.contains(""""calibration":{"skipped""""), mismatch)
-    assert(mismatch.contains(""""q03":4.00"""), mismatch)
+    assert(mismatch.contains(""""q03":{"ratio":4.00}"""), mismatch)
     assert(!mismatch.contains("probe_cpu_ratio"), mismatch)
+  }
+
+  test("post-window adjudication: machineFlaggedFrom extracts exactly " +
+    "the machine:true outliers from the emitted JSON; adjudicatedTotal " +
+    "substitutes re-measures and leaves everything else; the final JSON " +
+    "carries each re-measured outlier's seconds") {
+    val ref = "# col3: tolerance\n" +
+      "# calibration: cpu_s=0.90 io_s=6.00 threads=32\n" +
+      "q01 1.0 1.6\nq02 2.0 1.6\nq03 4.0 1.6\nq04 1.0 1.6\nq05 3.0 1.6\n"
+    val cur = Seq("q01" -> 1.0, "q02" -> 2.0, "q03" -> 16.0,
+      "q04" -> 1.0, "q05" -> 9.0)
+    val probe = Map("q01" -> 0.91, "q02" -> 0.91, "q03" -> 2.25,
+      "q04" -> 0.91, "q05" -> 0.95)
+    val json0 = Bench.comparabilityJson(cur, ref.linesIterator, "ref",
+      calib = Some((0.92, 6.1, 32)), probeCpu = probe)
+    // q03 machine:true, q05 machine:false → only q03 is re-run
+    assert(Bench.machineFlaggedFrom(json0) === Seq("q03"), json0)
+    // substitution arithmetic: q03's 16.0 replaced by its 4.1 re-measure
+    val adj = Bench.adjudicatedTotal(cur, Map("q03" -> 4.1))
+    assert(math.abs(adj - (1.0 + 2.0 + 4.1 + 1.0 + 9.0)) < 1e-9)
+    // and with nothing re-measured the totals agree
+    assert(Bench.adjudicatedTotal(cur, Map.empty) ===
+      cur.map(_._2).sum)
+    val json1 = Bench.comparabilityJson(cur, ref.linesIterator, "ref",
+      calib = Some((0.92, 6.1, 32)), probeCpu = probe,
+      remeasured = Map("q03" -> 4.1))
+    assert(json1.contains(""""q03":{"ratio":4.00,"probe_cpu_ratio":2.50,""" +
+      """"machine":true,"remeasured":4.10}"""), json1)
+    assert(!json1.contains(""""q05":{"ratio":3.00,"probe_cpu_ratio":1.06,""" +
+      """"machine":false,"remeasured""""), json1)
   }
 
   test("median: odd count takes the middle, even takes the upper middle, " +
