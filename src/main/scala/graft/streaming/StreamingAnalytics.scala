@@ -533,11 +533,19 @@ object StreamingAnalytics {
                    processingTimeDrain: Boolean = false,
                    updateSink: Option[(DataFrame, Long, String) => Unit] =
                      None,
-                   // runs between the first query's stop and the pending
+                   // runs between each query stop and the next pending
                    // release — the window where a spec can let wall-clock
                    // state (a TTL written before the kill) expire before
                    // the resumed run observes it
-                   beforeRestart: () => Unit = () => ())
+                   beforeRestart: () => Unit = () => (),
+                   // additional kill points (VERDICT r15 item 7): the
+                   // backlog is staged into one tranche per restart and
+                   // the query is killed+resumed at EVERY point, so a
+                   // spec can pin e.g. a timer registered in batch 0
+                   // firing exactly once through TWO successive
+                   // restores. Merged with restartAfterBatch;
+                   // onRestartInfo fires once per boundary.
+                   restartAfterBatches: Seq[Int] = Nil)
                   (build: DataFrame => DataFrame): DataFrame = {
     // `updateSink` replaces the update-mode foreachBatch body with a
     // caller-supplied idempotent sink — (batch frame, batchId, out path)
@@ -584,10 +592,16 @@ object StreamingAnalytics {
     // bit-identical final sink.
     val pendingDir = new Path(s"$baseDir/pending")
     fs.mkdirs(srcDir)
-    restartAfterBatch.foreach { n =>
+    val restarts = (restartAfterBatch.toSeq ++ restartAfterBatches)
+      .distinct.sorted
+    restarts.foreach { n =>
       require(n >= 1 && n < batchPreds.length,
         s"restartAfterBatch must split the backlog: got $n of ${batchPreds.length} batches")
-      fs.mkdirs(pendingDir)
+    }
+    // one pending tranche per restart point: batch i waits in tranche
+    // k = #(restart points <= i) until the k-th resume releases it
+    restarts.indices.foreach { k =>
+      fs.mkdirs(new Path(pendingDir, s"t${k + 1}"))
     }
     // Single-pass staging: ONE scan of `input` computes every batch
     // slice (first-matching-predicate wins — the replay determinism
@@ -637,7 +651,9 @@ object StreamingAnalytics {
             .find(_.getName.endsWith(".parquet"))
             .getOrElse(sys.error(s"replayStream: no parquet part for batch $i"))
         }
-      val stage = if (restartAfterBatch.exists(i >= _)) pendingDir else srcDir
+      val tranche = restarts.count(_ <= i)
+      val stage = if (tranche == 0) srcDir
+        else new Path(pendingDir, s"t$tranche")
       val dst = new Path(stage, f"batch$i%03d.parquet")
       if (!fs.rename(part, dst))
         sys.error(s"replayStream: rename failed for batch $i")
@@ -743,31 +759,40 @@ object StreamingAnalytics {
         fs.listStatus(new Path(s"$baseDir/ckpt/commits"))
           .count(_.getPath.getName.forall(_.isDigit))
       val totalStaged = metrics("rows_staged").asInstanceOf[Long]
-      // drain targets per run (drain mode only): run 1 owns the rows
-      // staged into src (batches < restartAfterBatch — counting the
-      // actual released files, not re-deriving the predicate split);
-      // run 2's fresh listener counts only its own commits, so it owes
-      // exactly the pending remainder
+      // drain targets per run (drain mode only): each run owes exactly
+      // the rows in the files released TO it — run 0 what src holds,
+      // run k its tranche — counted from the actual staged files, not
+      // re-derived from the predicate split; each run's fresh listener
+      // counts only its own commits
+      def rowsIn(dir: Path): Long = {
+        val files = fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+        if (files.isEmpty) 0L
+        else spark.read.schema(input.schema).parquet(files: _*).count()
+      }
       val firstTarget =
-        if (processingTimeDrain && restartAfterBatch.isDefined)
-          spark.read.schema(input.schema).parquet(s"$baseDir/src").count()
+        if (processingTimeDrain && restarts.nonEmpty) rowsIn(srcDir)
         else totalStaged
-      val q1 = runOnce(firstTarget)
-      restartAfterBatch.foreach { n =>
-        val afterFirst = commits()
+      var prev = runOnce(firstTarget)
+      restarts.indices.foreach { k =>
+        val beforeKill = commits()
         beforeRestart()
-        // release the pending batches, pinned mod-times intact, and
-        // resume from the checkpoint
-        fs.listStatus(pendingDir).foreach { st =>
+        // release tranche k+1, pinned mod-times intact, and resume
+        // from the checkpoint
+        val tdir = new Path(pendingDir, s"t${k + 1}")
+        val target =
+          if (processingTimeDrain) rowsIn(tdir) else totalStaged
+        fs.listStatus(tdir).foreach { st =>
           val t = st.getModificationTime
           val dst = new Path(srcDir, st.getPath.getName)
           if (!fs.rename(st.getPath, dst))
             sys.error(s"replayStream: pending release failed for ${st.getPath}")
           fs.setTimes(dst, t, -1)
         }
-        val q2 = runOnce(totalStaged - firstTarget)
-        onRestartInfo(RestartInfo(q1.id, q1.runId, q2.runId,
-          afterFirst, commits()))
+        val next = runOnce(target)
+        onRestartInfo(RestartInfo(prev.id, prev.runId, next.runId,
+          beforeKill, commits()))
+        prev = next
       }
     } finally {
       savedProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))

@@ -135,6 +135,58 @@ class RestartSpec extends SparkSpec {
     assert(i.commitsTotal > i.commitsAfterFirst)
   }
 
+  test("a timer registered in batch 0 fires EXACTLY ONCE through TWO " +
+    "successive checkpoint restores (VERDICT r15 item 7): the session " +
+    "machine is killed after batch 0 and again after batch 1 with the " +
+    "timer live both times — a restore that re-fired or duplicated the " +
+    "timer would seal 'a' twice (two rows); one that lost it would " +
+    "never seal 'a' (zero rows)") {
+    import spark.implicits._
+    // b0: 'a' opens (1000..1010, gap 60 → timer ≈ 1071) — KILL.
+    // b1 (run 2): sentinel at 1030 keeps the watermark BELOW the
+    // deadline, so the restored timer must idle, not fire — KILL again.
+    // b2 (run 3): sentinel at 100000 raises the watermark past the
+    // deadline; b3's batch fires the twice-restored timer, the only
+    // seal path 'a' has.
+    val ev = Seq(
+      ("a", 1000L), ("a", 1010L),   // batch 0
+      ("zz", 1030L),                // batch 1
+      ("zz", 100000L),              // batch 2
+      ("zz", 200000L))              // batch 3
+      .toDF("key", "tse")
+      .select(col("key"), timestamp_seconds(col("tse")).as("event_time"))
+    var infos = List.empty[StreamingAnalytics.RestartInfo]
+    val got = StreamingAnalytics.replayStream(spark, ev,
+        "target/twstimer2_spec", Seq(
+        col("event_time") < timestamp_seconds(lit(1020L)),
+        col("event_time") >= timestamp_seconds(lit(1020L)) &&
+          col("event_time") < timestamp_seconds(lit(50000L)),
+        col("event_time") >= timestamp_seconds(lit(50000L)) &&
+          col("event_time") < timestamp_seconds(lit(150000L)),
+        col("event_time") >= timestamp_seconds(lit(150000L))),
+        useRocksDb = true,
+        restartAfterBatches = Seq(1, 2),
+        onRestartInfo = i => infos = infos :+ i) {
+        st =>
+          StreamingAnalytics.sessionizeStreamTws(
+            st.as[StreamingAnalytics.SEvent], gapSeconds = 60L).toDF()
+      }
+      .where(col("key") === "a")
+      .select("start_epoch", "end_epoch", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got === Seq((1000L, 1010L, 2L)),
+      s"expected exactly one sealed session for 'a', got $got")
+    // three runs of ONE query: two boundaries, all run ids distinct,
+    // every boundary advancing the commit log
+    assert(infos.size === 2)
+    val runIds = infos.head.firstRunId ::
+      infos.map(_.secondRunId)
+    assert(runIds.distinct.size === 3, runIds)
+    assert(infos.head.secondRunId === infos(1).firstRunId)
+    infos.foreach(i => assert(i.commitsTotal > i.commitsAfterFirst, i))
+  }
+
   test("restartAfterBatch rejects a split that would not interrupt " +
     "the backlog") {
     import spark.implicits._
