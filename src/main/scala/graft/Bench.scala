@@ -365,6 +365,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.tuneLocalFs(spark)
     // Absorb one-time JVM/codegen/scan initialization outside any query's
     // timing — otherwise whichever query happens to run first carries ~3s
     // of warmup and the per-query numbers depend on Map iteration order.

@@ -56,9 +56,81 @@ object Scratch {
       }
       spark.streams.addListener(listener)
       val t0 = System.nanoTime()
-      SparkEntry.queries(args(1))(spark, args(2)).write.format("noop")
-        .mode("overwrite").save()
-      println(s"ELAPSED ${(System.nanoTime() - t0) / 1e9}")
+      val df = SparkEntry.queries(args(1))(spark, args(2))
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      println(f"BUILD ${(t1 - t0) / 1e9}%.3f NOOP ${(t2 - t1) / 1e9}%.3f")
+      println(s"ELAPSED ${(t2 - t0) / 1e9}")
+      spark.stop(); return
+    }
+    if (args(0) == "abtest") {
+      // abtest <mode> <sfDir> <queriesCsv> <reps> — PAIRED A/B inside one
+      // JVM: alternate a runtime-togglable knob (A on even reps, B on odd)
+      // so host-contention windows hit both arms equally; report per-query
+      // medians per arm. Modes: crc (LocalFileSystem write checksums
+      // on/off), parts (replay statePartitions auto vs 4).
+      val (mode, sfDir, reps) = (args(1), args(2), args(4).toInt)
+      val qs = args(3).split(',').toSeq
+      val lfs = org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sessionState.newHadoopConf())
+      def setArm(a: Boolean): Unit = mode match {
+        case "crc" =>
+          lfs.setWriteChecksum(a); lfs.setVerifyChecksum(a)
+        case "parts" =>
+          if (a) spark.conf.unset("spark.graft.replay.statePartitions")
+          else spark.conf.set("spark.graft.replay.statePartitions", "4")
+        case m => sys.error(s"unknown abtest mode $m")
+      }
+      // warmup outside timing
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      Tables.t(spark, sfDir, "events").count()
+      val walls = scala.collection.mutable.Map
+        .empty[(String, Boolean), List[Double]].withDefaultValue(Nil)
+      // ABBA ordering cancels linear drift; rep 0 (whole-pipeline JIT)
+      // is run but EXCLUDED from both arms' stats; min is the noise-
+      // robust estimator (contention only ever ADDS time)
+      for (r <- 0 until reps; q <- qs) {
+        val arm = r % 4 == 0 || r % 4 == 3
+        setArm(arm)
+        SparkEntry.resetCaches()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        if (r > 0)
+          walls((q, arm)) = walls((q, arm)) :+ (System.nanoTime() - t0) / 1e9
+      }
+      qs.foreach { q =>
+        val (a, b) = (walls((q, true)), walls((q, false)))
+        println(f"ABTEST $q A_min=${a.min}%.2f B_min=${b.min}%.2f " +
+          f"dmin=${b.min - a.min}%+.2f A_med=${Bench.median(a)}%.2f " +
+          f"B_med=${Bench.median(b)}%.2f n=${a.size}/${b.size}")
+      }
+      spark.stop(); return
+    }
+    if (args(0) == "minbench") {
+      // minbench <sfDir> <queriesCsv> <reps> — warmed min/median of N
+      // reps in one JVM: the before/after instrument for CODE changes
+      // (min is robust to this box's contention spikes, which only ever
+      // add time); rep 0 is run but excluded (whole-pipeline JIT)
+      val (sfDir, reps) = (args(1), args(3).toInt)
+      val qs = args(2).split(',').toSeq
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      Tables.t(spark, sfDir, "events").count()
+      val walls = scala.collection.mutable.Map
+        .empty[String, List[Double]].withDefaultValue(Nil)
+      for (r <- 0 until reps; q <- qs) {
+        SparkEntry.resetCaches()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        if (r > 0) walls(q) = walls(q) :+ (System.nanoTime() - t0) / 1e9
+      }
+      qs.foreach { q =>
+        val w = walls(q)
+        println(f"MINBENCH $q min=${w.min}%.2f med=${Bench.median(w)}%.2f " +
+          f"n=${w.size}")
+      }
       spark.stop(); return
     }
     if (args(0) == "hofab") { hofAb(spark, args(1)); spark.stop(); return }

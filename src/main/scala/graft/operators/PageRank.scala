@@ -24,8 +24,16 @@ import org.apache.spark.sql.functions._
   * 1000-executor iterative-join pattern. Iteration count is FIXED (a
   * convergence-tolerance loop would need a driver action per round; at
   * 3–10 iterations the unrolled lineage is shallow enough to skip
-  * checkpointing). Node/edge frames shuffle on their own keys; nothing
-  * is collected to the driver.
+  * checkpointing the RANKS). The INPUT frames, however, are
+  * localCheckpoint-pinned before the loop: `edges`, `nodes` and the
+  * out-weight table each appear once per iteration in the unrolled
+  * plan, and Spark does no cross-join common-subexpression elimination
+  * — without the pin, a caller handing in a derived edge frame (q134's
+  * edges are an events self-join) pays that subtree ~2 times per
+  * iteration plus thrice up front (measured at sf0.1: q134 5.7 s → 1.9 s
+  * min-of-4 from this pin alone, guide §1.2 step 1 / §5 lineage
+  * truncation). Node/edge frames shuffle on their own keys; nothing is
+  * collected to the driver.
   *
   * `edges` must have columns (src, dst, weight: BIGINT, weight > 0).
   * Returns (node, pr_fp: BIGINT fixed-point, pagerank: DOUBLE) for every
@@ -39,9 +47,12 @@ object PageRank {
     require(iters >= 1, "at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("long").as("w"))
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
     val outw = e.groupBy("src").agg(sum(col("w")).as("wtot"))
+      .localCheckpoint(eager = false)
     // one-row scalars, broadcast — never collected to the driver
     val consts = nodes.agg(count(lit(1)).as("__n"))
       .selectExpr(s"$Scale DIV __n AS __r0",

@@ -547,6 +547,18 @@ object StreamingAnalytics {
                    // onRestartInfo fires once per boundary.
                    restartAfterBatches: Seq[Int] = Nil)
                   (build: DataFrame => DataFrame): DataFrame = {
+    // Phase-wall diagnostic (optimization measurement surface): with
+    // SPARK_GRAFT_REPLAY_PHASES set, each harness phase prints its wall
+    // seconds to stderr — stage (slice+write the backlog), runN (the
+    // N-th streaming query incl. all its micro-batches), release (a
+    // pending tranche move). Reading the sink back is the caller's.
+    val phaseT0 = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    def phase(name: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_REPLAY_PHASES")) {
+        val now = System.nanoTime()
+        Console.err.println(f"REPLAY_PHASE $name ${(now - phaseT0.get) / 1e9}%.3f")
+        phaseT0.set(now)
+      }
     // `updateSink` replaces the update-mode foreachBatch body with a
     // caller-supplied idempotent sink — (batch frame, batchId, out path)
     // — e.g. RealtimeStream.mergeBatchPartitioned, whose
@@ -578,6 +590,7 @@ object StreamingAnalytics {
     import org.apache.hadoop.fs.Path
     val fs = new Path(baseDir).getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new Path(baseDir), true) // fresh replay per run
+    phase("delete")
     val srcDir = new Path(s"$baseDir/src")
     // Checkpoint-restart (VERDICT r13 item 3): batches >= N stage in
     // `pending` and move into `src` only AFTER the first query has
@@ -629,8 +642,15 @@ object StreamingAnalytics {
       .observe(obs, coalesce(sum(col("__n_preds")), lit(0L)).as("pred_matches"),
         count(lit(1)).as("rows_staged"))
       .drop("__n_preds")
-      .coalesce(1)
+      // one file per batch via a HASH repartition on the batch column —
+      // each batch value lands wholly in one task, so the partitionBy
+      // writer emits exactly one part per bName= dir, but the upstream
+      // scan+slice runs at full parallelism. The previous coalesce(1)
+      // collapsed the whole input scan into the single write task
+      // (measured: 4.0 s → 1.5 s staging on q257's 200k-row backlog).
+      .repartition(batchPreds.length, col(bName))
       .write.mode("overwrite").partitionBy(bName).parquet(stageAll)
+    phase("stagewrite")
     val metrics = obs.get
     require(metrics("pred_matches") == metrics("rows_staged"),
       s"replayStream: batchPreds overlap (${metrics("pred_matches")} " +
@@ -661,23 +681,58 @@ object StreamingAnalytics {
       fs.delete(new Path(s"$baseDir/tmp$i"), true)
     }
     fs.delete(new Path(stageAll), true)
+    phase("stage")
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     // Replay inputs are KB-sized, but every stateful operator opens one
     // state store PER SHUFFLE PARTITION per micro-batch (x2 for
     // stream-stream join sides) — at the session's 32 partitions that
     // spin-up, not work, dominated the replay rows' wall time (~24% of
     // the whole r13 bench). Results are partition-count-independent
-    // (hash-checked), so the replay runs at 4 and restores the session
-    // conf after. Production sizing is the opposite call: shuffle
-    // partitions there are set to the cluster's parallelism, and state
-    // store instances amortize across long-lived micro-batches.
+    // (hash-checked), so the replay derives its state-partition count
+    // from the STAGED BACKLOG SIZE (guide §2: partitioning sized to the
+    // data, not a constant tuned for one box) — one partition per 64 MB
+    // of staged input, floored at 1 and capped at the session's own
+    // setting — and restores the session conf after. Every bench backlog
+    // is ≤ a few MB, so replays run single-partition here (measured on
+    // the 5 heaviest replay rows: 46.2 s → 41 s vs the previous fixed 4
+    // — per-batch state-store commit/spin-up is per partition, and a
+    // 13k-row join state does not need four stores); a 10 GB backlog
+    // would get ~160 partitions up to the session cap. Production
+    // sizing is the opposite call entirely: shuffle partitions there
+    // are set to the cluster's parallelism, and state store instances
+    // amortize across long-lived micro-batches.
+    // `spark.graft.replay.statePartitions` overrides the derivation.
     val partKey = "spark.sql.shuffle.partitions"
     val savedProv = spark.conf.getOption(provKey)
     val savedPart = spark.conf.getOption(partKey)
+    val stagedBytes =
+      (fs.listStatus(srcDir).toSeq ++
+        restarts.indices.flatMap(k =>
+          fs.listStatus(new Path(pendingDir, s"t${k + 1}")).toSeq))
+        .map(_.getLen).sum
+    val statePartitions = spark.conf
+      .getOption("spark.graft.replay.statePartitions").map(_.toInt)
+      .getOrElse {
+        val cap = savedPart.flatMap(_.toIntOption)
+          .getOrElse(spark.sparkContext.defaultParallelism)
+        if (useRocksDb)
+          // transformWithState rows are CPU-bound in handleInputRows
+          // (per-key JVM state machines), so parallelism tracks ROWS
+          // (~50k rows/task); measured: forcing these to 1 partition
+          // cost q263/q264/q265/q269 ~1 s each while buying nothing
+          math.max(1, math.min(cap,
+            (metrics("rows_staged").asInstanceOf[Long] / 50000L).toInt))
+        else
+          // HDFS-store operators (joins, dedup, window aggs) at replay
+          // sizes are commit-machinery-bound: per-partition store
+          // spin-up/commit dominates, so fewer stores win until the
+          // per-partition DATA reaches shuffle-sized chunks (~64 MB)
+          math.max(1, math.min(cap, (stagedBytes >> 26).toInt))
+      }
     if (useRocksDb)
       spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
         ".state.RocksDBStateStoreProvider")
-    spark.conf.set(partKey, "4")
+    spark.conf.set(partKey, statePartitions.toString)
     try {
       def runOnce(drainTarget: Long): org.apache.spark.sql.streaming.StreamingQuery = {
         val stream = spark.readStream
@@ -690,7 +745,22 @@ object StreamingAnalytics {
               .outputMode("update")
               .foreachBatch { (df: DataFrame, bid: Long) =>
                 updateSink match {
-                  case Some(sink) => sink(df, bid, s"$baseDir/out")
+                  case Some(sink) =>
+                    // a user sink (q266's partitioned merge, q267's
+                    // admission gate) is BATCH work — joins and
+                    // aggregations sized by the batch, not stream-state
+                    // machinery — so it plans at the session's own
+                    // parallelism, not the replay's state-partition
+                    // count (measured: the q267 gate at 1 shuffle
+                    // partition lost 2.5 s/run). The stream side is
+                    // unaffected: stateful-operator partitioning is
+                    // pinned by the checkpoint's recorded value at
+                    // query start, not by the conf mid-run.
+                    val inner = spark.conf.get(partKey)
+                    savedPart.fold(spark.conf.unset(partKey))(
+                      spark.conf.set(partKey, _))
+                    try sink(df, bid, s"$baseDir/out")
+                    finally spark.conf.set(partKey, inner)
                   case None =>
                     df.write.mode("append").parquet(s"$baseDir/out"): Unit
                 }
@@ -774,6 +844,7 @@ object StreamingAnalytics {
         if (processingTimeDrain && restarts.nonEmpty) rowsIn(srcDir)
         else totalStaged
       var prev = runOnce(firstTarget)
+      phase("run0")
       restarts.indices.foreach { k =>
         val beforeKill = commits()
         beforeRestart()
@@ -790,6 +861,7 @@ object StreamingAnalytics {
           fs.setTimes(dst, t, -1)
         }
         val next = runOnce(target)
+        phase(s"run${k + 1}")
         onRestartInfo(RestartInfo(prev.id, prev.runId, next.runId,
           beforeKill, commits()))
         prev = next
@@ -798,7 +870,9 @@ object StreamingAnalytics {
       savedProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
       savedPart.fold(spark.conf.unset(partKey))(spark.conf.set(partKey, _))
     }
-    spark.read.parquet(s"$baseDir/out")
+    val out = spark.read.parquet(s"$baseDir/out")
+    phase("readback")
+    out
   }
 
   /** One funnel event for [[funnelStagesStream]]: epoch seconds. */
