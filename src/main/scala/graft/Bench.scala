@@ -539,17 +539,20 @@ object Bench {
           s""""sub_cpu_max":${fmt(subs.max, 3)}"""
       s"""{"cpu_s":${fmt(c, 3)},"io_s":${fmt(i, 3)},"threads":$thr$subJson}"""
     }
-    println(s"""{"metric":"total","value":$total,"value_adjudicated":${fmt(totalAdj, 3)},"unit":"sec",$filteredJson"queries":$qs,"spread":$spreadJson,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
-    // The full line above carries the whole per-query map (~7 KB for 200+
-    // queries); a fixed-size log-tail capture truncates its head and loses
-    // the headline total. This LAST line is a complete, self-describing
-    // digest bounded well under 2 KB — total, error count, the slowest
-    // queries, and the (outlier-capped) comparability verdict — so any
-    // tail of the output still ends in one parseable JSON line.
+    // Print order is the driver contract (VERDICT r16 item 2): the driver
+    // tail-captures stdout and parses the LAST JSON line, so the FULL
+    // self-contained one-line JSON (per-query map + spread + calibration +
+    // comparability) must be the FINAL stdout line — r16 printed the
+    // digest after it and the driver lost the whole per-query map
+    // (PERF_r16 per_query:{} / n_common:0). The bounded (<2 KB) digest
+    // now PRECEDES it, so a human skimming the log still gets the
+    // headline total, slowest list, and comparability verdict without
+    // scrolling a 7 KB line.
     val slowest = medians.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"value_adjudicated":${fmt(totalAdj, 3)},"unit":"sec","queries_n":${names.size},"errors_n":${errors.size},"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"slowest":$slowest,"comparability":$comparability,"sf":"${esc(sfDir)}","note":"digest; full per-query map on the preceding line"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"value_adjudicated":${fmt(totalAdj, 3)},"unit":"sec","queries_n":${names.size},"errors_n":${errors.size},"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"slowest":$slowest,"comparability":$comparability,"sf":"${esc(sfDir)}","note":"digest; full per-query map on the FOLLOWING line"}""")
+    println(s"""{"metric":"total","value":$total,"value_adjudicated":${fmt(totalAdj, 3)},"unit":"sec",$filteredJson"queries":$qs,"spread":$spreadJson,"errors":$errs,"runs":$nRuns,"cpus":$cpusJson,"calibration":$calibrationJson,"comparability":$comparability,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -71,6 +71,12 @@ object Scratch {
       // medians per arm. Modes: crc (LocalFileSystem write checksums
       // on/off), parts (replay statePartitions auto vs 4).
       val (mode, sfDir, reps) = (args(1), args(2), args(4).toInt)
+      // rep 0 is excluded and ABBA assigns r%4∈{0,3} to arm A: below 5
+      // reps arm A collects zero samples and a.min throws; reps ≡ 1
+      // (mod 4) additionally gives both arms equal sample counts
+      require(reps >= 5, s"abtest needs reps >= 5 (rep 0 excluded, " +
+        s"ABBA needs a full cycle); got $reps — use reps % 4 == 1 for " +
+        "equal arm sizes")
       val qs = args(3).split(',').toSeq
       val lfs = org.apache.hadoop.fs.FileSystem
         .getLocal(spark.sessionState.newHadoopConf())

@@ -36,9 +36,14 @@ object SparkEntry {
 
   /** Local-filesystem I/O tuning for the bench/verify entry points (guide
     * §6): Hadoop's `file://` scheme is the CHECKSUMMED LocalFileSystem —
-    * every file written (state-store deltas, streaming WAL entries, sink
-    * parts, merge/compaction stages) is written TWICE, the payload plus a
-    * `.crc` sibling, and read back through a verifying stream. On the
+    * every file written through the FileSystem API (sink parquet parts,
+    * staged replay files, merge/compaction stages) is written TWICE, the
+    * payload plus a `.crc` sibling, and read back through a verifying
+    * stream. Scope note (r16 ADVICE): streaming checkpoint/WAL and
+    * state-store files go through the FileContext-based
+    * CheckpointFileManager, a separate object this toggle does NOT touch
+    * — those paths stay checksummed; the measured wins below come from
+    * the FileSystem-API writes (sink parts, staging, readback). On the
     * single-node bench that integrity layer is pure overhead with no
     * consumer (production deployments run HDFS/S3, which carry their own
     * integrity); dropping it cut the small-file-bound streaming-replay
@@ -48,10 +53,13 @@ object SparkEntry {
     * cached LocalFileSystem instance is the compatible spelling —
     * FileSystem.CACHE keys on (scheme, authority, ugi), so the one
     * instance serves the whole JVM). Results are byte-identical: the
-    * checksum layer never changes file contents. Opt out with
-    * SPARK_GRAFT_LOCAL_CRC=1 (e.g. to debug suspected disk corruption). */
+    * checksum layer never changes file contents. This is an ENVIRONMENT
+    * tune for local mode, not an operator optimization — never book its
+    * effect as operator speedup. Opt out with any non-empty
+    * SPARK_GRAFT_LOCAL_CRC value (e.g. =1, to debug suspected disk
+    * corruption); an empty value or =0 is treated as unset. */
   def tuneLocalFs(spark: SparkSession): Unit =
-    if (!sys.env.contains("SPARK_GRAFT_LOCAL_CRC")) {
+    if (!sys.env.get("SPARK_GRAFT_LOCAL_CRC").exists(v => v.nonEmpty && v != "0")) {
       val lfs = org.apache.hadoop.fs.FileSystem
         .getLocal(spark.sessionState.newHadoopConf())
       lfs.setWriteChecksum(false)

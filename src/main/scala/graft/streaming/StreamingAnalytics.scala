@@ -285,8 +285,8 @@ object StreamingAnalytics {
     * (key, micro-batch) group in task memory (`rows.toSeq.sortBy`) —
     * the bound is a single key's volume within ONE micro-batch, not the
     * stream: a pathological hot key must be rate-limited or salted
-    * upstream, the same per-group bound the replay harness's
-    * `coalesce(1)` note names. */
+    * upstream, the same per-group bound the replay harness's staging
+    * note (one hash-repartitioned file per batch) names. */
   def lateStreaks(stream: Dataset[Obs], lateThreshold: Double)
       : Dataset[StreakUpdate] = {
     import stream.sparkSession.implicits._
@@ -476,10 +476,11 @@ object StreamingAnalytics {
     * carry one row per (trip_id, ts) — then within-batch (ts)-order
     * folding plus cross-batch state ≡ the batch recursion over the full
     * ordered history, which a recursive CTE recomputes bit-exactly.
-    * Scale shape: the one-file-per-batch `coalesce(1)` is the replay
-    * harness's determinism pin, not a production path — live ingestion
-    * enters through the connector stream, and state is one double per
-    * key in RocksDB either way. */
+    * Scale shape: the harness's one-file-per-batch staging (a hash
+    * `repartition(nBatches, batchCol)` whose partitionBy writer emits
+    * exactly one part per batch dir) is the replay determinism pin, not
+    * a production path — live ingestion enters through the connector
+    * stream, and state is one double per key in RocksDB either way. */
   def replayEwmaTws(spark: org.apache.spark.sql.SparkSession, obs: DataFrame,
                     baseDir: String,
                     batchPreds: Seq[org.apache.spark.sql.Column],
@@ -756,11 +757,19 @@ object StreamingAnalytics {
                     // unaffected: stateful-operator partitioning is
                     // pinned by the checkpoint's recorded value at
                     // query start, not by the conf mid-run.
-                    val inner = spark.conf.get(partKey)
-                    savedPart.fold(spark.conf.unset(partKey))(
-                      spark.conf.set(partKey, _))
+                    // The swap must happen on df.sparkSession — the
+                    // stream's cloneSession(), which captured the
+                    // replay's derived statePartitions at query start
+                    // and is the session both sinks plan through (r16
+                    // ADVICE: swapping the OUTER session's conf here was
+                    // a no-op and the sinks actually ran at the
+                    // state-partition count).
+                    val sess = df.sparkSession
+                    val inner = sess.conf.get(partKey)
+                    savedPart.fold(sess.conf.unset(partKey))(
+                      sess.conf.set(partKey, _))
                     try sink(df, bid, s"$baseDir/out")
-                    finally spark.conf.set(partKey, inner)
+                    finally sess.conf.set(partKey, inner)
                   case None =>
                     df.write.mode("append").parquet(s"$baseDir/out"): Unit
                 }
