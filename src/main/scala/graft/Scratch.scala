@@ -139,6 +139,56 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args(0) == "stageprobe") {
+      // stageprobe <query> <sfDir> [reps] — run a query with a listener
+      // recording per-stage wall/shuffle/spill/GC, then print the stages
+      // sorted by wall: the guide §1 empirical loop (UI → slowest stage)
+      // for a headless box. Rep 0 is cache-cold+JIT; later reps show the
+      // steady state the bench medians see.
+      val (q, sfDir) = (args(1), args(2))
+      val reps = if (args.length > 3) args(3).toInt else 2
+      case class St(name: String, wall: Double, tasks: Int, gc: Double,
+                    shRead: Long, shWrite: Long, spillMem: Long,
+                    spillDisk: Long, input: Long, peakMem: Long)
+      val stages = scala.collection.mutable.ArrayBuffer.empty[St]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = e.stageInfo
+          val m = i.taskMetrics
+          stages += St(
+            i.name.takeWhile(_ != '\n').take(60),
+            (i.completionTime.getOrElse(0L) -
+              i.submissionTime.getOrElse(0L)) / 1e3,
+            i.numTasks, m.jvmGCTime / 1e3,
+            m.shuffleReadMetrics.totalBytesRead,
+            m.shuffleWriteMetrics.bytesWritten,
+            m.memoryBytesSpilled, m.diskBytesSpilled,
+            m.inputMetrics.bytesRead, m.peakExecutionMemory)
+        }
+      }
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      Tables.t(spark, sfDir, "events").count()
+      spark.sparkContext.addSparkListener(listener)
+      for (r <- 0 until reps) {
+        stages.clear()
+        SparkEntry.resetCaches()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300L) // let the listener bus drain stage events
+        println(f"STAGEPROBE rep=$r $q wall=$wall%.2f stages=${stages.size} " +
+          f"stageWallSum=${stages.map(_.wall).sum}%.2f")
+        stages.sortBy(-_.wall).take(14).foreach { s =>
+          println(f"  ${s.wall}%6.2fs tasks=${s.tasks}%3d gc=${s.gc}%5.2f " +
+            f"shR=${s.shRead / 1048576.0}%7.1fM shW=${s.shWrite / 1048576.0}%7.1fM " +
+            f"spill=${(s.spillMem + s.spillDisk) / 1048576.0}%7.1fM " +
+            f"in=${s.input / 1048576.0}%7.1fM peak=${s.peakMem / 1048576.0}%7.1fM ${s.name}")
+        }
+      }
+      spark.stop(); return
+    }
     if (args(0) == "hofab") { hofAb(spark, args(1)); spark.stop(); return }
     if (args(0) == "agprobe") {
       // agprobe [nBatches] [batchSize] [docBuckets] [bandBuckets] —

@@ -788,6 +788,7 @@ object Dedup {
       "prefix filtering needs 0 < minJaccard < 1: at 0 the prefix is the " +
         "whole set, at 1 use exactDupGroups")
     val (sh0, _) = blockedPostings(docs, idCol, textCol, Nil, shingleN)
+    val spark = docs.sparkSession
     // the shingle arrays feed BOTH the prefix pipeline and the final
     // verification join — materialize them once (slim: one array per
     // doc) instead of re-tokenizing the corpus per consumer. Sorted
@@ -795,7 +796,53 @@ object Dedup {
     // the merge-walk kernel (sorting is |doc|·log cost paid |corpus|
     // times; hashing inside array_intersect would be paid |candidates|
     // times).
-    val sh = sh0.select(col("id"), array_sort(col("sg")).as("sg"))
+    // Under-parallelized-scan guard (guide §2.6 idle capacity): a small
+    // single-file corpus scans as 1-2 partitions and every narrow stage
+    // downstream (tokenize, shingle, sort) inherits that width while the
+    // remaining cores idle. Widen to the session's parallelism ONLY when
+    // the scan is narrower — at real scale the scan already has more
+    // partitions than cores and this branch is a no-op. Hash-partition
+    // by id (deterministic), never round-robin (§2.5 retry semantics).
+    val par = spark.sparkContext.defaultParallelism
+    val sh1 = sh0.select(col("id"), array_sort(col("sg")).as("sg"))
+    val sh = (if (sh1.rdd.getNumPartitions < par)
+        sh1.repartition(par, col("id"))
+      else sh1).localCheckpoint(eager = false)
+    // Verification arrays are the xxhash64 IMAGE of the shingle sets,
+    // sorted as longs (guide §5): the exact-verification stage attaches
+    // two arrays to every candidate pair, and with string arrays that
+    // stage allocated one UTF8String per element ACCESS in the merge
+    // walk — measured on q130 at sf0.1: 9-11 s of summed GC inside a
+    // 5 s stage, 898 MB peak, and the 5-40× contention variance the
+    // r16 verdict flagged (allocation-bound stages collapse first under
+    // co-tenancy). Long arrays are ~5× smaller and the walk reads the
+    // unsafe buffer with zero allocation.
+    //
+    // EXACTNESS, not approximation: |h(A) ∩ h(B)| == |A ∩ B| whenever h
+    // is injective on the corpus vocabulary, and the one-aggregate guard
+    // below PROVES that per run (count distinct shingles vs count
+    // distinct hashes over the whole vocabulary — injectivity on the
+    // vocabulary covers every pair's union). On a collision (needs ~2³²
+    // distinct shingles for even-odds; the guard makes the impossible
+    // merely explicit) the run falls back to the string arrays and
+    // produces the identical result, just slower. The guard rides the
+    // already-checkpointed sh blocks, so its cost is one slim
+    // vocabulary-sized aggregate, and its action doubles as sh's
+    // materialization. `spark.graft.dedup.hashedVerify=false` forces
+    // the fallback (DedupSpec pins both paths byte-equal).
+    val hashedVerify =
+      spark.conf.getOption("spark.graft.dedup.hashedVerify")
+        .forall(_ != "false") && {
+        val g = sh.select(explode(col("sg")).as("__s"))
+          .agg(count_distinct(col("__s")).as("n"),
+            count_distinct(xxhash64(col("__s"))).as("nh"))
+          .head()
+        g.getLong(0) == g.getLong(1)
+      }
+    val shv = (if (hashedVerify)
+        sh.select(col("id"),
+          array_sort(transform(col("sg"), s => xxhash64(s))).as("sgv"))
+      else sh.select(col("id"), col("sg").as("sgv")))
       .localCheckpoint(eager = false)
     // postings carry the doc's set size inline: deriving n from the
     // array at explode time deletes the whole sizes join
@@ -843,6 +890,20 @@ object Dedup {
         col("__r"),
         (col("__r") <=
           col("n") - ceil(lit(idxFrac) * col("n")) + 1).as("__is_idx"))
+      // Widen the checkpointed frame to session parallelism, keyed by
+      // the candidate join's own key (guide §2.6 idle capacity): AQE's
+      // byte-based coalescing squeezes this slim frame to ~2 partitions
+      // (it is only ~16 MB), and since the candidate self-join resolves
+      // to a broadcast probe over these very blocks, the ENTIRE
+      // candidate generation + positional filtering + partial-distinct
+      // ran as 2 tasks on 2 of 32 cores (measured: 3.5 s serial stage;
+      // 0.6 s at 32 tasks after). An explicit numPartitions repartition
+      // is exempt from AQE coalescing; keying by __sk keeps the
+      // assignment deterministic (§2.5 retry semantics) and co-aligned
+      // with the join key should the planner ever pick a shuffled join
+      // at a scale where the prefix no longer broadcasts.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("__sk"))
       .localCheckpoint(eager = false)
     // PPJoin's POSITIONAL filter on top of the prefix filter: a shared
     // prefix shingle at rarity rank r_i in X and r_p in Y bounds the
@@ -873,11 +934,13 @@ object Dedup {
       .distinct()
       .observe("prefix_jaccard", count(lit(1)).as("candidate_pairs"))
     cand
-      .join(sh.select(col("id").as("id_a"), col("sg").as("sg_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sg").as("sg_b")), "id_b")
+      .join(shv.select(col("id").as("id_a"), col("sgv").as("sg_a")), "id_a")
+      .join(shv.select(col("id").as("id_b"), col("sgv").as("sg_b")), "id_b")
       .withColumn("__inter",
         graft.expressions.SortedIntersectCount
           .sortedIntersect(col("sg_a"), col("sg_b")).cast("double"))
+      // |h(A)| == |A| under the proven-injective hash, so sizes and the
+      // jaccard double arithmetic are bit-identical to the string path
       .select(col("id_a"), col("id_b"),
         (col("__inter") /
           ((size(col("sg_a")) + size(col("sg_b"))).cast("double") -

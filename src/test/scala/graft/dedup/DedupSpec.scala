@@ -195,6 +195,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardPairs: hashed and string verification paths are " +
+    "byte-equal (the injectivity-guarded xxhash64 fast path vs the " +
+    "spark.graft.dedup.hashedVerify=false fallback)") {
+    val many = docs((1L to 12L).map { i =>
+      val t = i match {
+        case 1L => "the quick brown fox jumps over the lazy dog"
+        case 2L => "the quick brown fox jumps over the lazy cat"
+        case 3L => "the quick brown fox jumps over the lazy dog"
+        case i  => s"terms of service apply to item$i and variant$i here"
+      }
+      i -> t
+    }: _*)
+    def run(): Map[(Long, Long), Double] =
+      Dedup.prefixJaccardPairs(many, "doc_id", "text", 0.4).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val hashed = run()
+    spark.conf.set("spark.graft.dedup.hashedVerify", "false")
+    try {
+      val strings = run()
+      assert(hashed === strings)
+      assert(hashed.nonEmpty) // the parity must be over a non-trivial set
+    } finally spark.conf.unset("spark.graft.dedup.hashedVerify")
+  }
+
   test("dupClusters: components get their min id, chains converge, " +
     "disjoint clusters stay apart") {
     import spark.implicits._

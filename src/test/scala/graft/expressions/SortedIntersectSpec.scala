@@ -26,6 +26,27 @@ class SortedIntersectSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("long-array overload matches size(array_intersect(...)) on random " +
+    "sorted-distinct long sets, including negatives (xxhash64 range), " +
+    "empty and disjoint sides") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41L)
+    // xxhash64 values span the full signed range — the merge walk must
+    // order negatives before positives exactly like array_sort does
+    def set(): Seq[Long] =
+      Seq.fill(rnd.nextInt(24))(rnd.nextLong()).distinct.sorted
+    val rows = Seq.fill(200)((set(), set())) :+
+      (Seq.empty[Long], Seq(1L, 2L)) :+
+      (Seq(-5L, 3L), Seq(-5L, -1L, 3L)) :+
+      (Seq(Long.MinValue, 0L, Long.MaxValue),
+        Seq(Long.MinValue, Long.MaxValue))
+    val got = rows.toDF("a", "b").select(
+      SortedIntersectCount.sortedIntersect(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("NULL side yields NULL; non-ASCII and prefix-sharing strings " +
     "compare in the same binary order as array_sort") {
     import spark.implicits._
