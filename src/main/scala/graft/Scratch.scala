@@ -83,6 +83,14 @@ object Scratch {
       def setArm(a: Boolean): Unit = mode match {
         case "crc" =>
           lfs.setWriteChecksum(a); lfs.setVerifyChecksum(a)
+        case "fctx" =>
+          // FileContext checksum leg (checkpoint/WAL/state deltas):
+          // A = default LocalFs (ChecksumFs), B = RawLocalFs — the
+          // tuneLocalFs FileContext routing, isolated for measurement
+          val hc = spark.sparkContext.hadoopConfiguration
+          if (a) hc.unset("fs.AbstractFileSystem.file.impl")
+          else hc.set("fs.AbstractFileSystem.file.impl",
+            "org.apache.hadoop.fs.local.RawLocalFs")
         case "parts" =>
           if (a) spark.conf.unset("spark.graft.replay.statePartitions")
           else spark.conf.set("spark.graft.replay.statePartitions", "4")

@@ -64,6 +64,16 @@ object SparkEntry {
         .getLocal(spark.sessionState.newHadoopConf())
       lfs.setWriteChecksum(false)
       lfs.setVerifyChecksum(false)
+      // Deliberately NOT tuned: the FileContext leg (streaming
+      // checkpoint/WAL/state deltas go through the FileContext-based
+      // CheckpointFileManager, whose local scheme LocalFs is
+      // ChecksumFs). Routing `file://` FileContexts to RawLocalFs was
+      // measured (Scratch `abtest fctx`, ABBA paired, r17): it made the
+      // replay rows 15-25% SLOWER (q262 5.19→6.25 s, q257 4.09→4.72,
+      // q264 4.45→5.46 min-of-2) — the checksummed stream's buffering
+      // beats RawLocalFs's write path for these many-tiny-file WAL
+      // writes, so the checksum hypothesis from the r16 review does not
+      // hold on this box. Keep the default.
     }
 
   // ---------------------------------------------------------------- mart --
@@ -1945,6 +1955,22 @@ object SparkEntry {
     "q267_stream_admission_gate" -> ((s, dir) => {
       val base = s"target/agreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // Bucket counts sized to the CORPUS, not a constant (guide §6
+      // small-file discipline + §2 data-sized partitioning): ~4 MB of
+      // corpus per state bucket, read from plan statistics (driver-side,
+      // no job), floored at 1 and capped at 4096 (the per-batch
+      // driver-side metadata budget — bid= generations fold via
+      // Compaction in production). Admission semantics are
+      // bucket-count-INDEPENDENT (see AdmissionGate scaladoc: buckets
+      // bound file pruning only), so this changes file counts, never
+      // results: at bench scale one bucket per index (4 files/batch
+      // instead of 49), at 100 TB the cap keeps per-batch probe IO at
+      // footprint × corpus ÷ buckets. Fixed at query build so every
+      // batch of the run shares one modulus (pruning correctness).
+      val corpusBytes =
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      val stateBuckets = BigInt(1).max(
+        BigInt(4096).min(corpusBytes >> 22)).toInt
       graft.streaming.StreamingAnalytics.replayStream(s, docs, base, Seq(
           col("doc_id") < 100L,
           col("doc_id") >= 100L && col("doc_id") < 250L,
@@ -1952,7 +1978,8 @@ object SparkEntry {
           col("doc_id") >= 450L),
           updateMode = true,
           updateSink = Some { (df, bid, out) =>
-            graft.streaming.AdmissionGate.admitBatch(df, out, bid)
+            graft.streaming.AdmissionGate.admitBatch(df, out, bid,
+              docBuckets = stateBuckets, bandBuckets = stateBuckets)
           })(st => st)
         .select("doc_id")
     }),

@@ -98,15 +98,33 @@ object AdmissionGate {
     val shDir = outDir + ".sh"
     val bandsDir = outDir + ".bands"
     val b0 = batch.select(col("doc_id"), col("text"))
-    // within-batch exact collapse: first (min-id) doc of each text
+    // Driver round-trips are the gate's per-batch floor at replay scale
+    // (guide §1/§2.6): each standalone `.distinct().collect()` bucket
+    // probe was one extra job per batch. The bucket sets now ride the
+    // frames' own materialization as OBSERVED metrics (collect_set over
+    // the bucket column), so the eager checkpoint job computes them for
+    // free and the collect()s disappear.
+    def bucketSet(obs: org.apache.spark.sql.Observation): Seq[Int] =
+      obs.get("bs") match {
+        case s: scala.collection.Seq[_] =>
+          s.map(_.asInstanceOf[Number].intValue()).toSeq
+        case null => Nil
+      }
+    // within-batch exact collapse: first (min-id) doc of each text.
+    // Checkpointed eagerly: the collapse feeds BOTH the bucket probe and
+    // the anti-join below — uncheckpointed it was recomputed per
+    // consumer (one extra groupBy per batch).
+    val repsObs = new org.apache.spark.sql.Observation()
     val reps = b0.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text"),
         xxhash64(col("text")).as("text_fp"))
       .withColumn("tb", pmod(col("text_fp"), lit(docBuckets.toLong))
         .cast("int"))
+      .observe(repsObs, collect_set(col("tb")).as("bs"))
+      .localCheckpoint(true)
     // cross-batch exact gate, hash-keyed and file-pruned
-    val tbs = reps.select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    val tbs = bucketSet(repsObs)
     val seenDocs = prunedState(spark, docsDir, "tb", tbs, batchId,
       reps.limit(0))
     val survivors = reps.join(
@@ -125,6 +143,7 @@ object AdmissionGate {
       // anti-join per consumer would re-probe the docs state
       .localCheckpoint(true)
     val rows = numHashes / bands
+    val bandsObs = new org.apache.spark.sql.Observation()
     val newBands = survivors
       .where(size(col("sg")) > 0)
       .select(col("doc_id"),
@@ -137,10 +156,10 @@ object AdmissionGate {
       .withColumn("bb",
         pmod(xxhash64(col("band"), col("band_key")), lit(bandBuckets.toLong))
           .cast("int"))
+      .observe(bandsObs, collect_set(col("bb")).as("bs"))
       .localCheckpoint(true)
     // posting probe, pruned to the batch's own band-key buckets
-    val bbs = newBands.select("bb").distinct().collect()
-      .map(_.getInt(0)).toSeq
+    val bbs = bucketSet(bandsObs)
     val seenBands = prunedState(spark, bandsDir, "bb", bbs, batchId,
       newBands.limit(0))
     // candidates: new-vs-corpus probes of the posting index, plus
@@ -157,10 +176,13 @@ object AdmissionGate {
       .join(newBands
         .select(col("band"), col("band_key"), col("doc_id").as("id_b")),
         Seq("band", "band_key"))
+    val candObs = new org.apache.spark.sql.Observation()
     val cand = cross.unionByName(within)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-      // cand feeds the partner-bucket collect AND the verification join
+      .observe(candObs, collect_set(
+        pmod(col("id_a"), lit(docBuckets.toLong)).cast("int")).as("bs"))
+      // cand feeds the partner-bucket probe AND the verification join
       .localCheckpoint(true)
     // exact-Jaccard verification over MATERIALIZED shingle arrays: the
     // id_b side is always a current-batch survivor; the id_a side may
@@ -168,9 +190,7 @@ object AdmissionGate {
     // pruned to the candidate partners' id buckets (again ⊆ a fixed
     // domain). Same merge-walk kernel and formula as
     // Dedup.jaccardOnPairs, minus its per-batch corpus re-shingling.
-    val ibs = cand
-      .select(pmod(col("id_a"), lit(docBuckets.toLong)).cast("int").as("ib"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val ibs = bucketSet(candObs)
     val shState = prunedState(spark, shDir, "ib", ibs, batchId,
       survivors.select("doc_id", "sg", "ib").limit(0))
     val shA = shState.select(col("doc_id").as("id_a"), col("sg").as("sg_a"))
@@ -186,16 +206,25 @@ object AdmissionGate {
           (size(col("sg_a")) + size(col("sg_b"))).cast("double") -
             col("__inter")) >= minJaccard)
       .select(col("id_b").as("doc_id")).distinct()
-    writeBid(survivors.join(rejected, Seq("doc_id"), "left_anti")
-      .select(col("doc_id")), outDir, batchId, None)
-    // state grows by the batch's exact-survivors ONLY — including the
-    // near-rejected ones, which still index the corpus for later probes
-    writeBid(survivors.select("doc_id", "text", "text_fp", "tb"),
-      docsDir, batchId, Some("tb" -> docBuckets))
-    writeBid(survivors.select("doc_id", "sg", "ib"),
-      shDir, batchId, Some("ib" -> docBuckets))
-    writeBid(newBands.select("band", "band_key", "doc_id", "bb"),
-      bandsDir, batchId, Some("bb" -> bandBuckets))
+    // The four per-batch outputs are independent (each reads only the
+    // eagerly checkpointed frames above) — submit them CONCURRENTLY
+    // (guide §2.6 overlap independent jobs) so one batch pays one write
+    // latency, not four in sequence. Failures propagate: Await rethrows.
+    // State grows by the batch's exact-survivors ONLY — including the
+    // near-rejected ones, which still index the corpus for later probes.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq(
+      Future(writeBid(survivors.join(rejected, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")), outDir, batchId, None)),
+      Future(writeBid(survivors.select("doc_id", "text", "text_fp", "tb"),
+        docsDir, batchId, Some("tb" -> docBuckets))),
+      Future(writeBid(survivors.select("doc_id", "sg", "ib"),
+        shDir, batchId, Some("ib" -> docBuckets))),
+      Future(writeBid(newBands.select("band", "band_key", "doc_id", "bb"),
+        bandsDir, batchId, Some("bb" -> bandBuckets))))
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 
   /** Read a state directory pruned to `buckets` of `bucketCol` and to
