@@ -159,7 +159,16 @@ object Scratch {
                     shRead: Long, shWrite: Long, spillMem: Long,
                     spillDisk: Long, input: Long, peakMem: Long)
       val stages = scala.collection.mutable.ArrayBuffer.empty[St]
+      val jobs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       val listener = new org.apache.spark.scheduler.SparkListener {
+        private val jobStart =
+          scala.collection.concurrent.TrieMap.empty[Int, Long]
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStart(e.jobId) = e.time
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobStart.remove(e.jobId).foreach(s => jobs += ((s, e.time)))
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = e.stageInfo
@@ -180,14 +189,27 @@ object Scratch {
       spark.sparkContext.addSparkListener(listener)
       for (r <- 0 until reps) {
         stages.clear()
+        jobs.clear()
         SparkEntry.resetCaches()
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300L) // let the listener bus drain stage events
+        // merged job-span coverage vs wall: the uncovered remainder is
+        // pure driver time (planning, fs metadata, commit, job gaps)
+        val covered = {
+          val sorted = jobs.sortBy(_._1)
+          var cov = 0L; var hi = Long.MinValue
+          sorted.foreach { case (s, e) =>
+            if (e > hi) { cov += e - math.max(s, hi); hi = e }
+          }
+          cov / 1e3
+        }
         println(f"STAGEPROBE rep=$r $q wall=$wall%.2f stages=${stages.size} " +
-          f"stageWallSum=${stages.map(_.wall).sum}%.2f")
+          f"stageWallSum=${stages.map(_.wall).sum}%.2f " +
+          f"jobs=${jobs.size} jobCovered=$covered%.2f " +
+          f"driverGap=${wall - covered}%.2f")
         stages.sortBy(-_.wall).take(14).foreach { s =>
           println(f"  ${s.wall}%6.2fs tasks=${s.tasks}%3d gc=${s.gc}%5.2f " +
             f"shR=${s.shRead / 1048576.0}%7.1fM shW=${s.shWrite / 1048576.0}%7.1fM " +

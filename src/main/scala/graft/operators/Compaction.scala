@@ -124,10 +124,20 @@ object Compaction {
     data
       // metadata-sized plan: broadcast, never a data-data shuffle join
       .join(broadcast(binPlan), Seq(partCol, orderCol))
-      // ONE task per (partition, bin) → exactly one file per bin; the
-      // within-task sort keeps row groups clustered on the key so
-      // row-group min/max pruning survives inside each file too
-      .repartition(col(partCol), col("bin"))
+      // Hash-cluster by (partition, bin) at an EXPLICIT session-width
+      // partition count: every row of a bin shares the key, so each bin
+      // still lands wholly in one task and the partitionBy writer still
+      // emits exactly one file per bin — but the write runs at session
+      // parallelism. The previous keyless-count spelling
+      // (`repartition(cols…)`) let AQE's byte-based coalescing fold the
+      // whole rewrite into ONE task (guide §2.6 idle capacity: measured
+      // 2.4-3.5 s serial for a 150-file rewrite at sf0.1 — every
+      // parquet writer opened sequentially); an explicit numPartitions
+      // is exempt from coalescing. The within-task sort keeps row
+      // groups clustered on the key so min/max pruning survives inside
+      // each file too.
+      .repartition(data.sparkSession.sessionState.conf.numShufflePartitions,
+        col(partCol), col("bin"))
       .sortWithinPartitions(col(partCol), col("bin"), col(orderCol))
       .write.partitionBy(partCol, "bin").mode("overwrite")
       .parquet(tmp.toString)
@@ -162,18 +172,59 @@ object Compaction {
       }
     }
     if (integralKey) {
-      val stats = spark.read.option("basePath", dataDir.toString)
-        .parquet(dataDir.toString)
-        .groupBy(col("_metadata.file_path").as("__fp"))
-        .agg(min(col(orderCol)).cast("long").as("__lo"),
-          max(col(orderCol)).cast("long").as("__hi"))
-        .collect() // metadata-sized: one slim row per committed file
-      val lines = stats.map { r =>
-        val rp = r.getString(0).stripPrefix(prefix)
-        val lo = if (r.isNullAt(1)) "null" else r.getLong(1).toString
-        val hi = if (r.isNullAt(2)) "null" else r.getLong(2).toString
-        s"$rp\t$lo\t$hi"
-      }
+      // Per-file min/max from the PLAN metadata, not a re-read: each
+      // output file IS one (partCol, bin) by construction, so the bin's
+      // orderCol range over the metadata rows equals the file's data
+      // range exactly — re-reading the freshly staged files for the
+      // same numbers cost a second full listing + footer pass + one
+      // aggregate job per commit (guide §5 driver work / §6 small-file
+      // IO; measured ~0.7 s of q241's wall at 150 files). Requires
+      // mapping a file path back to its bin, so it is done for STRING
+      // partition keys (directory name = escapePathName(value), the
+      // exact writer spelling); other key types keep the re-read. A
+      // file that matches no plan row gets a null range — readers keep
+      // unknown-range files conservatively, so pruning can only lose
+      // skips, never rows. If a bin ever produced two files both would
+      // inherit the bin's range — wider, still conservative.
+      val stringPart =
+        data.schema(partCol).dataType ==
+          org.apache.spark.sql.types.StringType
+      val lines: Seq[String] =
+        if (stringPart) {
+          val binStats = binPlan
+            .groupBy(col(partCol), col("bin"))
+            .agg(min(col(orderCol)).cast("long").as("__lo"),
+              max(col(orderCol)).cast("long").as("__hi"))
+            .collect() // metadata-sized: one slim row per bin
+          val byDir = binStats.map { r =>
+            val dir = if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__"
+              else org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.escapePathName(r.getString(0))
+            (s"$partCol=$dir", s"bin=${r.get(1)}") ->
+              ((if (r.isNullAt(2)) "null" else r.getLong(2).toString,
+                if (r.isNullAt(3)) "null" else r.getLong(3).toString))
+          }.toMap
+          rel.toSeq.map { rp =>
+            val parts = rp.split('/')
+            val range = if (parts.length == 4)
+              byDir.get((parts(1), parts(2))) else None
+            val (lo, hi) = range.getOrElse(("null", "null"))
+            s"$rp\t$lo\t$hi"
+          }
+        } else {
+          val stats = spark.read.option("basePath", dataDir.toString)
+            .parquet(dataDir.toString)
+            .groupBy(col("_metadata.file_path").as("__fp"))
+            .agg(min(col(orderCol)).cast("long").as("__lo"),
+              max(col(orderCol)).cast("long").as("__hi"))
+            .collect() // metadata-sized: one slim row per committed file
+          stats.toSeq.map { r =>
+            val rp = r.getString(0).stripPrefix(prefix)
+            val lo = if (r.isNullAt(1)) "null" else r.getLong(1).toString
+            val hi = if (r.isNullAt(2)) "null" else r.getLong(2).toString
+            s"$rp\t$lo\t$hi"
+          }
+        }
       val statsOut = fs.create(new Path(target, statsName(qid)), true)
       try statsOut.write(
         (lines.mkString("\n") + "\n").getBytes("UTF-8"))
