@@ -1033,6 +1033,20 @@ object Dedup {
                      maxDist: Int = 2): DataFrame = {
     require(maxDist >= 1, "maxDist must be ≥ 1")
     val nSeg = maxDist + 1
+    // Width discipline (guide §2.6 idle capacity): a name table is
+    // BYTE-tiny but everything downstream is CPU-heavy per row (≤75
+    // probe keys per name, then a banded levenshtein per candidate),
+    // and AQE's byte-based post-shuffle coalescing folded the whole
+    // pipeline into ONE task (measured on q110 at sf0.1: a single
+    // 3.3-4.0 s task, 31 cores idle). The explicit-numPartitions
+    // repartitions below are placed so they SATISFY the next operator's
+    // required distribution (join keys / distinct keys) — then the
+    // planner inserts no coalescable ensure-exchange of its own and the
+    // explicit width (exempt from AQE coalescing) carries through the
+    // stage. A repartition whose keys the child already statically
+    // satisfies is elided by the planner, which is why a plain
+    // repartition(name) after the distinct did nothing.
+    val par = names.sparkSession.sessionState.conf.numShufflePartitions
     val n = names.select(col(nameCol).as("name")).distinct()
       .withColumn("len", length(col("name")))
     val segIdx = explode(array((0 until nSeg).map(i => lit(i)): _*))
@@ -1066,9 +1080,15 @@ object Dedup {
         abs(col("len_a") - col("len") - col("shift")) <= maxDist)
       .select(col("name_a"), col("len"), col("seg_i"),
         col("name_a").substr(col("start") + 1, col("slen")).as("seg"))
-    a.join(b, Seq("len", "seg_i", "seg"))
+    a.join(b.repartition(par, col("len"), col("seg_i"), col("seg")),
+        Seq("len", "seg_i", "seg"))
       .where(col("name_a") < col("name_b"))
-      .select("name_a", "name_b").distinct()
+      .select("name_a", "name_b")
+      // explicit width keyed EXACTLY like the distinct below, so the
+      // dedup aggregate (and the kernel filter the optimizer pushes
+      // down to just above it) runs at session width
+      .repartition(par, col("name_a"), col("name_b"))
+      .distinct()
       .observe("fuzzy_block", count(lit(1)).as("candidates"))
       // banded verification kernel: O(d·len) + early band exit, vs the
       // built-in's full O(len²) table — exact for every distance the
